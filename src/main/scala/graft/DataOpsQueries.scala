@@ -1,13 +1,218 @@
 package graft
 
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) over the documents + embeddings tables. Filled in as the
-  * operator library lands — see graft.operators.
+/** Training-data pipeline operators over the documents + embeddings
+  * tables: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH ANN), text analysis, multimodal
+  * plumbing. Operators whose digests are engine-specific (xxhash64, RNG)
+  * are rows-only; everything else carries a DuckDB oracle.
   */
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** documents ∪ shifted-id copy — duplicate-by-construction corpus so
+    * dedup operators always have work to do on the synthetic data (which
+    * has no natural duplicates).
+    */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Text analysis: token/char counts (oracle).
+    "t_token_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "n_chars")
+    }),
+
+    // Quality scoring: ratios rounded 6dp (oracle).
+    "t_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    // Language-ID heuristic: marker-count argmax (oracle — same heuristic
+    // expressed in SQL; the synthetic corpus shares one vocabulary so the
+    // score, not label recovery, is what's checked).
+    "t_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir))),
+
+    // Content fingerprint: md5 of normalized text (oracle — md5 is
+    // engine-portable, unlike rolling hashes).
+    "t_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // Exact dedup groups over the duplicate-by-construction corpus (oracle).
+    "d_exact_groups" -> ((s, dir) =>
+      Dedup.exact(docsWithCopies(s, dir))),
+
+    // Exact dedup survivors: min doc_id per fingerprint (oracle).
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDeduped(docsWithCopies(s, dir)).select("doc_id", "lang", "source")),
+
+    // MinHash+LSH near-duplicate pairs verified by n-gram Jaccard ≥ 0.8.
+    // xxhash64 signatures are Spark-specific → rows-only; every doc must
+    // pair with its copy (jaccard 1.0).
+    "d_minhash_neardup" -> ((s, dir) =>
+      Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8)),
+
+    // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+
+    // n-gram Jaccard on explicit pairs: each doc vs its copy → 1.0 (oracle:
+    // jaccard of identical shingle sets).
+    "d_ngram_jaccard_self" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + lit(1000000L)).as("doc_b"))
+      Dedup.ngramJaccard(pairs, docsWithCopies(s, dir))
+    }),
+
+    // Brute-force cosine top-k: exact ANN baseline (oracle via DuckDB list
+    // functions).
+    "e_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+    }),
+
+    // LSH-bucketed approximate top-k (seeded hyperplanes → deterministic,
+    // but plan-order-dependent float sums → rows-only; recall is asserted
+    // against brute force in the test suite).
+    "e_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 10, dim = 64,
+        planes = 8)
+    }),
+
+    // Multimodal plumbing: binary payload → partition-batched feature
+    // extraction (decode STUBBED deterministically → oracle-able only as
+    // row counts; features checked in unit tests) → rows-only.
+    "m_decode_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1), 6).as("f0"))),
+
+    // Frame sampling: payload chunk per frame index (oracle on counts).
+    "m_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_payload"))).as("total_bytes")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "t_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for')))::DOUBLE
+        |        / greatest(len(toks), 1), 6) AS stopword_frac,
+        |  round((length(text) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1), 6) AS mean_token_len
+        |FROM t""".stripMargin,
+
+    "t_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','y','es','un'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('的','是','了','在','和','我'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE greatest(s_en, s_de, s_fr, s_es, s_zh, 0)
+        |    WHEN 0 THEN 'und'
+        |    WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+        |    WHEN s_es THEN 'es' ELSE 'zh' END AS lang_pred,
+        |  greatest(s_en, s_de, s_fr, s_es, s_zh, 0) AS lang_score
+        |FROM s""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "d_exact_groups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM all_docs)
+        |SELECT doc_id, fp,
+        |  count(*) OVER (PARTITION BY fp) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        |FROM fp QUALIFY group_size > 1""".stripMargin,
+
+    "d_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, source FROM documents)
+        |SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM all_docs) WHERE rn = 1""".stripMargin,
+
+    "d_ngram_jaccard_self" ->
+      """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+        |  n AS inter, n AS uni, 1.0 AS jaccard
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_distinct(sh)) AS n
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      END AS sh
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN trim(norm) = '' THEN []::VARCHAR[]
+        |             ELSE regexp_split_to_array(trim(norm), '\s+') END AS toks
+        |      FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |        FROM documents))))""".stripMargin,
+
+    "e_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(cv::DOUBLE[], qv::DOUBLE[]) AS cos
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id AS media_id, 4::BIGINT AS n_frames,
+        |  4 * (length(text) // 8)::BIGINT AS total_bytes
+        |FROM documents""".stripMargin
+  )
 }

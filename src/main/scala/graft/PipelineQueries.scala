@@ -1,13 +1,95 @@
 package graft
 
+import graft.operators.{Contingency, Meddra, MonteCarlo, Stratified}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** FAERS-pipeline-analog queries over the synthetic star schema
-  * (contingency + LLR + Monte-Carlo). Filled in as the operator library
-  * lands — see graft.operators.
+/** FAERS-pipeline operators exercised over the synthetic star schema:
+  * the (report, drug, event) analog is (l_orderkey, s_name, p_brand) —
+  * a supplier "causes" a brand "reaction" within an order "report".
+  * Exact distinct counts make the contingency/LLR stage DuckDB-checkable;
+  * the Monte-Carlo stage is RNG-based and therefore rows-only.
   */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** The event-rows analog frame, named per the pipeline's contract. */
+  private def analogEvents(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val part = Tables.part(s, dir)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").cast("string").as("safetyreportid"),
+        col("s_name").as("chembl_id"),
+        col("p_brand").as("reaction_reactionmeddrapt"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // A1-A3 + LLR (exact mode): the contingency spine, oracle-checked.
+    "llr_pairs" -> ((s, dir) => {
+      Contingency.pairStatistics(analogEvents(s, dir), exact = true)
+        .select(col("chembl_id").as("drug"),
+          col("reaction_reactionmeddrapt").as("event"),
+          col("A"), col("B"), col("C"), col("D"),
+          round(col("llr"), 6).as("llr"))
+    }),
+
+    // Full significance pipeline incl. seeded Monte-Carlo (A5/UDF/J5/P5/P8).
+    // Emits ALL pairs with critval + flag (not just significant ones) so the
+    // smoke check always sees rows; RNG → no SQL oracle (rows-only).
+    "significant_pairs" -> ((s, dir) => {
+      val pairs = Meddra.withEmptyCode(
+        Contingency.pairStatistics(analogEvents(s, dir), exact = true))
+      val crit = MonteCarlo.criticalValues(pairs, percentile = 0.95,
+        permutations = 50, seed = Some(42L))
+      pairs.join(crit, Seq("chembl_id"), "inner")
+        .select(col("chembl_id").as("drug"),
+          col("reaction_reactionmeddrapt").as("event"),
+          col("A").as("count"), round(col("llr"), 6).as("llr"),
+          round(col("critVal_drug"), 6).as("critval"),
+          (col("llr") > col("critVal_drug") && col("critVal_drug") > 0)
+            .as("significant"))
+    }),
+
+    // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
+    // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
+    "stratified_sample" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val ev = analogEvents(s, dir)
+      val significant = Contingency.pairStatistics(ev, exact = true)
+        .select("chembl_id").distinct()
+      val raw = Tables.orders(s, dir)
+        .withColumn("safetyreportid", col("o_orderkey").cast("string"))
+      Stratified.sample(ev, significant, raw, sampleSize = 0.3, seed = Some(42L))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llr_pairs" ->
+      """WITH ev AS (
+        |  SELECT l_orderkey AS rid, s_name AS drug, p_brand AS event
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |pairs AS (SELECT drug, event, count(DISTINCT rid) AS a FROM ev GROUP BY 1, 2),
+        |bydrug AS (SELECT drug, count(DISTINCT rid) AS nd FROM ev GROUP BY 1),
+        |byevent AS (SELECT event, count(DISTINCT rid) AS ne FROM ev GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT rid) AS n FROM ev),
+        |cont AS (
+        |  SELECT drug, event, a AS "A", ne - a AS "B", nd - a AS "C",
+        |         n - nd - ne + a AS "D"
+        |  FROM pairs JOIN bydrug USING (drug) JOIN byevent USING (event) CROSS JOIN tot),
+        |llr AS (
+        |  SELECT *,
+        |    "A" * ((CASE WHEN "A" > 0 THEN ln("A") END) - (CASE WHEN "A" + "B" > 0 THEN ln("A" + "B") END)) AS aterm,
+        |    "C" * ((CASE WHEN "C" > 0 THEN ln("C") END) - (CASE WHEN "C" + "D" > 0 THEN ln("C" + "D") END)) AS cterm,
+        |    ("A" + "C") * ((CASE WHEN "A" + "C" > 0 THEN ln("A" + "C") END) - (CASE WHEN "A" + "B" + "C" + "D" > 0 THEN ln("A" + "B" + "C" + "D") END)) AS acterm
+        |  FROM cont)
+        |SELECT drug, event, "A", "B", "C", "D",
+        |       round(aterm + cterm - acterm, 6) AS llr
+        |FROM llr
+        |WHERE aterm + cterm - acterm IS NOT NULL
+        |  AND NOT isnan(aterm + cterm - acterm)""".stripMargin
+  )
 }

@@ -130,6 +130,20 @@ object TpchQueries {
         .select("s_suppkey", "s_name", "s_nationkey")
     }),
 
+    // S6: the MedDRA $-separated parser semantics (collapse $-runs, split,
+    // positional projection, lower names) over lines synthesized from part.
+    "s6_meddra_parse" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(concat(col("p_partkey"), lit("$$"), col("p_brand"), lit("$"),
+          col("p_name"), lit("$$$")).as("_c0"))
+        .withColumn("_c0", regexp_replace(col("_c0"), "\\$+", ","))
+        .withColumn("_c0", regexp_replace(col("_c0"), "\\$$", ""))
+        .withColumn("_c0", split(col("_c0"), ","))
+        .select(col("_c0").getItem(0).as("code"),
+          col("_c0").getItem(1).as("brand"),
+          lower(col("_c0").getItem(2)).as("name"))
+    }),
+
     // 2.9 explode: split + explode + re-aggregate over document tokens.
     "explode_tokens" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -198,6 +212,13 @@ object TpchQueries {
 
     "o1_orderby" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_name",
+
+    "s6_meddra_parse" ->
+      """SELECT string_split(line, ',')[1] AS code,
+        |string_split(line, ',')[2] AS brand,
+        |lower(string_split(line, ',')[3]) AS name FROM (
+        |SELECT regexp_replace(p_partkey || '$$' || p_brand || '$' || p_name || '$$$',
+        |'\$+', ',', 'g') AS line FROM part)""".stripMargin,
 
     "explode_tokens" ->
       """SELECT token, count(*) AS n FROM (

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2×2 contingency counts (A/B/C/D) and log-likelihood ratio per
+  * (drug, adverse-event) pair — the reference's `prepareSummaryStatistics`
+  * + `prepareForMonteCarlo` (/root/reference .. stage/OpenFdaEtl.scala:
+  * 110-160).
+  *
+  * Two physical strategies, same semantics:
+  *
+  *  - [[summaryStatisticsWindowed]] + [[prepareForMonteCarloFromWindowed]]:
+  *    reference parity — three whole-partition windows attach
+  *    approx_count_distinct marginals to every report-grain row, then a
+  *    full-row distinct collapses to pair grain. Three full-table shuffles
+  *    of the exploded table (SURVEY §4.2) — correct but the dominant cost.
+  *
+  *  - [[pairStatistics]]: the 100 TB plan — aggregate once to pair grain
+  *    (map-side partial aggregation shrinks the shuffle to one compact
+  *    (drug, reaction) table), compute drug/reaction marginals as two small
+  *    groupBys, and broadcast-join them back. The marginal frames are
+  *    bounded by the drug/reaction vocabularies (≈10⁴–10⁵ rows) regardless
+  *    of corpus size, so the joins never shuffle the big side.
+  */
+object Contingency {
+
+  /** Exact or HLL++ distinct-count, selectable per caller: exact for
+    * oracle-checked paths, approx (reference parity, rsd 0.05) at scale.
+    */
+  def distinctCount(c: Column, exact: Boolean): Column =
+    if (exact) count_distinct(c) else approx_count_distinct(c)
+
+  /** Reference-parity windowed marginals (OpenFdaEtl.scala:110-136):
+    * report-grain rows with the three distinct-report counts attached.
+    */
+  def summaryStatisticsWindowed(df: DataFrame): DataFrame = {
+    val wAdverses = Window.partitionBy(col("reaction_reactionmeddrapt"))
+    val wDrugs = Window.partitionBy(col("chembl_id"))
+    val wComb = Window.partitionBy(col("chembl_id"), col("reaction_reactionmeddrapt"))
+    df.withColumn("uniq_report_ids_by_reaction",
+        approx_count_distinct(col("safetyreportid")).over(wAdverses))
+      .withColumn("uniq_report_ids_by_drug",
+        approx_count_distinct(col("safetyreportid")).over(wDrugs))
+      .withColumn("uniq_report_ids",
+        approx_count_distinct(col("safetyreportid")).over(wComb))
+      .select("safetyreportid", "chembl_id", "reaction_reactionmeddrapt",
+        "uniq_report_ids_by_reaction", "uniq_report_ids_by_drug", "uniq_report_ids")
+  }
+
+  /** Reference-parity pair-grain reduction (OpenFdaEtl.scala:138-160):
+    * eager global distinct count (driver literal — A2), drop report id,
+    * full-row distinct to pair grain, LLR columns, null/NaN filter.
+    */
+  def prepareForMonteCarloFromWindowed(reportGrain: DataFrame): DataFrame = {
+    val uniqReports: Long =
+      reportGrain.select("safetyreportid").distinct().count()
+    val pairGrain = reportGrain
+      .drop("safetyreportid")
+      .withColumnRenamed("uniq_report_ids", "A")
+      .withColumn("C", col("uniq_report_ids_by_drug") - col("A"))
+      .withColumn("B", col("uniq_report_ids_by_reaction") - col("A"))
+      .withColumn("D", lit(uniqReports) - col("uniq_report_ids_by_drug")
+        - col("uniq_report_ids_by_reaction") + col("A"))
+      .distinct()
+    withLLR(pairGrain)
+  }
+
+  /** Scale-path pair statistics from clean (report, drug, reaction) rows:
+    * one aggregation to pair grain + two marginal aggregations joined back
+    * (broadcast). Output column names match the reference's Monte-Carlo
+    * input contract.
+    *
+    * @param exact exact count_distinct (oracle-matchable) vs HLL++
+    *              (reference parity at scale)
+    */
+  def pairStatistics(events: DataFrame, exact: Boolean = true): DataFrame = {
+    val pairs = events.groupBy("chembl_id", "reaction_reactionmeddrapt")
+      .agg(distinctCount(col("safetyreportid"), exact).as("A"))
+    val byDrug = events.groupBy("chembl_id")
+      .agg(distinctCount(col("safetyreportid"), exact).as("uniq_report_ids_by_drug"))
+    val byReaction = events.groupBy("reaction_reactionmeddrapt")
+      .agg(distinctCount(col("safetyreportid"), exact).as("uniq_report_ids_by_reaction"))
+    val total: Long = events.select("safetyreportid").distinct().count()
+    val pairGrain = pairs
+      .join(broadcast(byDrug), Seq("chembl_id"))
+      .join(broadcast(byReaction), Seq("reaction_reactionmeddrapt"))
+      .withColumn("C", col("uniq_report_ids_by_drug") - col("A"))
+      .withColumn("B", col("uniq_report_ids_by_reaction") - col("A"))
+      .withColumn("D", lit(total) - col("uniq_report_ids_by_drug")
+        - col("uniq_report_ids_by_reaction") + col("A"))
+    withLLR(pairGrain)
+  }
+
+  /** LLR columns + the null/NaN filter, exactly the reference expressions
+    * (OpenFdaEtl.scala:152-157). Spark's log(x≤0) → null: pairs with A=0,
+    * C=0 (via cterm) or non-positive D are silently dropped by the filter —
+    * this is load-bearing reference semantics (SURVEY §7.6.1), not a bug.
+    */
+  def withLLR(pairGrain: DataFrame): DataFrame =
+    pairGrain
+      .withColumn("aterm", col("A") * (log(col("A")) - log(col("A") + col("B"))))
+      .withColumn("cterm", col("C") * (log(col("C")) - log(col("C") + col("D"))))
+      .withColumn("acterm", (col("A") + col("C")) *
+        (log(col("A") + col("C")) - log(col("A") + col("B") + col("C") + col("D"))))
+      .withColumn("llr", col("aterm") + col("cterm") - col("acterm"))
+      .where(col("llr").isNotNull && !col("llr").isNaN)
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed so
+  * the shuffle key is a compact digest rather than document text:
+  *
+  *  - [[exact]]: hash-groupBy on a content fingerprint. One shuffle of
+  *    (doc_id, 16-byte digest) regardless of document size.
+  *  - [[minhashSignatures]] / [[minhashCandidates]]: MinHash + LSH banding.
+  *    Shingle → per-seed min-hash → band digests → bucket self-join on
+  *    (band index, digest). All array math is Spark lambda expressions
+  *    (codegen), no UDFs; candidate verification is an exact n-gram
+  *    Jaccard on the bucketed (small) pair set only.
+  *  - [[simhash]]: 64-bit SimHash over token hashes via bit-vote
+  *    aggregation expressed with explode + groupBy (distributes; no
+  *    per-executor state).
+  *  - [[ngramJaccard]]: exact Jaccard over shingle sets for a candidate
+  *    pair frame.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    // sliding n-grams: positions 0 .. size-n
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /** Exact duplicate groups: every document whose normalized content
+    * fingerprint occurs more than once, with the group's canonical
+    * (smallest) doc_id attached — deterministic survivor selection.
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    fp.withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .where(col("group_size") > 1)
+      .select("doc_id", "fp", "group_size", "canonical_id")
+  }
+
+  /** Keep one survivor (min doc_id) per fingerprint — the "dedup" action. */
+  def exactDeduped(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeds, the minimum
+    * xxhash64(shingle, seed) over the document's shingle set.
+    * (doc_id, signature array) — compact, shuffles well.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(col(textCol), shingleSize).as("_sh")
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    docs.select(col("doc_id"), sh)
+      .where(size(col("_sh")) > 0)
+      .select(col("doc_id"),
+        transform(seeds, s => array_min(transform(col("_sh"), g => xxhash64(g, s))))
+          .as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands and emit one
+    * (doc_id, band, band_hash) row per band; equal band_hash within a band
+    * ⇒ candidate pair. Candidate generation is then a self-equi-join on
+    * (band, band_hash) — at scale this is the only shuffle, keyed on a
+    * 2-int digest, never on text.
+    */
+  def lshBands(signatures: DataFrame, bands: Int): DataFrame =
+    signatures
+      .select(col("doc_id"), posexplode(split_signature(col("signature"), bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumn("band_hash", xxhash64(col("col")))
+      .drop("col")
+
+  private def split_signature(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands))
+
+  /** Candidate near-duplicate pairs from MinHash LSH (doc_a < doc_b). */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, shingleSize, numHashes)
+    val banded = lshBands(sigs, bands)
+    val a = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("b", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a pair frame that carries
+    * (doc_a, doc_b); joins the shingle sets back in and computes
+    * |∩| / |∪| on distinct shingles. Use on LSH candidates, never all
+    * pairs.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ t. */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text",
+                     threshold: Double = 0.8, shingleSize: Int = 3,
+                     numHashes: Int = 32, bands: Int = 8): DataFrame =
+    ngramJaccard(minhashCandidates(docs, textCol, shingleSize, numHashes, bands),
+      docs, textCol, shingleSize)
+      .where(col("jaccard") >= threshold)
+
+  /** 64-bit SimHash per document: explode token hashes, vote per bit via
+    * groupBy-sum (map-side partial agg), reassemble the sign bits.
+    * Distributes: no document's token set ever sits in one buffer.
+    */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val hashed = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per (doc, bit) vote: +1 if bit set else -1, summed over tokens
+    val bits = hashed.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit").agg(sum(col("vote")).as("v"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are pure column expressions (whole-stage codegen,
+  * no UDFs) so they scan-scale linearly and push through Catalyst.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → empty array (split of ""
+    * would otherwise yield [""]).
+    */
+  def tokens(text: Column): Column = {
+    val t = split(trim(text), "\\s+")
+    when(trim(text) === "", array().cast("array<string>")).otherwise(t)
+  }
+
+  /** BPE-ish subword count approximation: alnum runs and single
+    * non-alnum/non-space marks each count as one token.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(regexp_replace(text, "([^\\p{L}\\p{N}\\s])", " $1 "), "\\s+"),
+      t => t =!= ""))
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      bpeishTokenCount(col(textCol)).as("n_subtokens"))
+  }
+
+  /** Quality signals: length, punctuation ratio, stopword fraction,
+    * mean token length. Ratios are rounded to 6dp so results are stable
+    * under cross-engine float comparison.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text",
+                   stopwords: Seq[String] = EnglishStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nPunct = length(col(textCol)) - length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+    docs.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      nTok.as("n_tokens"),
+      round(nPunct.cast("double") / greatest(length(col(textCol)), lit(1)), 6).as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 6).as("stopword_frac"),
+      round((length(col(textCol)) - (nTok - lit(1))).cast("double") / greatest(nTok, lit(1)), 6)
+        .as("mean_token_len"))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny by design — the heuristic (not a model) is the
+    * operator; profiles are swappable.
+    */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "我")
+  )
+
+  /** Language-ID: per-language marker-token counts (with multiplicity),
+    * winner = highest count, ties broken by the fixed language order,
+    * no markers at all → "und" (undetermined).
+    */
+  def languageId(docs: DataFrame, textCol: String = "text",
+                 markers: Seq[(String, Seq[String])] = LanguageMarkers): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = markers.foldLeft(docs.select(col("doc_id"), toks.as("_toks"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"_s_$lang", size(filter(col("_toks"), t => t.isInCollection(words))))
+    }
+    // argmax with first-wins tie-break over the declared order
+    val best = markers.map(_._1).foldLeft((lit(0), lit("und"))) {
+      case ((bestScore, bestLang), lang) =>
+        val s = col(s"_s_$lang")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    scored.select(col("doc_id"), best._2.as("lang_pred"), best._1.as("lang_score"))
+  }
+
+  /** Normalization for fingerprinting/dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
+  /** Content fingerprint of the normalized text (md5 → stable across
+    * engines and versions; a rolling/Rabin-style hash would not be
+    * reproducible in an external oracle).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+}

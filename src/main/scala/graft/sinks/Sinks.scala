@@ -1,0 +1,49 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.slf4j.LoggerFactory
+
+/** Output writers (SURVEY §2.2 K1–K5) — the reference's Writers
+  * (/root/reference .. utils/Writers.scala:8-52).
+  */
+object Sinks {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** K1–K3 + K5: final (Monte-Carlo) results. csv gathers to a single
+    * gzip file via coalesce(1) — the reference documents this as slow by
+    * contract (reference.conf:21-22); json/parquet stay partitioned.
+    * Unknown formats log and skip, no throw (K5) — config validation
+    * happens upstream.
+    *
+    * Delta vs reference: each format lands in its own subdirectory
+    * (`$outputPath/<format>`) — the reference writes every configured
+    * format to the same path, which collides as soon as two formats are
+    * configured.
+    */
+  def writeResults(results: DataFrame, outputPath: String, format: String): Unit =
+    format match {
+      case "csv" =>
+        results.coalesce(1).write
+          .option("compression", "gzip")
+          .option("header", "true")
+          .csv(s"$outputPath/csv")
+      case "json" | "jsonl" =>
+        results.write.json(s"$outputPath/json")
+      case "parquet" =>
+        results.write.format("parquet").save(s"$outputPath/parquet")
+      case other =>
+        log.error(s"Unrecognised output format $other")
+    }
+
+  /** K4 + K5: the pre-Monte-Carlo aggregate, path suffix "Unfiltered";
+    * csv intentionally unsupported here (falls to the error case), matching
+    * the reference (Writers.scala:38-52).
+    */
+  def writeUnfiltered(results: DataFrame, outputPath: String, format: String): Unit =
+    format match {
+      case "json" | "parquet" =>
+        results.write.format(format).save(s"${outputPath}Unfiltered/$format")
+      case other =>
+        log.error(s"Unrecognised output format $other")
+    }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.config._
+import graft.operators.Stratified
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+  implicit lazy val ss: org.apache.spark.sql.SparkSession = spark
+
+  def cfg(out: String, meddra: Option[String] = None, compat: Boolean = false,
+          sampling: Boolean = false): PipelineConfig =
+    PipelineConfig(
+      sparkUri = None,
+      outputPath = out,
+      fda = FdaConfig(
+        montecarlo = MonteCarloConfig(permutations = 25, percentile = 0.95),
+        fdaInputs = FdaInputs(
+          blacklist = resource("blacklist.txt"),
+          chemblData = resource("drug_dict.jsonl"),
+          fdaData = resource("faers_sample.jsonl"),
+          meddraRelease = meddra),
+        outputs = Seq("json", "parquet"),
+        sampling = Sampling(output = s"$out/sample", enabled = sampling),
+        compat = compat))
+
+  test("end-to-end: significant pairs produced with the output contract") {
+    val out = Files.createTempDirectory("graft-e2e").toString
+    val res = Pipeline.run(cfg(s"$out/a"))
+    assert(res.columns.toSeq ==
+      Seq("chembl_id", "event", "count", "llr", "critval", "meddraCode"))
+    // the engineered Gammacure → angioedema-severe signal must be significant
+    val sig = res.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sig.contains(("CHEMBL0003", "angioedema severe")))
+    // outputs written: unfiltered + final in both formats
+    assert(new java.io.File(s"$out/aUnfiltered").exists())
+    assert(new java.io.File(s"$out/a").exists())
+  }
+
+  test("end-to-end with MedDRA: codes resolved for known reactions") {
+    val out = Files.createTempDirectory("graft-e2e-meddra").toString
+    val res = Pipeline.run(cfg(s"$out/m", meddra = Some(resource("meddra") + "/")))
+    val codes = res.select("event", "meddraCode").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    codes.get("headache").foreach(c => assert(c == "10019211"))
+    // blacklisted events never appear
+    assert(!codes.contains("drug ineffective"))
+  }
+
+  test("deterministic: two runs produce identical significant pairs") {
+    val o1 = Files.createTempDirectory("graft-d1").toString
+    val o2 = Files.createTempDirectory("graft-d2").toString
+    val a = Pipeline.run(cfg(s"$o1/x")).orderBy("chembl_id", "event")
+      .collect().map(_.toSeq).toSeq
+    val b = Pipeline.run(cfg(s"$o2/x")).orderBy("chembl_id", "event")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("compat mode runs the reference-shaped plan end-to-end") {
+    val out = Files.createTempDirectory("graft-compat").toString
+    val res = Pipeline.run(cfg(s"$out/c", compat = true))
+    assert(res.columns.toSeq ==
+      Seq("chembl_id", "event", "count", "llr", "critval", "meddraCode"))
+    assert(res.count() > 0)
+  }
+
+  test("stratified sample: subset of raw reports, tagged seriousnessdeath=1") {
+    val fda = cfg("/tmp/unused").fda
+    val clean = Pipeline.cleanEvents(fda)
+    val pairs = graft.operators.Meddra.withEmptyCode(
+      Pipeline.pairGrain(fda, clean, exactCounts = true))
+    val significant = graft.operators.MonteCarlo(pairs, 0.95, 25)
+    val raw = Sources.faers(fda.fdaInputs.fdaData)
+    val sample = Stratified.sample(clean, significant, raw, sampleSize = 0.5)
+    val n = sample.count()
+    assert(n > 0 && n <= raw.count())
+    assert(sample.where(col("seriousnessdeath") =!= 1).count() == 0)
+    // sampled report ids all exist in the raw input
+    val rawIds = raw.select("safetyreportid").collect().map(_.getString(0)).toSet
+    assert(sample.select("safetyreportid").collect().map(_.getString(0)).toSet
+      .subsetOf(rawIds))
+  }
+}

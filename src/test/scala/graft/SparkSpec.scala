@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session, one per suite (loan pattern like the reference's
+  * SparkSessionSetup — /root/reference .. LoadersTest.scala:20-32 — but
+  * suite-scoped: session spin-up dominates small tests).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def resource(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  implicit lazy val ss: org.apache.spark.sql.SparkSession = spark
+
+  test("blacklist: trimmed, lowercased, caret → apostrophe") {
+    val bl = Sources.blacklist(resource("blacklist.txt")).collect().map(_.getString(0))
+    assert(bl.toSet == Set(
+      "drug ineffective", "adverse drug reaction", "drug interaction",
+      "patient's condition aggravated"))
+  }
+
+  test("meddra pt: $$ runs collapse, trailing $ stripped, names lowercased") {
+    val pt = Sources.meddraPreferredTerms(resource("meddra") + "/")
+    assert(pt.columns.toSeq == Seq("pt_code", "pt_name"))
+    val rows = pt.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("10019211") == "headache")
+    assert(rows("10011401") == "crohn^s disease") // parser does NOT un-escape carets
+    assert(rows.size == 7)
+  }
+
+  test("meddra llt: same parser, llt columns") {
+    val llt = Sources.meddraLowLevelTerms(resource("meddra") + "/")
+    assert(llt.columns.toSeq == Seq("llt_code", "llt_name"))
+    assert(llt.count() == 4)
+  }
+
+  test("faers: explicit schema projects exactly the consumed fields") {
+    val fda = Sources.faers(resource("faers_sample.jsonl"))
+    assert(fda.columns.toSeq == Seq("safetyreportid", "serious",
+      "seriousnessdeath", "receivedate", "qualification", "patient"))
+    assert(fda.count() == 118)
+  }
+
+  test("chembl: renamed projection") {
+    val c = Sources.chembl(resource("drug_dict.jsonl"))
+    assert(c.columns.toSeq == Seq("chembl_id", "synonyms", "pref_name", "trade_names"))
+    assert(c.count() == 7)
+  }
+}
