@@ -84,7 +84,7 @@ object DataOpsQueries {
     "e_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 10, dim = 64,
-        planes = 8)
+        planes = 6)
     }),
 
     // Multimodal plumbing: binary payload → partition-batched feature
@@ -179,7 +179,7 @@ object DataOpsQueries {
 
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
-        |  n AS inter, n AS uni, 1.0 AS jaccard
+        |  n AS inter, n AS uni, 1.0::DOUBLE AS jaccard
         |FROM (
         |  SELECT doc_id,
         |    len(list_distinct(sh)) AS n

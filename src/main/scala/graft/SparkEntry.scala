@@ -22,11 +22,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TpchQueries.queries ++ PipelineQueries.queries ++ DataOpsQueries.queries
+    TpchQueries.queries ++ PipelineQueries.queries ++ DataOpsQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    TpchQueries.oracles ++ PipelineQueries.oracles ++ DataOpsQueries.oracles
+    TpchQueries.oracles ++ PipelineQueries.oracles ++ DataOpsQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-stream operators run in batch mode over the events table — the
+  * same logical queries EventStream runs incrementally (its transforms
+  * are batch/stream agnostic; StreamingSpec drives the incremental path).
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st_event_windows" -> ((s, dir) =>
+      EventStream.windowedCounts(Tables.events(s, dir))),
+    "st_session_counts" -> ((s, dir) =>
+      EventStream.sessionCounts(Tables.events(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_event_windows" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st_session_counts" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL '30 minutes' OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+  )
+}

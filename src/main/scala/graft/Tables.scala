@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table access for the driver-generated synthetic tables
   * (TESTDATA.md). All queries take the sf directory at call time so the
@@ -20,7 +22,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader only
+    * accepts as long (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * the harness sessions); normalize to a µs TimestampType column here.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -22,14 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of the normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
-    // sliding n-grams: positions 0 .. size-n
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  /** Word n-gram shingles of the normalized text — native expression
+    * (graft.functions.NGramShingles); see its scaladoc for why not a
+    * transform/slice lambda pipeline.
+    */
+  def shingles(text: Column, n: Int = 3, distinct: Boolean = false): Column =
+    graft.functions.NGramShingles.shingles(TextAnalysis.normalized(text), n, distinct)
 
   /** Exact duplicate groups: every document whose normalized content
     * fingerprint occurs more than once, with the group's canonical
@@ -53,17 +51,24 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` seeds, the minimum
     * xxhash64(shingle, seed) over the document's shingle set.
-    * (doc_id, signature array) — compact, shuffles well.
+    *
+    * Shape matters: explode to (doc_id, shingle) grain and run `numHashes`
+    * plain min-aggregates — every xxhash64 stays inside whole-stage
+    * codegen and the shuffle carries only (doc_id, N longs) after map-side
+    * partial aggregation. (A nested transform(seeds, .. transform(shingles,
+    * ..)) computes the same thing but higher-order lambdas evaluate
+    * interpreted — measured 200× slower at sf0.1.)
     */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize).as("_sh")
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    docs.select(col("doc_id"), sh)
-      .where(size(col("_sh")) > 0)
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"_h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        transform(seeds, s => array_min(transform(col("_sh"), g => xxhash64(g, s))))
-          .as("signature"))
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
   }
 
   /** LSH banding: split the signature into `bands` bands and emit one
@@ -97,19 +102,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for a pair frame that carries
-    * (doc_a, doc_b); joins the shingle sets back in and computes
-    * |∩| / |∪| on distinct shingles. Use on LSH candidates, never all
-    * pairs.
+    * (doc_a, doc_b): |∩| via an exploded equi-join on the shingle value,
+    * |∪| = |A| + |B| − |∩|. All joins/aggregates are codegen'd — no
+    * interpreted array set-ops — and the work scales with candidate
+    * pairs × shingles, never all pairs. Use on LSH candidates.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
                    shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      explode(shingles(col(textCol), shingleSize, distinct = true)).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     pairs
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform here is batch/stream agnostic: watermarks apply only
+  * when the input is streaming, so the same logical query runs in the
+  * batch gate (DuckDB-checkable) and incrementally via readStream.
+  * The reference pipeline is batch-only (SURVEY §2.12) — this module is
+  * part of the engine's beyond-reference surface.
+  */
+object EventStream {
+
+  /** On-disk shape: ts is TIMESTAMP(NANOS), readable by Spark only as
+    * long (spark.sql.legacy.parquet.nanosAsLong=true).
+    */
+  val eventSchemaRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchemaRaw)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  private def watermarked(events: DataFrame, watermark: String): DataFrame =
+    if (events.isStreaming) events.withWatermark("ts", watermark) else events
+
+  /** Tumbling-window counts per event type. Window bounds are emitted as
+    * formatted strings so batch results hash identically across engines
+    * (timestamp precision differs: ns in parquet, µs in Spark).
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame = {
+    // streaming aggregation forbids exact distinct → HLL++ there (exact at
+    // the per-window cardinalities involved), exact count in batch so the
+    // oracle comparison stays strict.
+    val users =
+      if (events.isStreaming) approx_count_distinct(col("user_id"))
+      else count_distinct(col("user_id"))
+    watermarked(events, watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        users.as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("n_users"), col("min_value"), col("max_value"))
+  }
+
+  /** Per-user session windows (gap-based). Emits count + span rather than
+    * the raw window struct for cross-engine comparability.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    watermarked(events, watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  case class UserRunningCount(userId: Long, events: Long, lastType: String)
+
+  /** Custom streaming state: running per-user event counts via
+    * mapGroupsWithState (KeyValueGroupedDataset) — the engine's
+    * arbitrary-stateful-processing surface.
+    */
+  def runningUserCounts(events: DataFrame): Dataset[UserRunningCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunningCount, UserRunningCount](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunningCount]) =>
+          val prev = state.getOption.getOrElse(UserRunningCount(uid, 0L, ""))
+          var n = prev.events
+          var last = prev.lastType
+          rows.foreach { r => n += 1; last = r._2 }
+          val next = UserRunningCount(uid, n, last)
+          state.update(next)
+          next
+      }
+  }
+}

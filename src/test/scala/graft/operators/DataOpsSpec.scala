@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.NGramShingles
+import org.apache.spark.sql.functions._
+
+class DataOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles: sliding 3-grams, short text collapses, empty → [\"\"]") {
+    val df = Seq((1L, "a b c d e"), (2L, "x y"), (3L, ""), (4L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(got(2L) == Seq("x y"))
+    assert(got(3L) == Seq(""))
+    assert(got(4L) == Seq("a b c", "b c a", "c a b", "a b c"))
+    val distinct = df.where($"doc_id" === 4)
+      .select(Dedup.shingles(col("text"), 3, distinct = true)).head().getSeq[String](0)
+    assert(distinct == Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("shingles normalize: case/punctuation-insensitive") {
+    val df = Seq((1L, "Hello, World! Foo"), (2L, "hello world foo")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0) == sh(1))
+  }
+
+  test("exact dedup: duplicate groups and survivors") {
+    val df = Seq(
+      (1L, "The quick brown fox"), (2L, "the quick brown fox!"),
+      (3L, "something else entirely"), (4L, "THE QUICK  brown fox")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.exact(df).collect()
+    assert(groups.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(groups.map(_.getAs[Long]("canonical_id")).toSet == Set(1L))
+    val kept = Dedup.exactDeduped(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH: identical docs are candidates, disjoint docs are not") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: hand-computed overlap") {
+    // doc1: shingles {a b c, b c d}; doc2: {b c d, c d e} → inter 1, union 3
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.ngramJaccard(pairs, docs).head()
+    assert(r.getAs[Long]("inter") == 1L)
+    assert(r.getAs[Long]("uni") == 3L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3) < 1e-6)
+  }
+
+  test("nearDuplicates finds the engineered near-dup and skips the distinct doc") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val aTweaked = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"
+    val b = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    val df = Seq((1L, a), (2L, aTweaked), (3L, b)).toDF("doc_id", "text")
+    val nd = Dedup.nearDuplicates(df, threshold = 0.5, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)))
+    assert(!nd.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: equal texts hash equal, deterministic across runs") {
+    val df = Seq((1L, "spark hash join table"), (2L, "spark hash join table"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val h = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+    val h2 = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == h2)
+  }
+
+  test("brute-force cosine top-k: hand-checked ordering") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f)), (13L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(11L, 12L, 13L))
+    assert(got.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("ANN recall: bucketed top-k ⊆ reasonable overlap with brute force") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(df, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(df, q, 5, dim = 16, planes = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approx results must be a subset of the corpus and share ≥1 hit per query
+    assert(approx.nonEmpty)
+    assert((approx intersect exact).nonEmpty)
+  }
+
+  test("token stats + quality + fingerprint basics") {
+    val df = Seq((1L, "the quick brown fox."), (2L, ""), (3L, "  a  b  "))
+      .toDF("doc_id", "text")
+    val ts = TextAnalysis.tokenStats(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ts == Map(1L -> 4, 2L -> 0, 3L -> 2))
+    val q = TextAnalysis.qualityScore(df).where($"doc_id" === 1).head()
+    assert(q.getAs[Double]("punct_ratio") > 0)
+    assert(q.getAs[Double]("stopword_frac") == 0.25) // "the"
+    val fp = TextAnalysis.fingerprints(df).collect().map(_.getString(1))
+    assert(fp.distinct.length == 3)
+  }
+
+  test("language id: marker argmax with und fallback") {
+    val df = Seq(
+      (1L, "the cat and the dog is a pet"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
+    val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticMedia(docs)
+    val f1 = Multimodal.decodeFeatures(media, dim = 8).orderBy("media_id").collect()
+    val f2 = Multimodal.decodeFeatures(media, dim = 8).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](3)).toSeq == f2.map(_.getSeq[Float](3)).toSeq)
+    assert(f1.head.getSeq[Float](3).length == 8)
+    val frames = Multimodal.sampleFrames(media).where($"media_id" === 1).collect()
+    assert(frames.map(_.getInt(1)).toSeq.sorted == Seq(0, 2, 4, 6))
+    frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_payload").length == 8))
+  }
+}
