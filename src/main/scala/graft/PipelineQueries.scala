@@ -27,8 +27,10 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     // A1-A3 + LLR (exact mode): the contingency spine, oracle-checked.
+    // The event frame feeds four aggregation passes (pairs, two marginals,
+    // total) → cache it, as the reference persists its stage-1 frame.
     "llr_pairs" -> ((s, dir) => {
-      Contingency.pairStatistics(analogEvents(s, dir), exact = true)
+      Contingency.pairStatistics(analogEvents(s, dir).cache(), exact = true)
         .select(col("chembl_id").as("drug"),
           col("reaction_reactionmeddrapt").as("event"),
           col("A"), col("B"), col("C"), col("D"),
@@ -40,7 +42,8 @@ object PipelineQueries {
     // smoke check always sees rows; RNG → no SQL oracle (rows-only).
     "significant_pairs" -> ((s, dir) => {
       val pairs = Meddra.withEmptyCode(
-        Contingency.pairStatistics(analogEvents(s, dir), exact = true))
+        Contingency.pairStatistics(analogEvents(s, dir).cache(), exact = true))
+        .cache()
       val crit = MonteCarlo.criticalValues(pairs, percentile = 0.95,
         permutations = 50, seed = Some(42L))
       pairs.join(crit, Seq("chembl_id"), "inner")
@@ -56,9 +59,13 @@ object PipelineQueries {
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      val ev = analogEvents(s, dir)
-      val significant = Contingency.pairStatistics(ev, exact = true)
-        .select("chembl_id").distinct()
+      val ev = analogEvents(s, dir).cache()
+      // "significant" stand-in: drugs with ≥5 distinct reports (the MC
+      // output in the real pipeline) — one aggregation pass, not the full
+      // contingency stats, which sampling doesn't need.
+      val significant = ev.groupBy("chembl_id")
+        .agg(count_distinct(col("safetyreportid")).as("n"))
+        .where(col("n") >= 5).select("chembl_id")
       val raw = Tables.orders(s, dir)
         .withColumn("safetyreportid", col("o_orderkey").cast("string"))
       Stratified.sample(ev, significant, raw, sampleSize = 0.3, seed = Some(42L))

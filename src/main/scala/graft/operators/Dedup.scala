@@ -59,12 +59,22 @@ object Dedup {
     * ..)) computes the same thing but higher-order lambdas evaluate
     * interpreted — measured 200× slower at sf0.1.)
     */
+  /** (doc_id, g) distinct shingle rows — the shared working grain for
+    * MinHash and Jaccard (min-hash is duplicate-insensitive, Jaccard needs
+    * sets, so distinct serves both).
+    */
+  def shingleRows(docs: DataFrame, textCol: String = "text",
+                  shingleSize: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(col(textCol), shingleSize, distinct = true)).as("g"))
+
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        shingleSize: Int = 3, numHashes: Int = 32): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(col(textCol), shingleSize)).as("shingle"))
+                        shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    minhashSignaturesFromRows(shingleRows(docs, textCol, shingleSize), numHashes)
+
+  def minhashSignaturesFromRows(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"_h$i"))
+      min(xxhash64(col("g"), lit(i))).as(s"_h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -108,9 +118,10 @@ object Dedup {
     * pairs × shingles, never all pairs. Use on LSH candidates.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
-                   shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(col(textCol), shingleSize, distinct = true)).as("g"))
+                   shingleSize: Int = 3): DataFrame =
+    ngramJaccardFromRows(pairs, shingleRows(docs, textCol, shingleSize))
+
+  def ngramJaccardFromRows(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
@@ -126,30 +137,42 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 
-  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ t. */
+  /** Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ t.
+    * The shingle-row frame feeds both the signature and the verification
+    * pass, so it is cached for the lifetime of the returned plan.
+    */
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      threshold: Double = 0.8, shingleSize: Int = 3,
-                     numHashes: Int = 32, bands: Int = 8): DataFrame =
-    ngramJaccard(minhashCandidates(docs, textCol, shingleSize, numHashes, bands),
-      docs, textCol, shingleSize)
-      .where(col("jaccard") >= threshold)
+                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sh = shingleRows(docs, textCol, shingleSize).cache()
+    val sigs = minhashSignaturesFromRows(sh, numHashes)
+    val banded = lshBands(sigs, bands)
+    val a = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("b", "h"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold)
+  }
 
-  /** 64-bit SimHash per document: explode token hashes, vote per bit via
-    * groupBy-sum (map-side partial agg), reassemble the sign bits.
-    * Distributes: no document's token set ever sits in one buffer.
+  /** 64-bit SimHash per document: explode token hashes once, then vote all
+    * 64 bits via 64 conditional sum-aggregates in a single groupBy —
+    * whole-stage codegen with map-side partial aggregation, one shuffle of
+    * (doc_id, 64 ints). (A per-bit explode multiplies the shuffle by 64;
+    * measured 30× slower.) Distributes: no document's token set ever sits
+    * in one buffer.
     */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     val hashed = docs.select(col("doc_id"), explode(toks).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // per (doc, bit) vote: +1 if bit set else -1, summed over tokens
-    val bits = hashed.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "bit").agg(sum(col("vote")).as("v"))
-    bits.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val votes = (0 until 64).map(b =>
+      sum(when(expr(s"shiftright(h, $b)").bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$b"))
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }
