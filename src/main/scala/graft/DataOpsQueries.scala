@@ -87,6 +87,23 @@ object DataOpsQueries {
         planes = 6)
     }),
 
+    // IVF ANN: seeded coarse quantizer + nProbe lists (rows-only — the
+    // quantizer sample is engine-RNG-specific).
+    "e_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
+        nLists = 16, nProbe = 4)
+    }),
+
+    // Embedding-cosine near-dup: duplicate-by-construction corpus (vector
+    // ∪ identical copy) → every vector pairs with its copy at cosine 1
+    // (rows-only: bucketing is hyperplane-RNG-specific).
+    "e_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val both = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      Dedup.embeddingNearDuplicates(both, dim = 64, threshold = 0.999)
+    }),
+
     // Multimodal plumbing: binary payload → partition-batched feature
     // extraction (decode STUBBED deterministically → oracle-able only as
     // row counts; features checked in unit tests) → rows-only.

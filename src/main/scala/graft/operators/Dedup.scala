@@ -155,6 +155,27 @@ object Dedup {
     ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
+    * corpus (Similarity.lshBuckets), exact cosine verifies within-bucket
+    * pairs only — the embedding-space analog of [[nearDuplicates]].
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, dim: Int, threshold: Double = 0.95,
+                              planes: Int = 12, seed: Long = 42L,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val bucketed = Similarity.lshBuckets(emb, dim, planes, seed, vecCol)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"), col("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("_va"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** 64-bit SimHash per document: explode token hashes once, then vote all
     * 64 bits via 64 conditional sum-aggregates in a single groupBy —
     * whole-stage codegen with map-side partial aggregation, one shuffle of

@@ -74,6 +74,59 @@ object Similarity {
     corpus.withColumn("bucket", signature(col(vecCol).cast("array<double>"), hp))
   }
 
+  /** IVF (inverted-file) ANN: a seeded sample of corpus vectors acts as
+    * the coarse quantizer; every vector is assigned to its nearest
+    * centroid (one list membership), queries probe their `nProbe` nearest
+    * centroid lists and score only those. At scale the corpus is
+    * partitioned by centroid id — each probe touches nLists/nProbe of the
+    * data; centroids are a broadcast literal.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // coarse quantizer: deterministic sample of corpus vectors
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(vecCol)).sample(withReplacement = false, 0.5, seed)
+      .limit(nLists).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .zipWithIndex.map(_.swap)
+    require(centroids.nonEmpty, "corpus too small for the requested nLists")
+
+    def dist2(vec: Column, c: Array[Double]): Column = {
+      val diff = zip_with(vec, typedLit(c.toSeq), (x, y) => x - y)
+      aggregate(diff, lit(0.0d), (acc, d) => acc + d * d)
+    }
+    // nearest-centroid id via array argmin — each distance expression
+    // appears exactly once (a when-chain fold would nest the running-best
+    // expression twice per step → exponential tree)
+    def assign(vec: Column): Column = {
+      val ds = array(centroids.map { case (_, c) => dist2(vec, c) }: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    // query → its nProbe nearest centroid ids (array literal fold is
+    // driver-cheap: centroids are tiny)
+    def probes(vec: Column): Column = {
+      val ds = centroids.map { case (i, c) => struct(dist2(vec, c).as("d"), lit(i).as("i")) }
+      slice(array_sort(array(ds: _*)), 1, nProbe).getField("i")
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("list_id", assign(col("_cv").cast("array<double>")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("list_id", explode(probes(col("_qv").cast("array<double>"))))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("_cv").cast("array<double>"),
+        col("_qv").cast("array<double>")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
   /** Approximate top-k: score only within the query's bucket.
     * Same output contract as [[bruteForceTopK]]; recall < 1 by design.
     */

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the optimizations the engine relies on at
+  * scale must actually appear in the executed plan — filter pushdown,
+  * column pruning at the scan, broadcast joins for dimension/digest
+  * tables, map-side partial aggregation. Guard rails against silent
+  * plan regressions (SURVEY §4, BASELINE scale gate).
+  */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("extended"))
+
+  def executed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("p2_filter_in: predicates reach the parquet scan, columns pruned") {
+    val p = executed("p2_filter_in")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), In(o_orderstatus"))
+    // only the 4 touched columns are read, not the 6-column table
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string,o_orderpriority:string>"))
+  }
+
+  test("j1_anti_blacklist: broadcast hash anti-join, build right") {
+    val p = executed("j1_anti_blacklist")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j2_inner_join: dimension side broadcast, no sort-merge") {
+    val p = executed("j2_inner_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = executed("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("llr_pairs: marginal joins broadcast; scan reads only join/agg columns") {
+    val p = executed("llr_pairs")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint>"))
+  }
+
+  test("t_token_stats: documents scan prunes to doc_id + text") {
+    val p = executed("t_token_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("explode_tokens: generator runs after column pruning") {
+    val p = executed("explode_tokens")
+    assert(p.contains("Generate explode"))
+    assert(p.contains("ReadSchema: struct<text:string>"))
+  }
+
+  test("significant pairs plan contains no cartesian product") {
+    val p = executed("significant_pairs")
+    assert(!p.contains("CartesianProduct"))
+  }
+}

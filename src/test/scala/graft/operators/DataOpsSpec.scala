@@ -110,6 +110,34 @@ class DataOpsSpec extends SparkSpec {
     assert((approx intersect exact).nonEmpty)
   }
 
+  test("IVF top-k: finds the same best neighbor as brute force on clustered data") {
+    val rnd = new scala.util.Random(11)
+    // two well-separated clusters so coarse quantization must route right
+    val vecs = (0L until 100L).map { i =>
+      val base = if (i % 2 == 0) 5.0 else -5.0
+      (i, Seq.fill(8)((base + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 2)
+    val exact = Similarity.bruteForceTopK(df, q, 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(df, q, 1, nLists = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == exact)
+  }
+
+  test("embedding near-dup: identical vectors pair at cosine 1, opposites never") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f, -4.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDuplicates(df, dim = 4, threshold = 0.999, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+  }
+
   test("token stats + quality + fingerprint basics") {
     val df = Seq((1L, "the quick brown fox."), (2L, ""), (3L, "  a  b  "))
       .toDF("doc_id", "text")
