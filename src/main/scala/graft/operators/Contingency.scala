@@ -82,14 +82,19 @@ object Contingency {
       .agg(distinctCount(col("safetyreportid"), exact).as("uniq_report_ids_by_drug"))
     val byReaction = events.groupBy("reaction_reactionmeddrapt")
       .agg(distinctCount(col("safetyreportid"), exact).as("uniq_report_ids_by_reaction"))
-    val total: Long = events.select("safetyreportid").distinct().count()
+    // global distinct count as a broadcast 1-row frame, not an eager
+    // driver-side action (the reference's A2 literal — kept literal only in
+    // the parity path above): the whole statistic stays one lazy plan
+    val total = events.select(distinctCount(col("safetyreportid"), exact).as("_total"))
     val pairGrain = pairs
       .join(broadcast(byDrug), Seq("chembl_id"))
       .join(broadcast(byReaction), Seq("reaction_reactionmeddrapt"))
+      .crossJoin(broadcast(total))
       .withColumn("C", col("uniq_report_ids_by_drug") - col("A"))
       .withColumn("B", col("uniq_report_ids_by_reaction") - col("A"))
-      .withColumn("D", lit(total) - col("uniq_report_ids_by_drug")
+      .withColumn("D", col("_total") - col("uniq_report_ids_by_drug")
         - col("uniq_report_ids_by_reaction") + col("A"))
+      .drop("_total")
     withLLR(pairGrain)
   }
 

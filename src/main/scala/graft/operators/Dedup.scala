@@ -61,12 +61,17 @@ object Dedup {
     */
   /** (doc_id, g) distinct shingle rows — the shared working grain for
     * MinHash and Jaccard (min-hash is duplicate-insensitive, Jaccard needs
-    * sets, so distinct serves both).
+    * sets, so distinct serves both). `g` is the shingle's xxhash64 digest,
+    * not its text: every downstream join/aggregate then shuffles and
+    * compares 8-byte longs instead of ~n-word strings, and the per-seed
+    * min-hashes re-hash a fixed-width long rather than the string
+    * (identical set semantics up to a 2^-64 digest collision).
     */
   def shingleRows(docs: DataFrame, textCol: String = "text",
                   shingleSize: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-      explode(shingles(col(textCol), shingleSize, distinct = true)).as("g"))
+        explode(shingles(col(textCol), shingleSize, distinct = true)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("g"))
 
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         shingleSize: Int = 3, numHashes: Int = 32): DataFrame =

@@ -5,16 +5,26 @@ import org.apache.spark.sql.SparkSession
 
 object DebugMain {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     implicit val spark: SparkSession = SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- args) {
+    // usage: [--time] [--dir sfdir] query...   (default: print physical plan)
+    val time = args.contains("--time")
+    val dir = args.sliding(2).collectFirst { case Array("--dir", d) => d }
+      .getOrElse("/root/testdata/sf0.01")
+    val qs = args.filterNot(_.startsWith("--")).filterNot(_ == dir)
+    for (q <- qs) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
-        .toString.take(3500))
+      if (time) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      } else
+        println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+          .toString.take(3500))
     }
     spark.stop()
   }
