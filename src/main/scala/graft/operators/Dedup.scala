@@ -170,7 +170,7 @@ object Dedup {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
     val bucketed = Similarity.lshBuckets(emb, dim, planes, seed, vecCol)
-      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"), col("bucket"))
+      .select(col(idCol), col(vecCol).as("_v"), col("bucket"))
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col("_v").as("_va"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("bucket"))

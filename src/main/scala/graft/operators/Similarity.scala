@@ -9,9 +9,9 @@ import scala.util.Random
 /** Similarity search over an embedding column (array<float>).
   *
   *  - [[bruteForceTopK]]: exact cosine top-k via broadcast of the query
-  *    set + per-row lambda arithmetic (zip_with/aggregate — codegen'd, no
-  *    UDF). The corpus is scanned once; correct baseline at any scale,
-  *    O(corpus × queries) work.
+  *    set + a native fused cosine expression (one codegen loop per pair,
+  *    no UDF, no per-row cast). The corpus is scanned once; correct
+  *    baseline at any scale, O(corpus × queries) work.
   *  - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH. Signature bits
   *    from sign(v·r_i) with seeded deterministic hyperplanes; bucketed
   *    self-join gives the scale path — each probe only scores its bucket.
@@ -20,14 +20,15 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** v·w for two array<float/double> columns (codegen'd lambda). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** v·w for two array<float/double> columns — native fused expression
+    * (graft.functions.VectorOps): one codegen loop per row, mixed element
+    * types allowed (no per-row cast-copy of the vector).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorOps.cosine(a, b)
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -42,8 +43,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("_cv").cast("array<double>"),
-        col("_qv").cast("array<double>")))
+      .withColumn("cosine", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -71,7 +71,7 @@ object Similarity {
   def lshBuckets(corpus: DataFrame, dim: Int, planes: Int = 12,
                  seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
-    corpus.withColumn("bucket", signature(col(vecCol).cast("array<double>"), hp))
+    corpus.withColumn("bucket", signature(col(vecCol), hp))
   }
 
   /** IVF (inverted-file) ANN: a seeded sample of corpus vectors acts as
@@ -92,32 +92,33 @@ object Similarity {
       .zipWithIndex.map(_.swap)
     require(centroids.nonEmpty, "corpus too small for the requested nLists")
 
-    def dist2(vec: Column, c: Array[Double]): Column = {
-      val diff = zip_with(vec, typedLit(c.toSeq), (x, y) => x - y)
-      aggregate(diff, lit(0.0d), (acc, d) => acc + d * d)
-    }
+    // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖²; ‖v‖² is constant across centroids, so
+    // both argmin (assign) and the probe ordering only need
+    // score(v,c) = ‖c‖² − 2 v·c — one fused dot per centroid, no per-row
+    // diff array. ‖c‖² is precomputed driver-side.
+    def score(vec: Column, c: Array[Double]): Column =
+      lit(c.map(x => x * x).sum) - lit(2.0d) * dot(vec, typedLit(c.toSeq))
     // nearest-centroid id via array argmin — each distance expression
     // appears exactly once (a when-chain fold would nest the running-best
     // expression twice per step → exponential tree)
     def assign(vec: Column): Column = {
-      val ds = array(centroids.map { case (_, c) => dist2(vec, c) }: _*)
+      val ds = array(centroids.map { case (_, c) => score(vec, c) }: _*)
       (array_position(ds, array_min(ds)) - 1).cast("int")
     }
     // query → its nProbe nearest centroid ids (array literal fold is
     // driver-cheap: centroids are tiny)
     def probes(vec: Column): Column = {
-      val ds = centroids.map { case (i, c) => struct(dist2(vec, c).as("d"), lit(i).as("i")) }
+      val ds = centroids.map { case (i, c) => struct(score(vec, c).as("d"), lit(i).as("i")) }
       slice(array_sort(array(ds: _*)), 1, nProbe).getField("i")
     }
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("list_id", assign(col("_cv").cast("array<double>")))
+      .withColumn("list_id", assign(col("_cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .withColumn("list_id", explode(probes(col("_qv").cast("array<double>"))))
+      .withColumn("list_id", explode(probes(col("_qv"))))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("_cv").cast("array<double>"),
-        col("_qv").cast("array<double>")))
+      .withColumn("cosine", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -139,8 +140,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("_cv").cast("array<double>"),
-        col("_qv").cast("array<double>")))
+      .withColumn("cosine", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
