@@ -116,10 +116,30 @@ object DataOpsQueries {
     "m_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame_payload"))).as("total_bytes")))
+          sum(length(col("frame_payload"))).as("total_bytes"))),
+
+    // SQL surface: the session-extension-registered native functions
+    // resolving inside spark.sql text (GraftExtensions / GraftFunctions).
+    "f_sql_cosine" -> ((s, dir) => {
+      graft.session.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_sqlfn")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(cosine_sim(a.embedding, b.embedding), 6) AS cosine,
+              |  round(vec_dot(a.embedding, a.embedding), 6) AS self_dot
+              |FROM embeddings_sqlfn a
+              |JOIN embeddings_sqlfn b ON b.vec_id = a.vec_id + 1
+              |WHERE a.vec_id < 100""".stripMargin)
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "f_sql_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+        |  round(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS self_dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100""".stripMargin,
+
     "t_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0

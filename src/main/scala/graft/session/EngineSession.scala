@@ -15,6 +15,7 @@ object EngineSession {
             shufflePartitions: Int = 32): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.driver.maxResultSize", "0")
       .config("spark.debug.maxToStringFields", "2000")
       .config("spark.sql.session.timeZone", "UTC")

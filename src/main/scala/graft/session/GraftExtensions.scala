@@ -1,0 +1,71 @@
+package graft.session
+
+import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Registered the standard Spark way: pass
+  * `spark.sql.extensions=graft.session.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) at session build, or call
+  * [[GraftFunctions.register]] on a live session. Either way these resolve
+  * in `spark.sql(...)` text:
+  *
+  *   - `vec_dot(a, b)`        — fused dot product (array<float|double>)
+  *   - `cosine_sim(a, b)`     — fused cosine similarity
+  *   - `ngram_shingles(text, n [, distinct])` — word n-gram shingles
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  private def boolLit(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal boolean, got $other")
+  }
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot"),
+      { case Seq(a, b) => ArrayDot(a, b)
+        case args => throw new IllegalArgumentException(
+          s"vec_dot expects 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim"),
+      { case Seq(a, b) => CosineSimilarity(a, b)
+        case args => throw new IllegalArgumentException(
+          s"cosine_sim expects 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("ngram_shingles"),
+      info("ngram_shingles"),
+      { case Seq(t, n) => NGramShingles(t, intLit(n, "ngram_shingles"), distinct = false)
+        case Seq(t, n, d) =>
+          NGramShingles(t, intLit(n, "ngram_shingles"), boolLit(d, "ngram_shingles"))
+        case args => throw new IllegalArgumentException(
+          s"ngram_shingles expects 2 or 3 arguments, got ${args.length}") })
+  )
+
+  /** Register into an already-built session (idempotent — re-registration
+    * overwrites with the same builder).
+    */
+  def register(spark: SparkSession): Unit = {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.GraftBridge.registerFunctions(ext, spark)
+  }
+}

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's injected functions to a live session's
+    * registry (SparkSessionExtensions.registerFunctions is private[sql]).
+    */
+  def registerFunctions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }
