@@ -21,9 +21,41 @@ import org.apache.commons.math3.random.Well19937c
   */
 object Multinomial {
 
+  /** Binomial(n, p) draw by inversion: one uniform, then walk the pmf from
+    * k=0 with the recurrence pmf(k+1) = pmf(k)·(n−k)/(k+1)·p/(1−p) —
+    * O(draw+1) cheap float ops. commons-math's sample() inverts the CDF by
+    * binary search with a regularized-incomplete-beta evaluation per probe;
+    * under the multinomial's conditional-binomial loop that was the whole
+    * Monte-Carlo stage's CPU. Falls back to commons-math only when pmf(0)
+    * underflows (n·log1p(−p) < −700 ⇒ expected draw ≫ 10³ in one
+    * category), which the conditional construction rarely reaches.
+    */
+  def binomial(rng: Well19937c, n: Int, p: Double): Int = {
+    if (p <= 0.0 || n <= 0) 0
+    else if (p >= 1.0) n
+    else {
+      val logP0 = n * math.log1p(-p)
+      if (logP0 < -700.0) new BinomialDistribution(rng, n, p).sample()
+      else {
+        val u = rng.nextDouble()
+        val odds = p / (1.0 - p)
+        var k = 0
+        var pmf = math.exp(logP0)
+        var cdf = pmf
+        while (u > cdf && k < n) {
+          pmf *= (n - k).toDouble / (k + 1).toDouble * odds
+          k += 1
+          cdf += pmf
+        }
+        k
+      }
+    }
+  }
+
   /** One multinomial draw of `size` trials over `probs` (need not be
     * normalized). Sequential conditional binomials: category j gets
-    * Binomial(remaining, p_j / remainingMass).
+    * Binomial(remaining, p_j / remainingMass). Total cost per draw is
+    * O(size + categories): the inversion draws sum to `size`.
     */
   def rmultinomOnce(rng: Well19937c, size: Int, probs: Array[Double]): Array[Int] = {
     require(probs.length > 0 && size > 0, "probability vector and size must be non-empty/positive")
@@ -36,8 +68,7 @@ object Multinomial {
       val p = if (j == probs.length - 1) 1.0 else math.min(1.0, probs(j) / remainingMass)
       val draw =
         if (p >= 1.0) remaining
-        else if (p <= 0.0) 0
-        else new BinomialDistribution(rng, remaining, p).sample()
+        else binomial(rng, remaining, p)
       out(j) = draw
       remaining -= draw
       remainingMass -= probs(j)
