@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Event-stream operators run in batch mode over the events table — the
   * same logical queries EventStream runs incrementally (its transforms
@@ -14,7 +15,28 @@ object StreamingQueries {
     "st_event_windows" -> ((s, dir) =>
       EventStream.windowedCounts(Tables.events(s, dir))),
     "st_session_counts" -> ((s, dir) =>
-      EventStream.sessionCounts(Tables.events(s, dir)))
+      EventStream.sessionCounts(Tables.events(s, dir))),
+
+    // Streaming dedup analog: duplicate-by-construction input (events ∪
+    // events) → unique-id survivors; rows carry identical values, so the
+    // arbitrary-survivor pick is value-deterministic.
+    "st_dedup_events" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.dedupedEvents(ev.unionByName(ev))
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // Stream-static broadcast enrichment against the customer dimension.
+    "st_enrich_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      EventStream.enriched(Tables.events(s, dir), dim)
+        .select("event_id", "user_id", "event_type", "segment")
+    }),
+
+    // flatMapGroupsWithState: per-user lifetime sequence numbers.
+    "st_event_seq" -> ((s, dir) =>
+      EventStream.sequencedEvents(Tables.events(s, dir)).toDF())
   )
 
   val oracles: Map[String, String] = Map(
@@ -40,6 +62,21 @@ object StreamingQueries {
         |SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events
-        |FROM sessions GROUP BY user_id, session_id""".stripMargin
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    "st_dedup_events" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events""",
+
+    "st_enrich_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // ts::TIMESTAMP truncates DuckDB's ns precision to µs — the precision
+    // Spark sees — so both engines break ties the same way (by event_id)
+    "st_event_seq" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP, event_id) AS seq
+        |FROM events""".stripMargin
   )
 }

@@ -70,6 +70,25 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
 
+  /** Exact-id dedup, batch/stream agnostic: streaming uses
+    * dropDuplicatesWithinWatermark so the dedup state is bounded by the
+    * watermark horizon (an unbounded dropDuplicates would grow state
+    * forever at 100 TB-stream scale); batch is a plain dropDuplicates.
+    * With a unique id per logical event both pick the same survivors.
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(Seq("event_id"))
+    else events.dropDuplicates(Seq("event_id"))
+
+  /** Stream-static enrichment: join the (unbounded) event stream against a
+    * bounded dimension frame. The dim side is broadcast — each micro-batch
+    * (or batch partition) probes a local hash map; no stream-side shuffle.
+    * `dim` must carry `user_id` plus the enrichment columns.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left_outer")
+
   case class UserRunningCount(userId: Long, events: Long, lastType: String)
 
   /** Custom streaming state: running per-user event counts via
@@ -91,6 +110,33 @@ object EventStream {
           val next = UserRunningCount(uid, n, last)
           state.update(next)
           next
+      }
+  }
+
+  case class EventSeq(user_id: Long, event_id: Long, seq: Long)
+
+  /** Per-user lifetime sequence numbers via flatMapGroupsWithState — the
+    * multi-row-output stateful surface (mapGroupsWithState emits exactly
+    * one row per group per trigger; this emits one per event). State is a
+    * single counter per user; each trigger sorts only its own micro-batch
+    * slice by (ts, event_id) and continues numbering from the counter.
+    */
+  def sequencedEvents(events: DataFrame): Dataset[EventSeq] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, EventSeq](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val start = state.getOption.getOrElse(0L)
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+          val out = sorted.iterator.zipWithIndex.map {
+            case ((_, eid, _), i) => EventSeq(uid, eid, start + i + 1)
+          }.toIndexedSeq
+          state.update(start + sorted.size)
+          out.iterator
       }
   }
 }
