@@ -150,7 +150,24 @@ object TpchQueries {
         .select(explode(split(col("text"), " ")).as("token"))
         .where(col("token") =!= "")
         .groupBy("token").agg(count("*").as("n"))
-    })
+    }),
+
+    // Skew surface: salted replicated-dim join — identical semantics to the
+    // plain equi-join (the oracle is the plain join), hot keys spread over
+    // `buckets` reducers.
+    "j9_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      operators.Skew.saltedJoin(li, sup, Seq("l_suppkey"), buckets = 4)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "s_name")
+    }),
+
+    // Skew surface: two-phase (key, salt) aggregation; exact for integer-
+    // valued double sums, so hash-comparable against the one-phase oracle.
+    "a8_salted_agg" -> ((s, dir) =>
+      operators.Skew.saltedSumCount(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_quantity", buckets = 8))
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +240,14 @@ object TpchQueries {
     "explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |WHERE token <> '' GROUP BY 1""".stripMargin
+        |WHERE token <> '' GROUP BY 1""".stripMargin,
+
+    "j9_salted_join" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "a8_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+        |count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin
   )
 }

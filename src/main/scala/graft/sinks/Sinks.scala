@@ -35,6 +35,19 @@ object Sinks {
         log.error(s"Unrecognised output format $other")
     }
 
+  /** Beyond-reference scale sink: bucketed managed table. Bucketing
+    * co-locates the join/aggregation key at write time, so every later
+    * equi-join or groupBy on `key` between same-bucket-count tables plans
+    * with NO shuffle on either side — the write pays the partitioning
+    * once, every downstream query reuses it. The bucket files are also
+    * sorted by key, so sort-merge joins skip their sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** K4 + K5: the pre-Monte-Carlo aggregate, path suffix "Unfiltered";
     * csv intentionally unsupported here (falls to the error case), matching
     * the reference (Writers.scala:38-52).
