@@ -167,7 +167,21 @@ object TpchQueries {
     // valued double sums, so hash-comparable against the one-phase oracle.
     "a8_salted_agg" -> ((s, dir) =>
       operators.Skew.saltedSumCount(Tables.lineitem(s, dir),
-        Seq("l_returnflag"), "l_quantity", buckets = 8))
+        Seq("l_returnflag"), "l_quantity", buckets = 8)),
+
+    // As-of join (custom temporal operator; DuckDB ASOF JOIN is the
+    // oracle): each purchase gets the user's most recent prior signup.
+    "j10_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("value").as("s_value"))
+      operators.AsOf.asOfJoin(purchases, signups, Seq("user_id"),
+          leftTime = "ts", rightTime = "s_ts", carry = Seq("s_value", "s_ts"))
+        .select(col("event_id"), col("user_id"), col("s_value"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("s_t"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,6 +262,14 @@ object TpchQueries {
 
     "a8_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
-        |count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin
+        |count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin,
+
+    // ts casts truncate ns→µs so both engines see Spark's precision
+    "j10_asof_join" ->
+      """SELECT e.event_id, e.user_id, s.value AS s_value,
+        |  strftime(s.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS s_t
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts::TIMESTAMP >= s.ts::TIMESTAMP""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward temporal) join: for every left row, the most recent
+  * right row with the same key and time ≤ the left row's time.
+  *
+  * Spark has no ASOF JOIN operator; the naive range-join formulation
+  * (`l.key = r.key AND r.t <= l.t`, then keep max r.t) is a
+  * theta-join that degenerates to per-key cross products. This
+  * implementation is the union + carry-forward pattern: tag both sides,
+  * union them, and run one `last(value, ignoreNulls)` window per carried
+  * column ordered by (time, side) within each key — right rows sort
+  * before left rows at equal times, so equality means "match". One
+  * shuffle on the key, O(n log n) per key for the sort, no row
+  * amplification — survives arbitrary key skew in the right side.
+  */
+object AsOf {
+
+  /** @param left      probe side
+    * @param right     reference side (its columns get carried forward)
+    * @param keys      equi-join key columns (same names both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param carry     right-side value columns to attach to left rows;
+    *                  null when no right row precedes the left row
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               carry: Seq[String]): DataFrame = {
+    require(carry.nonEmpty, "as-of join needs at least one carried column")
+    val leftCols = left.columns.toSeq
+    require(!carry.exists(leftCols.contains),
+      s"carried columns ${carry.filter(leftCols.contains)} collide with left side")
+
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .select((leftCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("_t"), col("_side")) ++ carry.map(col)): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1).drop("_t", "_side")
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 101.0), ("A", 5L, 99.0),
+    ("B", 10L, 50.0)).toDF("sym", "t", "px")
+  private lazy val quotes = Seq(
+    ("A", 8L, 1.0), ("A", 10L, 2.0), ("A", 15L, 3.0),
+    ("C", 1L, 9.0)).toDF("sym", "q_t", "bid")
+
+  test("backward as-of: latest right row with time <= left time") {
+    val r = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+      .select("sym", "t", "bid")
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        Option(x.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(r(("A", 10L)) === Some(2.0)) // equal time matches
+    assert(r(("A", 20L)) === Some(3.0)) // most recent, not first
+    assert(r(("A", 5L)) === None)       // nothing precedes
+    assert(r(("B", 10L)) === None)      // key missing on right
+  }
+
+  test("left row count is preserved (no amplification, no drops)") {
+    val r = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+    assert(r.count() === trades.count())
+    assert(r.columns.toSeq === Seq("sym", "t", "px", "bid"))
+  }
+
+  test("carried-column collision is rejected") {
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(trades, quotes.withColumnRenamed("bid", "px"),
+        Seq("sym"), "t", "q_t", Seq("px"))
+    }
+  }
+}
