@@ -169,6 +169,26 @@ object TpchQueries {
       operators.Skew.saltedSumCount(Tables.lineitem(s, dir),
         Seq("l_returnflag"), "l_quantity", buckets = 8)),
 
+    // Beyond-ref relational completeness: hierarchical aggregates in one
+    // pass (Expand feeds one shuffle — not one job per grouping level).
+    "a9_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))),
+
+    // min/max, not float sums: order-independent, so hash-exact vs DuckDB
+    "a10_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("tp_min"),
+          max("o_totalprice").as("tp_max"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("tp_min"), col("tp_max"))),
+
     // As-of join (custom temporal operator; DuckDB ASOF JOIN is the
     // oracle): each purchase gets the user's most recent prior signup.
     "j10_asof_join" -> ((s, dir) => {
@@ -263,6 +283,18 @@ object TpchQueries {
     "a8_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
         |count(*) AS n_rows FROM lineitem GROUP BY 1""".stripMargin,
+
+    "a9_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a10_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  count(*) AS n, min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // ts casts truncate ns→µs so both engines see Spark's precision
     "j10_asof_join" ->

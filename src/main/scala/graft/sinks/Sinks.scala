@@ -35,6 +35,14 @@ object Sinks {
         log.error(s"Unrecognised output format $other")
     }
 
+  /** Beyond-reference scale sink: hive-style directory partitioning.
+    * Queries filtering on the partition columns prune whole directories at
+    * planning time (PartitionFilters on the scan) — at 100 TB the
+    * difference between reading one partition and listing them all.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Beyond-reference scale sink: bucketed managed table. Bucketing
     * co-locates the join/aggregation key at write time, so every later
     * equi-join or groupBy on `key` between same-bucket-count tables plans
