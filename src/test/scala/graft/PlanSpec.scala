@@ -67,4 +67,34 @@ class PlanSpec extends SparkSpec {
     val p = executed("significant_pairs")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("j10_asof_join: one shuffle, no join operator at all (window carry-forward)") {
+    val p = executed("j10_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert(p.contains("Window"))
+    // union of the two sides shuffles once on the key
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("e_ivf_topk: probe side broadcast, corpus never shuffled for the join") {
+    val p = executed("e_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("j9_salted_join: still a hash join, no cartesian from the salt") {
+    val p = executed("j9_salted_join")
+    assert(p.contains("HashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("f_sql_cosine: SQL-registered cosine stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("f_sql_cosine")(spark, dir)
+    df.collect() // executes THIS QueryExecution, finalizing its adaptive plan
+                 // (count() would build and finalize a different one)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n) Operator" in the simple plan string
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"no codegen span:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
 }
