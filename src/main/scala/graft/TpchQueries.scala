@@ -189,6 +189,14 @@ object TpchQueries {
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           col("n"), col("tp_min"), col("tp_max"))),
 
+    // Exact interpolated percentiles (both engines: linear / R type-7).
+    "a11_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))),
+
     // As-of join (custom temporal operator; DuckDB ASOF JOIN is the
     // oracle): each purchase gets the user's most recent prior signup.
     "j10_asof_join" -> ((s, dir) => {
@@ -295,6 +303,13 @@ object TpchQueries {
         |  coalesce(o_orderpriority, 'ALL') AS pri,
         |  count(*) AS n, min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "a11_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // ts casts truncate ns→µs so both engines see Spark's precision
     "j10_asof_join" ->
