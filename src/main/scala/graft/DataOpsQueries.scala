@@ -58,6 +58,12 @@ object DataOpsQueries {
     "d_minhash_neardup" -> ((s, dir) =>
       Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8)),
 
+    // Scale-path dedup: exact-collapse first, LSH among representatives
+    // (rows-only: xxhash64 LSH internals). Copies become "exact" edges;
+    // pair count stays linear in distinct content.
+    "d_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8)),
+
     // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
     "d_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),

@@ -1,0 +1,67 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale sanity probe: multiply the sf0.1 fact tables K-fold (shifted
+  * surrogate keys, foreign keys intact, dims copied) into /tmp and time
+  * the headline operators against both sizes. Near-linear growth
+  * validates the shuffle/broadcast design; superlinear growth flags an
+  * operator whose plan wouldn't survive 100 TB.
+  *
+  * Usage: ScaleProbe [K] — defaults to 8.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft-scale-x$k"
+
+    def times(df: DataFrame, keyShifts: Map[String, Long]): DataFrame =
+      (0 until k).map { i =>
+        keyShifts.foldLeft(df) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + lit(base * i))
+        }
+      }.reduce(_ unionByName _)
+
+    if (!new java.io.File(s"$dst/_done").exists()) {
+      val shift = 100000000L
+      times(Tables.lineitem(spark, src), Map("l_orderkey" -> shift))
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      times(Tables.orders(spark, src), Map("o_orderkey" -> shift))
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      times(Tables.documents(spark, src), Map("doc_id" -> shift))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      times(Tables.embeddings(spark, src), Map("vec_id" -> shift))
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      times(Tables.events(spark, src), Map("event_id" -> shift, "user_id" -> 10000L))
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      for (t <- Seq("supplier", "part", "customer", "nation", "region"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      new java.io.File(s"$dst/_done").createNewFile()
+    }
+
+    val probes = Seq("q1_agg", "llr_pairs", "significant_pairs",
+      "d_minhash_neardup", "d_simhash", "e_cosine_topk", "e_ivf_topk",
+      "st_session_counts", "j10_asof_join", "t_token_stats")
+    for (dir <- Seq(src, dst); q <- probes) {
+      // warm codegen/JIT on the small dir pass; report second-run time
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      val t1 = System.nanoTime()
+      val n2 = SparkEntry.queries(q)(spark, dir).count()
+      val t2 = System.nanoTime()
+      println(f"$dir $q: cold ${(t1 - t0) / 1e9}%.2f warm ${(t2 - t1) / 1e9}%.2f s ($n2 rows)")
+      assert(n == n2)
+    }
+    spark.stop()
+  }
+}

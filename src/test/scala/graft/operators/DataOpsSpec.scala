@@ -138,6 +138,23 @@ class DataOpsSpec extends SparkSpec {
     assert(nd == Set((1L, 2L)))
   }
 
+  test("near-dup clusters: copies collapse to exact edges, variants to near edges") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy cat"),
+      (5L, "completely different content about something else entirely here")
+    ).toDF("doc_id", "text")
+    val edges = Dedup.nearDuplicateClusters(docs, threshold = 0.35,
+        numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    // copies 2,3 collapse onto canonical 1; only representative 1 (not 2/3)
+    // can pair with the near-variant 4; 5 joins nothing
+    assert(edges.filter(_._3 == "exact") === Set((2L, 1L, "exact"), (3L, 1L, "exact")))
+    assert(edges.filter(_._3 == "near") === Set((1L, 4L, "near")))
+  }
+
   test("token stats + quality + fingerprint basics") {
     val df = Seq((1L, "the quick brown fox."), (2L, ""), (3L, "  a  b  "))
       .toDF("doc_id", "text")
