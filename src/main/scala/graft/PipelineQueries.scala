@@ -20,7 +20,10 @@ object PipelineQueries {
     val part = Tables.part(s, dir)
     li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(part), li("l_partkey") === part("p_partkey"))
-      .select(col("l_orderkey").cast("string").as("safetyreportid"),
+      // rid stays LONG: the real pipeline's FAERS ids are strings, but the
+      // analog's counts are type-agnostic and long keys halve the
+      // distinct/shuffle bytes of every contingency pass
+      .select(col("l_orderkey").as("safetyreportid"),
         col("s_name").as("chembl_id"),
         col("p_brand").as("reaction_reactionmeddrapt"))
   }
@@ -67,7 +70,7 @@ object PipelineQueries {
         .agg(count_distinct(col("safetyreportid")).as("n"))
         .where(col("n") >= 5).select("chembl_id")
       val raw = Tables.orders(s, dir)
-        .withColumn("safetyreportid", col("o_orderkey").cast("string"))
+        .withColumn("safetyreportid", col("o_orderkey"))
       Stratified.sample(ev, significant, raw, sampleSize = 0.3, seed = Some(42L))
     })
   )
