@@ -29,7 +29,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   * against a double literal hyperplane), keep one accumulator loop per
   * row, and stay inside whole-stage codegen.
   *
-  * Both operands must have the same length; elements must be non-null.
+  * Both operands must have the same length (enforced — a silent
+  * min-length loop would return plausible-but-wrong similarities on
+  * mismatched vectors); elements must be non-null.
   */
 trait VectorBinaryOp { self: BinaryExpression =>
   override def dataType: DataType = DoubleType
@@ -36,6 +38,23 @@ trait VectorBinaryOp { self: BinaryExpression =>
     case FloatType => "getFloat"
     case _         => "getDouble"
   }
+
+  protected def checkedLen(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"vector length mismatch: $n vs ${y.numElements()}")
+    n
+  }
+
+  /** Codegen prelude: assigns the checked common length to `n`. */
+  protected def lenCode(a: String, b: String, n: String): String =
+    s"""
+       |int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException("vector length mismatch: " +
+       |    $n + " vs " + $b.numElements());
+       |}
+     """.stripMargin
 }
 
 /** v · w (double). */
@@ -45,7 +64,7 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val ta = elemType(left); val tb = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLen(x, y)
     var dot = 0.0; var i = 0
     while (i < n) { dot += getD(x, i, ta) * getD(y, i, tb); i += 1 }
     dot
@@ -56,7 +75,7 @@ case class ArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCode(a, b, n)}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $a.${getter(elemType(left))}($i)
@@ -80,7 +99,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     val ta = elemType(left); val tb = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLen(x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xv = getD(x, i, ta); val yv = getD(y, i, tb)
@@ -97,7 +116,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lenCode(a, b, n)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a.${getter(elemType(left))}($i);

@@ -35,26 +35,34 @@ object AsOf {
     require(!carry.exists(leftCols.contains),
       s"carried columns ${carry.filter(leftCols.contains)} collide with left side")
 
+    // the carried columns travel as ONE struct: last(_, ignoreNulls) must
+    // skip left rows (null struct) but NOT a matched right row whose value
+    // happens to be null — per-column carry would skip those too and could
+    // even mix fields from different right rows
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .select((leftCols.map(col) ++ Seq(col("_t"), col("_side")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .withColumn("_carry", lit(null).cast(
+        org.apache.spark.sql.types.StructType(carry.map(c => right.schema(c)))))
+      .select((leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_carry"))): _*)
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
+      .withColumn("_carry", struct(carry.map(col): _*))
       .select((leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("_t"), col("_side")) ++ carry.map(col)): _*)
+        Seq(col("_t"), col("_side"), col("_carry"))): _*)
 
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1).drop("_t", "_side")
+    val carried = l.unionByName(r)
+      .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
+    carry.foldLeft(carried.where(col("_side") === 1)) { (df, c) =>
+        df.withColumn(c, col("_carry").getField(c))
+      }
+      .drop("_t", "_side", "_carry")
   }
 }

@@ -103,17 +103,29 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands))
 
-  /** Candidate near-duplicate pairs from MinHash LSH (doc_a < doc_b). */
-  def minhashCandidates(docs: DataFrame, textCol: String = "text",
-                        shingleSize: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, shingleSize, numHashes)
-    val banded = lshBands(sigs, bands)
+  /** Banded frame → candidate pairs (doc_a < doc_b): self-equi-join on
+    * the (band, digest) key — the single shared candidate-generation step.
+    */
+  private def candidatesFromBands(banded: DataFrame): DataFrame = {
     val a = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
     a.join(b, Seq("b", "h"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  private def requireBandable(numHashes: Int, bands: Int): Unit =
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — " +
+        "split_signature would silently drop the trailing hashes")
+
+  /** Candidate near-duplicate pairs from MinHash LSH (doc_a < doc_b). */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    requireBandable(numHashes, bands)
+    val sigs = minhashSignatures(docs, textCol, shingleSize, numHashes)
+    candidatesFromBands(lshBands(sigs, bands))
   }
 
   /** Exact n-gram Jaccard similarity for a pair frame that carries
@@ -149,14 +161,10 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      threshold: Double = 0.8, shingleSize: Int = 3,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    requireBandable(numHashes, bands)
     val sh = shingleRows(docs, textCol, shingleSize).cache()
     val sigs = minhashSignaturesFromRows(sh, numHashes)
-    val banded = lshBands(sigs, bands)
-    val a = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("b", "h"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val candidates = candidatesFromBands(lshBands(sigs, bands))
     ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold)
   }
 

@@ -47,6 +47,11 @@ object MonteCarlo {
   def criticalValues(pairGrain: DataFrame, percentile: Double,
                      permutations: Int, seed: Option[Long]): DataFrame = {
     val fn = (chemblId: String, nJ: Long, nI: Seq[Long], total: Long) => {
+      // loud failure beats silent Int wrap: a multinomial of >2^31 trials
+      // is also computationally out of scope for this simulation
+      require(nJ <= Int.MaxValue && total <= Int.MaxValue,
+        s"report counts exceed Int range (nJ=$nJ, total=$total); " +
+          "the Monte-Carlo simulation is not defined at that grain")
       val s = seed match {
         case Some(g) => Multinomial.seedFor(chemblId, g)
         case None => java.util.concurrent.ThreadLocalRandom.current().nextLong()

@@ -88,7 +88,7 @@ object Similarity {
     val centroids: Array[(Int, Array[Double])] = corpus
       .select(col(vecCol)).sample(withReplacement = false, 0.5, seed)
       .limit(nLists).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
       .zipWithIndex.map(_.swap)
     require(centroids.nonEmpty, "corpus too small for the requested nLists")
 

@@ -62,7 +62,9 @@ object Sinks {
     */
   def writeUnfiltered(results: DataFrame, outputPath: String, format: String): Unit =
     format match {
-      case "json" | "parquet" =>
+      case "json" | "jsonl" =>
+        results.write.json(s"${outputPath}Unfiltered/json")
+      case "parquet" =>
         results.write.format(format).save(s"${outputPath}Unfiltered/$format")
       case other =>
         log.error(s"Unrecognised output format $other")

@@ -78,18 +78,21 @@ object Sources {
       .orderBy(col("reactions").asc)
 
   /** S6: generic MedDRA `.asc` parser — `$`-separated with runs of `$`
-    * collapsed (empty fields skipped) and a trailing `$` stripped, then a
+    * collapsed (empty fields skipped) and trailing `$` stripped, then a
     * positional projection; `*name*` columns lowercased
-    * (Loaders.scala:86-99). The run-collapsing regex is semantics, not an
+    * (Loaders.scala:86-99). The run-collapsing is semantics, not an
     * accident — plain sep='$' parsing would keep empty fields.
+    *
+    * Read as raw text, not csv: the default csv reader pre-splits on
+    * commas, truncating any term containing one ("Arthritis, rheumatoid");
+    * splitting on `\$+` directly also removes the comma intermediate that
+    * corrupted comma-bearing terms after the `$`→`,` rewrite.
     */
   def meddra(path: String, columns: Seq[String])(implicit spark: SparkSession): DataFrame = {
-    val raw = spark.read.csv(path)
+    val raw = spark.read.text(path)
     val parsed = raw
-      .withColumn("_c0", regexp_replace(col("_c0"), "\\$+", ","))
-      .withColumn("_c0", regexp_replace(col("_c0"), "\\$$", ""))
-      .withColumn("_c0", split(col("_c0"), ","))
-      .select(columns.zipWithIndex.map { case (c, i) => col("_c0").getItem(i).as(c) }: _*)
+      .withColumn("_parts", split(regexp_replace(col("value"), "\\$+$", ""), "\\$+"))
+      .select(columns.zipWithIndex.map { case (c, i) => col("_parts").getItem(i).as(c) }: _*)
     columns.filter(_.contains("name"))
       .foldLeft(parsed)((df, c) => df.withColumn(c, lower(col(c))))
   }

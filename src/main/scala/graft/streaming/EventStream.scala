@@ -31,7 +31,7 @@ object EventStream {
     spark.readStream.schema(eventSchemaRaw)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   private def watermarked(events: DataFrame, watermark: String): DataFrame =
     if (events.isStreaming) events.withWatermark("ts", watermark) else events

@@ -58,6 +58,22 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("length mismatch raises instead of silently truncating") {
+    val e = intercept[Exception] {
+      ArrayDot(litArr(Seq(1.0, 2.0)), litArr(Seq(1.0, 2.0, 3.0))).eval(null)
+    }
+    assert(e.getMessage.contains("length mismatch"))
+    // codegen path too
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      spark.read.parquet {
+        val d = java.nio.file.Files.createTempDirectory("vlen").toString
+        df.write.mode("overwrite").parquet(d); d
+      }.select(VectorOps.dot($"a", $"b")).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("zero vector yields NaN cosine (0/0), not an error") {
     val v = CosineSimilarity(litArr(Seq(0.0, 0.0)), litArr(Seq(1.0, 1.0)))
       .eval(null).asInstanceOf[Double]

@@ -29,6 +29,18 @@ class AsOfSpec extends SparkSpec {
     assert(r.columns.toSeq === Seq("sym", "t", "px", "bid"))
   }
 
+  test("a null value on the matched right row is carried as null, not skipped") {
+    val q = Seq(("A", 5L, Some(3.0)), ("A", 10L, None))
+      .toDF("sym", "q_t", "bid")
+    val r = AsOf.asOfJoin(trades.where($"sym" === "A" && $"t" === 20L), q,
+        Seq("sym"), "t", "q_t", Seq("bid", "q_t"))
+      .select("bid", "q_t").head()
+    // ASOF semantics: the t=10 row matches; its bid is genuinely null —
+    // carrying 3.0 from t=5 (or mixing q_t=10 with bid from t=5) is wrong
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 10L)
+  }
+
   test("carried-column collision is rejected") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoin(trades, quotes.withColumnRenamed("bid", "px"),
