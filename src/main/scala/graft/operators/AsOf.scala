@@ -46,6 +46,10 @@ object AsOf {
         org.apache.spark.sql.types.StructType(carry.map(c => right.schema(c)))))
       .select((leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_carry"))): _*)
     val r = right
+      // a null-time reference row would sort before everything (nulls
+      // first) and be carried into every early left row; ASOF comparison
+      // with a null time matches nothing, so drop such rows up front
+      .where(col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_carry", struct(carry.map(col): _*))

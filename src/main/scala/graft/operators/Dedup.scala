@@ -99,9 +99,13 @@ object Dedup {
       .withColumn("band_hash", xxhash64(col("col")))
       .drop("col")
 
-  private def split_signature(sig: Column, bands: Int): Column =
+  private def split_signature(sig: Column, bands: Int): Column = {
+    // integer band width: int/int is TRUE division in Spark (double), and
+    // a fractional width would overlap bands / drop trailing hashes
+    val width = floor(size(sig) / bands).cast("int")
     transform(sequence(lit(0), lit(bands - 1)),
-      b => slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands))
+      b => slice(sig, b * width + 1, width))
+  }
 
   /** Banded frame → candidate pairs (doc_a < doc_b): self-equi-join on
     * the (band, digest) key — the single shared candidate-generation step.
@@ -139,16 +143,20 @@ object Dedup {
     ngramJaccardFromRows(pairs, shingleRows(docs, textCol, shingleSize))
 
   def ngramJaccardFromRows(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    // dedupe up front: duplicate caller pairs would fan the shingle joins
+    // out and overcount |∩| (jaccard > 1); left joins keep pairs whose
+    // doc has no shingle rows (null text) — size 0, jaccard null on 0/0
+    val p = pairs.select("doc_a", "doc_b").distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
+    val inter = p
       .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"), "left_outer")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"), "left_outer")
+      .na.fill(0L, Seq("inter", "n_a", "n_b"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
@@ -237,10 +245,14 @@ object Dedup {
     val votes = (0 until 64).map(b =>
       sum(when(expr(s"shiftright(h, $b)").bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"_b$b"))
-    hashed.groupBy("doc_id")
+    val agg = hashed.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+    // empty/null-text docs have no token rows and would vanish in the
+    // explode; keep them with the 0 sentinel so output covers the corpus
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("simhash"))
   }
 }

@@ -91,8 +91,12 @@ object Multimodal {
         // per-partition decoder init happens here in a real codec impl
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getLong(0), r.getInt(2), r.getInt(3),
-            decoder.features(payload, dim).toSeq)
+          // null payload/meta rows pass through as nulls — one bad row
+          // must not kill a partition-long decode batch
+          Row(r.getLong(0),
+            if (r.isNullAt(2)) null else r.getInt(2),
+            if (r.isNullAt(3)) null else r.getInt(3),
+            if (payload == null) null else decoder.features(payload, dim).toSeq)
         }
       }(enc)
   }

@@ -20,6 +20,19 @@ import scala.util.Random
   */
 object Similarity {
 
+  /** Shared output contract for every top-k variant: rank by cosine desc
+    * (neighbor_id tiebreak), keep rank ≤ k, round to 6dp.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** v·w for two array<float/double> columns — native fused expression
     * (graft.functions.VectorOps): one codegen loop per row, mixed element
     * types allowed (no per-row cast-copy of the vector).
@@ -44,13 +57,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
+    topK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `planes` × `dim` doubles. */
@@ -61,6 +68,8 @@ object Similarity {
 
   /** Signature = bit b set iff v · r_b > 0; one long per row. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 64,
+      s"at most 64 hyperplanes fit one long signature, got ${planes.length}")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
@@ -119,13 +128,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
+    topK(scored, k)
   }
 
   /** Approximate top-k: score only within the query's bucket.
@@ -141,12 +144,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_cv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank"))
+    topK(scored, k)
   }
 }

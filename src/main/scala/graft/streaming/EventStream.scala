@@ -98,16 +98,19 @@ object EventStream {
   def runningUserCounts(events: DataFrame): Dataset[UserRunningCount] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+    // (ts, event_id) sort inside the group: the iterator arrives in
+    // shuffle order, so "last" is otherwise nondeterministic
+    events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("_ts"), col("event_id"))
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserRunningCount, UserRunningCount](
         GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[UserRunningCount]) =>
           val prev = state.getOption.getOrElse(UserRunningCount(uid, 0L, ""))
-          var n = prev.events
-          var last = prev.lastType
-          rows.foreach { r => n += 1; last = r._2 }
-          val next = UserRunningCount(uid, n, last)
+          val batch = rows.toIndexedSeq.sortBy(r => (r._3, r._4))
+          val last = if (batch.isEmpty) prev.lastType else batch.last._2
+          val next = UserRunningCount(uid, prev.events + batch.size, last)
           state.update(next)
           next
       }
