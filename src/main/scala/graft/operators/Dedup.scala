@@ -158,7 +158,9 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"), "left_outer")
       .na.fill(0L, Seq("inter", "n_a", "n_b"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+      // try_divide: uni = 0 (both docs shingle-less) → null, not an ANSI
+      // DIVIDE_BY_ZERO error killing the job
+      .withColumn("jaccard", round(try_divide(col("inter").cast("double"), col("uni")), 6))
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 

@@ -41,6 +41,14 @@ class AsOfSpec extends SparkSpec {
     assert(r.getLong(1) === 10L)
   }
 
+  test("null-time reference rows match nothing (not everything)") {
+    val q = Seq(("B", null.asInstanceOf[java.lang.Long], 99.0))
+      .toDF("sym", "q_t", "bid")
+    val r = AsOf.asOfJoin(trades.where($"sym" === "B"), q,
+      Seq("sym"), "t", "q_t", Seq("bid")).head()
+    assert(r.isNullAt(r.fieldIndex("bid")))
+  }
+
   test("carried-column collision is rejected") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoin(trades, quotes.withColumnRenamed("bid", "px"),

@@ -155,6 +155,34 @@ class DataOpsSpec extends SparkSpec {
     assert(edges.filter(_._3 == "near") === Set((1L, 4L, "near")))
   }
 
+  test("simhash covers empty/null-text docs with the 0 sentinel") {
+    val docs = Seq((1L, "some real text"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(2L) === 0L && out(3L) === 0L)
+    assert(out(1L) !== 0L)
+  }
+
+  test("ngramJaccard: duplicate caller pairs don't inflate the intersection") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val dupPairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.ngramJaccard(dupPairs, docs).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("ngramJaccard: a pair with a null-text doc surfaces instead of vanishing") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccard(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // (1,2): doc 2 contributes no shingles → jaccard 0 over doc 1's set
+    assert(rows((1L, 2L)).getAs[Double]("jaccard") === 0.0)
+    // (2,3): both empty → 0/0 → null, but the row is still there
+    assert(rows((2L, 3L)).isNullAt(rows((2L, 3L)).fieldIndex("jaccard")))
+  }
+
   test("token stats + quality + fingerprint basics") {
     val df = Seq((1L, "the quick brown fox."), (2L, ""), (3L, "  a  b  "))
       .toDF("doc_id", "text")
