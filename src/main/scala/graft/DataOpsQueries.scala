@@ -255,7 +255,7 @@ object DataOpsQueries {
 
     "m_frame_sample" ->
       """SELECT doc_id AS media_id, 4::BIGINT AS n_frames,
-        |  4 * (length(text) // 8)::BIGINT AS total_bytes
+        |  4 * (octet_length(encode(text)) // 8)::BIGINT AS total_bytes
         |FROM documents""".stripMargin
   )
 }

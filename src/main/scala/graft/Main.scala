@@ -27,7 +27,8 @@ object Main {
 
   def loadConfig(path: String): PipelineConfig = {
     val props = new Properties()
-    props.load(Files.newBufferedReader(Paths.get(path)))
+    val reader = Files.newBufferedReader(Paths.get(path))
+    try props.load(reader) finally reader.close()
     val p = props.asScala
     def req(k: String): String =
       p.getOrElse(k, throw new IllegalArgumentException(s"missing config key $k"))
@@ -38,7 +39,13 @@ object Main {
         montecarlo = MonteCarloConfig(
           permutations = p.get("fda.montecarlo.permutations").map(_.toInt).getOrElse(100),
           percentile = p.get("fda.montecarlo.percentile").map(_.toDouble).getOrElse(0.95),
-          seed = p.get("fda.montecarlo.seed").map(_.toLong)),
+          // absent key keeps the deterministic default; the literal "none"
+          // opts into the reference's intentional nondeterminism
+          seed = p.get("fda.montecarlo.seed") match {
+            case Some("none") => None
+            case Some(v) => Some(v.toLong)
+            case None => MonteCarloConfig().seed
+          }),
         fdaInputs = FdaInputs(
           blacklist = req("fda.inputs.blacklist"),
           chemblData = req("fda.inputs.chembl"),

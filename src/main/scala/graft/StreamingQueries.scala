@@ -47,13 +47,15 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "st_session_counts" ->
-      """WITH marked AS (
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |              >= INTERVAL '30 minutes' OR
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM ev),
         |sessions AS (
         |  SELECT user_id, ts,
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

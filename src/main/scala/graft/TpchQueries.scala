@@ -137,7 +137,6 @@ object TpchQueries {
         .select(concat(col("p_partkey"), lit("$$"), col("p_brand"), lit("$"),
           col("p_name"), lit("$$$")).as("_c0"))
         .withColumn("_c0", regexp_replace(col("_c0"), "\\$+", ","))
-        .withColumn("_c0", regexp_replace(col("_c0"), "\\$$", ""))
         .withColumn("_c0", split(col("_c0"), ","))
         .select(col("_c0").getItem(0).as("code"),
           col("_c0").getItem(1).as("brand"),

@@ -21,7 +21,7 @@ final case class FdaInputs(
 }
 
 final case class Sampling(output: String, size: Double = 0.1, enabled: Boolean = false) {
-  require(size > 0, "sampling size must be > 0")
+  require(size > 0 && size <= 1, "sampling size must be > 0")
 }
 
 final case class MonteCarloConfig(permutations: Int = 100, percentile: Double = 0.95,

@@ -23,14 +23,14 @@ object Sinks {
   def writeResults(results: DataFrame, outputPath: String, format: String): Unit =
     format match {
       case "csv" =>
-        results.coalesce(1).write
+        results.coalesce(1).write.mode("overwrite")
           .option("compression", "gzip")
           .option("header", "true")
           .csv(s"$outputPath/csv")
       case "json" | "jsonl" =>
-        results.write.json(s"$outputPath/json")
+        results.write.mode("overwrite").json(s"$outputPath/json")
       case "parquet" =>
-        results.write.format("parquet").save(s"$outputPath/parquet")
+        results.write.mode("overwrite").format("parquet").save(s"$outputPath/parquet")
       case other =>
         log.error(s"Unrecognised output format $other")
     }
@@ -63,9 +63,9 @@ object Sinks {
   def writeUnfiltered(results: DataFrame, outputPath: String, format: String): Unit =
     format match {
       case "json" | "jsonl" =>
-        results.write.json(s"${outputPath}Unfiltered/json")
+        results.write.mode("overwrite").json(s"${outputPath}Unfiltered/json")
       case "parquet" =>
-        results.write.format(format).save(s"${outputPath}Unfiltered/$format")
+        results.write.mode("overwrite").format(format).save(s"${outputPath}Unfiltered/$format")
       case other =>
         log.error(s"Unrecognised output format $other")
     }

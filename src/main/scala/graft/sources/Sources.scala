@@ -99,9 +99,9 @@ object Sources {
 
   /** S4: MedDRA preferred terms (Loaders.scala:64-68). */
   def meddraPreferredTerms(release: String)(implicit spark: SparkSession): DataFrame =
-    meddra(release + "MedAscii/pt.asc", Seq("pt_code", "pt_name"))
+    meddra(release.stripSuffix("/") + "/MedAscii/pt.asc", Seq("pt_code", "pt_name"))
 
   /** S5: MedDRA low-level terms (Loaders.scala:70-74). */
   def meddraLowLevelTerms(release: String)(implicit spark: SparkSession): DataFrame =
-    meddra(release + "MedAscii/llt.asc", Seq("llt_code", "llt_name"))
+    meddra(release.stripSuffix("/") + "/MedAscii/llt.asc", Seq("llt_code", "llt_name"))
 }
