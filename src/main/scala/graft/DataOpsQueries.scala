@@ -44,6 +44,13 @@ object DataOpsQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
+    // engine-specific → rows-only; identity semantics vs md5 are asserted
+    // in DataOpsSpec.
+    "t_rolling_fp" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
+
     // Exact dedup groups over the duplicate-by-construction corpus (oracle).
     "d_exact_groups" -> ((s, dir) =>
       Dedup.exact(docsWithCopies(s, dir))),

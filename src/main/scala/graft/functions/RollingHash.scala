@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit Karp–Rabin rolling hash of a string's UTF-8 bytes:
+  * h = Σ b_i · base^(n−1−i) (mod 2^64), the classic polynomial rolling
+  * construction. One codegen multiply-add per byte — cheaper than md5
+  * (no block cipher rounds) and incrementally updatable (a streaming
+  * window can roll bytes in/out in O(1)), which is why training-data
+  * pipelines fingerprint shards with it.
+  *
+  * Content-identity semantics match [[graft.operators.TextAnalysis
+  * .fingerprint]] when applied to the same normalized text; the digest is
+  * engine-specific (not an oracle-portable md5), so gates that use it are
+  * rows-only.
+  */
+case class RollingHash64(child: Expression, base: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * base + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $in.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * ${base}L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  /** Standard polynomial base (odd, large — good bit diffusion mod 2^64). */
+  val DefaultBase: Long = 1099511628211L // FNV-1a prime
+
+  def rollingHash(text: Column, base: Long = DefaultBase): Column =
+    GraftBridge.column(RollingHash64(GraftBridge.expression(text), base))
+}

@@ -103,6 +103,14 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** 64-bit rolling-hash fingerprint of the normalized text (Karp–Rabin,
+    * graft.functions.RollingHash64): cheaper than md5 per byte and O(1)
+    * incrementally updatable. Engine-specific digest → rows-only gates;
+    * use [[fingerprint]] when an oracle-portable digest is needed.
+    */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingHash64.rollingHash(normalized(text))
+
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 }

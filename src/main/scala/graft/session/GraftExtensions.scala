@@ -1,6 +1,6 @@
 package graft.session
 
-import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles}
+import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles, RollingHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *   - `vec_dot(a, b)`        — fused dot product (array<float|double>)
   *   - `cosine_sim(a, b)`     — fused cosine similarity
   *   - `ngram_shingles(text, n [, distinct])` — word n-gram shingles
+  *   - `rolling_hash(text)`  — 64-bit Karp–Rabin rolling hash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,6 +52,11 @@ object GraftFunctions {
       { case Seq(a, b) => CosineSimilarity(a, b)
         case args => throw new IllegalArgumentException(
           s"cosine_sim expects 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash"),
+      { case Seq(t) => RollingHash64(t, RollingHash64.DefaultBase)
+        case args => throw new IllegalArgumentException(
+          s"rolling_hash expects 1 argument, got ${args.length}") }),
     (FunctionIdentifier("ngram_shingles"),
       info("ngram_shingles"),
       { case Seq(t, n) => NGramShingles(t, intLit(n, "ngram_shingles"), distinct = false)

@@ -183,6 +183,23 @@ class DataOpsSpec extends SparkSpec {
     assert(rows((2L, 3L)).isNullAt(rows((2L, 3L)).fieldIndex("jaccard")))
   }
 
+  test("rolling-hash fingerprint: same identity classes as md5 fingerprint") {
+    val docs = Seq(
+      (1L, "Same   Content here"), (2L, "same content HERE"), // normalize-equal
+      (3L, "different content"), (4L, "")).toDF("doc_id", "text")
+    val rfp = docs.select($"doc_id",
+        TextAnalysis.rollingFingerprint($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rfp(1L) === rfp(2L))
+    assert(rfp(1L) !== rfp(3L))
+    // interpreted eval agrees with the codegen'd dataframe path
+    val interp = graft.functions.RollingHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("same content here")),
+      graft.functions.RollingHash64.DefaultBase).eval(null)
+    assert(interp === rfp(1L))
+  }
+
   test("token stats + quality + fingerprint basics") {
     val df = Seq((1L, "the quick brown fox."), (2L, ""), (3L, "  a  b  "))
       .toDF("doc_id", "text")

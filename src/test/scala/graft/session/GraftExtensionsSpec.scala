@@ -33,6 +33,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(dist === Seq("a b", "b a"))
   }
 
+  test("rolling_hash resolves in SQL and matches the Column API") {
+    Seq(Tuple1("some text")).toDF("t").createOrReplaceTempView("rh_v")
+    val viaSql = spark.sql("SELECT rolling_hash(t) AS h FROM rh_v").head().getLong(0)
+    val viaCol = spark.table("rh_v")
+      .select(graft.functions.RollingHash64.rollingHash($"t").as("h"))
+      .head().getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("non-literal shingle size is rejected at resolution") {
     Seq((1, "x y z")).toDF("n", "t").createOrReplaceTempView("bad_v")
     val e = intercept[Exception] {
@@ -45,6 +54,6 @@ class GraftExtensionsSpec extends SparkSpec {
     // the shared suite session was not built by EngineSession, so check the
     // extension object wires every declared function (names are the API)
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
-      Set("vec_dot", "cosine_sim", "ngram_shingles"))
+      Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash"))
   }
 }
