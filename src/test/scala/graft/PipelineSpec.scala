@@ -76,7 +76,8 @@ class PipelineSpec extends SparkSpec {
     val sample = Stratified.sample(clean, significant, raw, sampleSize = 0.5)
     val n = sample.count()
     assert(n > 0 && n <= raw.count())
-    assert(sample.where(col("seriousnessdeath") =!= 1).count() == 0)
+    // null-safe: a dropped tag leaves null, which =!= would filter out
+    assert(sample.where(!(col("seriousnessdeath") <=> 1)).count() == 0)
     // sampled report ids all exist in the raw input
     val rawIds = raw.select("safetyreportid").collect().map(_.getString(0)).toSet
     assert(sample.select("safetyreportid").collect().map(_.getString(0)).toSet

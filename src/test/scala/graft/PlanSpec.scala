@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.ExplainMode
 
 /** Physical-plan assertions: the optimizations the engine relies on at
   * scale must actually appear in the executed plan — filter pushdown,
@@ -12,10 +11,6 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
-
-  def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution
-      .explainString(ExplainMode.fromString("extended"))
 
   def executed(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

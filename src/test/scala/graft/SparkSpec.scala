@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session, one per suite (loan pattern like the reference's
-  * SparkSessionSetup — /root/reference .. LoadersTest.scala:20-32 — but
-  * suite-scoped: session spin-up dominates small tests).
+/** Shared local session — ONE PER JVM, not per suite: getOrCreate
+  * returns the first suite's session, so later suites' .config calls are
+  * no-ops and session state (temp views, registered functions) is shared
+  * across suites. Tests must not assume a fresh session. (Reference
+  * analog: SparkSessionSetup — /root/reference .. LoadersTest.scala:20-32.)
   */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()

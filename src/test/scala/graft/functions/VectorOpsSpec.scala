@@ -71,7 +71,10 @@ class VectorOpsSpec extends SparkSpec {
         df.write.mode("overwrite").parquet(d); d
       }.select(VectorOps.dot($"a", $"b")).collect()
     }
-    assert(e2.getMessage != null)
+    // the mismatch message must survive Spark's exception wrapping
+    val messages = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("length mismatch")), messages.mkString(" | "))
   }
 
   test("zero vector yields NaN cosine (0/0), not an error") {

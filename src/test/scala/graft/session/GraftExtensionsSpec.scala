@@ -50,9 +50,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal int"))
   }
 
-  test("EngineSession builds with the extensions installed") {
-    // the shared suite session was not built by EngineSession, so check the
-    // extension object wires every declared function (names are the API)
+  test("the extension object declares the full function surface") {
+    // EngineSession.build cannot run here (the JVM-shared suite session
+    // wins getOrCreate), so the session-build seam is exercised by the
+    // Verify/Bench mains; this pins the declared name set
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
       Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash"))
   }

@@ -36,6 +36,9 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed groupBy on the bucket key needs no shuffle") {
+    // re-write (overwrite) so this test stands alone
+    Sinks.writeBucketed(Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity"), "lineitem_bkt", "l_orderkey", 8)
     val agg = spark.table("lineitem_bkt")
       .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
     val plan = agg.queryExecution.executedPlan.toString

@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("win_out")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val got = spark.table("win_out").collect().map(_.toSeq).toSet
     assert(got == expected)
   }
@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("dedup_out")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val n = graft.Tables.events(spark, eventsDir).count()
     assert(spark.table("dedup_out").count() == n)
     assert(spark.table("dedup_out").select("event_id").distinct().count() == n)
@@ -76,22 +76,16 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("enrich_out")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val out = spark.table("enrich_out")
     assert(out.count() == graft.Tables.events(spark, eventsDir).count())
     assert(out.where(col("segment").isNull).count() == 0)
   }
 
-  test("flatMapGroupsWithState sequences continue across micro-batches") {
+  test("flatMapGroupsWithState sequences: single trigger equals batch") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
-    // batch result = one trigger containing everything
     val expected = EventStream.sequencedEvents(batchEvents)
       .collect().map(s => (s.user_id, s.event_id) -> s.seq).toMap
-
-    // same data as TWO files → at least two triggers; lifetime numbering
-    // must continue from the per-user counter, and every (user, event)
-    // keeps a unique seq — batch equality holds only if each trigger's
-    // slice happens to arrive in ts order, so assert the state contract
     val streamDir = java.nio.file.Files.createTempDirectory("graft-seq")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
@@ -101,9 +95,40 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("seq_out")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val got = spark.table("seq_out")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(got == expected) // single file ⇒ single trigger ⇒ exact match
+    assert(got == expected) // single file => single trigger => exact match
+  }
+
+  test("flatMapGroupsWithState sequences continue across micro-batches") {
+    // TWO disjoint files => (at least) two triggers with maxFilesPerTrigger=1.
+    // If the per-user counter reset between triggers, seqs would repeat;
+    // lifetime continuation means every user's seq set is exactly 1..n.
+    val batchEvents = graft.Tables.events(spark, eventsDir).cache()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-seq2")
+    batchEvents.where(col("event_id") % 2 === 0)
+      .write.parquet(streamDir.resolve("a.parquet").toString)
+    batchEvents.where(col("event_id") % 2 === 1)
+      .write.parquet(streamDir.resolve("b.parquet").toString)
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = EventStream.sequencedEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seq2_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val perUser = spark.table("seq2_out")
+      .collect().groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.map(_.getLong(2)).sorted.toSeq }
+    val counts = batchEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, seqs) =>
+      assert(seqs == (1L to counts(u)).toSeq,
+        s"user $u seqs not a contiguous 1..n run: ${seqs.take(5)}...")
+    }
   }
 }
