@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,6 +70,25 @@ object DataOpsQueries {
     // pair count stays linear in distinct content.
     "d_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8)),
+
+    // Cluster-mode dedup CLOSED: edge list → connected components → one
+    // cluster id per document. threshold=1.0 keeps only identical-content
+    // edges, so clusters ≡ md5 fingerprint groups — exactly DuckDB-
+    // expressible (min doc_id over the md5 partition). The CC operator's
+    // multi-hop behavior is separately gated by g_connected_components.
+    "d_dedup_clusters_closed" -> ((s, dir) =>
+      Dedup.dedupClusters(docsWithCopies(s, dir), threshold = 1.0)),
+
+    // Connected components on a 10-deep chain graph (doc i ↔ i−1 within
+    // each decade): forces genuinely iterative large-star/small-star
+    // rounds; components are decades of the contiguous doc_id space, so
+    // the oracle is closed-form.
+    "g_connected_components" -> ((s, dir) => {
+      val edges = Tables.documents(s, dir)
+        .where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") - 1).as("doc_b"))
+      ConnectedComponents.assign(edges)
+    }),
 
     // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
     "d_simhash" -> ((s, dir) =>
@@ -226,6 +245,23 @@ object DataOpsQueries {
         |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
         |      ORDER BY doc_id) AS rn
         |  FROM all_docs) WHERE rn = 1""".stripMargin,
+
+    "d_dedup_clusters_closed" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM all_docs)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY fp) AS cluster_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_survivor
+        |FROM fp""".stripMargin,
+
+    "g_connected_components" ->
+      """SELECT doc_id AS node, doc_id - doc_id % 10 AS component
+        |FROM documents""".stripMargin,
 
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,

@@ -40,6 +40,21 @@ object PipelineQueries {
           round(col("llr"), 6).as("llr"))
     }),
 
+    // A1+A2+A3 via the reference's actual physical strategy (OpenFdaEtl
+    // .scala:113-160): three whole-partition windows attach the marginals
+    // to every report-grain row, eager driver-literal total, full-row
+    // distinct to pair grain. Exact windowed counts (collect_set size)
+    // stand in for HLL++ so the result is oracle-hashable; must equal
+    // llr_pairs exactly (same statistic, different plan).
+    "llr_pairs_windowed" -> ((s, dir) => {
+      Contingency.prepareForMonteCarloFromWindowed(
+        Contingency.summaryStatisticsWindowed(analogEvents(s, dir), exact = true))
+        .select(col("chembl_id").as("drug"),
+          col("reaction_reactionmeddrapt").as("event"),
+          col("A"), col("B"), col("C"), col("D"),
+          round(col("llr"), 6).as("llr"))
+    }),
+
     // Full significance pipeline incl. seeded Monte-Carlo (A5/UDF/J5/P5/P8).
     // Emits ALL pairs with critval + flag (not just significant ones) so the
     // smoke check always sees rows; RNG → no SQL oracle (rows-only).
@@ -75,8 +90,7 @@ object PipelineQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "llr_pairs" ->
+  private val llrOracle: String =
       """WITH ev AS (
         |  SELECT l_orderkey AS rid, s_name AS drug, p_brand AS event
         |  FROM lineitem
@@ -101,5 +115,10 @@ object PipelineQueries {
         |FROM llr
         |WHERE aterm + cterm - acterm IS NOT NULL
         |  AND NOT isnan(aterm + cterm - acterm)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "llr_pairs" -> llrOracle,
+    // same statistic, exact counts on both plans → same oracle
+    "llr_pairs_windowed" -> llrOracle
   )
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the closure step a
+  * dedup pipeline needs between [[Dedup.nearDuplicateClusters]]' edge list
+  * and actually dropping rows (no reference analog; LLM-pipeline brief).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+  * DataFrame joins — converges in O(log n) rounds on any graph shape, no
+  * driver-side graph, no collect. Each round is two self-joins keyed on a
+  * node id; per-round results are localCheckpoint'ed to truncate lineage
+  * (iterative plans otherwise grow exponentially and re-execute from the
+  * source each round).
+  *
+  * At 100 TB grain the edge list for a dedup workload is tiny relative to
+  * the corpus (near-dup pairs among distinct-content representatives), so
+  * the per-round shuffles are on the small frame; the single corpus-sized
+  * operation in [[Dedup.dedupClusters]] is one broadcast-or-shuffle join
+  * of the final (node → component) map against doc ids.
+  */
+object ConnectedComponents {
+
+  /** (node, component) for every node appearing in `edges`; component is
+    * the minimum node id of the connected component. Self-loops and null
+    * endpoints are dropped (a null key identifies nothing to connect).
+    */
+  def assign(edges: DataFrame, srcCol: String = "doc_a",
+             dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      // canonical orientation (hi → lo) + dedup: halves the working set
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var cur = e0.localCheckpoint(true)
+    var curSig = signature(cur)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      done = nextSig == curSig
+      cur = next
+      curSig = nextSig
+      i += 1
+    }
+    // fixed point = star graphs: every edge is (node → component root).
+    // Roots themselves appear only on the v side.
+    val members = cur.select(col("u").as("node"), col("v").as("component"))
+    val roots = cur.select(col("v").as("node"), col("v").as("component")).distinct()
+    members.unionByName(roots).distinct()
+  }
+
+  /** Edge-set fingerprint for the convergence test: one tiny aggregate per
+    * round. (count, xor of per-edge hashes) — order-insensitive, and the
+    * xor can't collide across iterations of a monotone algorithm in any
+    * way that also preserves the count, short of a 64-bit hash collision.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to its
+    * smallest neighbor (or itself). Input/output edges oriented hi → lo is
+    * not assumed here — the symmetric view is built internally.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("_mv"))
+      .select(col("u"), least(col("_mv"), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star on hi → lo oriented edges: every node connects its smaller
+    * neighbors (and itself) to the smallest of them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    val relink = e.join(mins, Seq("u"))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = mins.where(col("u") =!= col("m"))
+      .select(col("u"), col("m").as("v"))
+    relink.unionAll(self).distinct()
+  }
+}

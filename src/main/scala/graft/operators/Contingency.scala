@@ -34,17 +34,27 @@ object Contingency {
 
   /** Reference-parity windowed marginals (OpenFdaEtl.scala:110-136):
     * report-grain rows with the three distinct-report counts attached.
+    *
+    * @param exact substitute an exact per-window distinct count for HLL++.
+    *              Spark rejects DISTINCT aggregates over windows, so exact
+    *              mode is `size(collect_set(..))` — fine at the compat
+    *              path's scale, and the construction the oracle gate needs
+    *              (HLL++ sketches are engine-specific and never hash-match
+    *              an exact-counting oracle — SURVEY §7.6.2).
     */
-  def summaryStatisticsWindowed(df: DataFrame): DataFrame = {
+  def summaryStatisticsWindowed(df: DataFrame, exact: Boolean = false): DataFrame = {
     val wAdverses = Window.partitionBy(col("reaction_reactionmeddrapt"))
     val wDrugs = Window.partitionBy(col("chembl_id"))
     val wComb = Window.partitionBy(col("chembl_id"), col("reaction_reactionmeddrapt"))
+    def dc(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+      if (exact) size(collect_set(c).over(w)).cast("long")
+      else approx_count_distinct(c).over(w)
     df.withColumn("uniq_report_ids_by_reaction",
-        approx_count_distinct(col("safetyreportid")).over(wAdverses))
+        dc(col("safetyreportid"), wAdverses))
       .withColumn("uniq_report_ids_by_drug",
-        approx_count_distinct(col("safetyreportid")).over(wDrugs))
+        dc(col("safetyreportid"), wDrugs))
       .withColumn("uniq_report_ids",
-        approx_count_distinct(col("safetyreportid")).over(wComb))
+        dc(col("safetyreportid"), wComb))
       .select("safetyreportid", "chembl_id", "reaction_reactionmeddrapt",
         "uniq_report_ids_by_reaction", "uniq_report_ids_by_drug", "uniq_report_ids")
   }

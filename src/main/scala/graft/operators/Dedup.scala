@@ -212,6 +212,30 @@ object Dedup {
     exactEdges.unionByName(nearEdges)
   }
 
+  /** Complete cluster-mode dedup: [[nearDuplicateClusters]]' edge list
+    * closed into cluster assignments via distributed connected components
+    * ([[ConnectedComponents]]) — every document maps to exactly one
+    * cluster_id (the minimum doc_id of its duplicate cluster; singletons
+    * map to themselves) plus the survivor flag a downstream filter needs.
+    *
+    * The CC rounds run on the edge list (near-dup pairs + exact-dup
+    * links — tiny relative to the corpus); the only corpus-sized step is
+    * the final left join of the (node → component) map onto doc ids.
+    */
+  def dedupClusters(docs: DataFrame, textCol: String = "text",
+                    threshold: Double = 0.8, shingleSize: Int = 3,
+                    numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val edges = nearDuplicateClusters(docs, textCol, threshold, shingleSize,
+      numHashes, bands)
+    val comp = ConnectedComponents.assign(edges, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "is_survivor")
+  }
+
   /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets the
     * corpus (Similarity.lshBuckets), exact cosine verifies within-bucket
     * pairs only — the embedding-space analog of [[nearDuplicates]].
