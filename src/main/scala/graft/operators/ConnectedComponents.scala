@@ -76,10 +76,12 @@ object ConnectedComponents {
     val mins = sym.groupBy("u")
       .agg(min(col("v")).as("_mv"))
       .select(col("u"), least(col("_mv"), col("u")).as("m"))
+    // no dedup here: duplicate edges don't change smallStar's groupBy-min,
+    // and its output distinct restores the invariant — one fewer
+    // full-frame shuffle per round
     sym.join(mins, Seq("u"))
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star on hi → lo oriented edges: every node connects its smaller

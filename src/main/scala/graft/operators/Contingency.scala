@@ -64,9 +64,15 @@ object Contingency {
     * full-row distinct to pair grain, LLR columns, null/NaN filter.
     */
   def prepareForMonteCarloFromWindowed(reportGrain: DataFrame): DataFrame = {
+    // persist before the eager count: the reference recomputes the whole
+    // three-window plan twice (once for the driver-literal count, once for
+    // the pair-grain distinct) — persisting first is the SURVEY §7.6.5
+    // improvement, same results, one window pass
+    val cached = reportGrain.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val uniqReports: Long =
-      reportGrain.select("safetyreportid").distinct().count()
-    val pairGrain = reportGrain
+      cached.select("safetyreportid").distinct().count()
+    val pairGrain = cached
       .drop("safetyreportid")
       .withColumnRenamed("uniq_report_ids", "A")
       .withColumn("C", col("uniq_report_ids_by_drug") - col("A"))
