@@ -127,6 +127,51 @@ object DataOpsQueries {
         nLists = 16, nProbe = 4)
     }),
 
+    // ANN recall gate: recall@10 of the LSH and IVF paths vs brute force,
+    // all three computed in Spark on a deterministic planted corpus (10
+    // sin-perturbed near-copies per query — uniform random vectors have
+    // no meaningful neighbors, so recall on the raw table measures noise).
+    // The builder itself asserts the mean-recall floors, so a recall
+    // regression fails the gate loudly instead of shipping quieter rows.
+    // No SQL oracle (hyperplane/quantizer internals are engine-specific).
+    "e_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 20)
+      val planted = q
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(10))).as("j"))
+        .select(
+          (lit(1000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id") * 7 + col("j") * 13 + i) * lit(0.02))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      def recallOf(approx: DataFrame, as: String): DataFrame =
+        brute.join(approx.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id")
+          .agg((count(lit(1)) / 10.0).as(as))
+      val ann = recallOf(
+        Similarity.annTopK(corpus, q, k = 10, dim = 64, planes = 6), "recall_ann")
+      val ivf = recallOf(
+        Similarity.ivfTopK(corpus, q, k = 10, nLists = 16, nProbe = 4), "recall_ivf")
+      val out = q.select(col("vec_id").as("query_id"))
+        .join(ann, Seq("query_id"), "left_outer")
+        .join(ivf, Seq("query_id"), "left_outer")
+        .na.fill(0.0, Seq("recall_ann", "recall_ivf"))
+        .cache()
+      val m = out.agg(avg("recall_ann"), avg("recall_ivf")).head()
+      val (mAnn, mIvf) = (m.getDouble(0), m.getDouble(1))
+      require(mAnn >= 0.5 && mIvf >= 0.7,
+        f"ANN recall regression: mean recall_ann=$mAnn%.3f (floor 0.5), " +
+          f"recall_ivf=$mIvf%.3f (floor 0.7)")
+      out
+    }),
+
     // Embedding-cosine near-dup: duplicate-by-construction corpus (vector
     // ∪ identical copy) → every vector pairs with its copy at cosine 1
     // (rows-only: bucketing is hyperplane-RNG-specific).

@@ -85,6 +85,37 @@ object PipelineQueries {
             .as("significant"))
     }),
 
+    // S1/S2 JSON read path under the oracle: the parquet-backed gates never
+    // exercise the explicit-schema JSON reader, so derive a JSON-lines copy
+    // of supplier (nested struct, like the FAERS patient payload), read it
+    // back through spark.read.schema(..).json(..) with nested-field
+    // extraction, and hash-compare against the parquet original.
+    "s2_json_source" -> ((s, dir) => {
+      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_json_src/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/supplier"
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          struct(col("s_name"), col("s_nationkey")).as("info"),
+          col("s_acctbal"))
+        .write.mode("overwrite").json(jsonDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("info",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("s_nationkey",
+              org.apache.spark.sql.types.LongType)))),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).json(jsonDir).selectExpr(
+        "s_suppkey as suppkey",
+        "info.s_name as name",
+        "info.s_nationkey as nationkey",
+        "s_acctbal as acctbal")
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -131,6 +162,11 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "llr_pairs" -> llrOracle,
     // same statistic, exact counts on both plans → same oracle
-    "llr_pairs_windowed" -> llrOracle
+    "llr_pairs_windowed" -> llrOracle,
+    // the JSON round-trip must reproduce the parquet rows exactly
+    "s2_json_source" ->
+      """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
+        |       s_acctbal AS acctbal
+        |FROM supplier""".stripMargin
   )
 }

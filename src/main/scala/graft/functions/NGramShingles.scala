@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -12,11 +13,17 @@ import java.util.regex.Pattern
 
 /** Word n-gram shingling as a native Catalyst expression.
   *
-  * One virtual call per row with a tight hand-written loop — versus the
-  * equivalent `transform(sequence(..), i -> array_join(slice(toks,i,n)))`
+  * One tight hand-written loop per row — versus the equivalent
+  * `transform(sequence(..), i -> array_join(slice(toks,i,n)))`
   * higher-order-function pipeline, which evaluates every element through
   * interpreted expression dispatch (measured ~15× slower on the sf0.1
   * documents table, and array_distinct on top of it is quadratic).
+  *
+  * Codegen emits a single static call into [[ShingleKernel]] — the
+  * expression stays inside the whole-stage-generated class (no
+  * per-row InternalRow boxing through a CodegenFallback hop), while the
+  * string/array kernel itself stays ordinary JVM code the JIT compiles
+  * once (the same pattern Spark's own regexp/json expressions use).
   *
   * Semantics: whitespace-tokenize the (already normalized) input; emit all
   * consecutive n-grams joined by a single space; inputs shorter than n
@@ -24,19 +31,41 @@ import java.util.regex.Pattern
   * `distinct = true` dedups while preserving first-occurrence order.
   */
 case class NGramShingles(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n > 0, "shingle size must be positive")
 
+  // analysis-time rejection (AnalysisException with a clear message)
+  // instead of a runtime ClassCastException from inside generated code
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_shingles requires a string argument, got ${child.dataType.catalogString}")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.compute(input.asInstanceOf[UTF8String], n, distinct)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.trim
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.ShingleKernel.compute($in, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+    copy(child = newChild)
+}
+
+/** Row kernel for [[NGramShingles]], statically reachable from generated
+  * Java (plain object ⇒ static forwarder, no `MODULE$` indirection).
+  */
+object ShingleKernel {
+  private val ws: Pattern = Pattern.compile("\\s+")
+
+  def compute(input: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+    val s = input.toString.trim
     val toks: Array[String] = if (s.isEmpty) Array.empty else ws.split(s)
-    val grams: Seq[String] =
-      if (toks.length < n) Seq(toks.mkString(" "))
+    val grams: Array[String] =
+      if (toks.length < n) Array(toks.mkString(" "))
       else {
         val out = new Array[String](toks.length - n + 1)
         var i = 0
@@ -47,14 +76,19 @@ case class NGramShingles(child: Expression, n: Int, distinct: Boolean)
           out(i) = sb.toString
           i += 1
         }
-        out.toSeq
+        out
       }
-    val vals = if (distinct) grams.distinct else grams
+    val vals: Array[String] =
+      if (!distinct) grams
+      else {
+        // first-occurrence order preserved
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < grams.length) { seen.add(grams(i)); i += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
     new GenericArrayData(vals.map(UTF8String.fromString).toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
-    copy(child = newChild)
 }
 
 object NGramShingles {

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit Karp–Rabin rolling hash of a string's UTF-8 bytes:
@@ -21,6 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class RollingHash64(child: Expression, base: Long)
     extends UnaryExpression {
+
+  // analysis-time rejection of wrong-typed arguments (e.g. rolling_hash on
+  // a numeric column through the SQL surface) instead of a runtime
+  // ClassCastException from inside generated code
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = LongType
 

@@ -26,6 +26,24 @@ import org.apache.spark.sql.types._
 trait VectorBinaryOp { self: BinaryExpression =>
   override def dataType: DataType = DoubleType
 
+  /** Analysis-time type check: both operands must be array<float|double>.
+    * Without it a wrong-typed SQL call (e.g. `vec_dot(l_orderkey, ...)`)
+    * surfaces as a ClassCastException or Janino compile error at execution
+    * time instead of a clear AnalysisException.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires array<float> or array<double> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 

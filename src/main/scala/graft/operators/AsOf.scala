@@ -58,13 +58,21 @@ object AsOf {
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("_t"), col("_side"), col("_carry"))): _*)
 
+    // SQL/DuckDB ASOF semantics: a null key matches nothing — but
+    // Window.partitionBy groups null keys together, so a null-keyed left
+    // row would pick up a null-keyed right row's value. Route null-keyed
+    // left rows around the window (their carry stays null) and drop
+    // null-keyed right rows outright.
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
+    val carried = l.where(keyNotNull).unionByName(r.where(keyNotNull))
       .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
-    carry.foldLeft(carried.where(col("_side") === 1)) { (df, c) =>
+    val merged = carried.where(col("_side") === 1)
+      .unionByName(l.where(!keyNotNull))
+    carry.foldLeft(merged) { (df, c) =>
         df.withColumn(c, col("_carry").getField(c))
       }
       .drop("_t", "_side", "_carry")

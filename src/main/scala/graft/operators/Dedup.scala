@@ -101,10 +101,18 @@ object Dedup {
 
   private def split_signature(sig: Column, bands: Int): Column = {
     // integer band width: int/int is TRUE division in Spark (double), and
-    // a fractional width would overlap bands / drop trailing hashes
+    // a fractional width would overlap bands / drop trailing hashes.
+    // Validate divisibility per row — every entry point (not just the
+    // minhashCandidates wrapper) must reject bands ∤ numHashes, otherwise
+    // floor-width slicing silently drops trailing hashes and recall sinks
+    // with no error.
     val width = floor(size(sig) / bands).cast("int")
+    val checked = when(size(sig) % bands === 0, width)
+      .otherwise(raise_error(concat(
+        lit(s"lshBands: bands ($bands) must divide the signature length, got "),
+        size(sig).cast("string"))))
     transform(sequence(lit(0), lit(bands - 1)),
-      b => slice(sig, b * width + 1, width))
+      b => slice(sig, b * checked + 1, checked))
   }
 
   /** Banded frame → candidate pairs (doc_a < doc_b): self-equi-join on
@@ -165,17 +173,76 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact Jaccard ≥ t.
-    * The shingle-row frame feeds both the signature and the verification
-    * pass, so it is cached for the lifetime of the returned plan.
+    *
+    * Duplicate-heavy corpora are handled structurally, not by luck: the
+    * corpus is first collapsed to one representative per exact content
+    * fingerprint, MinHash+LSH+verification run among representatives only,
+    * and the verified representative pairs are expanded back to member
+    * pairs (identical text ⇒ identical shingle set ⇒ identical signature
+    * and jaccard, so the expansion reproduces exactly what bucketing every
+    * copy would have produced). m copies of one text therefore cost m
+    * fingerprint rows instead of m-sized LSH buckets and m²/2 candidate
+    * verifications — the pair OUTPUT is still quadratic in m (that is the
+    * contract of pair mode; [[dedupClusters]] is the linear-output API).
+    *
+    * Caches (member map + representative shingle rows) are eagerly filled
+    * and live until the session clears them — pass-managed because the
+    * returned plan consumes them lazily; callers running many operators
+    * should `spark.catalog.clearCache()` between queries (Bench/Verify do).
     */
+  /** (doc_id, fp, rep_id): one row per document with its exact-content
+    * fingerprint and the group's canonical (minimum) doc_id.
+    */
+  private def memberMap(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+
+  /** LSH-candidate generation + exact-Jaccard verification among an
+    * already-deduplicated representative set. Returns (verified pairs,
+    * cached shingle rows — the caller may reuse them for sizes).
+    */
+  private def repNearPairs(reps: DataFrame, textCol: String, threshold: Double,
+                           shingleSize: Int, numHashes: Int,
+                           bands: Int): (DataFrame, DataFrame) = {
+    val sh = shingleRows(reps, textCol, shingleSize).cache()
+    sh.count()
+    val sigs = minhashSignaturesFromRows(sh, numHashes)
+    val candidates = candidatesFromBands(lshBands(sigs, bands))
+    (ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold), sh)
+  }
+
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      threshold: Double = 0.8, shingleSize: Int = 3,
                      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     requireBandable(numHashes, bands)
-    val sh = shingleRows(docs, textCol, shingleSize).cache()
-    val sigs = minhashSignaturesFromRows(sh, numHashes)
-    val candidates = candidatesFromBands(lshBands(sigs, bands))
-    ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold)
+    val members = memberMap(docs, textCol).cache()
+    members.count()
+    val reps = docs.join(
+      members.where(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val (repPairs, sh) =
+      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands)
+    // cross-group expansion: every member pair inherits its reps' stats
+    val ma = members.select(col("rep_id").as("doc_a"), col("doc_id").as("_a"))
+    val mb = members.select(col("rep_id").as("doc_b"), col("doc_id").as("_b"))
+    val cross = repPairs
+      .join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("_a"), col("_b")).as("doc_a"),
+        greatest(col("_a"), col("_b")).as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+    // within-group pairs: jaccard exactly 1 — except shingle-less (empty
+    // text) groups, where the pair-mode contract is 0/0 → null → excluded
+    val repSizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+      .withColumnRenamed("doc_id", "rep_id")
+    val within = members.select(col("rep_id"), col("doc_id").as("_a"))
+      .join(members.select(col("rep_id"), col("doc_id").as("_b")), Seq("rep_id"))
+      .where(col("_a") < col("_b"))
+      .join(repSizes, Seq("rep_id"))
+      .select(col("_a").as("doc_a"), col("_b").as("doc_b"),
+        col("_n").as("inter"), col("_n").as("uni"),
+        lit(1.0d).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Scale path for duplicate-heavy corpora (the common case at 100 TB:
@@ -196,18 +263,18 @@ object Dedup {
   def nearDuplicateClusters(docs: DataFrame, textCol: String = "text",
                             threshold: Double = 0.8, shingleSize: Int = 3,
                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val wf = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val withCanon = fp.withColumn("canonical_id", min(col("doc_id")).over(wf))
-    val exactEdges = withCanon.where(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id").as("doc_a"), col("canonical_id").as("doc_b"),
+    requireBandable(numHashes, bands)
+    val members = memberMap(docs, textCol).cache()
+    members.count()
+    val exactEdges = members.where(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("doc_a"), col("rep_id").as("doc_b"),
         lit(1.0d).as("jaccard"), lit("exact").as("kind"))
     val reps = docs.join(
-      withCanon.where(col("doc_id") === col("canonical_id")).select("doc_id"),
+      members.where(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val nearEdges = nearDuplicates(reps, textCol, threshold, shingleSize,
-      numHashes, bands)
+    val (repPairs, _) =
+      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands)
+    val nearEdges = repPairs
       .select(col("doc_a"), col("doc_b"), col("jaccard"), lit("near").as("kind"))
     exactEdges.unionByName(nearEdges)
   }

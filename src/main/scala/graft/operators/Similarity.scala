@@ -93,12 +93,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // coarse quantizer: deterministic sample of corpus vectors
-    val centroids: Array[(Int, Array[Double])] = corpus
-      .select(col(vecCol)).sample(withReplacement = false, 0.5, seed)
-      .limit(nLists).collect()
+    // coarse quantizer: bounded, limit-terminated head fetch — a LIMIT
+    // with no sample/sort reads only as many partitions as needed (at any
+    // corpus size), then a seeded driver-side shuffle of the ≤16·nLists-row
+    // pool decorrelates centroids from file order. Never plans a
+    // corpus-fraction sample scan (the previous sample(0.5) did, bounded
+    // only by limit pushdown).
+    val pool: Array[Array[Double]] = corpus
+      .select(col(vecCol)).limit(math.max(nLists * 16, 256)).collect()
       .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
-      .zipWithIndex.map(_.swap)
+    val centroids: Array[(Int, Array[Double])] =
+      new Random(seed).shuffle(pool.toSeq).take(nLists)
+        .toArray.zipWithIndex.map(_.swap)
     require(centroids.nonEmpty, "corpus too small for the requested nLists")
 
     // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖²; ‖v‖² is constant across centroids, so

@@ -83,6 +83,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("shingle expression runs inside whole-stage codegen (no fallback hop)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables.documents(spark, dir)
+      .select(graft.operators.Dedup.shingles(col("text"), 3, distinct = true)
+        .as("sh"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val inSpan = plan
+      .collect { case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+      .exists(_.collect {
+        case n if n.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.NGramShingles])) => n
+      }.nonEmpty)
+    assert(inSpan, s"NGramShingles not inside a codegen span:\n$plan")
+  }
+
   test("f_sql_cosine: SQL-registered cosine stays inside whole-stage codegen") {
     val df = SparkEntry.queries("f_sql_cosine")(spark, dir)
     df.collect() // executes THIS QueryExecution, finalizing its adaptive plan

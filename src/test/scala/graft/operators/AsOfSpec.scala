@@ -49,6 +49,20 @@ class AsOfSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("bid")))
   }
 
+  test("null join keys match nothing (SQL/DuckDB ASOF semantics)") {
+    val l = Seq((null.asInstanceOf[String], 10L, 1.0), ("A", 10L, 2.0))
+      .toDF("sym", "t", "px")
+    val q = Seq((null.asInstanceOf[String], 5L, 7.0), ("A", 5L, 8.0))
+      .toDF("sym", "q_t", "bid")
+    val r = AsOf.asOfJoin(l, q, Seq("sym"), "t", "q_t", Seq("bid"))
+      .collect().map(x => Option(x.getString(0)) ->
+        Option(x.get(x.fieldIndex("bid")))).toMap
+    assert(r(Some("A")) === Some(8.0))
+    // a null-keyed left row must NOT pick up the null-keyed quote
+    assert(r(None) === None)
+    assert(r.size === 2, "null-keyed left rows are kept, unmatched")
+  }
+
   test("carried-column collision is rejected") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoin(trades, quotes.withColumnRenamed("bid", "px"),

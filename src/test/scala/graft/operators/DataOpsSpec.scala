@@ -70,6 +70,47 @@ class DataOpsSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDuplicates: rep-collapse path ≡ naive all-docs LSH on a copy-heavy corpus") {
+    // 6 exact copies + a near variant + a distinct doc: the restructured
+    // operator (LSH among representatives, pairs expanded back) must
+    // produce exactly the pair set of the naive formulation that buckets
+    // every copy (same candidates because copies share signatures)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 6L).map(i => (i, base)) ++ Seq(
+      (7L, base + " tail"),
+      (8L, "completely unrelated words that share nothing at all with others")
+    )).toDF("doc_id", "text")
+    val fast = Dedup.nearDuplicates(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = Dedup.ngramJaccard(
+        Dedup.minhashCandidates(docs), docs)
+      .where($"jaccard" >= 0.5)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive)
+    // all 15 copy pairs present at jaccard 1.0, plus copy↔variant pairs
+    assert(fast.count(t => t._3 == 1.0) == 15)
+    assert(fast.exists(t => t._2 == 7L && t._3 < 1.0))
+    assert(!fast.exists(t => t._1 == 8L || t._2 == 8L))
+  }
+
+  test("native expressions reject wrong-typed args at analysis time") {
+    graft.session.GraftFunctions.register(spark)
+    val df = Seq((1L, "text")).toDF("id", "txt")
+    df.createOrReplaceTempView("typecheck_probe")
+    def analysisFails(sql: String, fragment: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains(fragment), e.getMessage)
+    }
+    analysisFails("SELECT vec_dot(id, id) FROM typecheck_probe", "array<float>")
+    analysisFails("SELECT cosine_sim(txt, txt) FROM typecheck_probe", "array<float>")
+    analysisFails("SELECT ngram_shingles(id, 3) FROM typecheck_probe", "string")
+    analysisFails("SELECT rolling_hash(id) FROM typecheck_probe", "string")
+  }
+
   test("simhash: equal texts hash equal, deterministic across runs") {
     val df = Seq((1L, "spark hash join table"), (2L, "spark hash join table"),
       (3L, "completely different words here")).toDF("doc_id", "text")
