@@ -23,11 +23,10 @@ object DataOpsQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // Text analysis: token/char counts (oracle).
-    "t_token_stats" -> ((s, dir) => {
+    // Text analysis: token/char/BPE-ish subtoken counts (oracle).
+    "t_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
-        .select("doc_id", "n_tokens", "n_chars")
-    }),
+        .select("doc_id", "n_tokens", "n_chars", "n_subtokens")),
 
     // Quality scoring: ratios rounded 6dp (oracle).
     "t_quality" -> ((s, dir) =>
@@ -221,7 +220,11 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  length(text) AS n_chars
+        |  length(text) AS n_chars,
+        |  len(list_filter(
+        |    regexp_split_to_array(
+        |      regexp_replace(text, '([^\p{L}\p{N}\s])', ' \1 ', 'g'), '\s+'),
+        |    t -> t <> '')) AS n_subtokens
         |FROM documents""".stripMargin,
 
     "t_quality" ->

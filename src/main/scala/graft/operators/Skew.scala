@@ -30,7 +30,11 @@ object Skew {
     require(Set("inner", "left", "left_outer")(joinType),
       s"salted join supports inner/left joins, got $joinType")
     // spark_partition_id + a per-partition row counter is uniform and
-    // cheap; monotonically_increasing_id gives exactly that counter
+    // cheap; monotonically_increasing_id gives exactly that counter.
+    // NOTE the salt VALUE is not stable under task retry (the id depends
+    // on partition assignment) — join results are unaffected because the
+    // salt is dropped and every (key, salt) finds its replicated dim row,
+    // but the salt column must never escape this function.
     val salted = big.withColumn("_salt",
       pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val dimExp = dim.withColumn("_salt",
@@ -47,6 +51,8 @@ object Skew {
                      buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val cols = keys.map(col)
+    // retry-unstable salt value is fine here too: sum/count partials are
+    // salt-agnostic and the salt never leaves the partial grain
     df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
       .groupBy((cols :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
