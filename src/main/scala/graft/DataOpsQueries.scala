@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConnectedComponents, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -194,6 +194,29 @@ object DataOpsQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_payload"))).as("total_bytes"))),
 
+    // Greedy sequence packing under the oracle: single range partition →
+    // globally-sequential packing, which a DuckDB recursive CTE replays
+    // exactly. (At scale the operator runs partition-parallel with
+    // partition-unique pack ids — same code path, more partitions.)
+    "p_pack_greedy" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens")
+      Packing.packGreedy(toks.repartitionByRange(1, col("doc_id")), budget = 256)
+    }),
+
+    // Benchmark decontamination: engineered eval set = 12-token prefixes
+    // of every 10th doc, so each test doc is contained (containment 1.0)
+    // in its source train doc; the inverted-index join must find exactly
+    // what the oracle's exact shingle-set SQL finds.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val test = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 12), " ").as("text"))
+      Decontaminate.report(test, docs, threshold = 0.99)
+    }),
+
     // SQL surface: the session-extension-registered native functions
     // resolving inside spark.sql text (GraftExtensions / GraftFunctions).
     "f_sql_cosine" -> ((s, dir) => {
@@ -310,6 +333,67 @@ object DataOpsQueries {
     "g_connected_components" ->
       """SELECT doc_id AS node, doc_id - doc_id % 10 AS component
         |FROM documents""".stripMargin,
+
+    "p_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT rn, doc_id, n, 0::BIGINT AS pack_id, n AS used
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.doc_id, d.n,
+        |    CASE WHEN g.used + d.n > 256 THEN g.pack_id + 1 ELSE g.pack_id END,
+        |    CASE WHEN g.used + d.n > 256 THEN d.n ELSE g.used + d.n END
+        |  FROM t d JOIN g ON d.rn = g.rn + 1)
+        |SELECT doc_id, n::BIGINT AS n_tokens, pack_id FROM g""".stripMargin,
+
+    "d_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |sh_of AS (
+        |  SELECT doc_id, toks,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM tok),
+        |train_sh AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh_of),
+        |test_tok AS (SELECT doc_id, toks[1:12] AS toks FROM tok WHERE doc_id % 10 = 0),
+        |test_sh_of AS (
+        |  SELECT doc_id AS test_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM test_tok),
+        |test_sh AS (SELECT test_id, unnest(sh) AS g FROM test_sh_of),
+        |sizes AS (SELECT test_id, count(*) AS n FROM test_sh GROUP BY 1),
+        |m AS (
+        |  SELECT test_id, train_id, count(*) AS mc
+        |  FROM test_sh JOIN train_sh USING (g) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT test_id, train_id, round(mc::DOUBLE / n, 6) AS containment
+        |  FROM m JOIN sizes USING (test_id)
+        |  WHERE round(mc::DOUBLE / n, 6) >= 0.99),
+        |ranked AS (
+        |  SELECT test_id, train_id, containment,
+        |    row_number() OVER (PARTITION BY test_id
+        |                       ORDER BY containment DESC, train_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY test_id) AS n_cont,
+        |    max(containment) OVER (PARTITION BY test_id) AS maxc
+        |  FROM scored)
+        |SELECT test_id, train_id AS best_train_id,
+        |       round(maxc, 6) AS max_containment, n_cont AS n_contaminating
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
