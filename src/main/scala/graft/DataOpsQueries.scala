@@ -38,6 +38,19 @@ object DataOpsQueries {
     "t_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir))),
 
+    // Repetition quality signal: duplicate 2-/3-gram fractions (oracle —
+    // same construction over DuckDB list comprehensions).
+    "t_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, dir))),
+
+    // PII redaction: engineered PII appended to every doc (both engines),
+    // then the shared-RE2-subset patterns must scrub identically.
+    "t_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact jane.doe+spam@mail.example.org or 10.0.255.7 " +
+            "or +1 555-867-5309 now"))).as("redacted"))),
+
     // Content fingerprint: md5 of normalized text (oracle — md5 is
     // engine-portable, unlike rolling hashes).
     "t_fingerprint" -> ((s, dir) =>
@@ -287,6 +300,39 @@ object DataOpsQueries {
         |    WHEN s_es THEN 'es' ELSE 'zh' END AS lang_pred,
         |  greatest(s_en, s_de, s_fr, s_es, s_zh, 0) AS lang_score
         |FROM s""".stripMargin,
+
+    "t_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+        |    END AS sh2,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END AS sh3
+        |  FROM tok)
+        |SELECT doc_id,
+        |  round(1 - len(list_distinct(sh2))::DOUBLE / greatest(len(sh2), 1), 6) AS dup_2gram_frac,
+        |  round(1 - len(list_distinct(sh3))::DOUBLE / greatest(len(sh3), 1), 6) AS dup_3gram_frac
+        |FROM sh""".stripMargin,
+
+    "t_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact jane.doe+spam@mail.example.org or 10.0.255.7 or +1 555-867-5309 now',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,

@@ -91,6 +91,40 @@ object TextAnalysis {
     scored.select(col("doc_id"), best._2.as("lang_pred"), best._1.as("lang_score"))
   }
 
+  /** Repetition quality signal (Gopher-style filter): the fraction of
+    * duplicate word n-grams, 1 − |distinct n-grams| / |n-grams|, for
+    * n = 2 and 3. High values flag boilerplate/looping text. Pure native
+    * shingle expressions — codegen, no explode, grain preserved.
+    */
+  def repetitionScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val all = graft.functions.NGramShingles.shingles(
+        normalized(col(textCol)), n, distinct = false)
+      round(lit(1.0) - size(array_distinct(all)).cast("double")
+        / greatest(size(all), lit(1)), 6)
+    }
+    docs.select(col("doc_id"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+  }
+
+  /** PII redaction: emails, IPv4 addresses, and xxx-xxx-xxxx phone
+    * numbers replaced with typed placeholders. Patterns stay inside the
+    * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so
+    * the exact same strings run in the DuckDB oracle — and in any engine
+    * a 100 TB pipeline might mirror the scrub into.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Normalization for fingerprinting/dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace.
     */

@@ -51,7 +51,9 @@ object ScaleProbe {
 
     val probes = Seq("q1_agg", "llr_pairs", "significant_pairs",
       "d_minhash_neardup", "d_simhash", "e_cosine_topk", "e_ivf_topk",
-      "st_session_counts", "j10_asof_join", "t_token_stats")
+      "st_session_counts", "j10_asof_join", "t_token_stats",
+      "d_dedup_clusters_closed", "g_connected_components", "p_pack_greedy",
+      "d_decontaminate")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()

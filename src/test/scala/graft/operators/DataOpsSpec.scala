@@ -279,6 +279,33 @@ class DataOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("repetition score: duplicate n-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"),         // 2-grams: ab ba ab ba ab → 2 distinct of 5
+      (2L, "one two three four"),  // all n-grams distinct
+      (3L, "")                     // degenerate: single empty shingle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 0.6)      // 1 - 2/5
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(1L)._2 == 0.5)      // 3-grams: aba bab aba bab → 1 - 2/4
+  }
+
+  test("pii redaction: emails, ipv4, phones replaced; clean text untouched") {
+    val df = Seq(
+      (1L, "mail me at First.Last+tag@sub.example.co or call 555-123-4567"),
+      (2L, "server at 192.168.0.1 answered"),
+      (3L, "version 1.2 of chapter 3.4 unchanged, price $12.34")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> or call <PHONE>")
+    assert(got(2L) == "server at <IP> answered")
+    assert(got(3L) == "version 1.2 of chapter 3.4 unchanged, price $12.34")
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
