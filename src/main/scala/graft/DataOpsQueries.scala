@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConnectedComponents, Decontaminate, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, Salience, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,24 @@ object DataOpsQueries {
     // engine-portable, unlike rolling hashes).
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // TF-IDF top-5 salient terms per doc: scores rounded 6dp before
+    // ranking so the cross-engine order is exact (oracle).
+    "t_tfidf_topk" -> ((s, dir) =>
+      Salience.tfidfTopK(Tables.documents(s, dir), k = 5)),
+
+    // Corpus-wide top-50 tokens by frequency (oracle).
+    "t_heavy_hitters" -> ((s, dir) =>
+      Salience.heavyHitters(Tables.documents(s, dir), k = 50)),
+
+    // Deterministic md5-keyed train/val/test assignment: same doc →
+    // same split on any engine, run, or partitioning (oracle — the
+    // thresholds are shared hex literals).
+    "s_hash_split" -> ((s, dir) =>
+      HashSplit.assignSplits(
+          Tables.documents(s, dir).select("doc_id"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
 
     // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
     // engine-specific → rows-only; identity semantics vs md5 are asserted
@@ -333,6 +351,54 @@ object DataOpsQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
+
+    "t_tfidf_topk" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |tfq AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+        |  FROM tfq JOIN dfq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "t_heavy_hitters" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CASE WHEN norm = '' THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm)
+        |SELECT term, count(*) AS freq
+        |FROM (SELECT unnest(toks) AS term FROM tok)
+        |WHERE term <> ''
+        |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
+
+    "s_hash_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,

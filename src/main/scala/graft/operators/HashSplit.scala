@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and dataset splitting.
+  *
+  * Reproducible train/val/test assignment is a correctness requirement
+  * for a training-data pipeline: the same document must land in the
+  * same split on every run, on every engine, regardless of partitioning
+  * or row order — `rand()` and engine-native hashes (xxhash64) give
+  * neither. This operator keys on the first 8 hex chars of md5(key),
+  * compared lexicographically against per-split thresholds: md5 is
+  * identical everywhere, and same-length lowercase-hex strings compare
+  * exactly like the 32-bit integers they encode.
+  *
+  * Scale: a pure codegen'd row-local predicate — no shuffle, no state,
+  * pushes through Catalyst like any filter.
+  */
+object HashSplit {
+
+  /** First 8 hex chars of md5(key) — a uniform 32-bit draw rendered as
+    * a lexicographically ordered string.
+    */
+  def hashPrefix(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Threshold literal: fraction p of the 32-bit space as 8-char hex. */
+  def thresholdHex(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of range: $p")
+    f"${math.min(math.floor(p * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Keep rows whose hash draw falls below `fraction` — a deterministic,
+    * engine-portable Bernoulli sample keyed on content, not RNG.
+    */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.where(hashPrefix(key) < lit(thresholdHex(fraction)))
+
+  /** Assign each row to one named split with the given weights
+    * (normalized to 1). Splits are disjoint, exhaustive, and stable
+    * under any re-run or repartitioning.
+    */
+  def assignSplits(df: DataFrame, key: Column,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val h = hashPrefix(key)
+    // last split is the unconditional otherwise → rounding in the final
+    // threshold can never orphan a row
+    val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) => when(h < lit(thresholdHex(c)), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

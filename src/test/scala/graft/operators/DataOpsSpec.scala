@@ -306,6 +306,50 @@ class DataOpsSpec extends SparkSpec {
     assert(got(3L) == "version 1.2 of chapter 3.4 unchanged, price $12.34")
   }
 
+  test("tfidf: corpus-unique terms outrank ubiquitous ones; ranks deterministic") {
+    val df = Seq(
+      (1L, "apple apple banana the the"),
+      (2L, "banana cherry the"),
+      (3L, "the date date date")
+    ).toDF("doc_id", "text")
+    val top = Salience.tfidfTopK(df, k = 2).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(5)).map(_.getString(1)).toSeq }
+    // "the" is in all 3 docs → idf 0 → never first while a rarer term exists
+    assert(top(1L) == Seq("apple", "banana"))
+    assert(top(2L) == Seq("cherry", "banana"))
+    assert(top(3L) == Seq("date", "the"))
+    val appleScore = Salience.tfidfTopK(df, k = 2)
+      .where($"doc_id" === 1 && $"term" === "apple").head().getDouble(4)
+    assert(appleScore == BigDecimal(2 * math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("heavy hitters: global frequency order with term tie-break") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a c z")).toDF("doc_id", "text")
+    val hh = Salience.heavyHitters(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("hash split: deterministic, disjoint-exhaustive, near-declared fractions") {
+    val keys = spark.range(0, 2000).toDF("doc_id")
+    val s1 = HashSplit.assignSplits(keys, $"doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val s2 = HashSplit.assignSplits(keys.repartition(7), $"doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val m1 = s1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2)                    // partitioning-independent
+    assert(m1.size == 2000)             // exhaustive
+    val frac = m1.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+    val sampled = HashSplit.sampleByHash(keys, $"doc_id", 0.25).count()
+    assert(math.abs(sampled / 2000.0 - 0.25) < 0.05)
+    assert(HashSplit.sampleByHash(keys, $"doc_id", 0.0).count() == 0)
+    assert(HashSplit.sampleByHash(keys, $"doc_id", 1.0).count() == 2000)
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
