@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, Salience, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, Salience, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,22 @@ object DataOpsQueries {
           Tables.documents(s, dir).select("doc_id"), col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+
+    // Domain rebalancing: per-language deterministic sampling rates
+    // (downsample en, keep zh, default 0.6) — a scan, no shuffle (oracle).
+    "s_stratified_hash" -> ((s, dir) =>
+      HashSplit.sampleByStratum(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.6)),
+
+    // C4-style boilerplate removal: the synthetic corpus has no newlines,
+    // so " table " serves as the line separator — segments repeated in
+    // ≥ 20 docs are stripped, doc grain and segment order preserved
+    // (oracle — census + anti-join + ordered reassembly in SQL).
+    "t_rm_boilerplate" -> ((s, dir) =>
+      Boilerplate.removeBoilerplate(Tables.documents(s, dir),
+        lineSep = " table ", minDocs = 20)),
 
     // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
     // engine-specific → rows-only; identity semantics vs md5 are asserted
@@ -399,6 +415,33 @@ object DataOpsQueries {
          |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.9)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "s_stratified_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CASE lang
+         |  WHEN 'en' THEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.3)}'
+         |  WHEN 'zh' THEN TRUE
+         |  ELSE substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.6)}'
+         |  END""".stripMargin,
+
+    "t_rm_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM documents)),
+        |bp AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1)
+        |  WHERE n_docs >= 20),
+        |kept AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(line ORDER BY pos), ' table ') AS clean_text,
+        |    count(*) AS n_lines_kept
+        |  FROM lines WHERE line NOT IN (SELECT line FROM bp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(k.clean_text, '') AS clean_text,
+        |  coalesce(k.n_lines_kept, 0) AS n_lines_kept,
+        |  len(string_split(d.text, ' table ')) - coalesce(k.n_lines_kept, 0) AS n_lines_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "t_fingerprint" ->
       """SELECT doc_id,

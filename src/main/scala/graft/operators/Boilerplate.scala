@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C4/RefinedWeb-style boilerplate line removal: a "line" (text segment
+  * between occurrences of `lineSep`) that appears in at least `minDocs`
+  * distinct documents is boilerplate (cookie banners, nav menus,
+  * license headers); strip those lines from every document, preserving
+  * the order of what remains.
+  *
+  * 100 TB design:
+  *  - the corpus-wide line census shuffles 16-byte md5 digests, never
+  *    line text, and partial-aggregates (doc-distinct per digest is a
+  *    two-level groupBy with map-side combine on both levels);
+  *  - the boilerplate set after the `minDocs` filter is tiny (lines
+  *    repeated across many docs are by definition few distinct values)
+  *    → broadcast anti-join, no shuffle of the corpus on line keys;
+  *  - reassembly groups by doc_id only — one shuffle of surviving
+  *    (pos, line) pairs, sorted per doc with `array_sort`, no window.
+  */
+object Boilerplate {
+
+  // limit -1 keeps trailing empty segments (Java split drops them by
+  // default; external engines' literal splitters do not)
+  private def splitLines(text: org.apache.spark.sql.Column, lineSep: String) =
+    split(text, Pattern.quote(lineSep), -1)
+
+  private def lineFrame(docs: DataFrame, lineSep: String, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(splitLines(col(textCol), lineSep)).as(Seq("pos", "line")))
+
+  /** The census: each line digest with its distinct-document count;
+    * `line` retained for reporting (first occurrence's text — all
+    * occurrences of a digest share it).
+    */
+  def boilerplateLines(docs: DataFrame, lineSep: String = "\n",
+                       minDocs: Long = 10, textCol: String = "text"): DataFrame =
+    lineFrame(docs, lineSep, textCol)
+      .groupBy(md5(col("line")).as("line_digest"))
+      .agg(first(col("line")).as("line"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Documents with boilerplate lines removed (grain preserved — a doc
+    * whose every line is boilerplate survives with empty text), plus
+    * kept/removed line counts.
+    */
+  def removeBoilerplate(docs: DataFrame, lineSep: String = "\n",
+                        minDocs: Long = 10, textCol: String = "text"): DataFrame = {
+    val lines = lineFrame(docs, lineSep, textCol)
+    val bp = boilerplateLines(docs, lineSep, minDocs, textCol).select("line_digest")
+    val kept = lines.join(broadcast(bp),
+        md5(col("line")) === bp("line_digest"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), lineSep).as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col("doc_id"), size(splitLines(col(textCol), lineSep)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"))
+  }
+}

@@ -37,6 +37,25 @@ object HashSplit {
     if (fraction >= 1.0) df
     else df.where(hashPrefix(key) < lit(thresholdHex(fraction)))
 
+  /** Per-stratum deterministic sampling (domain rebalancing /
+    * temperature sampling): each stratum value keeps its own fraction,
+    * strata absent from the map keep `defaultFraction`. Still a pure
+    * row-local predicate — rebalancing a 100 TB corpus is a scan.
+    */
+  def sampleByStratum(df: DataFrame, key: Column, stratum: Column,
+                      fractions: Map[String, Double],
+                      defaultFraction: Double = 1.0): DataFrame = {
+    val h = hashPrefix(key)
+    val keep = fractions.foldLeft(
+      when(lit(defaultFraction) >= 1.0, lit(true))
+        .otherwise(h < lit(thresholdHex(defaultFraction)))) {
+      case (acc, (value, p)) =>
+        when(stratum === value,
+          if (p >= 1.0) lit(true) else h < lit(thresholdHex(p))).otherwise(acc)
+    }
+    df.where(keep)
+  }
+
   /** Assign each row to one named split with the given weights
     * (normalized to 1). Splits are disjoint, exhaustive, and stable
     * under any re-run or repartitioning.

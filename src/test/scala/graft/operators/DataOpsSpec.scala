@@ -350,6 +350,49 @@ class DataOpsSpec extends SparkSpec {
     assert(HashSplit.sampleByHash(keys, $"doc_id", 1.0).count() == 2000)
   }
 
+  test("boilerplate removal: repeated lines stripped, order kept, grain preserved") {
+    val df = Seq(
+      (1L, "intro\ncookie banner\nbody one\nfooter"),
+      (2L, "cookie banner\nbody two\nfooter"),
+      (3L, "cookie banner\nfooter"),
+      (4L, "unique only")
+    ).toDF("doc_id", "text")
+    val bp = Boilerplate.boilerplateLines(df, minDocs = 3).collect()
+      .map(_.getString(1)).toSet
+    assert(bp == Set("cookie banner", "footer"))
+    val out = Boilerplate.removeBoilerplate(df, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("intro\nbody one", 2L, 2L)))
+    assert(out(2L) == (("body two", 1L, 2L)))
+    assert(out(3L) == (("", 0L, 2L)))   // fully-boilerplate doc survives, empty
+    assert(out(4L) == (("unique only", 1L, 0L)))
+  }
+
+  test("boilerplate: trailing separator keeps empty segment (engine-portable split)") {
+    val df = Seq((1L, "a\n"), (2L, "a\n"), (3L, "b")).toDF("doc_id", "text")
+    // "a\n" → ["a", ""]; both segments occur in 2 docs → stripped at minDocs=2
+    val out = Boilerplate.removeBoilerplate(df, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 2L && out(2L) == 2L && out(3L) == 0L)
+  }
+
+  test("stratified hash sample: per-stratum rates, deterministic membership") {
+    val df = spark.range(0, 3000)
+      .select($"id".as("doc_id"),
+        when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("de").as("lang"))
+    val out = HashSplit.sampleByStratum(df, $"doc_id", $"lang",
+      Map("en" -> 0.2, "zh" -> 1.0), defaultFraction = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 1000L)                       // fraction 1.0 keeps all
+    assert(math.abs(byLang("en") / 1000.0 - 0.2) < 0.06)
+    assert(math.abs(byLang("de") / 1000.0 - 0.5) < 0.06)
+    // sampled set is a subset of the full-rate hash sample semantics: rerun equal
+    val again = HashSplit.sampleByStratum(df.repartition(13), $"doc_id", $"lang",
+      Map("en" -> 0.2, "zh" -> 1.0), defaultFraction = 0.5)
+    assert(out.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
