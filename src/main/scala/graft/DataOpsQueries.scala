@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, Salience, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Salience, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,15 @@ object DataOpsQueries {
           Tables.documents(s, dir).select("doc_id", "lang"),
           col("doc_id"), col("lang"),
           Map("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.6)),
+
+    // Gopher-rules composite filter with per-doc reject reasons; all
+    // signals one projection, rounded 6dp before comparison (oracle).
+    "t_quality_filter" -> ((s, dir) =>
+      QualityFilter.tag(Tables.documents(s, dir), QualityFilter.Rules(
+        minTokens = 25, maxTokens = 90,
+        minMeanTokenLen = 3.8, maxMeanTokenLen = 5.1,
+        minStopwordFrac = 0.02,
+        maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.05))),
 
     // C4-style boilerplate removal: the synthetic corpus has no newlines,
     // so " table " serves as the line separator — segments repeated in
@@ -423,6 +432,50 @@ object DataOpsQueries {
          |  WHEN 'zh' THEN TRUE
          |  ELSE substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.6)}'
          |  END""".stripMargin,
+
+    "t_quality_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |ntok AS (
+        |  SELECT doc_id, text, toks, norm,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS ntoks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, text, toks,
+        |    CASE WHEN len(ntoks) < 2 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+1], ' ') FOR i IN range(1, len(ntoks))]
+        |    END AS sh2,
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
+        |    END AS sh3
+        |  FROM ntok),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    round((length(text) - (len(toks) - 1))::DOUBLE / greatest(len(toks), 1), 6) AS mean_token_len,
+        |    round(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for')))::DOUBLE
+        |          / greatest(len(toks), 1), 6) AS stopword_frac,
+        |    round(1 - len(list_distinct(sh2))::DOUBLE / greatest(len(sh2), 1), 6) AS dup_2gram_frac,
+        |    round(1 - len(list_distinct(sh3))::DOUBLE / greatest(len(sh3), 1), 6) AS dup_3gram_frac
+        |  FROM sh),
+        |tagged AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN n_tokens < 25 THEN 'too_few_tokens' END,
+        |    CASE WHEN n_tokens > 90 THEN 'too_many_tokens' END,
+        |    CASE WHEN mean_token_len < 3.8 THEN 'mean_token_len_low' END,
+        |    CASE WHEN mean_token_len > 5.1 THEN 'mean_token_len_high' END,
+        |    CASE WHEN stopword_frac < 0.02 THEN 'stopword_frac_low' END,
+        |    CASE WHEN dup_2gram_frac > 0.08 THEN 'dup_2gram_high' END,
+        |    CASE WHEN dup_3gram_frac > 0.05 THEN 'dup_3gram_high' END) AS reasons
+        |  FROM sig)
+        |SELECT doc_id, n_tokens, mean_token_len, stopword_frac,
+        |  dup_2gram_frac, dup_3gram_frac, reasons, reasons = '' AS keep
+        |FROM tagged""".stripMargin,
 
     "t_rm_boilerplate" ->
       """WITH lines AS (

@@ -116,6 +116,31 @@ object PipelineQueries {
         "s_acctbal as acctbal")
     }),
 
+    // ORC source round-trip: columnar-format coverage beyond parquet —
+    // write a supplier projection as ORC, read it back through an
+    // explicit schema (predicate/column pushdown applies as with
+    // parquet), gate against the parquet-derived oracle.
+    "s3_orc_source" -> ((s, dir) => {
+      val orcDir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_src/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/supplier"
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").orc(orcDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("s_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).orc(orcDir)
+        .where(col("s_acctbal") > 0)
+        .selectExpr("s_suppkey as suppkey", "s_name as name",
+          "s_nationkey as nationkey", "s_acctbal as acctbal")
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -167,6 +192,11 @@ object PipelineQueries {
     "s2_json_source" ->
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
         |       s_acctbal AS acctbal
-        |FROM supplier""".stripMargin
+        |FROM supplier""".stripMargin,
+
+    "s3_orc_source" ->
+      """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
+        |       s_acctbal AS acctbal
+        |FROM supplier WHERE s_acctbal > 0""".stripMargin
   )
 }

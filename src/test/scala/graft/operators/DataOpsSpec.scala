@@ -393,6 +393,32 @@ class DataOpsSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSet == again.collect().map(_.getLong(0)).toSet)
   }
 
+  test("quality filter: reasons in fixed order, apply keeps exactly tagged survivors") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today"),  // 10 tokens, kept
+      (2L, "hi"),                                               // too few tokens
+      (3L, "go go go go go go go go go go"),                    // repetitive + no stopwords
+      (4L, "supercalifragilistic expialidocious pneumonoultramicroscopic volcanoconiosis antidisestablishmentarianism floccinaucinihilipilification honorificabilitudinitatibus sesquipedalian incomprehensibilities extraordinarily")
+    ).toDF("doc_id", "text")
+    val rules = QualityFilter.Rules(minTokens = 5, maxTokens = 100,
+      minMeanTokenLen = 2.0, maxMeanTokenLen = 12.0,
+      minStopwordFrac = 0.05, maxDup2gramFrac = 0.5, maxDup3gramFrac = 0.5)
+    val tags = QualityFilter.tag(df, rules).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("reasons")).toMap
+    assert(tags(1L) == "")
+    assert(tags(2L) == "too_few_tokens,stopword_frac_low")
+    assert(tags(3L) == "stopword_frac_low,dup_2gram_high,dup_3gram_high")
+    assert(tags(4L) == "mean_token_len_high,stopword_frac_low")
+    val kept = QualityFilter(df, rules).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // apply ≡ tag.keep on a wider corpus
+    val docs = Seq.tabulate(50)(i => (i.toLong, ("w" * (i % 7 + 1) + " ") * (i % 30 + 1))).toDF("doc_id", "text")
+    val viaTag = QualityFilter.tag(docs, rules).where($"keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val viaApply = QualityFilter(docs, rules).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTag == viaApply)
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
