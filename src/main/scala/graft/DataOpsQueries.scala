@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, ConnectedComponents, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Salience, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Salience, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,22 @@ object DataOpsQueries {
           Tables.documents(s, dir).select("doc_id", "lang"),
           col("doc_id"), col("lang"),
           Map("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.6)),
+
+    // Dataset-card summary per (lang, source): counts, token totals,
+    // exact distinct-fingerprint dup rate (oracle; HLL variant is the
+    // documented scale path).
+    "a12_dataset_card" -> ((s, dir) =>
+      CorpusStats.datasetCard(Tables.documents(s, dir))),
+
+    // Deterministic mixture upsampling: src0 ×2.5 epochs, src1 ×0.25,
+    // rest ×1 — copy membership hashed per (doc, copy) so the mixture
+    // is reproducible row-by-row (oracle).
+    "s_mixture_upsample" -> ((s, dir) =>
+      HashSplit.upsampleByWeight(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0)
+        .select("doc_id", "source", "copy")),
 
     // Gopher-rules composite filter with per-doc reject reasons; all
     // signals one projection, rounded 6dp before comparison (oracle).
@@ -432,6 +448,37 @@ object DataOpsQueries {
          |  WHEN 'zh' THEN TRUE
          |  ELSE substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.6)}'
          |  END""".stripMargin,
+
+    "a12_dataset_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, length(text) AS n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  sum(n_toks)::BIGINT AS total_tokens,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(n_toks), 6) AS avg_tokens,
+        |  count(DISTINCT fp) AS distinct_fp,
+        |  round(1 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_doc_frac
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "s_mixture_upsample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END AS wt
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, wt, unnest(range(0, ceil(wt)::BIGINT)) AS copy
+         |  FROM w WHERE wt > 0)
+         |SELECT doc_id, source, copy FROM c
+         |WHERE copy < floor(wt)
+         |   OR substr(md5(doc_id::VARCHAR || ':' || copy::VARCHAR), 1, 8) <
+         |      CASE source WHEN 'src0' THEN '${HashSplit.thresholdHex(0.5)}'
+         |                  WHEN 'src1' THEN '${HashSplit.thresholdHex(0.25)}'
+         |                  ELSE '${HashSplit.thresholdHex(0.0)}' END""".stripMargin,
 
     "t_quality_filter" ->
       """WITH base AS (

@@ -56,6 +56,32 @@ object HashSplit {
     df.where(keep)
   }
 
+  /** Deterministic mixture upsampling (epoch-weighted data mixing): a
+    * row whose stratum has weight w is emitted floor(w) times plus one
+    * more copy with probability frac(w), decided by hashing (key, copy
+    * index) — so w = 2.5 means "2 or 3 epochs, reproducibly per doc",
+    * and w < 1 downsamples. Output carries a `copy` column (0-based).
+    * Still shuffle-free: a generate + filter over the scan.
+    */
+  def upsampleByWeight(df: DataFrame, key: Column, stratum: Column,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0), "weights must be >= 0")
+    def chain[A](f: Double => Column): Column =
+      weights.foldLeft(f(defaultWeight)) {
+        case (acc, (value, w)) => when(stratum === value, f(w)).otherwise(acc)
+      }
+    val wt = chain(w => lit(w))
+    val thr = chain(w => lit(thresholdHex(w - math.floor(w))))
+    val copyDraw = hashPrefix(concat(key.cast("string"), lit(":"), col("copy").cast("string")))
+    df.withColumn("_wt", wt).withColumn("_thr", thr)
+      .where(col("_wt") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0), ceil(col("_wt")).cast("int") - 1)))
+      .where(col("copy") < floor(col("_wt")) || copyDraw < col("_thr"))
+      .drop("_wt", "_thr")
+  }
+
   /** Assign each row to one named split with the given weights
     * (normalized to 1). Splits are disjoint, exhaustive, and stable
     * under any re-run or repartitioning.

@@ -42,7 +42,10 @@ object Salience {
     * every document score 0 and rank behind everything else.
     */
   def tfidfTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    // eager fill: tc feeds both the df aggregate and the join-back; an
+    // unfilled cache referenced by two subtrees evaluates twice
     val tc = termCounts(docs, textCol).cache()
+    tc.count()
     val dfreq = docFrequency(tc)
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tc.join(dfreq, "term")

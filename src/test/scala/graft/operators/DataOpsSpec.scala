@@ -419,6 +419,43 @@ class DataOpsSpec extends SparkSpec {
     assert(viaTag == viaApply)
   }
 
+  test("dataset card: exact per-group stats and dup fraction") {
+    val df = Seq(
+      (1L, "a b c", "en", "s0"), (2L, "a b c", "en", "s0"),
+      (3L, "d e", "en", "s0"), (4L, "x y z w", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = CorpusStats.datasetCard(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(6), r.getDouble(7)))).toMap
+    assert(card(("en", "s0")) == ((3L, 8L, 2L, BigDecimal(1.0 - 2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(card(("de", "s1")) == ((1L, 4L, 1L, 0.0)))
+    // HLL scale path returns the same grain
+    assert(CorpusStats.datasetCard(df, exact = false).count() == 2)
+  }
+
+  test("mixture upsampling: floor copies guaranteed, fractional copy hashed, w<1 downsamples") {
+    val df = spark.range(0, 1200)
+      .select($"id".as("doc_id"),
+        when($"id" % 3 === 0, "s0").when($"id" % 3 === 1, "s1").otherwise("s2").as("source"))
+    val out = HashSplit.upsampleByWeight(df, $"doc_id", $"source",
+      Map("s0" -> 2.5, "s1" -> 0.25, "s2" -> 0.0)).cache()
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!perSource.contains("s2"))                       // weight 0 drops all
+    assert(math.abs(perSource("s0") / 400.0 - 2.5) < 0.2)   // ~2.5 epochs
+    assert(math.abs(perSource("s1") / 400.0 - 0.25) < 0.1)  // downsample
+    // every s0 doc has copies 0 and 1 (floor guarantee)
+    val s0Full = out.where($"source" === "s0" && $"copy" < 2)
+      .groupBy("doc_id").count().collect()
+    assert(s0Full.length == 400 && s0Full.forall(_.getLong(1) == 2L))
+    // deterministic under repartitioning
+    val again = HashSplit.upsampleByWeight(df.repartition(11), $"doc_id", $"source",
+      Map("s0" -> 2.5, "s1" -> 0.25, "s2" -> 0.0))
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    out.unpersist()
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
