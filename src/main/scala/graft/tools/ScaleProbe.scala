@@ -53,7 +53,8 @@ object ScaleProbe {
       "d_minhash_neardup", "d_simhash", "e_cosine_topk", "e_ivf_topk",
       "st_session_counts", "j10_asof_join", "t_token_stats",
       "d_dedup_clusters_closed", "g_connected_components", "p_pack_greedy",
-      "d_decontaminate")
+      "d_decontaminate", "t_tfidf_topk", "t_heavy_hitters", "t_rm_boilerplate",
+      "t_quality_filter", "s_mixture_upsample", "a12_dataset_card")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()

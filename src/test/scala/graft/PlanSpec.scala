@@ -99,6 +99,36 @@ class PlanSpec extends SparkSpec {
     assert(inSpan, s"NGramShingles not inside a codegen span:\n$plan")
   }
 
+  test("hash split / stratified / mixture sampling: shuffle-free scans") {
+    for (q <- Seq("s_hash_split", "s_stratified_hash", "s_mixture_upsample")) {
+      val p = executed(q)
+      assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+    }
+    assert(executed("s_mixture_upsample").contains("Generate"))
+  }
+
+  test("t_quality_filter: all signals in one shuffle-free projection") {
+    val p = executed("t_quality_filter")
+    assert(!p.contains("Exchange"), s"quality filter plans a shuffle:\n$p")
+  }
+
+  test("t_rm_boilerplate: boilerplate set joins back as broadcast anti-join") {
+    val p = executed("t_rm_boilerplate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_tfidf_topk: corpus-count cross join broadcasts one row, no cartesian") {
+    val p = executed("t_tfidf_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("a12_dataset_card: map-side partial aggregation before the group exchange") {
+    val p = executed("a12_dataset_card")
+    assert(p.contains("partial_"))
+  }
+
   test("f_sql_cosine: SQL-registered cosine stays inside whole-stage codegen") {
     val df = SparkEntry.queries("f_sql_cosine")(spark, dir)
     df.collect() // executes THIS QueryExecution, finalizing its adaptive plan
