@@ -161,6 +161,32 @@ object DataOpsQueries {
       ConnectedComponents.assign(edges)
     }),
 
+    // Incremental exact dedup (daily-batch pattern): batch = exact
+    // copies (dropped) ∪ suffix-modified docs (kept); anti-join on the
+    // 16-byte fingerprint index (oracle).
+    "d_incremental_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+      Dedup.dedupAgainstExact(batch, d.select("doc_id", "text")).select("doc_id")
+    }),
+
+    // Incremental near-dup: batch of exact copies vs the corpus at
+    // threshold 0.999 — identical content shares every LSH band, so
+    // each copy deterministically pairs with every corpus doc of the
+    // same fingerprint (oracle: md5-equality pairs with shingle-set
+    // sizes).
+    "d_incremental_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.nearDuplicatesAgainst(batch, d.select("doc_id", "text"),
+        threshold = 0.999)
+    }),
+
     // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
     "d_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
@@ -649,6 +675,43 @@ object DataOpsQueries {
         |SELECT test_id, train_id AS best_train_id,
         |       round(maxc, 6) AS max_containment, n_cont AS n_contaminating
         |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "d_incremental_exact" ->
+      """WITH corpus_fp AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' xnovel' AS text FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id FROM batch
+        |WHERE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT fp FROM corpus_fp)""".stripMargin,
+
+    "d_incremental_neardup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sizes AS (
+        |  SELECT doc_id, len(list_distinct(sh)) AS n
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      END AS sh
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN trim(norm) = '' THEN []::VARCHAR[]
+        |             ELSE regexp_split_to_array(trim(norm), '\s+') END AS toks
+        |      FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |        FROM documents))))
+        |SELECT b.doc_id + 1000000 AS doc_a, c.doc_id AS doc_b,
+        |  s.n AS inter, s.n AS uni, 1.0::DOUBLE AS jaccard
+        |FROM fp b JOIN fp c ON b.fp = c.fp
+        |JOIN sizes s ON s.doc_id = b.doc_id
+        |WHERE b.doc_id % 3 = 0""".stripMargin,
 
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,

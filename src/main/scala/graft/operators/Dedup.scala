@@ -348,4 +348,44 @@ object Dedup {
     docs.select("doc_id").join(agg, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("simhash"))
   }
+
+  /** Incremental exact dedup — the daily-batch pattern: drop arriving
+    * documents whose normalized content already exists in the corpus.
+    * The anti-join key is the 16-byte fingerprint, so the corpus
+    * contributes one digest row per document regardless of text size;
+    * at 100 TB, persist that digest index bucketed by `fp` so only the
+    * (small) batch shuffles per increment.
+    */
+  def dedupAgainstExact(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val idx = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    newDocs.join(idx,
+      TextAnalysis.fingerprint(newDocs(textCol)) === idx("fp"), "left_anti")
+  }
+
+  /** Incremental near-dup detection: LSH candidates restricted to
+    * (batch doc, corpus doc) pairs, then exact-Jaccard verified — the
+    * batch never self-pairs and the corpus never self-joins, so the
+    * candidate volume is driven by the batch size, not the corpus.
+    * doc_id spaces of batch and corpus must be disjoint (the shared
+    * shingle frame is keyed by doc_id).
+    */
+  def nearDuplicatesAgainst(newDocs: DataFrame, corpus: DataFrame,
+                            textCol: String = "text", threshold: Double = 0.8,
+                            shingleSize: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8): DataFrame = {
+    requireBandable(numHashes, bands)
+    val shNew = shingleRows(newDocs, textCol, shingleSize).cache()
+    shNew.count()
+    // corpus shingles/signatures are recomputed here; a production
+    // increment loop would read them from the persisted signature index
+    val shCorp = shingleRows(corpus, textCol, shingleSize)
+    val bNew = lshBands(minhashSignaturesFromRows(shNew, numHashes), bands)
+      .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
+    val bCorp = lshBands(minhashSignaturesFromRows(shCorp, numHashes), bands)
+      .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
+    val cand = bNew.join(bCorp, Seq("b", "h")).select("doc_a", "doc_b").distinct()
+    ngramJaccardFromRows(cand, shNew.unionByName(shCorp))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -456,6 +456,25 @@ class DataOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental dedup: batch copies dropped, novel kept; near-dup pairs cross-corpus only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), (2L, "pack my box with five dozen"),
+      (3L, "entirely different content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "THE QUICK brown fox, jumps"),   // normalizes to doc 1 → dropped
+      (102L, "a genuinely new document"),      // kept
+      (103L, "pack my box with five dozen")    // = doc 2 → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstExact(batch, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L))
+    val pairs = Dedup.nearDuplicatesAgainst(batch, corpus, threshold = 0.999)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((101L, 1L, 1.0), (103L, 2L, 1.0)))
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
