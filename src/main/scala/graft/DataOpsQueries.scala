@@ -183,8 +183,11 @@ object DataOpsQueries {
       val d = Tables.documents(s, dir)
       val batch = d.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-      Dedup.nearDuplicatesAgainst(batch, d.select("doc_id", "text"),
-        threshold = 0.999)
+      // the production shape: corpus index built ONCE (cached — a real
+      // increment loop reads it from parquet), each batch pays only
+      // batch-proportional work against it
+      val idx = Dedup.buildSignatureIndex(d.select("doc_id", "text")).cached()
+      Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.999)
     }),
 
     // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
@@ -313,6 +316,20 @@ object DataOpsQueries {
           array_join(slice(TextAnalysis.tokens(
             TextAnalysis.normalized(col("text"))), 1, 12), " ").as("text"))
       Decontaminate.report(test, docs, threshold = 0.99)
+    }),
+
+    // Decontamination with the stop-shingle cap BINDING (maxDf = 3 at a
+    // scale where trigram df reaches 7): the scale-survival behavior —
+    // ubiquitous shingles dropped from the train index before the join —
+    // is what this gate pins. Containment can only drop under the cap, so
+    // the threshold is lowered to keep matches visible.
+    "d_decontaminate_capped" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val test = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 12), " ").as("text"))
+      Decontaminate.report(test, docs, threshold = 0.5, maxDf = 3L)
     }),
 
     // SQL surface: the session-extension-registered native functions
@@ -611,9 +628,15 @@ object DataOpsQueries {
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_survivor
         |FROM fp""".stripMargin,
 
+    // restrict to nodes that actually appear in the edge list: a decade
+    // root (doc_id % 10 = 0) is an edge endpoint only when doc_id + 1
+    // exists — without the guard, a dataset whose max id ≡ 0 (mod 10)
+    // would put that node in the oracle but in no edge, failing spuriously
     "g_connected_components" ->
       """SELECT doc_id AS node, doc_id - doc_id % 10 AS component
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE doc_id % 10 <> 0
+        |   OR doc_id + 1 IN (SELECT doc_id FROM documents)""".stripMargin,
 
     "p_pack_greedy" ->
       """WITH RECURSIVE t AS (
@@ -665,6 +688,55 @@ object DataOpsQueries {
         |  SELECT test_id, train_id, round(mc::DOUBLE / n, 6) AS containment
         |  FROM m JOIN sizes USING (test_id)
         |  WHERE round(mc::DOUBLE / n, 6) >= 0.99),
+        |ranked AS (
+        |  SELECT test_id, train_id, containment,
+        |    row_number() OVER (PARTITION BY test_id
+        |                       ORDER BY containment DESC, train_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY test_id) AS n_cont,
+        |    max(containment) OVER (PARTITION BY test_id) AS maxc
+        |  FROM scored)
+        |SELECT test_id, train_id AS best_train_id,
+        |       round(maxc, 6) AS max_containment, n_cont AS n_contaminating
+        |FROM ranked WHERE rk = 1""".stripMargin,
+
+    // capped variant: the train-shingle census (HAVING count(*) <= 3)
+    // reproduces maxDf exactly — train-side rows drop BEFORE the join
+    "d_decontaminate_capped" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |sh_of AS (
+        |  SELECT doc_id, toks,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM tok),
+        |train_all AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh_of),
+        |train_sh AS (
+        |  SELECT train_id, g FROM train_all
+        |  WHERE g IN (SELECT g FROM train_all GROUP BY g HAVING count(*) <= 3)),
+        |test_tok AS (SELECT doc_id, toks[1:12] AS toks FROM tok WHERE doc_id % 10 = 0),
+        |test_sh_of AS (
+        |  SELECT doc_id AS test_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM test_tok),
+        |test_sh AS (SELECT test_id, unnest(sh) AS g FROM test_sh_of),
+        |sizes AS (SELECT test_id, count(*) AS n FROM test_sh GROUP BY 1),
+        |m AS (
+        |  SELECT test_id, train_id, count(*) AS mc
+        |  FROM test_sh JOIN train_sh USING (g) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT test_id, train_id, round(mc::DOUBLE / n, 6) AS containment
+        |  FROM m JOIN sizes USING (test_id)
+        |  WHERE round(mc::DOUBLE / n, 6) >= 0.5),
         |ranked AS (
         |  SELECT test_id, train_id, containment,
         |    row_number() OVER (PARTITION BY test_id

@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-process scratch dir for source round-trip gates: keyed by the
+    * SparkSession's applicationId so two concurrent bench/verify runs on
+    * one host never race on the same path (mode overwrite would corrupt
+    * whichever run reads second). Best-effort deleted on JVM exit.
+    */
+  private def scratchDir(s: SparkSession, kind: String, dir: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${s.sparkContext.applicationId}"
+    registerCleanup(root)
+    s"$root/$kind/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+  }
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerCleanup(root: String): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+    }
+
   /** The event-rows analog frame, named per the pipeline's contract. */
   private def analogEvents(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -91,8 +114,7 @@ object PipelineQueries {
     // back through spark.read.schema(..).json(..) with nested-field
     // extraction, and hash-compare against the parquet original.
     "s2_json_source" -> ((s, dir) => {
-      val jsonDir = s"${System.getProperty("java.io.tmpdir")}/graft_json_src/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/supplier"
+      val jsonDir = scratchDir(s, "json_src", dir) + "/supplier"
       Tables.supplier(s, dir)
         .select(col("s_suppkey"),
           struct(col("s_name"), col("s_nationkey")).as("info"),
@@ -121,8 +143,7 @@ object PipelineQueries {
     // explicit schema (predicate/column pushdown applies as with
     // parquet), gate against the parquet-derived oracle.
     "s3_orc_source" -> ((s, dir) => {
-      val orcDir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_src/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/supplier"
+      val orcDir = scratchDir(s, "orc_src", dir) + "/supplier"
       Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
         .write.mode("overwrite").orc(orcDir)

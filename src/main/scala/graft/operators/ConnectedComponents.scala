@@ -48,6 +48,13 @@ object ConnectedComponents {
       curSig = nextSig
       i += 1
     }
+    // non-convergence must fail loudly: returning the raw edge set as
+    // (node, component) could map one node to several components with no
+    // error raised. maxIter=50 is far past the O(log n) bound, so this
+    // only fires on a genuine algorithmic regression.
+    require(done,
+      s"connected components did not converge within $maxIter rounds " +
+        s"(edge-set fingerprint still changing: $curSig)")
     // fixed point = star graphs: every edge is (node → component root).
     // Roots themselves appear only on the v side.
     val members = cur.select(col("u").as("node"), col("v").as("component"))

@@ -80,6 +80,13 @@ object Contingency {
       .withColumn("D", lit(uniqReports) - col("uniq_report_ids_by_drug")
         - col("uniq_report_ids_by_reaction") + col("A"))
       .distinct()
+      // eagerly materialize the (small, pair-grain) result so the
+      // report-grain cache — the big frame — can be released before
+      // returning: repeated calls in one session hold storage flat.
+      // localCheckpoint blocks are freed by the ContextCleaner once the
+      // returned frame is unreachable.
+      .localCheckpoint(true)
+    cached.unpersist(false)
     withLLR(pairGrain)
   }
 

@@ -29,12 +29,21 @@ object Decontaminate {
     * @param test  frame with (doc_id, textCol) — the evaluation set
     * @param train frame with (doc_id, textCol) — the training corpus
     * @param threshold minimum containment to count as contamination
-    * @param maxDf drop shingles present in more than this many train docs
-    *              (0 disables the cap)
+    * @param maxDf drop shingles present in more than this many train docs.
+    *              The cap is ON by default (100k): without it, one
+    *              ubiquitous shingle ("in order to", license boilerplate)
+    *              joins a large fraction of the corpus to every test doc
+    *              containing it, and the operator degrades to quadratic
+    *              before the groupBy can collapse it. 100k is far above
+    *              any legitimately-matching shingle's df yet bounds the
+    *              worst key's fan-out. Pass `maxDf = 0` to explicitly opt
+    *              out (exact containment, unsafe on open-web corpora).
     */
+  val DefaultMaxDf: Long = 100000L
+
   def report(test: DataFrame, train: DataFrame, textCol: String = "text",
              threshold: Double = 0.8, shingleSize: Int = 3,
-             maxDf: Long = 0L): DataFrame = {
+             maxDf: Long = DefaultMaxDf): DataFrame = {
     val testSh = Dedup.shingleRows(test, textCol, shingleSize)
       .select(col("doc_id").as("test_id"), col("g"))
     val trainSh0 = Dedup.shingleRows(train, textCol, shingleSize)

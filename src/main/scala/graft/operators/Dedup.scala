@@ -1,8 +1,53 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Persisted MinHash artifacts for incremental near-dup — what a daily
+  * increment loop reuses instead of re-shingling the corpus per batch:
+  *
+  *  - `shingles`: (doc_id, g) distinct shingle digests (Jaccard verify)
+  *  - `bands`:    (doc_id, band, band_hash) LSH rows (candidate join)
+  *
+  * Build with [[Dedup.buildSignatureIndex]], keep hot with [[cached]], or
+  * park on storage with [[write]]/[[SignatureIndex.read]] between batches.
+  * At 100 TB, write once after each corpus compaction; every increment
+  * then scans two compact digest tables (16 bytes + 20 bytes per row)
+  * instead of the corpus text.
+  */
+final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
+                                shingleSize: Int, numHashes: Int,
+                                numBands: Int) {
+  /** Eagerly cache both frames (the increment loop touches each twice). */
+  def cached(): SignatureIndex = {
+    shingles.cache().count()
+    bands.cache().count()
+    this
+  }
+
+  def write(path: String): Unit = {
+    shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/params.json"),
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands}""")
+  }
+}
+
+object SignatureIndex {
+  def read(spark: SparkSession, path: String): SignatureIndex = {
+    val params = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/params.json"))
+    def p(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(params)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"SignatureIndex at $path: missing $name in params.json"))
+    SignatureIndex(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"),
+      p("shingleSize"), p("numHashes"), p("numBands"))
+  }
+}
 
 /** Deduplication operators for training-data pipelines, each designed so
   * the shuffle key is a compact digest rather than document text:
@@ -20,6 +65,53 @@ import org.apache.spark.sql.functions._
   *  - [[ngramJaccard]]: exact Jaccard over shingle sets for a candidate
   *    pair frame.
   */
+/** Pluggable digest family for the MinHash/SimHash operators. [[Fast]]
+  * (xxhash64) is the scale default; [[Portable]] derives every digest
+  * from md5 so an external engine (the DuckDB oracle, a Python auditor)
+  * can replay signatures bit-for-bit: shingle keys are md5 hex strings,
+  * seeded min-hashes are the first 15 hex chars (60 bits, sign-safe in
+  * a BIGINT on any engine) of md5(key ":" seed), band digests are md5
+  * of the "|"-joined band values. Same operators, same plans — only the
+  * hash expressions differ.
+  */
+sealed trait HashScheme {
+  /** shingle text → compact join/aggregate key */
+  def key(shingle: Column): Column
+  /** key → i-th seeded hash for the min-hash aggregate */
+  def seeded(g: Column, seed: Int): Column
+  /** band slice (array of seeded mins) → band digest */
+  def band(arr: Column): Column
+  /** token → integer hash for SimHash bit votes */
+  def tokenHash(tok: Column): Column
+  /** SimHash width: how many low bits of [[tokenHash]] carry entropy */
+  def simhashBits: Int
+}
+
+object HashScheme {
+  /** xxhash64 everywhere — fastest (codegen'd long ops), engine-specific. */
+  case object Fast extends HashScheme {
+    def key(shingle: Column): Column = xxhash64(shingle)
+    def seeded(g: Column, seed: Int): Column = xxhash64(g, lit(seed))
+    def band(arr: Column): Column = xxhash64(arr)
+    def tokenHash(tok: Column): Column = xxhash64(tok)
+    def simhashBits: Int = 64
+  }
+
+  /** md5-derived 60-bit digests — replayable by any engine with md5. */
+  case object Portable extends HashScheme {
+    /** first 15 hex chars → 60-bit non-negative long (fits BIGINT). */
+    private def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def key(shingle: Column): Column = md5(shingle)
+    def seeded(g: Column, seed: Int): Column =
+      h60(concat(g.cast("string"), lit(":" + seed)))
+    def band(arr: Column): Column =
+      md5(array_join(transform(arr, _.cast("string")), "|"))
+    def tokenHash(tok: Column): Column = h60(tok)
+    def simhashBits: Int = 60
+  }
+}
+
 object Dedup {
 
   /** Word n-gram shingles of the normalized text — native expression
@@ -68,18 +160,22 @@ object Dedup {
     * (identical set semantics up to a 2^-64 digest collision).
     */
   def shingleRows(docs: DataFrame, textCol: String = "text",
-                  shingleSize: Int = 3): DataFrame =
+                  shingleSize: Int = 3,
+                  scheme: HashScheme = HashScheme.Fast): DataFrame =
     docs.select(col("doc_id"),
         explode(shingles(col(textCol), shingleSize, distinct = true)).as("_g"))
-      .select(col("doc_id"), xxhash64(col("_g")).as("g"))
+      .select(col("doc_id"), scheme.key(col("_g")).as("g"))
 
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
-    minhashSignaturesFromRows(shingleRows(docs, textCol, shingleSize), numHashes)
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        scheme: HashScheme = HashScheme.Fast): DataFrame =
+    minhashSignaturesFromRows(shingleRows(docs, textCol, shingleSize, scheme),
+      numHashes, scheme)
 
-  def minhashSignaturesFromRows(sh: DataFrame, numHashes: Int): DataFrame = {
+  def minhashSignaturesFromRows(sh: DataFrame, numHashes: Int,
+                                scheme: HashScheme = HashScheme.Fast): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("g"), lit(i))).as(s"_h$i"))
+      min(scheme.seeded(col("g"), i)).as(s"_h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -92,11 +188,12 @@ object Dedup {
     * (band, band_hash) — at scale this is the only shuffle, keyed on a
     * 2-int digest, never on text.
     */
-  def lshBands(signatures: DataFrame, bands: Int): DataFrame =
+  def lshBands(signatures: DataFrame, bands: Int,
+               scheme: HashScheme = HashScheme.Fast): DataFrame =
     signatures
       .select(col("doc_id"), posexplode(split_signature(col("signature"), bands)))
       .withColumnRenamed("pos", "band")
-      .withColumn("band_hash", xxhash64(col("col")))
+      .withColumn("band_hash", scheme.band(col("col")))
       .drop("col")
 
   private def split_signature(sig: Column, bands: Int): Column = {
@@ -231,8 +328,11 @@ object Dedup {
       .select(least(col("_a"), col("_b")).as("doc_a"),
         greatest(col("_a"), col("_b")).as("doc_b"),
         col("inter"), col("uni"), col("jaccard"))
-    // within-group pairs: jaccard exactly 1 — except shingle-less (empty
-    // text) groups, where the pair-mode contract is 0/0 → null → excluded
+    // within-group pairs: jaccard exactly 1 for every group — including
+    // empty-text groups, because NGramShingles maps empty input to [""],
+    // so even an empty doc has one shingle row (inter = uni = 1). This
+    // matches the naive LSH path exactly: identical texts share all bands
+    // and verify at jaccard 1, whatever the text.
     val repSizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_n"))
       .withColumnRenamed("doc_id", "rep_id")
     val within = members.select(col("rep_id"), col("doc_id").as("_a"))
@@ -363,29 +463,57 @@ object Dedup {
       TextAnalysis.fingerprint(newDocs(textCol)) === idx("fp"), "left_anti")
   }
 
+  /** Corpus-side MinHash artifacts, computed once: shingle rows plus the
+    * banded LSH rows derived from them. Combine with [[SignatureIndex
+    * .cached]] (bands then read the cached shingles, so corpus text is
+    * shingled exactly once) or [[SignatureIndex.write]] for reuse across
+    * increment batches / sessions.
+    */
+  def buildSignatureIndex(corpus: DataFrame, textCol: String = "text",
+                          shingleSize: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8): SignatureIndex = {
+    requireBandable(numHashes, bands)
+    val sh = shingleRows(corpus, textCol, shingleSize)
+    SignatureIndex(sh, lshBands(minhashSignaturesFromRows(sh, numHashes), bands),
+      shingleSize, numHashes, bands)
+  }
+
   /** Incremental near-dup detection: LSH candidates restricted to
     * (batch doc, corpus doc) pairs, then exact-Jaccard verified — the
     * batch never self-pairs and the corpus never self-joins, so the
     * candidate volume is driven by the batch size, not the corpus.
     * doc_id spaces of batch and corpus must be disjoint (the shared
     * shingle frame is keyed by doc_id).
+    *
+    * This convenience form rebuilds the corpus index per call; a
+    * production increment loop should build the index once
+    * ([[buildSignatureIndex]] + cached()/write()) and call the index
+    * overload so each batch's cost is batch-proportional.
     */
   def nearDuplicatesAgainst(newDocs: DataFrame, corpus: DataFrame,
                             textCol: String = "text", threshold: Double = 0.8,
                             shingleSize: Int = 3, numHashes: Int = 32,
-                            bands: Int = 8): DataFrame = {
-    requireBandable(numHashes, bands)
-    val shNew = shingleRows(newDocs, textCol, shingleSize).cache()
+                            bands: Int = 8): DataFrame =
+    nearDuplicatesAgainst(newDocs,
+      buildSignatureIndex(corpus, textCol, shingleSize, numHashes, bands),
+      textCol, threshold)
+
+  /** Index overload: the corpus side comes entirely from the prebuilt
+    * [[SignatureIndex]] — no corpus text is scanned, no shingle or
+    * signature recompute (PlanSpec pins that the corpus side plans only
+    * index scans). Batch-side work is the only per-increment cost.
+    */
+  def nearDuplicatesAgainst(newDocs: DataFrame, index: SignatureIndex,
+                            textCol: String, threshold: Double): DataFrame = {
+    val shNew = shingleRows(newDocs, textCol, index.shingleSize).cache()
     shNew.count()
-    // corpus shingles/signatures are recomputed here; a production
-    // increment loop would read them from the persisted signature index
-    val shCorp = shingleRows(corpus, textCol, shingleSize)
-    val bNew = lshBands(minhashSignaturesFromRows(shNew, numHashes), bands)
+    val bNew = lshBands(minhashSignaturesFromRows(shNew, index.numHashes),
+        index.numBands)
       .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
-    val bCorp = lshBands(minhashSignaturesFromRows(shCorp, numHashes), bands)
+    val bCorp = index.bands
       .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))
     val cand = bNew.join(bCorp, Seq("b", "h")).select("doc_a", "doc_b").distinct()
-    ngramJaccardFromRows(cand, shNew.unionByName(shCorp))
+    ngramJaccardFromRows(cand, shNew.unionByName(index.shingles))
       .where(col("jaccard") >= threshold)
   }
 }

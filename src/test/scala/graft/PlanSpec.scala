@@ -107,6 +107,40 @@ class PlanSpec extends SparkSpec {
     assert(executed("s_mixture_upsample").contains("Generate"))
   }
 
+  test("incremental near-dup against a persisted index: no corpus shingle recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    graft.operators.Dedup.buildSignatureIndex(docs).write(tmp)
+    val idx = graft.operators.SignatureIndex.read(spark, tmp)
+    val batch = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("text"))
+    val lp = graft.operators.Dedup
+      .nearDuplicatesAgainst(batch, idx, "text", 0.9)
+      .queryExecution.optimizedPlan
+    // tree traversal, not string match: a cached relation PRINTS its
+    // provenance plan (the batch-side shingle fill) but collect() does not
+    // descend into it — so any LIVE NGramShingles node here means text is
+    // being re-shingled per increment, the round-2 scale gap
+    val live = lp.collect {
+      case n if n.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.NGramShingles])) => n
+    }
+    assert(live.isEmpty,
+      s"index-based increment must not recompute shingles:\n$lp")
+    // the corpus side must come from the persisted index files
+    val scannedPaths = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scannedPaths.exists(_.contains(tmp)),
+      s"corpus side must scan the index at $tmp, scanned: $scannedPaths")
+  }
+
   test("t_quality_filter: all signals in one shuffle-free projection") {
     val p = executed("t_quality_filter")
     assert(!p.contains("Exchange"), s"quality filter plans a shuffle:\n$p")

@@ -70,6 +70,20 @@ class ContingencySpec extends SparkSpec {
     assert(w == g)
   }
 
+  test("windowed compat path releases its internal cache (storage stays flat)") {
+    spark.catalog.clearCache()
+    (1 to 3).foreach { _ =>
+      val out = Contingency.prepareForMonteCarloFromWindowed(
+        Contingency.summaryStatisticsWindowed(events, exact = true))
+      out.count()
+      // the report-grain persist must be released before the method
+      // returns — repeated calls in one session may not accumulate
+      // DataFrame cache entries
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "prepareForMonteCarloFromWindowed leaked its report-grain cache")
+    }
+  }
+
   test("pair grain: one row per (drug, reaction)") {
     val pairs = Contingency.pairStatistics(events, exact = true)
     assert(pairs.groupBy("chembl_id", "reaction_reactionmeddrapt").count()

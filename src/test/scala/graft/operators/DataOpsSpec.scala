@@ -475,6 +475,33 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Set((101L, 1L, 1.0), (103L, 2L, 1.0)))
   }
 
+  test("incremental near-dup via persisted index ≡ convenience path, across write/read") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "entirely different content here today"),
+      (4L, "")                                        // empty doc in the index
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "THE QUICK brown fox jumps over the lazy dog"),
+      (102L, "a genuinely new document nothing shares"),
+      (103L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .collect().map(_.toSeq).toSet
+    val direct = norm(Dedup.nearDuplicatesAgainst(batch, corpus, threshold = 0.9))
+    // in-session index
+    val idx = Dedup.buildSignatureIndex(corpus).cached()
+    assert(norm(Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.9)) == direct)
+    // parquet round-trip: params + frames survive, results identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-rt").toString
+    idx.write(tmp)
+    val loaded = SignatureIndex.read(spark, tmp)
+    assert((loaded.shingleSize, loaded.numHashes, loaded.numBands) == ((3, 32, 8)))
+    assert(norm(Dedup.nearDuplicatesAgainst(batch, loaded, "text", 0.9)) == direct)
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
