@@ -130,11 +130,14 @@ object DataOpsQueries {
     "d_exact_dedup" -> ((s, dir) =>
       Dedup.exactDeduped(docsWithCopies(s, dir)).select("doc_id", "lang", "source")),
 
-    // MinHash+LSH near-duplicate pairs verified by n-gram Jaccard ≥ 0.8.
-    // xxhash64 signatures are Spark-specific → rows-only; every doc must
-    // pair with its copy (jaccard 1.0).
+    // MinHash+LSH near-duplicate pairs verified by n-gram Jaccard ≥ 0.8,
+    // run under the PORTABLE (md5-derived) hash scheme so DuckDB replays
+    // the full signature → band → candidate → verify chain exactly (the
+    // oracle is the NAIVE all-docs LSH — also re-proving the rep-collapse
+    // equivalence contract). Library default stays xxhash64 (Fast).
     "d_minhash_neardup" -> ((s, dir) =>
-      Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8)),
+      Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8,
+        scheme = graft.operators.HashScheme.Portable)),
 
     // Scale-path dedup: exact-collapse first, LSH among representatives
     // (rows-only: xxhash64 LSH internals). Copies become "exact" edges;
@@ -190,9 +193,12 @@ object DataOpsQueries {
       Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.999)
     }),
 
-    // SimHash 64-bit fingerprints (xxhash64-based → rows-only).
+    // SimHash fingerprints under the portable scheme: 60-bit md5-derived
+    // token hashes, so the oracle replays every bit vote in SQL. (The
+    // library default stays 64-bit xxhash64.)
     "d_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir))),
+      Dedup.simhash(Tables.documents(s, dir),
+        scheme = graft.operators.HashScheme.Portable)),
 
     // n-gram Jaccard on explicit pairs: each doc vs its copy → 1.0 (oracle:
     // jaccard of identical shingle sets).
@@ -256,9 +262,10 @@ object DataOpsQueries {
           .groupBy("query_id")
           .agg((count(lit(1)) / 10.0).as(as))
       val ann = recallOf(
-        Similarity.annTopK(corpus, q, k = 10, dim = 64, planes = 6), "recall_ann")
+        Similarity.annTopK(corpus, q, k = 10, dim = 64, planes = 6,
+          multiProbe = 1), "recall_ann")
       val ivf = recallOf(
-        Similarity.ivfTopK(corpus, q, k = 10, nLists = 16, nProbe = 4), "recall_ivf")
+        Similarity.ivfTopK(corpus, q, k = 10, nLists = 16, nProbe = 6), "recall_ivf")
       val out = q.select(col("vec_id").as("query_id"))
         .join(ann, Seq("query_id"), "left_outer")
         .join(ivf, Seq("query_id"), "left_outer")
@@ -266,9 +273,12 @@ object DataOpsQueries {
         .cache()
       val m = out.agg(avg("recall_ann"), avg("recall_ivf")).head()
       val (mAnn, mIvf) = (m.getDouble(0), m.getDouble(1))
-      require(mAnn >= 0.5 && mIvf >= 0.7,
-        f"ANN recall regression: mean recall_ann=$mAnn%.3f (floor 0.5), " +
-          f"recall_ivf=$mIvf%.3f (floor 0.7)")
+      // measured 0.98-1.00 / 1.00 at sf0.001-0.1 with multi-probe LSH
+      // (Hamming-1) and nProbe=6 — floors leave a small deterministic
+      // margin, and a recall regression still fails the gate loudly
+      require(mAnn >= 0.9 && mIvf >= 0.95,
+        f"ANN recall regression: mean recall_ann=$mAnn%.3f (floor 0.9), " +
+          f"recall_ivf=$mIvf%.3f (floor 0.95)")
       out
     }),
 
@@ -784,6 +794,73 @@ object DataOpsQueries {
         |FROM fp b JOIN fp c ON b.fp = c.fp
         |JOIN sizes s ON s.doc_id = b.doc_id
         |WHERE b.doc_id % 3 = 0""".stripMargin,
+
+    // full LSH replay under the portable scheme: signatures (min of 60-bit
+    // md5-derived seeded hashes over md5 shingle keys), 8×4 bands, banded
+    // candidate self-join, exact-Jaccard verification — the NAIVE all-docs
+    // construction, which the operator's rep-collapse path must equal
+    "d_minhash_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM all_docs),
+        |tok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks FROM norm),
+        |sh_of AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
+        |  FROM tok),
+        |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
+        |mins AS (
+        |  SELECT doc_id, i, min(('0x' || substr(md5(g || ':' || i), 1, 15))::BIGINT) AS m
+        |  FROM shr CROSS JOIN range(32) t(i) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
+        |  FROM mins GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
+        |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
+        |         sa.n + sb.n - coalesce(i.inter, 0) AS uni,
+        |         round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) AS jaccard
+        |  FROM cand c LEFT JOIN ix i USING (doc_a, doc_b)
+        |  JOIN sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, inter::BIGINT AS inter, uni::BIGINT AS uni, jaccard
+        |FROM scored WHERE jaccard >= 0.8""".stripMargin,
+
+    // portable simhash: every one of the 60 bit votes replayed in SQL
+    "d_simhash" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS t
+        |  FROM norm),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM votes GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+        |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
 
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,

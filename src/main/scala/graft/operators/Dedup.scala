@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   */
 final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
                                 shingleSize: Int, numHashes: Int,
-                                numBands: Int) {
+                                numBands: Int,
+                                scheme: HashScheme = HashScheme.Fast) {
   /** Eagerly cache both frames (the increment loop touches each twice). */
   def cached(): SignatureIndex = {
     shingles.cache().count()
@@ -29,8 +30,10 @@ final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
   def write(path: String): Unit = {
     shingles.write.mode("overwrite").parquet(s"$path/shingles")
     bands.write.mode("overwrite").parquet(s"$path/bands")
+    val schemeName =
+      if (scheme == HashScheme.Portable) "portable" else "fast"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/params.json"),
-      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands}""")
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands,"scheme":"$schemeName"}""")
   }
 }
 
@@ -42,10 +45,13 @@ object SignatureIndex {
       s""""$name":(\\d+)""".r.findFirstMatchIn(params)
         .map(_.group(1).toInt)
         .getOrElse(sys.error(s"SignatureIndex at $path: missing $name in params.json"))
+    val scheme =
+      if (params.contains("\"scheme\":\"portable\"")) HashScheme.Portable
+      else HashScheme.Fast
     SignatureIndex(
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/bands"),
-      p("shingleSize"), p("numHashes"), p("numBands"))
+      p("shingleSize"), p("numHashes"), p("numBands"), scheme)
   }
 }
 
@@ -231,10 +237,11 @@ object Dedup {
   /** Candidate near-duplicate pairs from MinHash LSH (doc_a < doc_b). */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         shingleSize: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8,
+                        scheme: HashScheme = HashScheme.Fast): DataFrame = {
     requireBandable(numHashes, bands)
-    val sigs = minhashSignatures(docs, textCol, shingleSize, numHashes)
-    candidatesFromBands(lshBands(sigs, bands))
+    val sigs = minhashSignatures(docs, textCol, shingleSize, numHashes, scheme)
+    candidatesFromBands(lshBands(sigs, bands, scheme))
   }
 
   /** Exact n-gram Jaccard similarity for a pair frame that carries
@@ -300,18 +307,19 @@ object Dedup {
     * cached shingle rows — the caller may reuse them for sizes).
     */
   private def repNearPairs(reps: DataFrame, textCol: String, threshold: Double,
-                           shingleSize: Int, numHashes: Int,
-                           bands: Int): (DataFrame, DataFrame) = {
-    val sh = shingleRows(reps, textCol, shingleSize).cache()
+                           shingleSize: Int, numHashes: Int, bands: Int,
+                           scheme: HashScheme): (DataFrame, DataFrame) = {
+    val sh = shingleRows(reps, textCol, shingleSize, scheme).cache()
     sh.count()
-    val sigs = minhashSignaturesFromRows(sh, numHashes)
-    val candidates = candidatesFromBands(lshBands(sigs, bands))
+    val sigs = minhashSignaturesFromRows(sh, numHashes, scheme)
+    val candidates = candidatesFromBands(lshBands(sigs, bands, scheme))
     (ngramJaccardFromRows(candidates, sh).where(col("jaccard") >= threshold), sh)
   }
 
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
                      threshold: Double = 0.8, shingleSize: Int = 3,
-                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                     numHashes: Int = 32, bands: Int = 8,
+                     scheme: HashScheme = HashScheme.Fast): DataFrame = {
     requireBandable(numHashes, bands)
     val members = memberMap(docs, textCol).cache()
     members.count()
@@ -319,7 +327,7 @@ object Dedup {
       members.where(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val (repPairs, sh) =
-      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands)
+      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands, scheme)
     // cross-group expansion: every member pair inherits its reps' stats
     val ma = members.select(col("rep_id").as("doc_a"), col("doc_id").as("_a"))
     val mb = members.select(col("rep_id").as("doc_b"), col("doc_id").as("_b"))
@@ -362,7 +370,8 @@ object Dedup {
     */
   def nearDuplicateClusters(docs: DataFrame, textCol: String = "text",
                             threshold: Double = 0.8, shingleSize: Int = 3,
-                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 32, bands: Int = 8,
+                            scheme: HashScheme = HashScheme.Fast): DataFrame = {
     requireBandable(numHashes, bands)
     val members = memberMap(docs, textCol).cache()
     members.count()
@@ -373,7 +382,7 @@ object Dedup {
       members.where(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val (repPairs, _) =
-      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands)
+      repNearPairs(reps, textCol, threshold, shingleSize, numHashes, bands, scheme)
     val nearEdges = repPairs
       .select(col("doc_a"), col("doc_b"), col("jaccard"), lit("near").as("kind"))
     exactEdges.unionByName(nearEdges)
@@ -431,17 +440,19 @@ object Dedup {
     * measured 30× slower.) Distributes: no document's token set ever sits
     * in one buffer.
     */
-  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String = "text",
+              scheme: HashScheme = HashScheme.Fast): DataFrame = {
+    val bits = scheme.simhashBits
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     val hashed = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b =>
+      .withColumn("h", scheme.tokenHash(col("tok")))
+    val votes = (0 until bits).map(b =>
       sum(when(expr(s"shiftright(h, $b)").bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"_b$b"))
     val agg = hashed.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until bits).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
     // empty/null-text docs have no token rows and would vanish in the
     // explode; keep them with the 0 sentinel so output covers the corpus
@@ -471,11 +482,13 @@ object Dedup {
     */
   def buildSignatureIndex(corpus: DataFrame, textCol: String = "text",
                           shingleSize: Int = 3, numHashes: Int = 32,
-                          bands: Int = 8): SignatureIndex = {
+                          bands: Int = 8,
+                          scheme: HashScheme = HashScheme.Fast): SignatureIndex = {
     requireBandable(numHashes, bands)
-    val sh = shingleRows(corpus, textCol, shingleSize)
-    SignatureIndex(sh, lshBands(minhashSignaturesFromRows(sh, numHashes), bands),
-      shingleSize, numHashes, bands)
+    val sh = shingleRows(corpus, textCol, shingleSize, scheme)
+    SignatureIndex(sh,
+      lshBands(minhashSignaturesFromRows(sh, numHashes, scheme), bands, scheme),
+      shingleSize, numHashes, bands, scheme)
   }
 
   /** Incremental near-dup detection: LSH candidates restricted to
@@ -493,9 +506,10 @@ object Dedup {
   def nearDuplicatesAgainst(newDocs: DataFrame, corpus: DataFrame,
                             textCol: String = "text", threshold: Double = 0.8,
                             shingleSize: Int = 3, numHashes: Int = 32,
-                            bands: Int = 8): DataFrame =
+                            bands: Int = 8,
+                            scheme: HashScheme = HashScheme.Fast): DataFrame =
     nearDuplicatesAgainst(newDocs,
-      buildSignatureIndex(corpus, textCol, shingleSize, numHashes, bands),
+      buildSignatureIndex(corpus, textCol, shingleSize, numHashes, bands, scheme),
       textCol, threshold)
 
   /** Index overload: the corpus side comes entirely from the prebuilt
@@ -505,10 +519,11 @@ object Dedup {
     */
   def nearDuplicatesAgainst(newDocs: DataFrame, index: SignatureIndex,
                             textCol: String, threshold: Double): DataFrame = {
-    val shNew = shingleRows(newDocs, textCol, index.shingleSize).cache()
+    val shNew = shingleRows(newDocs, textCol, index.shingleSize, index.scheme).cache()
     shNew.count()
-    val bNew = lshBands(minhashSignaturesFromRows(shNew, index.numHashes),
-        index.numBands)
+    val bNew = lshBands(
+        minhashSignaturesFromRows(shNew, index.numHashes, index.scheme),
+        index.numBands, index.scheme)
       .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_a"))
     val bCorp = index.bands
       .select(col("band").as("b"), col("band_hash").as("h"), col("doc_id").as("doc_b"))

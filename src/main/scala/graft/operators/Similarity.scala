@@ -137,16 +137,32 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Approximate top-k: score only within the query's bucket.
+  /** Approximate top-k: score only within the query's bucket(s).
     * Same output contract as [[bruteForceTopK]]; recall < 1 by design.
+    *
+    * @param multiProbe 0 probes only the query's own bucket; 1 also
+    *   probes every bucket at Hamming distance 1 (one hyperplane vote
+    *   flipped) — the standard multi-probe LSH recall lever: a true
+    *   neighbor lands in a different bucket exactly when it falls on the
+    *   other side of a few hyperplanes, and single-bit flips cover the
+    *   most likely misses for `planes`× more probe work on the QUERY side
+    *   only (the corpus is still bucketed once; each pair can match in at
+    *   most one probed bucket, so no dedup step is needed).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              planes: Int = 12, seed: Long = 42L,
+              planes: Int = 12, seed: Long = 42L, multiProbe: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 1,
+      s"multiProbe supports 0 (own bucket) or 1 (Hamming-1), got $multiProbe")
     val c = lshBuckets(corpus, dim, planes, seed, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("bucket"))
+    val probes: Column =
+      if (multiProbe == 0) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until planes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val q = lshBuckets(queries, dim, planes, seed, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_cv"), col("_qv")))

@@ -475,6 +475,43 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Set((101L, 1L, 1.0), (103L, 2L, 1.0)))
   }
 
+  test("portable hash scheme: digests match independently computed md5 values") {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    val r = spark.range(1).select(
+      HashScheme.Portable.key(lit("hello")).as("k"),
+      HashScheme.Portable.tokenHash(lit("hello")).as("h"),
+      HashScheme.Portable.seeded(lit("abc"), 3).as("s"),
+      HashScheme.Portable.band(typedLit(Seq(1L, 2L, 3L))).as("b")).head()
+    // values computed with Python hashlib, not Spark — cross-engine pin
+    assert(r.getAs[String]("k") == "5d41402abc4b2a76b9719d911017c592")
+    assert(r.getAs[Long]("h") == 419982666956583591L)   // int(md5("hello")[:15], 16)
+    assert(r.getAs[Long]("s") == 860019503905950262L)   // int(md5("abc:3")[:15], 16)
+    assert(r.getAs[String]("b") == "02b12e930c8bcc7e92e74ff5d96ce118") // md5("1|2|3")
+  }
+
+  test("portable scheme minhash/simhash: same near-dup verdicts as the fast scheme") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated words describing some other topic entirely"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    def pairs(scheme: HashScheme) =
+      Dedup.nearDuplicates(docs, threshold = 0.9, scheme = scheme)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical docs share every band under ANY hash family; the verified
+    // jaccard is hash-independent
+    assert(pairs(HashScheme.Fast) == pairs(HashScheme.Portable))
+    assert(pairs(HashScheme.Portable).contains((1L, 2L, 1.0)))
+    // simhash: identical texts agree, and the portable width caps at 60 bits
+    val sh = Dedup.simhash(docs, scheme = HashScheme.Portable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    assert(sh(4L) == 0L)
+  }
+
   test("incremental near-dup via persisted index ≡ convenience path, across write/read") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
