@@ -58,6 +58,23 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("golden e2e: full seeded pipeline matches the committed golden file") {
+    // GoldenGen.rows is the SAME code that generated the committed file
+    // (src/test/resources/golden_significant_pairs.tsv via
+    // graft.tools.GoldenGen) — any semantic drift in clean → blacklist →
+    // dictionary join → contingency/LLR → seeded MC → MedDRA shows up as
+    // a line diff here. Regenerate only for intentional changes.
+    val fixtures = new java.io.File(resource("blacklist.txt")).getParent
+    val got = graft.tools.GoldenGen.rows(spark, fixtures)
+    val want = scala.io.Source.fromFile(resource("golden_significant_pairs.tsv"))
+      .getLines().filter(_.nonEmpty).toSeq
+    assert(got.size == want.size,
+      s"golden row count drifted: got ${got.size}, want ${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"golden line ${i + 1} drifted:\n  got  $g\n  want $w")
+    }
+  }
+
   test("compat mode runs the reference-shaped plan end-to-end") {
     val out = Files.createTempDirectory("graft-compat").toString
     val res = Pipeline.run(cfg(s"$out/c", compat = true))
