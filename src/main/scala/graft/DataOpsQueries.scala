@@ -816,7 +816,8 @@ object DataOpsQueries {
         |  FROM tok),
         |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
         |mins AS (
-        |  SELECT doc_id, i, min(('0x' || substr(md5(g || ':' || i), 1, 15))::BIGINT) AS m
+        |  SELECT doc_id, i,
+        |    min(('0x' || substr(md5(g || ':' || (i // 2)), 1 + 16 * (i % 2), 15))::BIGINT) AS m
         |  FROM shr CROSS JOIN range(32) t(i) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, i // 4 AS band,

@@ -109,8 +109,13 @@ object HashScheme {
     private def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def key(shingle: Column): Column = md5(shingle)
+    /** One md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
+      * 17-31), so seeds i = 2k, 2k+1 share md5(g ":" k) — half the md5
+      * work of the minhash aggregate for the same hash family size.
+      */
     def seeded(g: Column, seed: Int): Column =
-      h60(concat(g.cast("string"), lit(":" + seed)))
+      conv(substring(md5(concat(g.cast("string"), lit(":" + seed / 2))),
+        1 + 16 * (seed % 2), 15), 16, 10).cast("long")
     def band(arr: Column): Column =
       md5(array_join(transform(arr, _.cast("string")), "|"))
     def tokenHash(tok: Column): Column = h60(tok)

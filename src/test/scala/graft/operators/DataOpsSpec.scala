@@ -480,12 +480,16 @@ class DataOpsSpec extends SparkSpec {
     val r = spark.range(1).select(
       HashScheme.Portable.key(lit("hello")).as("k"),
       HashScheme.Portable.tokenHash(lit("hello")).as("h"),
-      HashScheme.Portable.seeded(lit("abc"), 3).as("s"),
+      HashScheme.Portable.seeded(lit("abc"), 0).as("s0"),
+      HashScheme.Portable.seeded(lit("abc"), 1).as("s1"),
+      HashScheme.Portable.seeded(lit("abc"), 3).as("s3"),
       HashScheme.Portable.band(typedLit(Seq(1L, 2L, 3L))).as("b")).head()
     // values computed with Python hashlib, not Spark — cross-engine pin
     assert(r.getAs[String]("k") == "5d41402abc4b2a76b9719d911017c592")
-    assert(r.getAs[Long]("h") == 419982666956583591L)   // int(md5("hello")[:15], 16)
-    assert(r.getAs[Long]("s") == 860019503905950262L)   // int(md5("abc:3")[:15], 16)
+    assert(r.getAs[Long]("h") == 419982666956583591L)    // int(md5("hello")[:15], 16)
+    assert(r.getAs[Long]("s0") == 933576305310803298L)   // int(md5("abc:0")[:15], 16)
+    assert(r.getAs[Long]("s1") == 1004168060856996764L)  // int(md5("abc:0")[16:31], 16)
+    assert(r.getAs[Long]("s3") == 25173448223202728L)    // int(md5("abc:1")[16:31], 16)
     assert(r.getAs[String]("b") == "02b12e930c8bcc7e92e74ff5d96ce118") // md5("1|2|3")
   }
 
