@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Salience, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Quantize, Salience, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,27 @@ object DataOpsQueries {
     val d = Tables.documents(s, dir)
     d.unionByName(d.withColumn("doc_id", col("doc_id") + lit(1000000L)))
   }
+
+  /** The first k embedding vectors (vec_id < k, id order) as FIXED cluster
+    * centroids — an engine-portable quantizer for the clustering gates:
+    * the DuckDB oracle replays the exact same centroids from the table, so
+    * assignment (argmin of ‖c‖²−2·v·c, sequential double sums on both
+    * engines) is bit-reproducible. k·dim doubles — driver-trivial.
+    */
+  private def fixedCentroids(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
+    Tables.embeddings(s, dir).where(col("vec_id") < k)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+
+  /** (i, a_i, b_i) VALUES rows of the Portable scheme's affine min-hash
+    * family, interpolated into the minhash oracle so DuckDB replays the
+    * exact same 32 hash functions (coefficients are splitmix64-derived in
+    * [[graft.operators.HashScheme.Portable]], pure driver constants).
+    */
+  private val portableSeedRows: String = (0 until 32).map { i =>
+    val p = graft.operators.HashScheme.Portable
+    s"(${i}, ${p.affineA(i)}, ${p.affineB(i)})"
+  }.mkString(", ")
 
   val queries: Map[String, Q] = Map(
     // Text analysis: token/char/BPE-ish subtoken counts (oracle).
@@ -289,6 +310,77 @@ object DataOpsQueries {
       val emb = Tables.embeddings(s, dir)
       val both = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
       Dedup.embeddingNearDuplicates(both, dim = 64, threshold = 0.999)
+    }),
+
+    // Nearest-centroid assignment against FIXED centroids (first 8
+    // vectors): the k-means E-step in isolation, shuffle-free argmin —
+    // oracle replays the identical sequential-double-sum scores in SQL.
+    "e_kmeans_assign" -> ((s, dir) =>
+      Clustering.assign(Tables.embeddings(s, dir), fixedCentroids(s, dir, 8))
+        .select("vec_id", "cluster_id")),
+
+    // Full Lloyd's k-means on a planted corpus (8 anchors × 60 perturbed
+    // members): self-asserting — every planted member must land in the
+    // same cluster as its anchor (purity 1.0 required on this separation;
+    // floor 0.95 leaves margin for boundary noise). No SQL oracle
+    // (iterative refinement); the assertion IS the check.
+    "e_kmeans_cluster" -> ((s, dir) => {
+      val anchors = Tables.embeddings(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id").as("group_id"), col("embedding"))
+      val planted = anchors
+        .select(col("group_id"), col("embedding"),
+          explode(sequence(lit(1), lit(60))).as("j"))
+        .select(col("group_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("group_id") * 31 + col("j") * 17 + i) * lit(0.03))
+              .cast("float")).as("embedding"))
+        .cache()
+      planted.count()
+      val res = Clustering.kmeans(planted, k = 8, maxIter = 15, seed = 7L)
+      val out = Clustering.assign(planted, res.centroids)
+        .groupBy("group_id", "cluster_id").agg(count(lit(1)).as("n"))
+        .cache()
+      // purity: fraction of members in their group's majority cluster
+      val purity = {
+        val total = out.agg(sum("n")).head().getLong(0).toDouble
+        val major = out.groupBy("group_id").agg(max("n").as("m"))
+          .agg(sum("m")).head().getLong(0).toDouble
+        major / total
+      }
+      require(purity >= 0.95,
+        f"k-means purity regression: $purity%.3f < 0.95 on planted clusters")
+      planted.unpersist(false)
+      out
+    }),
+
+    // SemDeDup within-cluster pairs at tau=0.3 over the raw corpus:
+    // cluster-bucketed self-join (never all-pairs), cosine rounded 6dp
+    // before the threshold — oracle replays cluster assignment + join.
+    "e_semantic_pairs" -> ((s, dir) =>
+      Clustering.semanticPrunePairs(Tables.embeddings(s, dir),
+        fixedCentroids(s, dir, 8), tau = 0.3)),
+
+    // SemDeDup survivors on a duplicate-by-construction corpus (vector ∪
+    // identical twin): each twin shares its original's cluster and prunes
+    // at cosine 1 ≥ 0.95; random pairs stay below the threshold → oracle.
+    "e_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val both = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+      Clustering.semanticDedup(both, fixedCentroids(s, dir, 8), tau = 0.95)
+        .select("vec_id")
+    }),
+
+    // Symmetric per-vector int8 quantization: (scale, qvec) fully replayed
+    // by the oracle (round grid is engine-portable on float inputs).
+    "e_quantize_int8" -> ((s, dir) =>
+      Quantize.int8(Tables.embeddings(s, dir))),
+
+    // Exact top-k over QUANTIZED vectors — int dots are exact in double,
+    // so ranks replay bit-identically in SQL (oracle), unlike the float
+    // path where only the 6dp-rounded scores are portable.
+    "e_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
 
     // Multimodal plumbing: binary payload → partition-batched feature
@@ -795,30 +887,32 @@ object DataOpsQueries {
         |JOIN sizes s ON s.doc_id = b.doc_id
         |WHERE b.doc_id % 3 = 0""".stripMargin,
 
-    // full LSH replay under the portable scheme: signatures (min of 60-bit
-    // md5-derived seeded hashes over md5 shingle keys), 8×4 bands, banded
+    // full LSH replay under the portable scheme: ONE md5 per shingle, the
+    // 32-member affine family (a_i·x + b_i mod 2³¹−1, coefficients
+    // interpolated below) over the 60-bit md5 prefix, 8×4 bands, banded
     // candidate self-join, exact-Jaccard verification — the NAIVE all-docs
     // construction, which the operator's rep-collapse path must equal
     "d_minhash_neardup" ->
-      """WITH all_docs AS (
+      s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
         |norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
         |  FROM all_docs),
         |tok AS (
         |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks FROM norm),
+        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
         |sh_of AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
         |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
         |  FROM tok),
         |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
+        |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
         |mins AS (
-        |  SELECT doc_id, i,
-        |    min(('0x' || substr(md5(g || ':' || (i // 2)), 1 + 16 * (i % 2), 15))::BIGINT) AS m
-        |  FROM shr CROSS JOIN range(32) t(i) GROUP BY 1, 2),
+        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+        |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
+        |  GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, i // 4 AS band,
         |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
@@ -899,6 +993,109 @@ object DataOpsQueries {
     "m_frame_sample" ->
       """SELECT doc_id AS media_id, 4::BIGINT AS n_frames,
         |  4 * (octet_length(encode(text)) // 8)::BIGINT AS total_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // nearest-centroid assignment: the same score(v,c) = ‖c‖² − 2 v·c with
+    // sequential double sums on both engines → bit-identical argmin; ties
+    // break to the lowest centroid id on both sides
+    "e_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM v CROSS JOIN c),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster_id
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "e_semantic_pairs" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT v.vec_id, c.cid, ev,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM v CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster_id, ev FROM (
+        |    SELECT vec_id, cid, ev,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+        |  FROM asg a JOIN asg b USING (cluster_id)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT CAST(cluster_id AS INT) AS cluster_id, id_a, id_b, cosine
+        |FROM pairs WHERE cosine >= 0.3""".stripMargin,
+
+    "e_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM base),
+        |scored AS (
+        |  SELECT v.vec_id, c.cid, ev,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM v CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster_id, ev FROM (
+        |    SELECT vec_id, cid, ev,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pruned AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b USING (cluster_id)
+        |  WHERE a.vec_id < b.vec_id
+        |    AND round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.95)
+        |SELECT vec_id FROM base
+        |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
+
+    "e_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings)
+        |SELECT vec_id, round(ma / 127.0, 9) AS scale,
+        |  list_transform(ev, x ->
+        |    CASE WHEN ma = 0 THEN 0
+        |         ELSE CAST(round(x * 127.0 / ma) AS INT) END) AS qvec
+        |FROM m""".stripMargin,
+
+    // int dots are exact in double (products ≤ 127² summed over dim 64
+    // ≪ 2^53), so unrounded scores — and therefore ranks — replay
+    // bit-identically, unlike the float path where only the 6dp-rounded
+    // score is portable
+    "e_quantized_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(ev, x ->
+        |      CASE WHEN ma = 0 THEN 0.0
+        |           ELSE round(x * 127.0 / ma) END) AS q
+        |  FROM m),
+        |q AS (SELECT vec_id AS query_id, q AS qq FROM qv WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, q AS cq FROM qv),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(cq, qq) AS cos
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin
   )
 }

@@ -33,14 +33,14 @@ trait VectorBinaryOp { self: BinaryExpression =>
     */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"${self.prettyName} requires array<float> or array<double> arguments, " +
+        s"${self.prettyName} requires array<float|double|int|tinyint> arguments, " +
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
@@ -48,13 +48,17 @@ trait VectorBinaryOp { self: BinaryExpression =>
     e.dataType.asInstanceOf[ArrayType].elementType
 
   protected def getD(arr: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => arr.getFloat(i).toDouble
-    case _         => arr.getDouble(i)
+    case FloatType   => arr.getFloat(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case _           => arr.getDouble(i)
   }
 
   protected def getter(t: DataType): String = t match {
-    case FloatType => "getFloat"
-    case _         => "getDouble"
+    case FloatType   => "getFloat"
+    case IntegerType => "getInt"
+    case ByteType    => "getByte"
+    case _           => "getDouble"
   }
 
   protected def checkedLen(x: ArrayData, y: ArrayData): Int = {

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Embedding-space clustering and semantic deduplication (beyond-reference
+  * surface; the reference has no vector operators — cf. SURVEY §2.13).
+  *
+  *  - [[kmeans]]: distributed Lloyd's iteration. The E-step (assignment)
+  *    is a shuffle-free argmin over broadcast centroid literals (same
+  *    ‖c‖²−2·v·c trick as [[Similarity.ivfTopK]]); the M-step is a
+  *    posexplode + (cluster, pos) partial aggregation — map-side combine
+  *    collapses every task to ≤ k·dim rows before the single exchange, so
+  *    driver traffic is k·dim doubles per iteration regardless of corpus
+  *    size. No corpus collect, no per-row UDF.
+  *  - [[semanticPrunePairs]] / [[semanticDedup]]: SemDeDup-style semantic
+  *    near-duplicate pruning (cluster first, then compare only within a
+  *    cluster — the self-join is keyed by cluster id, never all-pairs; at
+  *    100 TB each cluster's bucket is a fraction 1/k of the corpus and the
+  *    join shuffles 8-byte ids + vectors once).
+  */
+object Clustering {
+
+  /** score(v, c) = ‖c‖² − 2 v·c — ranks identically to squared L2 distance
+    * (‖v‖² is constant across centroids), one fused dot per centroid.
+    */
+  private def score(vec: Column, c: Array[Double]): Column =
+    lit(c.map(x => x * x).sum) -
+      lit(2.0d) * graft.functions.VectorOps.dot(vec, typedLit(c.toSeq))
+
+  /** Nearest-centroid index (0-based), shuffle-free. Each distance
+    * expression appears exactly once inside an array argmin; ties break to
+    * the lowest centroid index (array_position returns the first match).
+    */
+  def assignColumn(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val ds = array(centroids.map(c => score(vec, c)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Corpus + `cluster_id` column: nearest centroid per row. */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
+             vecCol: String = "embedding",
+             outCol: String = "cluster_id"): DataFrame =
+    corpus.withColumn(outCol, assignColumn(col(vecCol), centroids))
+
+  final case class KMeansResult(centroids: Array[Array[Double]],
+                                iterations: Int, converged: Boolean)
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Lloyd's k-means. Deterministic for a fixed (seed, maxIter): the init
+    * pool is the top-max(16k, 256) rows by vector hash — a TakeOrdered
+    * (per-partition top-N + driver merge, no full sort/shuffle), so the
+    * pool is spread uniformly over the WHOLE corpus rather than its head
+    * (a head limit() silently misses clusters when input files are
+    * cluster-ordered, which real corpora usually are). One extra corpus
+    * pass amortized against the maxIter assignment passes Lloyd's does
+    * anyway. Seeds then come from farthest-first traversal over the pool —
+    * random init can draw two seeds from one true cluster and converge to
+    * a merged/split local optimum; max-min picks one seed per
+    * well-separated cluster by construction (O(pool²·dim), driver-cheap).
+    * Every subsequent step is a deterministic aggregate. Empty clusters
+    * keep their previous centroid.
+    *
+    * @param tol convergence threshold on the max centroid displacement
+    *            (L2); iteration stops at `maxIter` regardless.
+    */
+  def kmeans(corpus: DataFrame, k: Int, maxIter: Int = 20, seed: Long = 42L,
+             tol: Double = 1e-4, vecCol: String = "embedding"): KMeansResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pool: Array[Array[Double]] = corpus
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)))
+      .limit(math.max(k * 16, 256)).collect()
+      .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    require(pool.length >= k, s"corpus has fewer than k=$k vectors")
+    val shuffled: Array[Array[Double]] =
+      new Random(seed).shuffle(pool.toSeq).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(shuffled(0))
+    while (chosen.size < k) {
+      // next seed = pool vector farthest from its nearest chosen seed
+      var best = 0; var bestD = -1.0
+      var i = 0
+      while (i < shuffled.length) {
+        val d = chosen.iterator.map(c => dist2(shuffled(i), c)).min
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      chosen += shuffled(best)
+    }
+    var centroids: Array[Array[Double]] = chosen.toArray
+    val dim = centroids(0).length
+
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIter && moved > tol) {
+      // M-step: element-wise sums per cluster. posexplode multiplies rows
+      // by dim, but the (cluster_id, pos) hash aggregate partial-combines
+      // map-side, so the exchange carries at most k·dim rows per task.
+      val sums = assign(corpus, centroids, vecCol)
+        .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+
+      val acc = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sums.foreach { r =>
+        val cid = r.getInt(0)
+        acc(cid)(r.getInt(1)) = r.getDouble(2)
+        counts(cid) = r.getLong(3)
+      }
+      moved = 0.0
+      val next = centroids.map(_.clone()) // empty clusters stay put
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val m = acc(c).map(_ / counts(c))
+          var d2 = 0.0
+          var i = 0
+          while (i < dim) { val d = m(i) - centroids(c)(i); d2 += d * d; i += 1 }
+          moved = math.max(moved, math.sqrt(d2))
+          next(c) = m
+        }
+        c += 1
+      }
+      centroids = next
+      it += 1
+    }
+    KMeansResult(centroids, it, moved <= tol)
+  }
+
+  /** Within-cluster semantic-duplicate pairs (id_a < id_b, cosine ≥ tau).
+    * Cosine is rounded to 6 dp BEFORE the threshold compare so the
+    * keep/prune frontier is engine-portable (the oracle replays the same
+    * rounded compare). Comparisons never cross clusters — that is the
+    * SemDeDup contract AND what makes the operator scale: the self-join is
+    * an equi-join on cluster_id. Unbalanced clusters skew the join; AQE
+    * skew-split or [[Skew]] salting applies unchanged since the join key
+    * is a plain int column.
+    */
+  def semanticPrunePairs(corpus: DataFrame, centroids: Array[Array[Double]],
+                         tau: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(corpus, centroids, vecCol)
+    val a = assigned.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"))
+    a.join(b, Seq("cluster_id"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorOps.cosine(col("_va"), col("_vb")), 6))
+      .where(col("cosine") >= tau)
+      .select(col("cluster_id"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup survivors: drop every doc that has a lower-id neighbor at
+    * cosine ≥ tau within its cluster (keep-lowest-id representative —
+    * deterministic, single pass; matches the greedy SemDeDup policy when
+    * processing ids in ascending order).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+                    tau: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val pruned = semanticPrunePairs(corpus, centroids, tau, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(pruned, Seq(idCol), "left_anti")
+  }
+}

@@ -32,12 +32,24 @@ final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
     bands.write.mode("overwrite").parquet(s"$path/bands")
     val schemeName =
       if (scheme == HashScheme.Portable) "portable" else "fast"
+    // schemeVer pins the hash-family DEFINITION, not just its name: a
+    // persisted index hashed under an older family must fail loudly at
+    // read time, not silently produce empty candidate sets. Versioned
+    // per scheme (fast is unchanged since v1; portable v2 = affine
+    // family over 2³¹−1, v1 was per-seed md5) so a still-valid fast
+    // index never forces a rebuild.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/params.json"),
-      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands,"scheme":"$schemeName"}""")
+      s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands,"scheme":"$schemeName","schemeVer":${SignatureIndex.schemeVersion(scheme)}}""")
   }
 }
 
 object SignatureIndex {
+  /** Current digest-definition version per scheme; bump on change. */
+  def schemeVersion(scheme: HashScheme): Int = scheme match {
+    case HashScheme.Portable => 2 // v2: affine family; v1 was per-seed md5
+    case HashScheme.Fast     => 1
+  }
+
   def read(spark: SparkSession, path: String): SignatureIndex = {
     val params = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/params.json"))
@@ -48,6 +60,12 @@ object SignatureIndex {
     val scheme =
       if (params.contains("\"scheme\":\"portable\"")) HashScheme.Portable
       else HashScheme.Fast
+    val ver = s""""schemeVer":(\\d+)""".r.findFirstMatchIn(params)
+      .map(_.group(1).toInt).getOrElse(1)
+    require(ver == schemeVersion(scheme),
+      s"SignatureIndex at $path was built with hash-scheme version $ver, " +
+        s"this build uses ${schemeVersion(scheme)} — rebuild the index " +
+        "(a stale family would silently produce empty candidate sets)")
     SignatureIndex(
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/bands"),
@@ -75,16 +93,24 @@ object SignatureIndex {
   * (xxhash64) is the scale default; [[Portable]] derives every digest
   * from md5 so an external engine (the DuckDB oracle, a Python auditor)
   * can replay signatures bit-for-bit: shingle keys are md5 hex strings,
-  * seeded min-hashes are the first 15 hex chars (60 bits, sign-safe in
-  * a BIGINT on any engine) of md5(key ":" seed), band digests are md5
+  * the seeded min-hash family is affine universal hashing over the
+  * Mersenne prime 2³¹−1 applied to ONE md5-derived base value per
+  * shingle (so the per-seed work is a codegen'd multiply-add on longs,
+  * not another md5 — the string hash happens once per shingle row, the
+  * 32-member hash family costs 32 long ops), and band digests are md5
   * of the "|"-joined band values. Same operators, same plans — only the
   * hash expressions differ.
   */
 sealed trait HashScheme {
   /** shingle text → compact join/aggregate key */
   def key(shingle: Column): Column
-  /** key → i-th seeded hash for the min-hash aggregate */
-  def seeded(g: Column, seed: Int): Column
+  /** key → per-row base value the seeded family is applied to; evaluated
+    * ONCE per shingle row (its own projection), so schemes whose base
+    * derivation is expensive (string parsing) don't pay it per seed
+    */
+  def prep(g: Column): Column
+  /** prepared base → i-th seeded hash for the min-hash aggregate */
+  def seeded(x: Column, seed: Int): Column
   /** band slice (array of seeded mins) → band digest */
   def band(arr: Column): Column
   /** token → integer hash for SimHash bit votes */
@@ -97,25 +123,48 @@ object HashScheme {
   /** xxhash64 everywhere — fastest (codegen'd long ops), engine-specific. */
   case object Fast extends HashScheme {
     def key(shingle: Column): Column = xxhash64(shingle)
-    def seeded(g: Column, seed: Int): Column = xxhash64(g, lit(seed))
+    def prep(g: Column): Column = g
+    def seeded(x: Column, seed: Int): Column = xxhash64(x, lit(seed))
     def band(arr: Column): Column = xxhash64(arr)
     def tokenHash(tok: Column): Column = xxhash64(tok)
     def simhashBits: Int = 64
   }
 
-  /** md5-derived 60-bit digests — replayable by any engine with md5. */
+  /** md5-derived digests — replayable by any engine with md5 + BIGINT
+    * arithmetic. Seeded family: h_i(x) = (a_i·x + b_i) mod p with
+    * p = 2³¹−1 and x = (60-bit md5 prefix) mod p, so a_i·x < 2⁶² never
+    * overflows a signed 64-bit integer on ANY engine. Coefficients come
+    * from the splitmix64 finalizer of the seed index — deterministic,
+    * dependency-free, and easy to restate in SQL as literals
+    * ([[affineA]]/[[affineB]] are interpolated into the oracle).
+    */
   case object Portable extends HashScheme {
+    /** 2³¹ − 1, Mersenne prime — modulus of the affine hash family. */
+    val P: Long = 2147483647L
+
+    /** splitmix64 finalizer: deterministic coefficient derivation. */
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    /** multiplier for seed i — in [1, p−1], never 0 (degenerate family). */
+    def affineA(i: Int): Long =
+      java.lang.Long.remainderUnsigned(mix64(2L * i), P - 1) + 1
+    /** offset for seed i — in [0, p−1]. */
+    def affineB(i: Int): Long =
+      java.lang.Long.remainderUnsigned(mix64(2L * i + 1), P)
+
     /** first 15 hex chars → 60-bit non-negative long (fits BIGINT). */
     private def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def key(shingle: Column): Column = md5(shingle)
-    /** One md5 yields TWO independent 60-bit hashes (hex chars 1-15 and
-      * 17-31), so seeds i = 2k, 2k+1 share md5(g ":" k) — half the md5
-      * work of the minhash aggregate for the same hash family size.
-      */
-    def seeded(g: Column, seed: Int): Column =
-      conv(substring(md5(concat(g.cast("string"), lit(":" + seed / 2))),
-        1 + 16 * (seed % 2), 15), 16, 10).cast("long")
+    /** g is ALREADY the md5 hex key — parse its 60-bit prefix, no re-hash. */
+    def prep(g: Column): Column =
+      pmod(conv(substring(g, 1, 15), 16, 10).cast("long"), lit(P))
+    def seeded(x: Column, seed: Int): Column =
+      pmod(lit(affineA(seed)) * x + lit(affineB(seed)), lit(P))
     def band(arr: Column): Column =
       md5(array_join(transform(arr, _.cast("string")), "|"))
     def tokenHash(tok: Column): Column = h60(tok)
@@ -186,8 +235,12 @@ object Dedup {
   def minhashSignaturesFromRows(sh: DataFrame, numHashes: Int,
                                 scheme: HashScheme = HashScheme.Fast): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(scheme.seeded(col("g"), i)).as(s"_h$i"))
-    sh.groupBy("doc_id")
+      min(scheme.seeded(col("_x"), i)).as(s"_h$i"))
+    // prep runs in its own projection UNDER the aggregate, so an expensive
+    // base derivation (Portable: hex-prefix parse) costs one evaluation
+    // per shingle row; the per-seed family on top is numHashes cheap ops
+    sh.withColumn("_x", scheme.prep(col("g")))
+      .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))

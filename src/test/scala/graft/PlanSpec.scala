@@ -172,4 +172,29 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, s"no codegen span:\n$p")
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
+
+  test("e_kmeans_assign: nearest-centroid argmin is a shuffle-free scan") {
+    val p = executed("e_kmeans_assign")
+    assert(!p.contains("Exchange"), s"centroid assignment plans a shuffle:\n$p")
+    assert(!p.contains("Join"), s"centroid assignment plans a join:\n$p")
+  }
+
+  test("e_semantic_pairs: within-cluster self-join is a hash join on cluster_id, no cartesian") {
+    val p = executed("e_semantic_pairs")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on cluster_id:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semantic pairs:\n$p")
+  }
+
+  test("e_quantize_int8: quantization is a shuffle-free projection") {
+    val p = executed("e_quantize_int8")
+    assert(!p.contains("Exchange"), s"quantization plans a shuffle:\n$p")
+  }
+
+  test("e_quantized_topk: query side broadcast, corpus scanned once") {
+    val p = executed("e_quantized_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the query side:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ClusteringSpec extends SparkSpec {
+
+  private def vecsDf(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }),
+      schema)
+  }
+
+  // three well-separated anchors in 4-d
+  private val anchors = Seq(
+    Array(10.0, 0.0, 0.0, 0.0),
+    Array(0.0, 10.0, 0.0, 0.0),
+    Array(0.0, 0.0, 10.0, 0.0))
+
+  private def planted: DataFrame = {
+    val rows = for {
+      (a, g) <- anchors.zipWithIndex
+      j <- 0 until 20
+    } yield {
+      val noise = a.indices.map(i => math.sin(g * 31 + j * 17 + i) * 0.3)
+      ((g * 100 + j).toLong, a.indices.map(i => (a(i) + noise(i)).toFloat))
+    }
+    vecsDf(rows)
+  }
+
+  test("assign: nearest centroid wins, ties break to lowest index") {
+    val df = vecsDf(Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))))
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val got = Clustering.assign(df, cents).select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1))
+    // equidistant point → first (lowest) centroid index
+    val tie = Clustering.assign(vecsDf(Seq((9L, Seq(.5f, .5f, 0f, 0f)))), cents)
+      .select("cluster_id").head().getInt(0)
+    assert(tie === 0)
+  }
+
+  test("kmeans recovers planted clusters with full purity") {
+    val res = Clustering.kmeans(planted, k = 3, maxIter = 10, seed = 11L)
+    assert(res.centroids.length === 3)
+    val assigned = Clustering.assign(planted, res.centroids)
+      .withColumn("group_id", (col("vec_id") / 100).cast("int"))
+    val purity = assigned.groupBy("group_id", "cluster_id").count()
+      .groupBy("group_id").agg(max("count").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(purity === 60L, "every planted member lands with its anchor")
+    // groups map to three DISTINCT clusters
+    val distinctClusters = assigned.select("cluster_id").distinct().count()
+    assert(distinctClusters === 3L)
+  }
+
+  test("kmeans converges on separated data and is seed-deterministic") {
+    val a = Clustering.kmeans(planted, k = 3, maxIter = 25, seed = 5L)
+    val b = Clustering.kmeans(planted, k = 3, maxIter = 25, seed = 5L)
+    assert(a.converged, "well-separated planted clusters must converge")
+    assert(a.iterations < 25)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("kmeans with k larger than distinct points keeps empty clusters in place") {
+    val df = vecsDf(Seq((0L, Seq(1f, 1f, 1f, 1f)), (1L, Seq(1f, 1f, 1f, 1f))))
+    val res = Clustering.kmeans(df, k = 2, maxIter = 5, seed = 3L)
+    // both rows identical → one live cluster; no NaN centroids
+    assert(res.centroids.forall(_.forall(d => !d.isNaN)))
+  }
+
+  test("semanticPrunePairs only pairs within a cluster and above tau") {
+    // two clusters; in cluster 0 two near-identical docs + one far one
+    val df = vecsDf(Seq(
+      (0L, Seq(10f, 0f, 0f, 0f)),
+      (1L, Seq(10f, 0.1f, 0f, 0f)),   // ≈ cosine 1 with doc 0
+      (2L, Seq(6f, 0f, 4f, 0f)),      // same cluster, lower cosine
+      (3L, Seq(0f, 10f, 0f, 0f))))    // other cluster
+    val cents = Array(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0))
+    val pairs = Clustering.semanticPrunePairs(df, cents, tau = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((0L, 1L)))
+  }
+
+  test("semanticDedup keeps the lowest id of a duplicate group") {
+    val df = vecsDf(Seq(
+      (5L, Seq(10f, 0f, 0f, 0f)),
+      (7L, Seq(10f, 0.01f, 0f, 0f)),
+      (9L, Seq(0f, 10f, 0f, 0f))))
+    val cents = Array(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0))
+    val kept = Clustering.semanticDedup(df, cents, tau = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L, 9L))
+  }
+}

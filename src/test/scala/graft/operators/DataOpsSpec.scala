@@ -105,8 +105,8 @@ class DataOpsSpec extends SparkSpec {
       }
       assert(e.getMessage.toLowerCase.contains(fragment), e.getMessage)
     }
-    analysisFails("SELECT vec_dot(id, id) FROM typecheck_probe", "array<float>")
-    analysisFails("SELECT cosine_sim(txt, txt) FROM typecheck_probe", "array<float>")
+    analysisFails("SELECT vec_dot(id, id) FROM typecheck_probe", "array<float")
+    analysisFails("SELECT cosine_sim(txt, txt) FROM typecheck_probe", "array<float")
     analysisFails("SELECT ngram_shingles(id, 3) FROM typecheck_probe", "string")
     analysisFails("SELECT rolling_hash(id) FROM typecheck_probe", "string")
   }
@@ -475,21 +475,29 @@ class DataOpsSpec extends SparkSpec {
     assert(pairs == Set((101L, 1L, 1.0), (103L, 2L, 1.0)))
   }
 
-  test("portable hash scheme: digests match independently computed md5 values") {
+  test("portable hash scheme: digests match independently computed md5/affine values") {
     import org.apache.spark.sql.functions.{lit, typedLit}
+    val g = HashScheme.Portable.key(lit("hello"))
+    val x = HashScheme.Portable.prep(g)
     val r = spark.range(1).select(
-      HashScheme.Portable.key(lit("hello")).as("k"),
+      g.as("k"),
       HashScheme.Portable.tokenHash(lit("hello")).as("h"),
-      HashScheme.Portable.seeded(lit("abc"), 0).as("s0"),
-      HashScheme.Portable.seeded(lit("abc"), 1).as("s1"),
-      HashScheme.Portable.seeded(lit("abc"), 3).as("s3"),
+      x.as("x"),
+      HashScheme.Portable.seeded(x, 0).as("s0"),
+      HashScheme.Portable.seeded(x, 1).as("s1"),
+      HashScheme.Portable.seeded(x, 3).as("s3"),
       HashScheme.Portable.band(typedLit(Seq(1L, 2L, 3L))).as("b")).head()
-    // values computed with Python hashlib, not Spark — cross-engine pin
+    // values computed with Python hashlib + a python splitmix64, not
+    // Spark — cross-engine pin of the v2 affine family
     assert(r.getAs[String]("k") == "5d41402abc4b2a76b9719d911017c592")
-    assert(r.getAs[Long]("h") == 419982666956583591L)    // int(md5("hello")[:15], 16)
-    assert(r.getAs[Long]("s0") == 933576305310803298L)   // int(md5("abc:0")[:15], 16)
-    assert(r.getAs[Long]("s1") == 1004168060856996764L)  // int(md5("abc:0")[16:31], 16)
-    assert(r.getAs[Long]("s3") == 25173448223202728L)    // int(md5("abc:1")[16:31], 16)
+    assert(r.getAs[Long]("h") == 419982666956583591L)  // int(md5("hello")[:15], 16)
+    assert(r.getAs[Long]("x") == 929880748L)           // int(k[:15], 16) % (2^31-1)
+    assert(r.getAs[Long]("s0") == 601537510L)          // (a0·x + b0) % p
+    assert(r.getAs[Long]("s1") == 376076919L)
+    assert(r.getAs[Long]("s3") == 1057899255L)
+    // coefficient derivation itself is pinned (python splitmix64)
+    assert(HashScheme.Portable.affineA(0) == 60845732L)
+    assert(HashScheme.Portable.affineB(0) == 722909340L)
     assert(r.getAs[String]("b") == "02b12e930c8bcc7e92e74ff5d96ce118") // md5("1|2|3")
   }
 
