@@ -43,6 +43,17 @@ object DataOpsQueries {
     s"(${i}, ${p.affineA(i)}, ${p.affineB(i)})"
   }.mkString(", ")
 
+  /** DuckDB expression for the hyperplane-LSH bucket of `vExpr` (a
+    * DOUBLE[] column): bit i set iff v·r_i > 0, with the SAME seeded
+    * planes as [[Similarity.hyperplanes]] interpolated as full-precision
+    * literals (Double.toString round-trips, so both engines see identical
+    * doubles and the sequential dot — hence the sign — is bit-identical).
+    */
+  private def lshBucketSql(vExpr: String, dim: Int, planes: Int, seed: Long): String =
+    Similarity.hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   val queries: Map[String, Q] = Map(
     // Text analysis: token/char/BPE-ish subtoken counts (oracle).
     "t_token_stats" -> ((s, dir) =>
@@ -237,21 +248,24 @@ object DataOpsQueries {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
 
-    // LSH-bucketed approximate top-k (seeded hyperplanes → deterministic,
-    // but plan-order-dependent float sums → rows-only; recall is asserted
-    // against brute force in the test suite).
+    // LSH-bucketed approximate top-k — oracle since r3: the seeded
+    // hyperplanes are plain driver constants, so they interpolate into the
+    // oracle SQL as literals and DuckDB replays bucket assignment (sign of
+    // a sequential double dot — bit-identical) and ranking exactly.
     "e_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 10, dim = 64,
         planes = 6)
     }),
 
-    // IVF ANN: seeded coarse quantizer + nProbe lists (rows-only — the
-    // quantizer sample is engine-RNG-specific).
+    // IVF ANN — oracle since r3: FIXED centroids (first 16 vectors) via
+    // the explicit-quantizer overload, so DuckDB replays assignment, probe
+    // selection, and ranking exactly. The auto-quantizer overload stays
+    // the production default (engine-RNG-specific, recall-gated instead).
     "e_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
-        nLists = 16, nProbe = 4)
+      Similarity.ivfTopKWith(emb, emb.where(col("vec_id") < 5),
+        fixedCentroids(s, dir, 16), k = 10, nProbe = 4)
     }),
 
     // ANN recall gate: recall@10 of the LSH and IVF paths vs brute force,
@@ -304,8 +318,8 @@ object DataOpsQueries {
     }),
 
     // Embedding-cosine near-dup: duplicate-by-construction corpus (vector
-    // ∪ identical copy) → every vector pairs with its copy at cosine 1
-    // (rows-only: bucketing is hyperplane-RNG-specific).
+    // ∪ identical copy) → every vector pairs with its copy at cosine 1.
+    // Oracle since r3: hyperplane literals interpolated into the SQL.
     "e_embedding_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val both = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
@@ -994,6 +1008,75 @@ object DataOpsQueries {
       """SELECT doc_id AS media_id, 4::BIGINT AS n_frames,
         |  4 * (octet_length(encode(text)) // 8)::BIGINT AS total_bytes
         |FROM documents""".stripMargin,
+
+    // hyperplane-LSH top-k: bucket assignment replayed from interpolated
+    // plane literals, then cosine ranking within the shared bucket
+    "e_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |b AS (SELECT vec_id, ev, ${lshBucketSql("ev", 64, 6, 42L)} AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, ev AS cv, bucket FROM b),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+        |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // embedding near-dup on the twin corpus: one bucket per doc (single
+    // 12-plane signature), within-bucket pairs at cosine ≥ 0.999
+    "e_embedding_neardup" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM base),
+        |b AS (SELECT vec_id, ev, ${lshBucketSql("ev", 64, 12, 42L)} AS bucket FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+        |    list_cosine_similarity(a.ev, bb.ev) AS cos
+        |  FROM b a JOIN b bb USING (bucket) WHERE a.vec_id < bb.vec_id)
+        |SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine
+        |FROM pairs WHERE cos >= 0.999""".stripMargin,
+
+    // IVF with fixed centroids (first 16 vectors): assignment + probe
+    // selection + ranking all replayed (sequential-double-sum scores)
+    "e_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored0 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM e CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored0) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored0 WHERE vec_id < 5) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a USING (list_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(ce.ev, qe.ev) AS cos
+        |  FROM cand JOIN e ce ON ce.vec_id = cand.neighbor_id
+        |  JOIN e qe ON qe.vec_id = cand.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
 
     // nearest-centroid assignment: the same score(v,c) = ‖c‖² − 2 v·c with
     // sequential double sums on both engines → bit-identical argmin; ties

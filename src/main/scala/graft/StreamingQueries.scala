@@ -36,7 +36,36 @@ object StreamingQueries {
 
     // flatMapGroupsWithState: per-user lifetime sequence numbers.
     "st_event_seq" -> ((s, dir) =>
-      EventStream.sequencedEvents(Tables.events(s, dir)).toDF())
+      EventStream.sequencedEvents(Tables.events(s, dir)).toDF()),
+
+    // Stream-stream interval join: clicks × same-user views within the
+    // preceding 4 hours (bounded join state; oracle replays the predicate).
+    "st_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.clickAttribution(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+    }),
+
+    // Streaming ingestion dedup (batch analog): re-ingest copies of the
+    // corpus ∪ suffix-modified novel docs; only novel fingerprints
+    // survive, one row per fp. Output is the fp + how many batch rows
+    // carried it (survivor doc_id is arbitrary → excluded).
+    "st_doc_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+        .unionByName(d.where(col("doc_id") % 3 === 1)   // in-batch repeat
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+      val corpusFps = d.select(
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      graft.streaming.DocStream.newUniqueDocs(batch, corpusFps)
+        .select("fp")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +108,31 @@ object StreamingQueries {
       """SELECT user_id, event_id,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts::TIMESTAMP, event_id) AS seq
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // µs gap (epoch_us on µs-truncated timestamps) matches Spark's
+    // unix_micros exactly
+    "st_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
+        |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
+
+    "st_doc_dedup" ->
+      """WITH corpus_fp AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' xnovel' FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' xnovel' FROM documents WHERE doc_id % 3 = 1)
+        |SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM batch
+        |WHERE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT fp FROM corpus_fp)""".stripMargin
   )
 }

@@ -102,9 +102,20 @@ object Similarity {
     val pool: Array[Array[Double]] = corpus
       .select(col(vecCol)).limit(math.max(nLists * 16, 256)).collect()
       .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
-    val centroids: Array[(Int, Array[Double])] =
-      new Random(seed).shuffle(pool.toSeq).take(nLists)
-        .toArray.zipWithIndex.map(_.swap)
+    val quantizer: Array[Array[Double]] =
+      new Random(seed).shuffle(pool.toSeq).take(nLists).toArray
+    ivfTopKWith(corpus, queries, quantizer, k, nProbe, idCol, vecCol)
+  }
+
+  /** IVF ANN against CALLER-PROVIDED centroids (list id = array index) —
+    * the deterministic core the auto-quantizer overload wraps. Callers can
+    * pass [[Clustering.kmeans]] output for a trained quantizer, or fixed
+    * vectors for an engine-portable, oracle-replayable plan.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  quantizer: Array[Array[Double]], k: Int, nProbe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[(Int, Array[Double])] = quantizer.zipWithIndex.map(_.swap)
     require(centroids.nonEmpty, "corpus too small for the requested nLists")
 
     // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖²; ‖v‖² is constant across centroids, so

@@ -142,4 +142,31 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Stream-STREAM interval join (click attribution): each click joins
+    * the same user's views from the preceding `window`. Both sides are
+    * watermarked, and the range predicate is what lets Spark BOUND the
+    * join state — an unconstrained stream-stream equi-join must buffer
+    * both streams forever; with the interval bound, a buffered view ages
+    * out of state once the click-side watermark passes view_ts + window.
+    * Batch mode runs the identical join predicate, so the oracle replays
+    * it. The time gap is emitted as integer microseconds (not raw
+    * timestamps) for cross-engine hash stability.
+    */
+  def clickAttribution(clicks: DataFrame, views: DataFrame,
+                       window: String = "4 hours",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val c = watermarked(clicks, watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = watermarked(views, watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("_vu"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("_vu") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
 }

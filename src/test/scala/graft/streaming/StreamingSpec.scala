@@ -8,6 +8,21 @@ class StreamingSpec extends SparkSpec {
 
   val eventsDir = "/root/testdata/sf0.001"
 
+  /** Stage `df` as a single parquet FILE named `name` directly in `dir`:
+    * FileStreamSource (and batch reads) do NOT recurse into non-partition
+    * subdirectories, so `df.write.parquet(dir/name)` — which creates a
+    * DIRECTORY — would silently stream zero rows.
+    */
+  private def stageParquet(df: org.apache.spark.sql.DataFrame,
+                           dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath, dir.resolve(name))
+  }
+
   test("incremental windowedCounts equals the batch result (memory sink)") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
     val expected = EventStream.windowedCounts(batchEvents)
@@ -107,10 +122,10 @@ class StreamingSpec extends SparkSpec {
     // lifetime continuation means every user's seq set is exactly 1..n.
     val batchEvents = graft.Tables.events(spark, eventsDir).cache()
     val streamDir = java.nio.file.Files.createTempDirectory("graft-seq2")
-    batchEvents.where(col("event_id") % 2 === 0)
-      .write.parquet(streamDir.resolve("a.parquet").toString)
-    batchEvents.where(col("event_id") % 2 === 1)
-      .write.parquet(streamDir.resolve("b.parquet").toString)
+    stageParquet(batchEvents.where(col("event_id") % 2 === 0),
+      streamDir, "a.parquet")
+    stageParquet(batchEvents.where(col("event_id") % 2 === 1),
+      streamDir, "b.parquet")
     val stream = spark.readStream
       .schema(batchEvents.schema)
       .option("maxFilesPerTrigger", 1)
@@ -126,9 +141,74 @@ class StreamingSpec extends SparkSpec {
         u -> rows.map(_.getLong(2)).sorted.toSeq }
     val counts = batchEvents.groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a mis-staged stream dir reads zero rows → empty perUser would pass
+    // every per-user assertion vacuously; pin full coverage first
+    assert(perUser.keySet == counts.keySet,
+      s"stream output covers ${perUser.size} users, batch has ${counts.size}")
     perUser.foreach { case (u, seqs) =>
       assert(seqs == (1L to counts(u)).toSeq,
         s"user $u seqs not a contiguous 1..n run: ${seqs.take(5)}...")
     }
+  }
+
+  test("stream-stream interval join equals the batch result") {
+    val ev = graft.Tables.events(spark, eventsDir)
+    val expected = EventStream.clickAttribution(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "fixture yields no click-view pairs")
+
+    // raw-schema filtered copies (readStream converts nanos itself)
+    val raw = spark.read.parquet(s"$eventsDir/events.parquet")
+    val clicksDir = java.nio.file.Files.createTempDirectory("graft-clicks")
+    val viewsDir = java.nio.file.Files.createTempDirectory("graft-views")
+    raw.where(col("event_type") === "click")
+      .write.mode("overwrite").parquet(clicksDir.toString)
+    raw.where(col("event_type") === "view")
+      .write.mode("overwrite").parquet(viewsDir.toString)
+    val q = EventStream.clickAttribution(
+        EventStream.readStream(spark, clicksDir.toString),
+        EventStream.readStream(spark, viewsDir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("ssj_out").collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("streaming doc ingestion dedup: corpus hits dropped, in-stream repeats collapse") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").cache()
+    val corpusFps = docs.where(col("doc_id") % 2 === 0)
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .cache()
+    // expected: fingerprints of the non-corpus half, one per fp
+    val expected = docs.where(col("doc_id") % 2 === 1)
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(expected.nonEmpty)
+
+    // the same full file staged TWICE → every doc arrives in two
+    // micro-batches; event time synthesized from doc_id (deterministic)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    val staged = docs.withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+    stageParquet(staged, streamDir, "a.parquet")
+    stageParquet(staged, streamDir, "b.parquet")
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.streaming.DocStream.newUniqueDocs(stream, corpusFps)
+      .select("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("docdedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("docdedup_out").collect().map(_.getString(0))
+    assert(got.toSet == expected)
+    assert(got.length == got.toSet.size, "in-stream repeats not collapsed")
   }
 }
