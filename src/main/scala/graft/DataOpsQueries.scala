@@ -88,6 +88,24 @@ object DataOpsQueries {
     "t_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
 
+    // Markup stripping: engineered HTML (tags, script/style bodies,
+    // comments, entities) wrapped around every doc in BOTH engines; the
+    // RE2-subset pattern chain must recover the text identically.
+    "t_strip_markup" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<html><head><style>p{x}</style></head><body onload=\"f()\"><p>"),
+          col("text"),
+          lit("</p><script type=\"text/javascript\">var a=1;</script>" +
+            "<!-- c --> A &amp; B &lt;ok&gt;</body></html>")))
+          .as("clean"))),
+
+    // Unigram LM score (perplexity proxy): micro-log10 integer sums —
+    // exact arithmetic after the one libm round, so the oracle
+    // hash-matches sums AND the derived average.
+    "t_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+
     // TF-IDF top-5 salient terms per doc: scores rounded 6dp before
     // ranking so the cross-engine order is exact (oracle).
     "t_tfidf_topk" -> ((s, dir) =>
@@ -706,6 +724,39 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    // entity replaces applied in the same order as the operator's fold
+    "t_strip_markup" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          '<html><head><style>p{x}</style></head><body onload="f()"><p>' || text ||
+        |          '</p><script type="text/javascript">var a=1;</script><!-- c --> A &amp; B &lt;ok&gt;</body></html>',
+        |          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
+
+    "t_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+        |  FROM documents),
+        |census AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM census),
+        |lp AS (
+        |  SELECT doc_id, CAST(round(log10(c::DOUBLE / n) * 1e6) AS BIGINT) AS lp
+        |  FROM tok JOIN census USING (t) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp)::BIGINT AS logp_sum_micro
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  a.logp_sum_micro,
+        |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (

@@ -162,6 +162,21 @@ object PipelineQueries {
           "s_nationkey as nationkey", "s_acctbal as acctbal")
     }),
 
+    // Hive-style partitioned layout: write documents partitioned by lang,
+    // read back one partition — the predicate must prune at the DIRECTORY
+    // level (PartitionFilters, plan-asserted), which is the layout a
+    // 100 TB corpus ships in (partition by source/date/lang so a
+    // one-language job reads one subtree, not the whole corpus).
+    "s4_partitioned_source" -> ((s, dir) => {
+      val partDir = scratchDir(s, "part_src", dir) + "/documents"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(partDir)
+      s.read.parquet(partDir)
+        .where(col("lang") === "en")
+        .select("doc_id", "source", "n_chars", "lang")
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -218,6 +233,10 @@ object PipelineQueries {
     "s3_orc_source" ->
       """SELECT s_suppkey AS suppkey, s_name AS name, s_nationkey AS nationkey,
         |       s_acctbal AS acctbal
-        |FROM supplier WHERE s_acctbal > 0""".stripMargin
+        |FROM supplier WHERE s_acctbal > 0""".stripMargin,
+
+    "s4_partitioned_source" ->
+      """SELECT doc_id, source, n_chars, lang
+        |FROM documents WHERE lang = 'en'""".stripMargin
   )
 }

@@ -125,6 +125,57 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** HTML/markup stripping for web-crawl extraction: drop script/style/
+    * comment blocks WITH their content, then every remaining tag, then
+    * decode the five predefined XML entities, then collapse whitespace.
+    * Patterns stay in the RE2 ∩ java.util.regex subset ((?is) inline
+    * flags, non-greedy — no lookaround), so the oracle replays them
+    * verbatim. Pure codegen regexp_replace chain — shuffle-free at any
+    * corpus size.
+    */
+  def stripMarkup(text: Column): Column = {
+    // no backreferences (RE2 has none): script and style spelled out
+    val noBlocks = regexp_replace(text,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Unigram language-model score (perplexity proxy, the classic web-
+    * corpus quality signal): Σ log10 P(token) under the CORPUS unigram
+    * distribution, per document. Two passes, both scale-shaped: the token
+    * census is one partial-aggregated shuffle of (token, count); scoring
+    * joins token rows back to the census (equi-join on the token — at
+    * 100 TB, bucket the census by token or broadcast a top-K census with
+    * an OOV floor). The per-token log is rounded to MICRO-log10 integers
+    * (round(log10·1e6) — integral doubles cast exactly to long), so the
+    * per-doc sum is exact integer arithmetic: no float-order dependence,
+    * the oracle hash-matches, and avg derives deterministically.
+    *
+    * Output: (doc_id, n_tokens, logp_sum_micro, avg_logp10); token-less
+    * docs carry n_tokens = 0 and null scores.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+    val census = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = census.agg(sum(col("c")).as("n")) // one row, broadcast
+    val scored = tok.join(census, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10(col("c").cast("double") / col("n")) * 1e6).cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("logp_sum_micro"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logp_sum_micro"),
+        round(col("logp_sum_micro").cast("double")
+          / col("n_tokens") / 1e6, 6).as("avg_logp10"))
+  }
+
   /** Normalization for fingerprinting/dedup: lowercase, strip
     * non-alphanumerics, collapse whitespace.
     */

@@ -173,6 +173,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
 
+  test("s4_partitioned_source: lang predicate prunes at the partition level") {
+    val p = executed("s4_partitioned_source")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert("""PartitionFilters: \[[^\]]*lang""".r.findFirstIn(p).isDefined,
+      s"lang not in partition filters:\n$p")
+    // the pruned predicate must NOT fall through to a data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"), s"lang read as data column:\n$p")
+  }
+
   test("e_kmeans_assign: nearest-centroid argmin is a shuffle-free scan") {
     val p = executed("e_kmeans_assign")
     assert(!p.contains("Exchange"), s"centroid assignment plans a shuffle:\n$p")

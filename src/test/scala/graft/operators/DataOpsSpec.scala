@@ -563,4 +563,35 @@ class DataOpsSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq.sorted == Seq(0, 2, 4, 6))
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_payload").length == 8))
   }
+
+  test("stripMarkup: tags, blocks, comments, and entities removed") {
+    val df = Seq(
+      (1L, "<html><body><p>keep this</p><script>drop();</script></body></html>"),
+      (2L, "<style>p { color: red }</style>before <!-- note --> after"),
+      (3L, "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;"),
+      (4L, "<ScRiPt>case insensitive</sCrIpT>ok"),
+      (5L, "<script>\nmultiline\n</script>text")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.stripMarkup($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "keep this")
+    assert(got(2L) == "before after")
+    assert(got(3L) == "a & b <c> \"d\" 'e'")
+    assert(got(4L) == "ok")
+    assert(got(5L) == "text")
+  }
+
+  test("unigramLogProb: hand-checked micro-log sums, exact integers") {
+    // corpus: a a a b  → P(a)=3/4, P(b)=1/4
+    val df = Seq((1L, "a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df).orderBy("doc_id").collect()
+    val lpA = math.round(math.log10(3.0 / 4.0) * 1e6) // -124939
+    val lpB = math.round(math.log10(1.0 / 4.0) * 1e6) // -602060
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 3 * lpA)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == lpB)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
+    // derived average is the deterministic integer-ratio round
+    assert(got(0).getDouble(3) ==
+      BigDecimal(3.0 * lpA / 3 / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
