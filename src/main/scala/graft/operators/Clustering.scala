@@ -166,6 +166,12 @@ object Clustering {
     * cosine ≥ tau within its cluster (keep-lowest-id representative —
     * deterministic, single pass; matches the greedy SemDeDup policy when
     * processing ids in ascending order).
+    *
+    * On EXACT-duplicate-heavy corpora run [[Dedup.exactDeduped]] first:
+    * m identical vectors land in one cluster and cost m²/2 cosine
+    * comparisons here (measured on the 8× copy-saturated scale probe),
+    * whereas the exact collapse removes them for one hash-groupBy — the
+    * same composition contract as [[Dedup.nearDuplicateClusters]].
     */
   def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
                     tau: Double, idCol: String = "vec_id",

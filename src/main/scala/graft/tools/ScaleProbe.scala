@@ -54,7 +54,11 @@ object ScaleProbe {
       "st_session_counts", "j10_asof_join", "t_token_stats",
       "d_dedup_clusters_closed", "g_connected_components", "p_pack_greedy",
       "d_decontaminate", "t_tfidf_topk", "t_heavy_hitters", "t_rm_boilerplate",
-      "t_quality_filter", "s_mixture_upsample", "a12_dataset_card")
+      "t_quality_filter", "s_mixture_upsample", "a12_dataset_card",
+      // round-3 surface
+      "e_kmeans_assign", "e_semantic_pairs", "e_semantic_dedup",
+      "e_quantize_int8", "e_quantized_topk", "st_stream_join",
+      "st_doc_dedup", "t_strip_markup", "t_unigram_logprob")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()
