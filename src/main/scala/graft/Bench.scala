@@ -46,22 +46,28 @@ object Bench {
 
     val runs = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val errors = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (run <- 1 to runs) {
       // deterministic per-run order (seed = run index): reproducible, yet
       // no query sees the same predecessor twice
       val order = new scala.util.Random(7919L * run + 17).shuffle(names)
-      for (name <- order if !failed.contains(name)) {
+      for (name <- order) {
+        // re-attempt every run — a single transient failure (host
+        // contention, OOM blip) must not permanently null the query and
+        // silently deflate the total; only all-runs-failed counts as
+        // failed, partial failures surface as "flaky"
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
           samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-        } catch { case _: Throwable => failed += name }
+        } catch { case _: Throwable => errors(name) += 1 }
       }
     }
+    val failed = names.filter(n => samples(n).isEmpty && errors(n) > 0)
+    val flaky = names.filter(n => samples(n).nonEmpty && errors(n) > 0)
     val loadAfter = loadavg()
 
     def median(xs: List[Double]): Double = {
@@ -92,8 +98,9 @@ object Bench {
       med.get(n).fold("null")(num)).mkString("{", ",", "}")
     val total = med.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson,"flaky":$flakyJson}""")
     spark.stop()
   }
 }

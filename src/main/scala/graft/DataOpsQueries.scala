@@ -449,7 +449,12 @@ object DataOpsQueries {
         .select(col("doc_id"),
           array_join(slice(TextAnalysis.tokens(
             TextAnalysis.normalized(col("text"))), 1, 12), " ").as("text"))
-      Decontaminate.report(test, docs, threshold = 0.99)
+      // maxDf = 0: this is the UNCAPPED parity gate — its oracle applies
+      // no df cap, so the operator must not either (the capped behavior
+      // has its own gate, d_decontaminate_capped). Relying on the default
+      // would silently diverge from this oracle at any scale where some
+      // shingle's train-df exceeds the default cap.
+      Decontaminate.report(test, docs, threshold = 0.99, maxDf = 0L)
     }),
 
     // Decontamination with the stop-shingle cap BINDING (maxDf = 3 at a

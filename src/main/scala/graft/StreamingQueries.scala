@@ -49,8 +49,9 @@ object StreamingQueries {
 
     // Streaming ingestion dedup (batch analog): re-ingest copies of the
     // corpus ∪ suffix-modified novel docs; only novel fingerprints
-    // survive, one row per fp. Output is the fp + how many batch rows
-    // carried it (survivor doc_id is arbitrary → excluded).
+    // survive, one row per fp. Output is the fp alone — the survivor's
+    // doc_id is an arbitrary pick among identical payloads, so it stays
+    // out of the hash-compared columns.
     "st_doc_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val batch = d.where(col("doc_id") % 3 === 0)

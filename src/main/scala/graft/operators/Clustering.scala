@@ -25,8 +25,10 @@ object Clustering {
 
   /** score(v, c) = ‖c‖² − 2 v·c — ranks identically to squared L2 distance
     * (‖v‖² is constant across centroids), one fused dot per centroid.
+    * Shared with [[Similarity.ivfTopKWith]] — the oracles replay this
+    * exact arithmetic, so there must be ONE definition of it.
     */
-  private def score(vec: Column, c: Array[Double]): Column =
+  private[operators] def score(vec: Column, c: Array[Double]): Column =
     lit(c.map(x => x * x).sum) -
       lit(2.0d) * graft.functions.VectorOps.dot(vec, typedLit(c.toSeq))
 
@@ -162,10 +164,19 @@ object Clustering {
       .select(col("cluster_id"), col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** SemDeDup survivors: drop every doc that has a lower-id neighbor at
-    * cosine ≥ tau within its cluster (keep-lowest-id representative —
-    * deterministic, single pass; matches the greedy SemDeDup policy when
-    * processing ids in ascending order).
+  /** SemDeDup survivors, one-pass policy: drop every doc that has ANY
+    * lower-id neighbor at cosine ≥ tau within its cluster.
+    *
+    * Policy fine print — this is neither greedy-sequential nor transitive
+    * closure, deliberately: on a chain a<b<c with a~b and b~c but a≁c,
+    * greedy (process ascending, compare against SURVIVORS only) would
+    * keep c, and so would dropping whole ≥tau-components keep only a;
+    * this one-pass rule drops both b and c. It needs no iteration and no
+    * state, which is why it is the cheap default; near-dup chains whose
+    * ends are genuinely dissimilar lose their tails. When cluster-exact
+    * semantics matter, use [[semanticDedupClusters]] (transitive closure
+    * via distributed connected components, keep-min-per-component — the
+    * same closure contract as [[Dedup.dedupClusters]]).
     *
     * On EXACT-duplicate-heavy corpora run [[Dedup.exactDeduped]] first:
     * m identical vectors land in one cluster and cost m²/2 cosine
@@ -178,6 +189,26 @@ object Clustering {
                     vecCol: String = "embedding"): DataFrame = {
     val pruned = semanticPrunePairs(corpus, centroids, tau, idCol, vecCol)
       .select(col("id_b").as(idCol)).distinct()
+    corpus.join(pruned, Seq(idCol), "left_anti")
+  }
+
+  /** SemDeDup with transitive-closure semantics: connected components
+    * over the ≥tau within-cluster pair graph (large-star/small-star, no
+    * driver graph), keep the minimum id of each component. Costlier than
+    * [[semanticDedup]] (O(log n) shuffle rounds over the pair edges) but
+    * the membership contract is exact and matches the n-gram dedup
+    * clusters ([[Dedup.dedupClusters]]): a doc is dropped iff it is
+    * REACHABLE from a lower-id doc through ≥tau links, never because a
+    * pruned intermediate happened to sit next to it.
+    */
+  def semanticDedupClusters(corpus: DataFrame, centroids: Array[Array[Double]],
+                            tau: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val edges = semanticPrunePairs(corpus, centroids, tau, idCol, vecCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = ConnectedComponents.assign(edges) // (node, component=min id)
+    val pruned = comp.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
     corpus.join(pruned, Seq(idCol), "left_anti")
   }
 }

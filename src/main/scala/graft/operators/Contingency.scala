@@ -84,7 +84,11 @@ object Contingency {
       // report-grain cache — the big frame — can be released before
       // returning: repeated calls in one session hold storage flat.
       // localCheckpoint blocks are freed by the ContextCleaner once the
-      // returned frame is unreachable.
+      // returned frame is unreachable. Tradeoff, acceptable HERE only:
+      // localCheckpoint truncates lineage, so a lost executor kills the
+      // job instead of recomputing — this is the opt-in reference-compat
+      // path (Pipeline defaults to pairStatistics, which keeps lineage);
+      // a compat run that loses executors should simply be rerun.
       .localCheckpoint(true)
     cached.unpersist(false)
     withLLR(pairGrain)

@@ -38,7 +38,11 @@ final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
     // per scheme (fast is unchanged since v1; portable v2 = affine
     // family over 2³¹−1, v1 was per-seed md5) so a still-valid fast
     // index never forces a rebuild.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/params.json"),
+    // params go through the Hadoop FS like the parquet frames — a
+    // java.nio local write would throw on the hdfs://, s3a://, gs://
+    // paths a 100 TB index actually lives on, stranding a params-less
+    // unreadable index.
+    SignatureIndex.writeText(shingles.sparkSession, s"$path/params.json",
       s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"numBands":$numBands,"scheme":"$schemeName","schemeVer":${SignatureIndex.schemeVersion(scheme)}}""")
   }
 }
@@ -50,9 +54,25 @@ object SignatureIndex {
     case HashScheme.Fast     => 1
   }
 
+  private[operators] def writeText(spark: SparkSession, path: String,
+                                   content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   def read(spark: SparkSession, path: String): SignatureIndex = {
-    val params = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/params.json"))
+    val params = readText(spark, s"$path/params.json")
     def p(name: String): Int =
       s""""$name":(\\d+)""".r.findFirstMatchIn(params)
         .map(_.group(1).toInt)

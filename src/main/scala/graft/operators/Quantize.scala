@@ -74,12 +74,6 @@ object Quantize {
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         graft.functions.VectorOps.cosine(col("_cv"), col("_qv")))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    Similarity.topK(scored, k) // the one shared ranking contract
   }
 }

@@ -21,9 +21,11 @@ import scala.util.Random
 object Similarity {
 
   /** Shared output contract for every top-k variant: rank by cosine desc
-    * (neighbor_id tiebreak), keep rank ≤ k, round to 6dp.
+    * (neighbor_id tiebreak), keep rank ≤ k, round to 6dp. Package-visible
+    * so every variant ([[Quantize.quantizedTopK]] included) ranks under
+    * the ONE contract — recall gates compare their outputs directly.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -115,31 +117,24 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   quantizer: Array[Array[Double]], k: Int, nProbe: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids: Array[(Int, Array[Double])] = quantizer.zipWithIndex.map(_.swap)
-    require(centroids.nonEmpty, "corpus too small for the requested nLists")
+    require(quantizer.nonEmpty, "corpus too small for the requested nLists")
 
     // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖²; ‖v‖² is constant across centroids, so
-    // both argmin (assign) and the probe ordering only need
+    // both argmin (assign, via Clustering.assignColumn — the ONE shared
+    // definition the oracles replay) and the probe ordering only need
     // score(v,c) = ‖c‖² − 2 v·c — one fused dot per centroid, no per-row
     // diff array. ‖c‖² is precomputed driver-side.
-    def score(vec: Column, c: Array[Double]): Column =
-      lit(c.map(x => x * x).sum) - lit(2.0d) * dot(vec, typedLit(c.toSeq))
-    // nearest-centroid id via array argmin — each distance expression
-    // appears exactly once (a when-chain fold would nest the running-best
-    // expression twice per step → exponential tree)
-    def assign(vec: Column): Column = {
-      val ds = array(centroids.map { case (_, c) => score(vec, c) }: _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
-    }
     // query → its nProbe nearest centroid ids (array literal fold is
     // driver-cheap: centroids are tiny)
     def probes(vec: Column): Column = {
-      val ds = centroids.map { case (i, c) => struct(score(vec, c).as("d"), lit(i).as("i")) }
+      val ds = quantizer.zipWithIndex.map { case (c, i) =>
+        struct(Clustering.score(vec, c).as("d"), lit(i).as("i"))
+      }
       slice(array_sort(array(ds: _*)), 1, nProbe).getField("i")
     }
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("list_id", assign(col("_cv")))
+      .withColumn("list_id", Clustering.assignColumn(col("_cv"), quantizer))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("list_id", explode(probes(col("_qv"))))
     val scored = c.join(broadcast(q), Seq("list_id"))

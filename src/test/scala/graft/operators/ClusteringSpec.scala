@@ -87,6 +87,37 @@ class ClusteringSpec extends SparkSpec {
     assert(pairs.toSet === Set((0L, 1L)))
   }
 
+  test("semanticDedupClusters: transitive closure keeps one doc per ≥tau component") {
+    // chain 1~2, 2~3 but 1≁3 (tau between cos(1,3) and the others):
+    // one-pass policy drops 2 AND 3; closure also drops both (reachable
+    // from 1) — and on a doc whose only neighbor is HIGHER-id (3~5 below)
+    // the two policies differ: closure prunes it, one-pass keeps it.
+    val df = vecsDf(Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)),
+      (2L, Seq(9f, 4.3f, 0f, 0f)),    // ~0.90 vs 1
+      (3L, Seq(6f, 7.9f, 0f, 0f)),    // ~0.90 vs 2, ~0.6 vs 1
+      (9L, Seq(0f, 0f, 10f, 0f))))    // other cluster, untouched
+    val cents = Array(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 10.0, 0.0))
+    val onePass = Clustering.semanticDedup(df, cents, tau = 0.85)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val closed = Clustering.semanticDedupClusters(df, cents, tau = 0.85)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(onePass == Set(1L, 9L))
+    assert(closed == Set(1L, 9L), "chain 1-2-3 is one component, min=1 survives")
+    // policy-divergence shape: 3's only ≥tau neighbor is 5 (higher id)
+    val df2 = vecsDf(Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)),
+      (5L, Seq(9f, 4.3f, 0f, 0f)),    // ~0.90 vs 1 and vs 3
+      (3L, Seq(6f, 7.9f, 0f, 0f))))   // ~0.90 vs 5, ~0.6 vs 1
+    val cents2 = Array(Array(10.0, 0.0, 0.0, 0.0))
+    val onePass2 = Clustering.semanticDedup(df2, cents2, tau = 0.85)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val closed2 = Clustering.semanticDedupClusters(df2, cents2, tau = 0.85)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(onePass2 == Set(1L, 3L), "one-pass: 3 has no LOWER-id neighbor, kept")
+    assert(closed2 == Set(1L), "closure: 3 reachable from 1 via 5, pruned")
+  }
+
   test("semanticDedup keeps the lowest id of a duplicate group") {
     val df = vecsDf(Seq(
       (5L, Seq(10f, 0f, 0f, 0f)),
