@@ -402,6 +402,19 @@ object DataOpsQueries {
         .select("vec_id")
     }),
 
+    // Transitive-closure semantic dedup on a TRIPLE corpus (vector ∪ two
+    // identical twins): each ≥tau component has three members spanning
+    // the id shifts, closure keeps the minimum — the original. Exercises
+    // the CC path on multi-node components; oracle is the survivor set.
+    "e_semantic_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb
+        .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(2000000L)))
+      Clustering.semanticDedupClusters(corpus, fixedCentroids(s, dir, 8),
+        tau = 0.95).select("vec_id")
+    }),
+
     // Symmetric per-vector int8 quantization: (scale, qvec) fully replayed
     // by the oracle (round grid is engine-portable on float inputs).
     "e_quantize_int8" -> ((s, dir) =>
@@ -1197,6 +1210,11 @@ object DataOpsQueries {
         |    AND round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.95)
         |SELECT vec_id FROM base
         |WHERE vec_id NOT IN (SELECT vec_id FROM pruned)""".stripMargin,
+
+    // identical twins share clusters and pair at cosine 1 ≥ tau; random
+    // cross-pairs stay below — every component's min id is the original
+    "e_semantic_clusters" ->
+      """SELECT vec_id FROM embeddings""",
 
     "e_quantize_int8" ->
       """WITH m AS (
