@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Quantize, Salience, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -400,6 +400,23 @@ object DataOpsQueries {
       val both = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
       Clustering.semanticDedup(both, fixedCentroids(s, dir, 8), tau = 0.95)
         .select("vec_id")
+    }),
+
+    // Repeated-span removal (fixed-k substring dedup): corpus = documents
+    // ∪ a remix per ≥12-token doc (its first 12 tokens + a unique tail) —
+    // the shared 12-token prefix repeats across the pair, so every
+    // window inside it is a repeated span and both sides lose exactly
+    // those tokens; the unique tails survive (oracle replays the census
+    // and reassembly token-exactly).
+    "d_span_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val remix = d.where(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 12)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(array_join(slice(col("toks"), 1, 12), " "),
+            lit(" tailmark"), col("doc_id").cast("string")).as("text"))
+      SpanDedup.removeRepeatedSpans(d.unionByName(remix), k = 8)
     }),
 
     // Transitive-closure semantic dedup on a TRIPLE corpus (vector ∪ two
@@ -1215,6 +1232,49 @@ object DataOpsQueries {
     // cross-pairs stay below — every component's min id is the original
     "e_semantic_clusters" ->
       """SELECT vec_id FROM embeddings""",
+
+    "d_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(toks[1:12], ' ') || ' tailmark' || doc_id
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents WHERE trim(text) <> '')
+        |  WHERE len(toks) >= 12),
+        |arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, u.wpos, u.dig FROM (
+        |    SELECT doc_id,
+        |      unnest([{'wpos': i, 'dig': md5(array_to_string(arr[i+1:i+8], ' '))}
+        |              FOR i IN range(0, len(arr) - 7)]) AS u
+        |    FROM arrs WHERE len(arr) >= 8)),
+        |repeated AS (SELECT dig FROM wins GROUP BY dig HAVING count(*) > 1),
+        |covered AS (
+        |  SELECT DISTINCT w.doc_id, t.pos
+        |  FROM wins w JOIN repeated USING (dig),
+        |       unnest(range(w.wpos, w.wpos + 8)) AS t(pos)),
+        |toks AS (
+        |  SELECT doc_id, u.pos, u.tok FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i, 'tok': arr[i+1]} FOR i IN range(len(arr))]) AS u
+        |    FROM arrs)),
+        |rebuilt AS (
+        |  SELECT t.doc_id, count(*) AS n_kept,
+        |         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+        |  FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT a.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  len(a.arr)::BIGINT AS n_tokens,
+        |  (len(a.arr) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+        |FROM arrs a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "e_quantize_int8" ->
       """WITH m AS (

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level repeated-SPAN removal — the fixed-k approximation of
+  * suffix-array substring deduplication (the "remove any ≥k-token
+  * substring that appears twice in the corpus" policy from the
+  * dedup-training-data literature). A k-token window whose text occurs
+  * more than once ANYWHERE in the corpus (across docs or within one) is
+  * a repeated span; every token covered by at least one repeated window
+  * is dropped and the survivors are reassembled in order.
+  *
+  * Differs from the line-grain [[Boilerplate]] census (whole lines only)
+  * and from [[Decontaminate]] (containment REPORTING, not removal): this
+  * edits inside documents at token granularity.
+  *
+  * Scale shape: the window census is one partial-aggregated shuffle of
+  * 16-byte digests; duplicate positions come back via an equi-join on
+  * the digest; coverage explode is a bounded ×k fan-out of only the
+  * DUPLICATED windows; reassembly is one groupBy(doc_id) with a sorted
+  * collect_list (token order restored explicitly — collect_list order is
+  * not a contract). No all-pairs anything; text never shuffles except as
+  * the final per-doc reassembly.
+  *
+  * Reassembly joins tokens with single spaces, i.e. original whitespace
+  * is normalized — the standard contract for token-level editing.
+  */
+object SpanDedup {
+
+  /** (doc_id, clean_text, n_tokens, n_removed).
+    *
+    * @param k window length in tokens; docs shorter than k tokens are
+    *          never edited (no window of length k exists in them)
+    */
+  def removeRepeatedSpans(docs: DataFrame, k: Int = 8,
+                          textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span window must be at least 2 tokens, got $k")
+    val toksCol = TextAnalysis.tokens(col(textCol))
+
+    // windows in position order: shingle index IS the start position.
+    // The < k guard matters — NGramShingles collapses shorter inputs to
+    // one whole-text shingle, which would wrongly let a short doc's full
+    // text census-match a window of a longer doc.
+    val wins = docs
+      .select(col("doc_id"),
+        when(size(toksCol) >= k,
+          graft.functions.NGramShingles.shingles(col(textCol), k))
+          .otherwise(array().cast("array<string>")).as("wins"))
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("wpos", "w")))
+      .select(col("doc_id"), col("wpos"), md5(col("w")).as("dig"))
+
+    val repeated = wins.groupBy("dig").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("dig")
+    val covered = wins.join(repeated, Seq("dig"))
+      .select(col("doc_id"),
+        explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
+      .distinct()
+
+    val toks = docs.select(col("doc_id"),
+      posexplode(toksCol).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+
+    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+}

@@ -58,7 +58,8 @@ object ScaleProbe {
       // round-3 surface
       "e_kmeans_assign", "e_semantic_pairs", "e_semantic_dedup",
       "e_quantize_int8", "e_quantized_topk", "st_stream_join",
-      "st_doc_dedup", "t_strip_markup", "t_unigram_logprob")
+      "st_doc_dedup", "t_strip_markup", "t_unigram_logprob",
+      "d_span_dedup")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()

@@ -564,6 +564,39 @@ class DataOpsSpec extends SparkSpec {
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_payload").length == 8))
   }
 
+  test("removeRepeatedSpans: shared k-window spans removed, unique text survives") {
+    // docs 1 and 2 share an exact 4-token span; doc 3 is unrelated;
+    // doc 4 is shorter than k and must never be edited even though its
+    // whole text equals doc 5's (no k-window exists in either)
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta tail2"),
+      (3L, "totally different words here now ok"),
+      (4L, "tiny doc"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.removeRepeatedSpans(df, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: window (alpha..delta) repeated → tokens 0-3 dropped
+    assert(got(1L) == (("unique1 tail1", 6L, 4L)))
+    // doc2: same window at position 1 → tokens 1-4 dropped
+    assert(got(2L) == (("prefix2 tail2", 6L, 4L)))
+    assert(got(3L) == (("totally different words here now ok", 6L, 0L)))
+    assert(got(4L) == (("tiny doc", 2L, 0L)))
+    assert(got(5L) == (("tiny doc", 2L, 0L)))
+  }
+
+  test("removeRepeatedSpans: intra-document repetition is also a repeated span") {
+    val df = Seq((1L, "a b c d x y a b c d"), (2L, "nothing shared at all here")).toDF("doc_id", "text")
+    val got = SpanDedup.removeRepeatedSpans(df, k = 4)
+      .where($"doc_id" === 1).head()
+    // the 4-gram "a b c d" occurs twice inside doc 1 → both occurrences
+    // covered; x y survive
+    assert(got.getString(1) == "x y")
+    assert(got.getLong(3) == 8L)
+  }
+
   test("stripMarkup: tags, blocks, comments, and entities removed") {
     val df = Seq(
       (1L, "<html><body><p>keep this</p><script>drop();</script></body></html>"),
