@@ -419,6 +419,11 @@ object DataOpsQueries {
       SpanDedup.removeRepeatedSpans(d.unionByName(remix), k = 8)
     }),
 
+    // Context-window chunking: 64-token windows, 16-token overlap
+    // (stride 48) — strided slicing replayed exactly in SQL.
+    "t_chunk" -> ((s, dir) =>
+      SpanDedup.chunk(Tables.documents(s, dir), maxTokens = 64, overlap = 16)),
+
     // Transitive-closure semantic dedup on a TRIPLE corpus (vector ∪ two
     // identical twins): each ≥tau component has three members spanning
     // the id shifts, closure keeps the minimum — the original. Exercises
@@ -760,10 +765,11 @@ object DataOpsQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
 
-    // entity replaces applied in the same order as the operator's fold
+    // entity replaces applied in the same order as the operator's fold;
+    // horizontal whitespace collapses to ' ', newline runs to one \n
     "t_strip_markup" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(
+        |  trim(regexp_replace(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(
         |        regexp_replace(
@@ -772,7 +778,7 @@ object DataOpsQueries {
         |          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
         |        '(?s)<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS clean
+        |    '[^\S\n]+', ' ', 'g'), ' ?\n+ ?', chr(10), 'g'), ' ' || chr(10)) AS clean
         |FROM documents""".stripMargin,
 
     "t_unigram_logprob" ->
@@ -1232,6 +1238,26 @@ object DataOpsQueries {
     // cross-pairs stay below — every component's min id is the original
     "e_semantic_clusters" ->
       """SELECT vec_id FROM embeddings""",
+
+    // range() is stop-EXCLUSIVE in DuckDB vs inclusive Spark sequence →
+    // +1 on the stop bound
+    "t_chunk" ->
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, arr, len(arr) AS n, t.s
+        |  FROM (SELECT doc_id, arr FROM arrs WHERE len(arr) >= 1) a,
+        |       unnest(range(0,
+        |         greatest(CAST(ceil((len(arr) - 64)::DOUBLE / 48) AS INT), 0) * 48 + 1,
+        |         48)) AS t(s))
+        |SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+        |  array_to_string(arr[s+1:s+64], ' ') AS chunk_text,
+        |  s::BIGINT AS chunk_start,
+        |  least(n - s, 64)::BIGINT AS chunk_tokens
+        |FROM starts""".stripMargin,
 
     "d_span_dedup" ->
       """WITH corpus AS (

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data preparation chain the individual
+  * operators are designed to compose into — one documented entry point
+  * running the standard web-corpus recipe:
+  *
+  *  1. markup stripping ([[TextAnalysis.stripMarkup]])
+  *  2. quality filtering ([[QualityFilter]], Gopher-style rules)
+  *  3. boilerplate line removal ([[Boilerplate.removeBoilerplate]])
+  *  4. exact dedup ([[Dedup.exactDeduped]])
+  *  5. near-dedup ([[Dedup.dedupClusters]] — MinHash+LSH with
+  *     connected-components closure, keep cluster representatives)
+  *  6. repeated-span removal ([[SpanDedup.removeRepeatedSpans]])
+  *  7. benchmark decontamination ([[Decontaminate.contaminatedTrainIds]]
+  *     → left_anti; skipped when no benchmark frame is supplied)
+  *  8. context-window chunking ([[SpanDedup.chunk]])
+  *
+  * Stage ORDER is deliberate, and the dedup-before-span-removal part is
+  * load-bearing: a document duplicated m times has EVERY k-window
+  * repeated, so span removal run before dedup would edit all m copies —
+  * including the one that should survive — down to nothing. Dedup first
+  * leaves one representative whose text is intact; the spans the span
+  * stage then removes are genuine cross-document repetition. Exact
+  * dedup precedes MinHash so LSH never wastes candidates on identical
+  * payloads, and chunking runs last so every upstream decision happens
+  * once per document, not once per chunk.
+  *
+  * Every stage is individually oracle-gated; the composition is pinned
+  * by DataPipelineSpec (stage-by-stage row accounting on a corpus with
+  * planted markup, low-quality docs, boilerplate, copies, near-copies,
+  * and benchmark contamination).
+  */
+object DataPipeline {
+
+  /** @param quality        Gopher-style keep rules
+    * @param spanK          repeated-span window (tokens); 0 disables
+    * @param nearDupThreshold MinHash-verified Jaccard threshold
+    * @param contaminationThreshold n-gram containment threshold for the
+    *                       benchmark drop set
+    * @param chunkTokens    context-window size; 0 disables chunking
+    * @param chunkOverlap   tokens shared between consecutive chunks
+    */
+  final case class Config(
+      quality: QualityFilter.Rules = QualityFilter.Rules(),
+      spanK: Int = 8,
+      nearDupThreshold: Double = 0.8,
+      contaminationThreshold: Double = 0.8,
+      chunkTokens: Int = 2048,
+      chunkOverlap: Int = 0)
+
+  /** Run the full chain. Returns chunk-grain rows when chunking is on
+    * ((doc_id, chunk_id, chunk_text, chunk_start, chunk_tokens)),
+    * doc-grain (doc_id, text) otherwise.
+    */
+  def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
+              cfg: Config = Config()): DataFrame = {
+    val stripped = docs.withColumn("text",
+      TextAnalysis.stripMarkup(col("text")))
+    val quality = QualityFilter(stripped, cfg.quality)
+    val deBoiler = Boilerplate.removeBoilerplate(quality)
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("text")) // all-boilerplate → ""
+    val exact = Dedup.exactDeduped(deBoiler)
+    val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
+      .where(col("is_survivor")).select("doc_id")
+    val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
+    val deSpan =
+      if (cfg.spanK <= 0) deduped
+      else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
+        .select(col("doc_id"), col("clean_text").as("text"))
+    val decontaminated = benchmarks match {
+      case None => deSpan
+      case Some(bench) =>
+        deSpan.join(
+          Decontaminate.contaminatedTrainIds(bench, deSpan,
+            threshold = cfg.contaminationThreshold),
+          Seq("doc_id"), "left_anti")
+    }
+    if (cfg.chunkTokens <= 0) decontaminated
+    else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
+  }
+}

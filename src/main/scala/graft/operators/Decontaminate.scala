@@ -41,9 +41,12 @@ object Decontaminate {
     */
   val DefaultMaxDf: Long = 100000L
 
-  def report(test: DataFrame, train: DataFrame, textCol: String = "text",
-             threshold: Double = 0.8, shingleSize: Int = 3,
-             maxDf: Long = DefaultMaxDf): DataFrame = {
+  /** (test_id, train_id, containment ≥ threshold) pairs — the shared
+    * inverted-index core of [[report]] and [[contaminatedTrainIds]].
+    */
+  private def scoredPairs(test: DataFrame, train: DataFrame, textCol: String,
+                          threshold: Double, shingleSize: Int,
+                          maxDf: Long): DataFrame = {
     val testSh = Dedup.shingleRows(test, textCol, shingleSize)
       .select(col("doc_id").as("test_id"), col("g"))
     val trainSh0 = Dedup.shingleRows(train, textCol, shingleSize)
@@ -60,10 +63,16 @@ object Decontaminate {
     val testSizes = testSh.groupBy("test_id").agg(count(lit(1)).as("_n"))
     val matches = testSh.join(trainSh, Seq("g"))
       .groupBy("test_id", "train_id").agg(count(lit(1)).as("_m"))
-    val scored = matches.join(testSizes, Seq("test_id"))
+    matches.join(testSizes, Seq("test_id"))
       .withColumn("containment",
         round(col("_m").cast("double") / col("_n"), 6))
       .where(col("containment") >= threshold)
+  }
+
+  def report(test: DataFrame, train: DataFrame, textCol: String = "text",
+             threshold: Double = 0.8, shingleSize: Int = 3,
+             maxDf: Long = DefaultMaxDf): DataFrame = {
+    val scored = scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
     // best train match per test doc (min train_id tiebreak → deterministic)
     scored.groupBy("test_id")
       .agg(max(struct(col("containment"), (-col("train_id")).as("_neg")))
@@ -74,4 +83,16 @@ object Decontaminate {
         (-col("_best._neg")).cast("long").as("best_train_id"),
         col("max_containment"), col("n_contaminating"))
   }
+
+  /** The DROP set for corpus decontamination: every train doc containing
+    * ≥ threshold of ANY test/benchmark doc's shingle set — not just the
+    * best match per benchmark that [[report]] surfaces. One `doc_id`
+    * column, ready for a left_anti join against the corpus.
+    */
+  def contaminatedTrainIds(test: DataFrame, train: DataFrame,
+                           textCol: String = "text", threshold: Double = 0.8,
+                           shingleSize: Int = 3,
+                           maxDf: Long = DefaultMaxDf): DataFrame =
+    scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
+      .select(col("train_id").as("doc_id")).distinct()
 }

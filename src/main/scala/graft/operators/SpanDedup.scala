@@ -73,4 +73,44 @@ object SpanDedup {
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window preparation step between cleaning and
+    * [[Packing.packGreedy]]: models consume ≤ maxTokens sequences, so
+    * long documents become strided windows (stride = maxTokens −
+    * overlap), each carrying its ordinal and span so provenance survives.
+    * Final partial chunks are kept (a tail shorter than maxTokens is
+    * still training data); docs at most maxTokens long yield exactly
+    * one chunk. Shuffle-free: one projection computes every chunk via
+    * slicing — the ×(n/stride) row fan-out is the contract, not a join.
+    *
+    * Output: (doc_id, chunk_id, chunk_text, chunk_start, chunk_tokens).
+    */
+  def chunk(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+            textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap (maxTokens=$maxTokens)")
+    val stride = maxTokens - overlap
+    val toksCol = TextAnalysis.tokens(col(textCol))
+    // chunk starts: 0, stride, 2·stride, …, stride·ceil((n−maxTokens)/stride)
+    // — the last start is the first one whose window reaches the end
+    docs
+      .select(col("doc_id"), toksCol.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .where(col("_n") >= 1)
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        explode(sequence(lit(0),
+          greatest(
+            ceil((col("_n") - lit(maxTokens)).cast("double") / stride).cast("int"),
+            lit(0)) * stride,
+          lit(stride))).as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("_toks"), col("chunk_start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(col("_n") - col("chunk_start"), lit(maxTokens)).cast("long")
+          .as("chunk_tokens"))
+  }
 }

@@ -128,10 +128,14 @@ object TextAnalysis {
   /** HTML/markup stripping for web-crawl extraction: drop script/style/
     * comment blocks WITH their content, then every remaining tag, then
     * decode the five predefined XML entities, then collapse whitespace.
+    * NEWLINES SURVIVE (horizontal runs collapse to one space, newline
+    * runs to one '\n') — the line structure is what the downstream
+    * boilerplate line census keys on, so flattening it here would make
+    * strip → boilerplate composition silently keep every footer.
     * Patterns stay in the RE2 ∩ java.util.regex subset ((?is) inline
-    * flags, non-greedy — no lookaround), so the oracle replays them
-    * verbatim. Pure codegen regexp_replace chain — shuffle-free at any
-    * corpus size.
+    * flags, non-greedy — no lookaround, no backreferences), so the
+    * oracle replays them verbatim. Pure codegen regexp_replace chain —
+    * shuffle-free at any corpus size.
     */
   def stripMarkup(text: Column): Column = {
     // no backreferences (RE2 has none): script and style spelled out
@@ -141,7 +145,8 @@ object TextAnalysis {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    val hCollapsed = regexp_replace(decoded, "[^\\S\\n]+", " ")
+    trim(regexp_replace(hCollapsed, " ?\\n+ ?", "\n"), " \n")
   }
 
   /** Unigram language-model score (perplexity proxy, the classic web-

@@ -597,6 +597,28 @@ class DataOpsSpec extends SparkSpec {
     assert(got.getLong(3) == 8L)
   }
 
+  test("chunk: strided windows with overlap, tail kept, short docs single-chunk") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b c"),                         // shorter than maxTokens
+      (3L, "")                               // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.chunk(df, maxTokens = 4, overlap = 1) // stride 3
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+    // starts 0,3,6 (ceil((10-4)/3)=2 → last start 6): windows of 4, tail 4
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_.getString(2)).toSeq ==
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(d1.map(_.getLong(4)).toSeq == Seq(4L, 4L, 4L))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "a b c" && d2.head.getLong(4) == 3L)
+    assert(!got.exists(_.getLong(0) == 3L))
+    // every token of doc 1 appears in at least one chunk
+    val covered = d1.flatMap(r => r.getString(2).split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+  }
+
   test("stripMarkup: tags, blocks, comments, and entities removed") {
     val df = Seq(
       (1L, "<html><body><p>keep this</p><script>drop();</script></body></html>"),
@@ -612,6 +634,16 @@ class DataOpsSpec extends SparkSpec {
     assert(got(3L) == "a & b <c> \"d\" 'e'")
     assert(got(4L) == "ok")
     assert(got(5L) == "text")
+  }
+
+  test("stripMarkup preserves line structure for downstream line censuses") {
+    val df = Seq(
+      (1L, "body line one\nCOMMON FOOTER\nbody line two"),
+      (2L, "a  \n\n  b")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.stripMarkup($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "body line one\nCOMMON FOOTER\nbody line two")
+    assert(got(2L) == "a\nb", "blank-line runs collapse to one newline")
   }
 
   test("unigramLogProb: hand-checked micro-log sums, exact integers") {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus exercising every stage:
+  //  1..12  good docs sharing a boilerplate footer line (≥ minDocs=10)
+  //  20     markup-wrapped copy of doc 1's visible text → exact-dup after strip
+  //  21     near-copy of doc 2 (one token appended) → near-dup cluster
+  //  22     junk (too short) → quality-dropped
+  //  23     contains the benchmark text verbatim → decontaminated
+  //  1,3    share an 8-token span not shared with anything else → span-edited
+  private val sharedSpan = "s1 s2 s3 s4 s5 s6 s7 s8"
+  private def base(i: Int): String = {
+    val body = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+    s"$body\nCOMMON FOOTER LINE PLEASE IGNORE"
+  }
+  private def corpus = {
+    val withSpan1 = s"${base(1)} $sharedSpan"
+    val withSpan3 = s"${base(3)} $sharedSpan"
+    val good = (1 to 12).map {
+      case 1 => (1L, withSpan1)
+      case 3 => (3L, withSpan3)
+      case i => (i.toLong, base(i))
+    }
+    // no footer inside the markup: post-strip this is byte-identical to
+    // doc 1's post-boilerplate text → a true exact duplicate at stage 4
+    val bodyPlusSpan1 = withSpan1.replace("\nCOMMON FOOTER LINE PLEASE IGNORE", "")
+    val markup = (20L,
+      s"<html><body><p>$bodyPlusSpan1</p><script>x()</script></body></html>")
+    val near = (21L, base(2) + " extraTokenHere")
+    val junk = (22L, "tiny")
+    val contaminated = (23L,
+      "leading words then the benchmark question one two three four five six seven eight nine ten")
+    (good :+ markup :+ near :+ junk :+ contaminated).toDF("doc_id", "text")
+  }
+  private val benchmarks = Seq(
+    (9001L, "the benchmark question one two three four five six seven eight nine ten"))
+    .toDF("doc_id", "text")
+
+  private val cfg = DataPipeline.Config(
+    quality = QualityFilter.Rules(minTokens = 3, minMeanTokenLen = 0.0,
+      maxMeanTokenLen = 100.0),
+    spanK = 8,
+    nearDupThreshold = 0.7,
+    contaminationThreshold = 0.6,
+    chunkTokens = 0) // doc-grain output for the accounting assertions
+
+  test("full chain: every stage drops or edits exactly its targets") {
+    val out = DataPipeline.prepare(corpus, Some(benchmarks), cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // quality: junk doc gone
+    assert(!out.contains(22L))
+    // exact dedup after markup strip: doc 20 ≡ doc 1 → lower id survives
+    assert(out.contains(1L) && !out.contains(20L))
+    // decontamination: doc 23 gone (contains the whole benchmark)
+    assert(!out.contains(23L))
+    // near-dup: 2 vs 21 → one survivor, the lower id
+    assert(out.contains(2L) && !out.contains(21L))
+    // boilerplate footer line removed from every surviving good doc
+    (1 to 12).foreach { i =>
+      if (out.contains(i.toLong))
+        assert(!out(i.toLong).contains("COMMON FOOTER"),
+          s"doc $i kept the boilerplate footer: ${out(i.toLong)}")
+    }
+    // span dedup: the 8-token span shared by docs 1 and 3 is edited out
+    // of both (both survive dedup — their bodies differ)
+    assert(out.contains(1L) && out.contains(3L))
+    assert(!out(1L).contains("s1") && !out(3L).contains("s1"),
+      s"shared span survived: ${out(1L)} / ${out(3L)}")
+    // their unique bodies survive the span edit
+    assert(out(1L).contains("w1_0") && out(3L).contains("w3_0"))
+  }
+
+  test("chunking stage emits strided chunk grain when enabled") {
+    val out = DataPipeline.prepare(corpus, None,
+      cfg.copy(chunkTokens = 8, chunkOverlap = 2))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "chunk_text", "chunk_start", "chunk_tokens"))
+    val d5 = out.where($"doc_id" === 5L).orderBy("chunk_id").collect()
+    assert(d5.length >= 2, "13-token doc at chunk=8/stride=6 → 2 chunks")
+    assert(d5.forall(_.getLong(4) <= 8L))
+  }
+}
