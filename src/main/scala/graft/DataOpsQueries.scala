@@ -411,7 +411,7 @@ object DataOpsQueries {
     "d_span_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val remix = d.where(trim(col("text")) =!= "")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextAnalysis.kernelTokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 12)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           concat(array_join(slice(col("toks"), 1, 12), " "),
@@ -1244,8 +1244,8 @@ object DataOpsQueries {
     "t_chunk" ->
       """WITH arrs AS (
         |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') END AS arr
         |  FROM documents),
         |starts AS (
         |  SELECT doc_id, arr, len(arr) AS n, t.s
@@ -1259,19 +1259,22 @@ object DataOpsQueries {
         |  least(n - s, 64)::BIGINT AS chunk_tokens
         |FROM starts""".stripMargin,
 
+    // trim with the full whitespace class: the operator's kernel
+    // tokenization java-trims ALL whitespace, not just spaces
     "d_span_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |         array_to_string(toks[1:12], ' ') || ' tailmark' || doc_id
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |        FROM documents WHERE trim(text) <> '')
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS toks
+        |        FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> '')
         |  WHERE len(toks) >= 12),
         |arrs AS (
         |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') END AS arr
         |  FROM corpus),
         |wins AS (
         |  SELECT doc_id, u.wpos, u.dig FROM (

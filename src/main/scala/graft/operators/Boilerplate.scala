@@ -56,8 +56,7 @@ object Boilerplate {
         md5(col("line")) === bp("line_digest"), "left_anti")
       .groupBy("doc_id")
       .agg(
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")), lineSep).as("clean_text"),
+        TextAnalysis.joinInOrder(col("pos"), col("line"), lineSep).as("clean_text"),
         count(lit(1)).as("n_lines_kept"))
     docs.select(col("doc_id"), size(splitLines(col(textCol), lineSep)).as("n_lines"))
       .join(kept, Seq("doc_id"), "left_outer")

@@ -60,9 +60,13 @@ object DataPipeline {
     val stripped = docs.withColumn("text",
       TextAnalysis.stripMarkup(col("text")))
     val quality = QualityFilter(stripped, cfg.quality)
+    // removeBoilerplate already coalesces all-boilerplate docs to "";
+    // drop those empties HERE — otherwise exact dedup conflates every
+    // unrelated emptied doc into one ""-fingerprint group and one of
+    // them flows through as an empty "training document"
     val deBoiler = Boilerplate.removeBoilerplate(quality)
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("text")) // all-boilerplate → ""
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .where(length(col("text")) > 0)
     val exact = Dedup.exactDeduped(deBoiler)
     val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
       .where(col("is_survivor")).select("doc_id")
@@ -71,6 +75,7 @@ object DataPipeline {
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .where(length(col("text")) > 0) // span-emptied docs carry no signal
     val decontaminated = benchmarks match {
       case None => deSpan
       case Some(bench) =>

@@ -36,7 +36,12 @@ object SpanDedup {
   def removeRepeatedSpans(docs: DataFrame, k: Int = 8,
                           textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span window must be at least 2 tokens, got $k")
-    val toksCol = TextAnalysis.tokens(col(textCol))
+    // kernelTokens, NOT tokens: window positions come from the shingle
+    // kernel (full whitespace trim), so token positions must use the
+    // SAME tokenization — Spark trim's phantom empty token on a leading
+    // newline would shift every edit offset by one and defeat the
+    // short-doc guard.
+    val toksCol = TextAnalysis.kernelTokens(col(textCol))
 
     // windows in position order: shingle index IS the start position.
     // The < k guard matters — NGramShingles collapses shorter inputs to
@@ -62,9 +67,7 @@ object SpanDedup {
     val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")), " ").as("clean_text"))
+        TextAnalysis.joinInOrder(col("pos"), col("tok"), " ").as("clean_text"))
 
     docs.select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
@@ -92,7 +95,7 @@ object SpanDedup {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap (maxTokens=$maxTokens)")
     val stride = maxTokens - overlap
-    val toksCol = TextAnalysis.tokens(col(textCol))
+    val toksCol = TextAnalysis.kernelTokens(col(textCol))
     // chunk starts: 0, stride, 2·stride, …, stride·ceil((n−maxTokens)/stride)
     // — the last start is the first one whose window reaches the end
     docs

@@ -12,11 +12,40 @@ object TextAnalysis {
 
   /** Whitespace tokenization; empty/blank text → empty array (split of ""
     * would otherwise yield [""]).
+    *
+    * CAVEAT: Spark `trim` strips SPACES only, so text with a leading
+    * newline/tab yields a phantom empty first token. Harmless where only
+    * counts/ratios are consumed, but positional consumers must use
+    * [[kernelTokens]], which agrees with the NGramShingles window
+    * positions (full whitespace trim).
     */
   def tokens(text: Column): Column = {
     val t = split(trim(text), "\\s+")
     when(trim(text) === "", array().cast("array<string>")).otherwise(t)
   }
+
+  /** Kernel tokenization ([[graft.functions.ShingleKernel]], n = 1):
+    * FULL whitespace trim + \s+ split — no phantom empty tokens on
+    * leading newlines, and positionally consistent with NGramShingles
+    * windows (window i covers kernel tokens i..i+n−1), which is the
+    * invariant [[SpanDedup]] depends on. Empty/blank input → empty array
+    * (the kernel's [""] whole-text shingle for empty input is mapped
+    * away).
+    */
+  def kernelTokens(text: Column): Column = {
+    val t = graft.functions.NGramShingles.shingles(text, 1)
+    when(t === array(lit("")), array().cast("array<string>")).otherwise(t)
+  }
+
+  /** Aggregate expression: `value`s joined by `sep` in ascending `pos`
+    * order — collect_list order is NOT a contract, the sort is what
+    * restores it. Shared by every line/token reassembly
+    * ([[graft.operators.Boilerplate]], [[graft.operators.SpanDedup]]).
+    */
+  def joinInOrder(pos: Column, value: Column, sep: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(pos.as("p"), value.as("v")))),
+        s => s.getField("v")), sep)
 
   /** BPE-ish subword count approximation: alnum runs and single
     * non-alnum/non-space marks each count as one token.
@@ -146,7 +175,10 @@ object TextAnalysis {
         "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     val hCollapsed = regexp_replace(decoded, "[^\\S\\n]+", " ")
-    trim(regexp_replace(hCollapsed, " ?\\n+ ?", "\n"), " \n")
+    // any run CONTAINING a newline collapses to one '\n' — " \n \n " is
+    // a single blank-line run, not two (a ' ?\n+ ?' pattern would leave
+    // "\n\n" behind and feed phantom empty lines to line censuses)
+    trim(regexp_replace(hCollapsed, "[ \\n]*\\n[ \\n]*", "\n"), " \n")
   }
 
   /** Unigram language-model score (perplexity proxy, the classic web-

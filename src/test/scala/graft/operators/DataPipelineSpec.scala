@@ -14,24 +14,28 @@ class DataPipelineSpec extends SparkSpec {
   //  23     contains the benchmark text verbatim → decontaminated
   //  1,3    share an 8-token span not shared with anything else → span-edited
   private val sharedSpan = "s1 s2 s3 s4 s5 s6 s7 s8"
-  private def base(i: Int): String = {
-    val body = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
-    s"$body\nCOMMON FOOTER LINE PLEASE IGNORE"
-  }
+  private val footer = "COMMON FOOTER LINE PLEASE IGNORE"
+  private def body(i: Int): String =
+    (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+  // span goes BEFORE the footer line so all 12 docs share the footer
+  // line byte-identically (span-modified docs included) — the census
+  // must see 12 ≥ minDocs copies of ONE line
+  private def base(i: Int): String = s"${body(i)}\n$footer"
+  private def withSpan(i: Int): String = s"${body(i)} $sharedSpan\n$footer"
   private def corpus = {
-    val withSpan1 = s"${base(1)} $sharedSpan"
-    val withSpan3 = s"${base(3)} $sharedSpan"
     val good = (1 to 12).map {
-      case 1 => (1L, withSpan1)
-      case 3 => (3L, withSpan3)
+      case 1 => (1L, withSpan(1))
+      case 3 => (3L, withSpan(3))
       case i => (i.toLong, base(i))
     }
     // no footer inside the markup: post-strip this is byte-identical to
     // doc 1's post-boilerplate text → a true exact duplicate at stage 4
-    val bodyPlusSpan1 = withSpan1.replace("\nCOMMON FOOTER LINE PLEASE IGNORE", "")
     val markup = (20L,
-      s"<html><body><p>$bodyPlusSpan1</p><script>x()</script></body></html>")
-    val near = (21L, base(2) + " extraTokenHere")
+      s"<html><body><p>${body(1)} $sharedSpan</p><script>x()</script></body></html>")
+    // near-copy: same BODY as doc 2 plus one extra token, no footer —
+    // post-boilerplate doc 2 is its bare body, so Jaccard is high but
+    // the fingerprints differ (near-dup, NOT exact-dup)
+    val near = (21L, body(2) + " extraTokenHere")
     val junk = (22L, "tiny")
     val contaminated = (23L,
       "leading words then the benchmark question one two three four five six seven eight nine ten")
@@ -74,6 +78,23 @@ class DataPipelineSpec extends SparkSpec {
       s"shared span survived: ${out(1L)} / ${out(3L)}")
     // their unique bodies survive the span edit
     assert(out(1L).contains("w1_0") && out(3L).contains("w3_0"))
+  }
+
+  test("stage 4 exact dedup catches the stripped markup copy before LSH") {
+    // replicate stages 1-3, then assert the EXACT stage drops doc 20 —
+    // the end-to-end test cannot distinguish this from the near-dup
+    // stage (a Jaccard-1.0 pair falls to LSH too), this can
+    val stripped = corpus.withColumn("text", TextAnalysis.stripMarkup($"text"))
+    val quality = QualityFilter(stripped, cfg.quality)
+    val deBoiler = Boilerplate.removeBoilerplate(quality)
+      .select($"doc_id", $"clean_text".as("text"))
+      .where(length($"text") > 0)
+    val t1 = deBoiler.where($"doc_id" === 1L).head().getString(1)
+    val t20 = deBoiler.where($"doc_id" === 20L).head().getString(1)
+    assert(t1 == t20, s"post-boilerplate texts must be byte-identical:\n$t1\n$t20")
+    val exact = Dedup.exactDeduped(deBoiler)
+    assert(exact.where($"doc_id" === 20L).count() == 0)
+    assert(exact.where($"doc_id" === 1L).count() == 1)
   }
 
   test("chunking stage emits strided chunk grain when enabled") {
