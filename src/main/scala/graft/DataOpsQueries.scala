@@ -189,6 +189,14 @@ object DataOpsQueries {
       Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8,
         scheme = graft.operators.HashScheme.Portable)),
 
+    // Production-scheme twin: the SAME query under the library-default
+    // xxhash64 family (engine-specific digests → rows-only). Exists so
+    // the bench measures the scale-default hash path alongside the
+    // oracle-portable one; DataOpsSpec separately pins that both schemes
+    // reach identical near-dup verdicts.
+    "d_minhash_neardup_fast" -> ((s, dir) =>
+      Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8)),
+
     // Scale-path dedup: exact-collapse first, LSH among representatives
     // (rows-only: xxhash64 LSH internals). Copies become "exact" edges;
     // pair count stays linear in distinct content.
