@@ -62,19 +62,30 @@ object SpanDedup {
         explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
       .distinct()
 
-    val toks = docs.select(col("doc_id"),
-      posexplode(toksCol).as(Seq("pos", "tok")))
+    // only AFFECTED docs (≥1 repeated window) pay the token explode +
+    // regroup; at scale the overwhelming majority of docs have no
+    // repeated span and pass through as a shuffle-free projection. Both
+    // paths emit the same contract (tokens joined by single spaces).
+    val affected = covered.select("doc_id").distinct()
+    val toks = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "tok")))
     val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         TextAnalysis.joinInOrder(col("pos"), col("tok"), " ").as("clean_text"))
-
-    docs.select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
+    val edited = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(toksCol).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    val untouched = docs.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        array_join(toksCol, " ").as("clean_text"),
+        size(toksCol).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"))
+    edited.unionByName(untouched)
   }
 
   /** Split documents into fixed-size token chunks with overlap — the
