@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * the digest; coverage explode is a bounded ×k fan-out of only the
   * DUPLICATED windows; reassembly is one groupBy(doc_id) with a sorted
   * collect_list (token order restored explicitly — collect_list order is
-  * not a contract). No all-pairs anything; text never shuffles except as
-  * the final per-doc reassembly.
+  * not a contract). No all-pairs anything. Documents route through an
+  * edited/untouched split keyed on doc_id: only edited docs pay the
+  * token explode + regroup, while untouched docs pass through one
+  * doc_id anti-join (the affected-id set is materialized small, so AQE
+  * can broadcast it — but when it genuinely is large, that join is a
+  * real text shuffle; size accordingly).
   *
   * Reassembly joins tokens with single spaces, i.e. original whitespace
   * is normalized — the standard contract for token-level editing.
@@ -64,9 +68,17 @@ object SpanDedup {
 
     // only AFFECTED docs (≥1 repeated window) pay the token explode +
     // regroup; at scale the overwhelming majority of docs have no
-    // repeated span and pass through as a shuffle-free projection. Both
-    // paths emit the same contract (tokens joined by single spaces).
-    val affected = covered.select("doc_id").distinct()
+    // repeated span and pass through one doc_id anti-join. Both paths
+    // emit the same contract (tokens joined by single spaces). The
+    // affected-id set derives PRE-explode (a doc is affected iff it has
+    // a repeated window — no need to explode positions to learn that)
+    // and is materialized eagerly: it feeds three joins, and without
+    // the checkpoint each would re-run the whole shingle census
+    // (ReusedExchange dedups shuffles, not the aggregates above them).
+    // localCheckpoint trades lineage for that: blocks are tiny (doc ids)
+    // and freed by the ContextCleaner with the returned frame.
+    val affected = wins.join(repeated, Seq("dig"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint(true)
     val toks = docs.join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "tok")))
     val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
@@ -80,6 +92,9 @@ object SpanDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    // kernelTokens maps null text to an empty array, so array_join here
+    // keeps the non-null clean_text contract the edited path enforces
+    // via coalesce
     val untouched = docs.join(affected, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         array_join(toksCol, " ").as("clean_text"),

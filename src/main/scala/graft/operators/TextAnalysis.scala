@@ -34,7 +34,10 @@ object TextAnalysis {
     */
   def kernelTokens(text: Column): Column = {
     val t = graft.functions.NGramShingles.shingles(text, 1)
-    when(t === array(lit("")), array().cast("array<string>")).otherwise(t)
+    // null text → empty array (not null): tokenization consumers get a
+    // total function, so e.g. array_join never manufactures null text
+    when(text.isNull or t === array(lit("")),
+      array().cast("array<string>")).otherwise(t)
   }
 
   /** Aggregate expression: `value`s joined by `sep` in ascending `pos`

@@ -587,6 +587,22 @@ class DataOpsSpec extends SparkSpec {
     assert(got(5L) == (("tiny doc", 2L, 0L)))
   }
 
+  test("removeRepeatedSpans: null text keeps the non-null clean_text contract") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, "a b c d e"))), schema)
+    val got = SpanDedup.removeRepeatedSpans(df, k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("", 0L, 0L)), "null text → empty clean_text, zero counts")
+    assert(got(2L) == (("a b c d e", 5L, 0L)))
+  }
+
   test("removeRepeatedSpans: intra-document repetition is also a repeated span") {
     val df = Seq((1L, "a b c d x y a b c d"), (2L, "nothing shared at all here")).toDF("doc_id", "text")
     val got = SpanDedup.removeRepeatedSpans(df, k = 4)
