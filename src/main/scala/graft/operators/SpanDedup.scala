@@ -61,24 +61,27 @@ object SpanDedup {
 
     val repeated = wins.groupBy("dig").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("dig")
+    // covered is THE fan-in point: the affected-id set, the reassembly
+    // anti-join, and the untouched anti-join all derive from it, and
+    // each reference would otherwise re-run the whole shingle census
+    // (exchange reuse dedups shuffles, not the aggregates above them).
+    // Materialize it once — (doc_id, pos) int pairs bounded by the
+    // DUPLICATED token volume; blocks are freed by the ContextCleaner
+    // with the returned frame.
     val covered = wins.join(repeated, Seq("dig"))
       .select(col("doc_id"),
         explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
       .distinct()
+      .localCheckpoint(true)
 
     // only AFFECTED docs (≥1 repeated window) pay the token explode +
     // regroup; at scale the overwhelming majority of docs have no
     // repeated span and pass through one doc_id anti-join. Both paths
     // emit the same contract (tokens joined by single spaces). The
-    // affected-id set derives PRE-explode (a doc is affected iff it has
-    // a repeated window — no need to explode positions to learn that)
-    // and is materialized eagerly: it feeds three joins, and without
-    // the checkpoint each would re-run the whole shingle census
-    // (ReusedExchange dedups shuffles, not the aggregates above them).
-    // localCheckpoint trades lineage for that: blocks are tiny (doc ids)
-    // and freed by the ContextCleaner with the returned frame.
-    val affected = wins.join(repeated, Seq("dig"), "left_semi")
-      .select("doc_id").distinct().localCheckpoint(true)
+    // affected-id distinct runs over the MATERIALIZED covered frame, so
+    // its three join references cost three small id shuffles, never a
+    // census re-run.
+    val affected = covered.select("doc_id").distinct()
     val toks = docs.join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "tok")))
     val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
