@@ -197,11 +197,13 @@ object DataOpsQueries {
     "d_minhash_neardup_fast" -> ((s, dir) =>
       Dedup.nearDuplicates(docsWithCopies(s, dir), threshold = 0.8)),
 
-    // Scale-path dedup: exact-collapse first, LSH among representatives
-    // (rows-only: xxhash64 LSH internals). Copies become "exact" edges;
-    // pair count stays linear in distinct content.
+    // Scale-path dedup: exact-collapse first, LSH among representatives.
+    // Copies become "exact" edges; pair count stays linear in distinct
+    // content. Oracle since r3: PORTABLE scheme → DuckDB replays the
+    // rep-collapse AND the full LSH chain over the representative set.
     "d_neardup_clusters" -> ((s, dir) =>
-      Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8)),
+      Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8,
+        scheme = graft.operators.HashScheme.Portable)),
 
     // Cluster-mode dedup CLOSED: edge list → connected components → one
     // cluster id per document. threshold=1.0 keeps only identical-content
@@ -1050,6 +1052,66 @@ object DataOpsQueries {
         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, inter::BIGINT AS inter, uni::BIGINT AS uni, jaccard
         |FROM scored WHERE jaccard >= 0.8""".stripMargin,
+
+    // cluster-mode edge list: exact edges (member → min-id rep per md5
+    // fingerprint) + the d_minhash_neardup LSH chain run over the REPS
+    // only — the rep-collapse is exactly what makes the operator linear
+    // on duplicate-heavy corpora, and the oracle replays both halves
+    "d_neardup_clusters" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |fpm AS (
+        |  SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+        |  FROM all_docs),
+        |mm AS (
+        |  SELECT doc_id, text, fp,
+        |    min(doc_id) OVER (PARTITION BY fp) AS rep_id
+        |  FROM fpm),
+        |reps AS (SELECT doc_id, text FROM mm WHERE doc_id = rep_id),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM reps),
+        |tok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
+        |sh_of AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
+        |  FROM tok),
+        |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
+        |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
+        |mins AS (
+        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+        |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
+        |  GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
+        |  FROM mins GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
+        |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |near_edges AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) AS jaccard
+        |  FROM cand c LEFT JOIN ix i USING (doc_a, doc_b)
+        |  JOIN sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_id AS doc_a, rep_id AS doc_b, 1.0::DOUBLE AS jaccard, 'exact' AS kind
+        |FROM mm WHERE doc_id <> rep_id
+        |UNION ALL
+        |SELECT doc_a, doc_b, jaccard, 'near' AS kind
+        |FROM near_edges WHERE jaccard >= 0.8""".stripMargin,
 
     // portable simhash: every one of the 60 bit votes replayed in SQL
     "d_simhash" ->
