@@ -43,6 +43,48 @@ object DataOpsQueries {
     s"(${i}, ${p.affineA(i)}, ${p.affineB(i)})"
   }.mkString(", ")
 
+  /** The portable-scheme MinHash-LSH chain as a DuckDB CTE-list fragment,
+    * parameterized by the CTE providing (doc_id, text). Shared by
+    * `d_minhash_neardup` and `d_neardup_clusters` so a hash-family /
+    * shingle-rule / band-width change edits ONE string — the family
+    * already changed once (schemeVer v1 → v2), and two hand-synced
+    * copies would silently diverge on the next change. Ends at the
+    * shingle-intersection CTE (`cand`/`sizes`/`ix`); callers add their
+    * own scoring/select on top.
+    */
+  private def portableLshSql(src: String): String =
+    s"""norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      |  FROM $src),
+      |tok AS (
+      |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
+      |sh_of AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
+      |  FROM tok),
+      |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
+      |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
+      |mins AS (
+      |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+      |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
+      |  FROM mins GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+      |ix AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
+      |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB expression for the hyperplane-LSH bucket of `vExpr` (a
     * DOUBLE[] column): bit i set iff v·r_i > 0, with the SAME seeded
     * planes as [[Similarity.hyperplanes]] interpolated as full-precision
@@ -204,6 +246,13 @@ object DataOpsQueries {
     "d_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8,
         scheme = graft.operators.HashScheme.Portable)),
+
+    // Production-scheme twin (cf. d_minhash_neardup_fast): the same edge
+    // list under the library-default xxhash64 family, rows-only — keeps
+    // the scale-default path of the CLUSTER operator exercised by verify
+    // and measured by the bench after the oracle gate moved to Portable.
+    "d_neardup_clusters_fast" -> ((s, dir) =>
+      Dedup.nearDuplicateClusters(docsWithCopies(s, dir), threshold = 0.8)),
 
     // Cluster-mode dedup CLOSED: edge list → connected components → one
     // cluster id per document. threshold=1.0 keeps only identical-content
@@ -1012,37 +1061,7 @@ object DataOpsQueries {
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
-        |norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-        |  FROM all_docs),
-        |tok AS (
-        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
-        |sh_of AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
-        |  FROM tok),
-        |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
-        |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
-        |mins AS (
-        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
-        |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
-        |  GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
-        |  FROM mins GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-        |  WHERE a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
-        |ix AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-        |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
-        |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
-        |  GROUP BY 1, 2),
+        |${portableLshSql("all_docs")},
         |scored AS (
         |  SELECT c.doc_a, c.doc_b, coalesce(i.inter, 0) AS inter,
         |         sa.n + sb.n - coalesce(i.inter, 0) AS uni,
@@ -1070,37 +1089,7 @@ object DataOpsQueries {
         |    min(doc_id) OVER (PARTITION BY fp) AS rep_id
         |  FROM fpm),
         |reps AS (SELECT doc_id, text FROM mm WHERE doc_id = rep_id),
-        |norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-        |  FROM reps),
-        |tok AS (
-        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
-        |sh_of AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
-        |  FROM tok),
-        |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
-        |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
-        |mins AS (
-        |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
-        |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
-        |  GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band,
-        |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
-        |  FROM mins GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-        |  WHERE a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
-        |ix AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-        |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
-        |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
-        |  GROUP BY 1, 2),
+        |${portableLshSql("reps")},
         |near_edges AS (
         |  SELECT c.doc_a, c.doc_b,
         |         round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) AS jaccard

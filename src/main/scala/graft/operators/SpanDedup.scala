@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * not a contract). No all-pairs anything. Documents route through an
   * edited/untouched split keyed on doc_id: only edited docs pay the
   * token explode + regroup, while untouched docs pass through one
-  * doc_id anti-join (the affected-id set is materialized small, so AQE
-  * can broadcast it — but when it genuinely is large, that join is a
-  * real text shuffle; size accordingly).
+  * doc_id anti-join. The MATERIALIZED state is the covered (doc_id,
+  * pos) frame — bounded by the DUPLICATED token volume, which on a
+  * boilerplate-saturated corpus approaches one row per corpus token:
+  * executor memory/disk must cover it, and (localCheckpoint truncates
+  * lineage) losing an executor holding its blocks fails the query
+  * rather than recomputing. On clean corpora it is small and the
+  * derived affected-id joins broadcast under AQE.
   *
   * Reassembly joins tokens with single spaces, i.e. original whitespace
   * is normalized — the standard contract for token-level editing.
