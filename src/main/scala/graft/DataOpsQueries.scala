@@ -302,6 +302,25 @@ object DataOpsQueries {
       Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.999)
     }),
 
+    // Index APPEND path (daily loop): the index starts from half the
+    // corpus (even doc_ids), the odd half arrives later via
+    // SignatureIndex.append, and the batch — copies of every %3==0 doc —
+    // must match fp-equal docs in BOTH halves. Same expected output as
+    // d_incremental_neardup (the oracle joins over ALL documents), so a
+    // broken append that silently dropped or re-keyed the odd half shows
+    // up as missing pairs. PlanSpec pins that appending never re-shingles
+    // what the index already holds.
+    "d_incremental_neardup_appended" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val idx = Dedup
+        .buildSignatureIndex(d.where(col("doc_id") % 2 === 0).select("doc_id", "text"))
+        .append(d.where(col("doc_id") % 2 === 1).select("doc_id", "text"))
+        .cached()
+      Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.999)
+    }),
+
     // SimHash fingerprints under the portable scheme: 60-bit md5-derived
     // token hashes, so the oracle replays every bit vote in SQL. (The
     // library default stays 64-bit xxhash64.)
@@ -496,26 +515,43 @@ object DataOpsQueries {
         tau = 0.95).select("vec_id")
     }),
 
-    // Symmetric per-vector int8 quantization: (scale, qvec) fully replayed
-    // by the oracle (round grid is engine-portable on float inputs).
+    // Symmetric per-vector int8 quantization, fully replayed by the oracle
+    // (round grid is engine-portable on float inputs). The gate projects
+    // PORTABLE SCALARS only — the raw array<int> qvec broke the driver's
+    // pandas comparator (r03: "unhashable type: numpy.ndarray"), so the
+    // vector is pinned as md5(join(qvec)) plus sum/min/max debuggability
+    // scalars; the raw array contract stays covered by QuantizeSpec.
     "e_quantize_int8" -> ((s, dir) =>
-      Quantize.int8(Tables.embeddings(s, dir))),
+      Quantize.int8(Tables.embeddings(s, dir)).select(
+        col("vec_id"), col("scale"),
+        md5(array_join(col("qvec"), ",").cast("binary")).as("qhash"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        array_min(col("qvec")).as("qmin"),
+        array_max(col("qvec")).as("qmax"))),
 
-    // Exact top-k over QUANTIZED vectors — int dots are exact in double,
-    // so ranks replay bit-identically in SQL (oracle), unlike the float
-    // path where only the 6dp-rounded scores are portable.
+    // Exact top-k over QUANTIZED vectors — int dots are exact in double;
+    // ranks order by the 6dp-rounded cosine + id tiebreak (the shared
+    // topK contract), so the oracle replays them regardless of ulp-level
+    // normalization differences between engines.
     "e_quantized_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
 
-    // Multimodal plumbing: binary payload → partition-batched feature
-    // extraction (decode STUBBED deterministically → oracle-able only as
-    // row counts; features checked in unit tests) → rows-only.
+    // Multimodal decode on REAL bytes: every document becomes a valid
+    // binary PPM whose dimensions live ONLY in the payload header;
+    // PpmDecoder genuinely parses them back and computes bucket-mean
+    // features from the raster. Since generation is deterministic
+    // (w = n%61+4, h = n%43+4, raster byte i = (id+i)%256) the oracle
+    // replays width/height/f0 from the documents table alone — the gate
+    // proves the parse, not just the plumbing. (FakeDecoder formats stay
+    // unit-tested; codecs for jpeg/mp3 remain environment-bound stubs.)
     "m_decode_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.syntheticMedia(Tables.documents(s, dir)))
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticPpmMedia(Tables.documents(s, dir)),
+          decoder = Multimodal.PpmDecoder)
         .select(col("media_id"), col("width"), col("height"),
-          round(element_at(col("features"), 1), 6).as("f0"))),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
 
     // Frame sampling: payload chunk per frame index (oracle on counts).
     "m_frame_sample" -> ((s, dir) =>
@@ -825,7 +861,10 @@ object DataOpsQueries {
         |FROM documents""".stripMargin,
 
     // entity replaces applied in the same order as the operator's fold;
-    // horizontal whitespace collapses to ' ', newline runs to one \n
+    // horizontal whitespace collapses to ' ', and ANY run containing a
+    // newline — including "\n \n" blank-line shapes — collapses to one \n
+    // ('[ \n]*\n[ \n]*', the operator's exact pattern; a looser
+    // ' ?\n+ ?' would silently diverge on blank lines with inner spaces)
     "t_strip_markup" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(
@@ -837,7 +876,7 @@ object DataOpsQueries {
         |          '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
         |        '(?s)<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
-        |    '[^\S\n]+', ' ', 'g'), ' ?\n+ ?', chr(10), 'g'), ' ' || chr(10)) AS clean
+        |    '[^\S\n]+', ' ', 'g'), '[ \n]*\n[ \n]*', chr(10), 'g'), ' ' || chr(10)) AS clean
         |FROM documents""".stripMargin,
 
     "t_unigram_logprob" ->
@@ -1052,6 +1091,33 @@ object DataOpsQueries {
         |JOIN sizes s ON s.doc_id = b.doc_id
         |WHERE b.doc_id % 3 = 0""".stripMargin,
 
+    // identical expectation to d_incremental_neardup: the appended index
+    // must behave exactly as one built over the full corpus
+    "d_incremental_neardup_appended" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sizes AS (
+        |  SELECT doc_id, len(list_distinct(sh)) AS n
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      END AS sh
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN trim(norm) = '' THEN []::VARCHAR[]
+        |             ELSE regexp_split_to_array(trim(norm), '\s+') END AS toks
+        |      FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |        FROM documents))))
+        |SELECT b.doc_id + 1000000 AS doc_a, c.doc_id AS doc_b,
+        |  s.n AS inter, s.n AS uni, 1.0::DOUBLE AS jaccard
+        |FROM fp b JOIN fp c ON b.fp = c.fp
+        |JOIN sizes s ON s.doc_id = b.doc_id
+        |WHERE b.doc_id % 3 = 0""".stripMargin,
+
     // full LSH replay under the portable scheme: ONE md5 per shingle, the
     // 32-member affine family (a_i·x + b_i mod 2³¹−1, coefficients
     // interpolated below) over the 60-bit md5 prefix, 8×4 bands, banded
@@ -1150,7 +1216,7 @@ object DataOpsQueries {
         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
@@ -1159,6 +1225,22 @@ object DataOpsQueries {
       """SELECT doc_id AS media_id, 4::BIGINT AS n_frames,
         |  4 * (octet_length(encode(text)) // 8)::BIGINT AS total_bytes
         |FROM documents""".stripMargin,
+
+    // replays the PPM generation→parse round trip: dimensions from the
+    // text length, f0 = mean of raster bytes at indices ≡ 0 (mod 16),
+    // normalized — cast through REAL to match the operator's float32
+    // feature vector bit-for-bit before the 6dp round
+    "m_decode_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (length(coalesce(text, '')) % 61) + 4 AS w,
+        |    (length(coalesce(text, '')) % 43) + 4 AS h
+        |  FROM documents)
+        |SELECT media_id, w AS width, h AS height,
+        |  round(CAST(CAST(
+        |    list_avg([(media_id + i) % 256 FOR i IN range(0, w*h*3, 16)]) / 255.0
+        |  AS REAL) AS DOUBLE), 6) AS f0
+        |FROM m""".stripMargin,
 
     // hyperplane-LSH top-k: bucket assignment replayed from interpolated
     // plane literals, then cosine ranking within the shared bucket
@@ -1172,7 +1254,7 @@ object DataOpsQueries {
         |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
@@ -1224,7 +1306,7 @@ object DataOpsQueries {
         |  JOIN e qe ON qe.vec_id = cand.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
@@ -1364,21 +1446,31 @@ object DataOpsQueries {
         |  (len(a.arr) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
         |FROM arrs a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
+    // qvec is pinned as md5(comma-join) — a portable scalar the driver's
+    // pandas comparator can sort (raw array cells are unhashable there)
     "e_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS ev,
         |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
-        |  FROM embeddings)
-        |SELECT vec_id, round(ma / 127.0, 9) AS scale,
-        |  list_transform(ev, x ->
-        |    CASE WHEN ma = 0 THEN 0
-        |         ELSE CAST(round(x * 127.0 / ma) AS INT) END) AS qvec
-        |FROM m""".stripMargin,
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, round(ma / 127.0, 9) AS scale,
+        |    list_transform(ev, x ->
+        |      CASE WHEN ma = 0 THEN 0
+        |           ELSE CAST(round(x * 127.0 / ma) AS INT) END) AS qvec
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  md5(array_to_string(qvec, ',')) AS qhash,
+        |  list_sum(qvec)::BIGINT AS qsum,
+        |  list_min(qvec) AS qmin,
+        |  list_max(qvec) AS qmax
+        |FROM qv""".stripMargin,
 
     // int dots are exact in double (products ≤ 127² summed over dim 64
-    // ≪ 2^53), so unrounded scores — and therefore ranks — replay
-    // bit-identically, unlike the float path where only the 6dp-rounded
-    // score is portable
+    // ≪ 2^53), but the NORMALIZATION (dot/(√·√) vs list_cosine_similarity)
+    // is not guaranteed ulp-identical across engines — so, like every
+    // other top-k gate, ranks order by the 6dp-ROUNDED score with the
+    // neighbor_id tiebreak (the one Similarity.topK contract)
     "e_quantized_topk" ->
       """WITH m AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS ev,
@@ -1398,7 +1490,7 @@ object DataOpsQueries {
         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin

@@ -121,6 +121,10 @@ object StreamingQueries {
         |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
         |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: the operator is a left_anti join, which
+    // KEEPS rows whose fp has no equal in the corpus — under NOT IN one
+    // NULL corpus fingerprint would collapse the whole result to zero
+    // rows (three-valued logic), silently misreporting the operator
     "st_doc_dedup" ->
       """WITH corpus_fp AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
@@ -130,10 +134,11 @@ object StreamingQueries {
         |  UNION ALL
         |  SELECT doc_id + 2000000, text || ' xnovel' FROM documents WHERE doc_id % 3 = 1
         |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' xnovel' FROM documents WHERE doc_id % 3 = 1)
-        |SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
-        |FROM batch
-        |WHERE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
-        |      NOT IN (SELECT fp FROM corpus_fp)""".stripMargin
+        |  SELECT doc_id + 3000000, text || ' xnovel' FROM documents WHERE doc_id % 3 = 1),
+        |batch_fp AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM batch)
+        |SELECT b.fp FROM batch_fp b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus_fp c WHERE c.fp = b.fp)""".stripMargin
   )
 }

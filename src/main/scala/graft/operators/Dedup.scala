@@ -27,6 +27,23 @@ final case class SignatureIndex(shingles: DataFrame, bands: DataFrame,
     this
   }
 
+  /** Fold an increment into the index — the one-call daily-loop API: the
+    * increment's shingle/band rows are derived from ITS text only (under
+    * this index's params + hash scheme) and unioned onto the existing
+    * frames; nothing already indexed is re-shingled or re-hashed. doc_id
+    * spaces of increment and index must be disjoint (same contract as
+    * [[Dedup.nearDuplicatesAgainst]]). For an on-storage index use
+    * [[SignatureIndex.appendTo]], which parquet-appends the same rows.
+    */
+  def append(newDocs: DataFrame, textCol: String = "text"): SignatureIndex = {
+    val shNew = Dedup.shingleRows(newDocs, textCol, shingleSize, scheme)
+    val bNew = Dedup.lshBands(
+      Dedup.minhashSignaturesFromRows(shNew, numHashes, scheme),
+      numBands, scheme)
+    copy(shingles = shingles.unionByName(shNew),
+      bands = bands.unionByName(bNew))
+  }
+
   def write(path: String): Unit = {
     shingles.write.mode("overwrite").parquet(s"$path/shingles")
     bands.write.mode("overwrite").parquet(s"$path/bands")
@@ -69,6 +86,29 @@ object SignatureIndex {
     val in = fs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Persisted append: parquet-APPENDS only the increment's digest rows
+    * into an existing on-storage index. read() first validates the params
+    * (a schemeVer mismatch fails loudly before any write), the increment
+    * is shingled/hashed under the stored params, and the new rows land as
+    * additional parquet files — the corpus-sized existing files are never
+    * read or rewritten, so per-increment IO is increment-proportional.
+    * params.json is untouched (same family, same params by construction).
+    * Returns the re-read, now-larger index.
+    */
+  def appendTo(spark: SparkSession, path: String, newDocs: DataFrame,
+               textCol: String = "text"): SignatureIndex = {
+    val idx = read(spark, path)
+    val shNew = Dedup.shingleRows(newDocs, textCol, idx.shingleSize, idx.scheme)
+      .cache() // shingled once; feeds both the shingle write and the bands
+    shNew.write.mode("append").parquet(s"$path/shingles")
+    Dedup.lshBands(
+        Dedup.minhashSignaturesFromRows(shNew, idx.numHashes, idx.scheme),
+        idx.numBands, idx.scheme)
+      .write.mode("append").parquet(s"$path/bands")
+    shNew.unpersist()
+    read(spark, path)
   }
 
   def read(spark: SparkSession, path: String): SignatureIndex = {

@@ -10,11 +10,19 @@ import org.apache.spark.sql.types._
   * analog of arrow-batched UDFs) so heavy native decoders amortize per
   * partition, not per row.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment): [[FakeDecoder]] is a clearly-marked deterministic stand-in
-  * with the real signature — swap in a codec-backed implementation without
-  * touching the Spark plumbing (schema, partitioning, batching are real
-  * and tested).
+  * Decoders come in two tiers:
+  *
+  *  - [[PpmDecoder]] / [[WavDecoder]]: REAL pure-JVM parsers for two
+  *    trivial containers (binary PPM "P6" images, RIFF/WAVE 8-bit PCM
+  *    audio) — the payload's own header is the source of truth for
+  *    width/height, and features are computed from the decoded samples.
+  *    These exercise the whole column pipeline on real bytes with no
+  *    external codec.
+  *  - [[FakeDecoder]]: clearly-marked deterministic stand-in for formats
+  *    whose codecs aren't available offline (jpeg/mp3/...); same
+  *    signature — swap in a codec-backed implementation without touching
+  *    the Spark plumbing (schema, partitioning, batching are real and
+  *    tested).
   */
 object Multimodal {
 
@@ -33,12 +41,127 @@ object Multimodal {
     StructField("meta", mediaMetaSchema)
   ))
 
+  /** Full decode result: dimensions recovered from the payload ITSELF
+    * (null when the format doesn't carry them in-band) + feature vector.
+    */
+  final case class Decoded(width: java.lang.Integer,
+                           height: java.lang.Integer,
+                           features: Array[Float])
+
   /** Decoder contract: payload bytes → fixed-length feature vector.
     * Real implementations wrap a codec (JNI/FFI) initialized once per
     * partition in [[decodeFeatures]].
     */
   trait Decoder extends Serializable {
     def features(payload: Array[Byte], dim: Int): Array[Float]
+    /** Format-aware decoders override to recover width/height from the
+      * payload header; the default reports no in-band dimensions.
+      */
+    def decode(payload: Array[Byte], dim: Int): Decoded =
+      Decoded(null, null, features(payload, dim))
+  }
+
+  /** Shared feature kernel for the real decoders: round-robin bucket
+    * means of the decoded 8-bit samples, normalized to [0, 1]. Bucket b
+    * averages samples at indices ≡ b (mod dim) — double accumulation,
+    * float result, so an external replay (integer sum ÷ count ÷ 255,
+    * cast to float32) reproduces it bit-for-bit.
+    */
+  private def bucketMeans(samples: Array[Byte], off: Int, len: Int,
+                          dim: Int): Array[Float] = {
+    val sum = new Array[Long](dim)
+    val cnt = new Array[Long](dim)
+    var i = 0
+    while (i < len) {
+      val b = i % dim
+      sum(b) += (samples(off + i) & 0xff)
+      cnt(b) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(b =>
+      if (cnt(b) == 0) 0f else (sum(b).toDouble / cnt(b) / 255.0d).toFloat)
+  }
+
+  /** REAL decoder for binary PPM ("P6") images — pure JVM, no codec deps.
+    * Parses the ASCII header (magic, width, height, maxval; '#' comments
+    * allowed per spec), then computes [[bucketMeans]] over the RGB bytes.
+    * Malformed payloads decode to null dimensions + empty features rather
+    * than throwing — one bad file must not kill a partition batch.
+    */
+  object PpmDecoder extends Decoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decode(payload, dim).features
+
+    override def decode(payload: Array[Byte], dim: Int): Decoded = {
+      try {
+        require(payload.length > 2 && payload(0) == 'P' && payload(1) == '6')
+        var pos = 2
+        // header tokens are whitespace-separated ASCII ints; '#' starts a
+        // comment running to end of line
+        def nextInt(): Int = {
+          while ({
+            while (pos < payload.length && Character.isWhitespace(payload(pos))) pos += 1
+            if (pos < payload.length && payload(pos) == '#') {
+              while (pos < payload.length && payload(pos) != '\n') pos += 1
+              true
+            } else false
+          }) ()
+          var v = 0
+          require(pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9')
+          while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+            v = v * 10 + (payload(pos) - '0'); pos += 1
+          }
+          v
+        }
+        val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+        require(maxval == 255, s"only 8-bit PPM supported, maxval=$maxval")
+        pos += 1 // exactly ONE whitespace byte separates header from raster
+        val n = w * h * 3
+        require(payload.length - pos >= n, "truncated raster")
+        Decoded(w, h, bucketMeans(payload, pos, n, dim))
+      } catch { case _: Throwable => Decoded(null, null, Array.empty[Float]) }
+    }
+  }
+
+  /** REAL decoder for RIFF/WAVE 8-bit PCM audio — pure JVM. Walks the
+    * chunk list to "fmt " (sample rate, channels, bits) and "data",
+    * computes [[bucketMeans]] over the PCM bytes. Width reports the
+    * sample rate and height the channel count (the schema's closest
+    * analogs); malformed payloads decode to nulls, not exceptions.
+    */
+  object WavDecoder extends Decoder {
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decode(payload, dim).features
+
+    override def decode(payload: Array[Byte], dim: Int): Decoded = {
+      try {
+        require(payload.length >= 44 &&
+          new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(payload, 8, 4, "US-ASCII") == "WAVE")
+        var pos = 12
+        var rate = -1; var channels = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1
+        while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val len = le32(payload, pos + 4)
+          if (id == "fmt ") {
+            channels = le16(payload, pos + 10)
+            rate = le32(payload, pos + 12)
+            bits = le16(payload, pos + 22)
+          } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+          pos += 8 + len + (len & 1) // chunks are word-aligned
+        }
+        require(rate > 0 && dataOff >= 0 && bits == 8,
+          "only 8-bit PCM WAV supported")
+        require(payload.length - dataOff >= dataLen, "truncated data chunk")
+        Decoded(rate, channels, bucketMeans(payload, dataOff, dataLen, dim))
+      } catch { case _: Throwable => Decoded(null, null, Array.empty[Float]) }
+    }
   }
 
   /** STUB: deterministic fake decode — byte histogram folded to `dim`
@@ -73,9 +196,46 @@ object Multimodal {
         (length(col("text")) % 480).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** Synthetic REAL-PPM media frame: each document becomes a valid binary
+    * PPM ("P6") image whose dimensions derive from the text length
+    * (w = n%61+4, h = n%43+4) and whose raster bytes cycle
+    * (media_id + i) mod 256 — fully deterministic, so an external oracle
+    * can replay the decoded width/height/features from the documents
+    * table alone, while the decoder genuinely parses the bytes (the
+    * metadata struct deliberately carries NO dimensions: the payload
+    * header is the only source).
+    */
+  def syntheticPpmMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").as("media_id"),
+        length(coalesce(col("text"), lit(""))).as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = r.getInt(1)
+          val w = n % 61 + 4
+          val h = n % 43 + 4
+          val header = s"P6\n$w $h\n255\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val raster = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < raster.length) {
+            raster(i) = ((id + i) % 256).toByte; i += 1
+          }
+          Row(id, header ++ raster, Row("image", "ppm", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Partition-batched decode → (media_id, width, height, feature vector).
     * The decoder is instantiated once per partition (amortized init), rows
-    * stream through without collecting the partition.
+    * stream through without collecting the partition. Dimensions decoded
+    * from the payload itself win; the metadata struct is the fallback for
+    * formats that don't carry them in-band (FakeDecoder formats). Media
+    * tables are format-partitioned in practice — pick the matching
+    * decoder ([[PpmDecoder]], [[WavDecoder]], codec-backed, ...) per
+    * format slice.
     */
   def decodeFeatures(media: DataFrame, dim: Int = 16,
                      decoder: Decoder = FakeDecoder): DataFrame = {
@@ -93,10 +253,20 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           // null payload/meta rows pass through as nulls — one bad row
           // must not kill a partition-long decode batch
-          Row(r.getLong(0),
-            if (r.isNullAt(2)) null else r.getInt(2),
-            if (r.isNullAt(3)) null else r.getInt(3),
-            if (payload == null) null else decoder.features(payload, dim).toSeq)
+          if (payload == null)
+            Row(r.getLong(0),
+              if (r.isNullAt(2)) null else r.getInt(2),
+              if (r.isNullAt(3)) null else r.getInt(3),
+              null)
+          else {
+            val d = decoder.decode(payload, dim)
+            Row(r.getLong(0),
+              if (d.width != null) d.width
+              else if (r.isNullAt(2)) null else r.getInt(2),
+              if (d.height != null) d.height
+              else if (r.isNullAt(3)) null else r.getInt(3),
+              d.features.toSeq)
+          }
         }
       }(enc)
   }

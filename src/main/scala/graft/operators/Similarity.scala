@@ -20,19 +20,25 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Shared output contract for every top-k variant: rank by cosine desc
-    * (neighbor_id tiebreak), keep rank ≤ k, round to 6dp. Package-visible
-    * so every variant ([[Quantize.quantizedTopK]] included) ranks under
-    * the ONE contract — recall gates compare their outputs directly.
+  /** Shared output contract for every top-k variant: rank by the
+    * 6dp-ROUNDED cosine desc (neighbor_id tiebreak), keep rank ≤ k.
+    * Ranking on the rounded score — not the raw double — is load-bearing
+    * for engine portability: dot/(√·√) is not guaranteed ulp-identical
+    * across engines (operation order differs), so near-ties could rank
+    * differently if the raw value ordered the window; at 6dp both engines
+    * agree and the id tiebreak is total. Package-visible so every variant
+    * ([[Quantize.quantizedTopK]] included) ranks under the ONE contract —
+    * recall gates compare their outputs directly.
     */
   private[operators] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(col("_cos6").desc, col("neighbor_id").asc)
     scored
+      .withColumn("_cos6", round(col("cosine"), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+        col("_cos6").as("cosine"), col("rank"))
   }
 
   /** v·w for two array<float/double> columns — native fused expression

@@ -139,6 +139,35 @@ class PlanSpec extends SparkSpec {
     }.flatten
     assert(scannedPaths.exists(_.contains(tmp)),
       s"corpus side must scan the index at $tmp, scanned: $scannedPaths")
+
+    // appendTo folds an increment into the SAME files; the next batch's
+    // plan must still read only the index — appending must never put the
+    // already-indexed corpus (or the increment it just indexed) back on a
+    // live re-shingle path
+    val day2 = docs.where(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + lit(6000000L)).as("doc_id"), col("text"))
+    val idx2 = graft.operators.SignatureIndex.appendTo(spark, tmp, day2)
+    val lp2 = graft.operators.Dedup
+      .nearDuplicatesAgainst(batch, idx2, "text", 0.9)
+      .queryExecution.optimizedPlan
+    val live2 = lp2.collect {
+      case n if n.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.NGramShingles])) => n
+    }
+    // the only legitimate NGramShingles work is the BATCH side, which is
+    // cache-filled inside nearDuplicatesAgainst — so none may be live
+    assert(live2.isEmpty,
+      s"post-append increment must not recompute shingles:\n$lp2")
+    val scanned2 = lp2.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scanned2.exists(_.contains(tmp)),
+      s"post-append corpus side must scan the index at $tmp, scanned: $scanned2")
   }
 
   test("t_quality_filter: all signals in one shuffle-free projection") {

@@ -551,6 +551,40 @@ class DataOpsSpec extends SparkSpec {
     assert(norm(Dedup.nearDuplicatesAgainst(batch, loaded, "text", 0.9)) == direct)
   }
 
+  test("SignatureIndex append / appendTo: incremented index ≡ full rebuild") {
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (3L, "entirely different content here today"),
+      (4L, "")                                        // empty doc arrives late
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "THE QUICK brown fox jumps over the lazy dog"), // matches day1
+      (102L, "entirely different content here today"),       // matches day2
+      (103L, "a genuinely new document nothing shares")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .collect().map(_.toSeq).toSet
+    val direct = norm(
+      Dedup.nearDuplicatesAgainst(batch, day1.unionByName(day2), threshold = 0.9))
+    assert(direct.exists(_.head == 102L), "fixture must exercise the appended half")
+    // in-memory fold
+    val appended = Dedup.buildSignatureIndex(day1).append(day2).cached()
+    assert(norm(Dedup.nearDuplicatesAgainst(batch, appended, "text", 0.9)) == direct)
+    // persisted fold: only increment rows are written; params untouched
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigidx-app").toString
+    Dedup.buildSignatureIndex(day1).write(tmp)
+    val updated = SignatureIndex.appendTo(spark, tmp, day2)
+    assert((updated.shingleSize, updated.numHashes, updated.numBands) == ((3, 32, 8)))
+    assert(norm(Dedup.nearDuplicatesAgainst(batch, updated, "text", 0.9)) == direct)
+    // a second read sees the appended rows too (they live in the files)
+    val reread = SignatureIndex.read(spark, tmp)
+    assert(norm(Dedup.nearDuplicatesAgainst(batch, reread, "text", 0.9)) == direct)
+  }
+
   test("multimodal: stubbed decode is deterministic, frame sampling chunks payload") {
     val docs = Seq((1L, "abcdefgh" * 8, "en", "s", 64L), (2L, "short", "en", "s", 5L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -562,6 +596,51 @@ class DataOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media).where($"media_id" === 1).collect()
     assert(frames.map(_.getInt(1)).toSeq.sorted == Seq(0, 2, 4, 6))
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_payload").length == 8))
+  }
+
+  test("PpmDecoder / WavDecoder: real header parse, features from payload bytes") {
+    // 2×1 P6 with a header comment: pixels (0,0,0) and (255,255,255)
+    val ppm = "P6\n# a comment\n2 1\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0, 0, -1, -1, -1)
+    val d = Multimodal.PpmDecoder.decode(ppm, 2)
+    assert(d.width == 2 && d.height == 1)
+    // dim=2 round-robin over 6 raster bytes: bucket0 ← idx 0,2,4 = 0,0,255;
+    // bucket1 ← idx 1,3,5 = 0,255,255 — means normalized by 255
+    assert(d.features.toSeq ==
+      Seq((255.0 / 3 / 255.0).toFloat, (510.0 / 3 / 255.0).toFloat))
+    // truncated raster / wrong magic decode to nulls, never throw
+    assert(Multimodal.PpmDecoder.decode(
+      "P6\n9999 9999\n255\n".getBytes, 2).width == null)
+    assert(Multimodal.PpmDecoder.decode("JFIF****".getBytes, 2).width == null)
+
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val samples = Array[Byte](0, 64, -128, -1) // 0, 64, 128, 255 unsigned
+    val wav = "RIFF".getBytes ++ le32(36 + samples.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(samples.length) ++ samples
+    val wd = Multimodal.WavDecoder.decode(wav, 2)
+    assert(wd.width == 8000 && wd.height == 1) // sample rate + channels
+    assert(wd.features.toSeq ==
+      Seq((128.0 / 2 / 255.0).toFloat, (319.0 / 2 / 255.0).toFloat))
+    assert(Multimodal.WavDecoder.decode("RIFFxxxxWAVE".getBytes, 2).width == null)
+  }
+
+  test("syntheticPpmMedia → PpmDecoder round trip in Spark") {
+    val docs = Seq((7L, "abcdefghij"), (8L, ""), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(
+        Multimodal.syntheticPpmMedia(docs), decoder = Multimodal.PpmDecoder)
+      .orderBy("media_id").collect()
+    // n=10 → w=14, h=14; n=0 (empty AND null text) → w=4, h=4
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((7L, 14, 14), (8L, 4, 4), (9L, 4, 4)))
+    // f0 for doc 8: raster bytes (8 + i) % 256 at i ≡ 0 (mod 16), N = 48
+    val want = ((8.0 + 24.0 + 40.0) / 3 / 255.0).toFloat
+    assert(out(1).getSeq[Float](3).head == want)
   }
 
   test("removeRepeatedSpans: shared k-window spans removed, unique text survives") {
