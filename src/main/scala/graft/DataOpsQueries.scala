@@ -328,6 +328,24 @@ object DataOpsQueries {
       Dedup.simhash(Tables.documents(s, dir),
         scheme = graft.operators.HashScheme.Portable)),
 
+    // SimHash near-dup pairs via pigeonhole banding, fully replayed in
+    // SQL (60-bit portable fingerprints → maxHamming 3 → 4×15-bit bands
+    // → banded self-join → popcount verify). Corpus = docs ∪
+    // one-token-perturbed copies: a single appended token flips only
+    // thin-margin vote bits, so some copy pairs land at
+    // small-but-nonzero Hamming distances — the gate exercises banding
+    // + the exact popcount filter, not just identical-fingerprint
+    // matches. (The oracle's band arithmetic is written for t = 3; keep
+    // the two in sync if the threshold changes.)
+    "d_simhash_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.select("doc_id", "text").unionByName(
+        d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" zzqx")).as("text")))
+      Dedup.simhashNearDuplicates(corpus, maxHamming = 3,
+        scheme = graft.operators.HashScheme.Portable)
+    }),
+
     // n-gram Jaccard on explicit pairs: each doc vs its copy → 1.0 (oracle:
     // jaccard of identical shingle sets).
     "d_ngram_jaccard_self" -> ((s, dir) => {
@@ -410,6 +428,34 @@ object DataOpsQueries {
       require(mAnn >= 0.9 && mIvf >= 0.95,
         f"ANN recall regression: mean recall_ann=$mAnn%.3f (floor 0.9), " +
           f"recall_ivf=$mIvf%.3f (floor 0.95)")
+      out
+    }),
+
+    // Int8-quantization quality harness: top-k recall of the quantized
+    // path against the float brute-force path on identical corpus and
+    // queries — int8 quality loss is MEASURED per round, not assumed.
+    // Self-asserting (require floor), rows-only by design: both compared
+    // paths are independently oracle-gated (e_cosine_topk,
+    // e_quantized_topk); this gate pins their AGREEMENT.
+    "e_quantized_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding").cache()
+      emb.count()
+      val q = emb.where(col("vec_id") < 20)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      val quant = Quantize.quantizedTopK(emb, q, k = 10)
+      val out = brute.join(quant.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id")
+        .agg((count(lit(1)) / 10.0).as("recall_q8"))
+        .cache()
+      val m = out.agg(avg("recall_q8")).head().getDouble(0)
+      // measured 0.98-1.00 at sf0.001-0.1 (64-dim float32 quantizes with
+      // ~1e-3 cosine error, far below typical neighbor gaps); the floor
+      // leaves margin while still failing loudly on a real regression
+      require(m >= 0.9,
+        f"int8 quantized recall regression: mean recall_q8=$m%.3f (floor 0.9)")
       out
     }),
 
@@ -550,6 +596,17 @@ object DataOpsQueries {
       Multimodal.decodeFeatures(
           Multimodal.syntheticPpmMedia(Tables.documents(s, dir)),
           decoder = Multimodal.PpmDecoder)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
+
+    // WAV analog of m_decode_features: real RIFF chunk-walk — width/height
+    // report sample rate / channel count recovered from the fmt chunk,
+    // f0 from the PCM bytes; all replayed by the oracle from the
+    // generation formulas.
+    "m_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticWavMedia(Tables.documents(s, dir)),
+          decoder = Multimodal.WavDecoder)
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
 
@@ -1188,6 +1245,43 @@ object DataOpsQueries {
         |SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
         |FROM documents d LEFT JOIN sh USING (doc_id)""".stripMargin,
 
+    // same fingerprint chain over the perturbed-copy corpus, then the
+    // pigeonhole banding join and popcount verification in SQL
+    "d_simhash_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, coalesce(text, '') || ' zzqx' FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM all_docs),
+        |tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS t
+        |  FROM norm),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+        |sh0 AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |  FROM votes GROUP BY 1),
+        |sh AS (
+        |  SELECT d.doc_id, coalesce(sh0.simhash, 0)::BIGINT AS simhash
+        |  FROM all_docs d LEFT JOIN sh0 USING (doc_id)),
+        |banded AS (
+        |  SELECT doc_id, simhash, r.b AS band,
+        |    (simhash >> (r.b * 15)) & 32767 AS v
+        |  FROM sh CROSS JOIN range(4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
     "d_ngram_jaccard_self" ->
       """SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
         |  n AS inter, n AS uni, 1.0::DOUBLE AS jaccard
@@ -1239,6 +1333,21 @@ object DataOpsQueries {
         |SELECT media_id, w AS width, h AS height,
         |  round(CAST(CAST(
         |    list_avg([(media_id + i) % 256 FOR i IN range(0, w*h*3, 16)]) / 255.0
+        |  AS REAL) AS DOUBLE), 6) AS f0
+        |FROM m""".stripMargin,
+
+    // WAV round trip: rate/channels from the generation formulas, f0 from
+    // the cycled PCM bytes at bucket-0 indices
+    "m_decode_wav" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (8000 + (doc_id % 8) * 1000)::INT AS rate,
+        |    (1 + (doc_id % 2))::INT AS channels,
+        |    (length(coalesce(text, '')) % 96) + 8 AS n
+        |  FROM documents)
+        |SELECT media_id, rate AS width, channels AS height,
+        |  round(CAST(CAST(
+        |    list_avg([(7 * media_id + i) % 256 FOR i IN range(0, n, 16)]) / 255.0
         |  AS REAL) AS DOUBLE), 6) AS f0
         |FROM m""".stripMargin,
 

@@ -73,6 +73,12 @@ object PipelineQueries {
     // distinct to pair grain. Exact windowed counts (collect_set size)
     // stand in for HLL++ so the result is oracle-hashable; must equal
     // llr_pairs exactly (same statistic, different plan).
+    //
+    // SLOWEST QUERY IN THE SUITE BY DESIGN (~3.3× llr_pairs): this is the
+    // opt-in FdaConfig.compat = true plan, benchmarked to pin reference
+    // parity — NOT the default. Pipeline.pairGrain and the llr_pairs gate
+    // above use Contingency.pairStatistics, the scale path; a config test
+    // pins compat = false as the default contract.
     "llr_pairs_windowed" -> ((s, dir) => {
       Contingency.prepareForMonteCarloFromWindowed(
         Contingency.summaryStatisticsWindowed(analogEvents(s, dir), exact = true))

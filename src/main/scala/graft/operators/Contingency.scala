@@ -12,17 +12,25 @@ import org.apache.spark.sql.functions._
   * Two physical strategies, same semantics:
   *
   *  - [[summaryStatisticsWindowed]] + [[prepareForMonteCarloFromWindowed]]:
-  *    reference parity — three whole-partition windows attach
-  *    approx_count_distinct marginals to every report-grain row, then a
-  *    full-row distinct collapses to pair grain. Three full-table shuffles
-  *    of the exploded table (SURVEY §4.2) — correct but the dominant cost.
+  *    reference parity, OPT-IN ONLY (`FdaConfig.compat = true`) — three
+  *    whole-partition windows attach approx_count_distinct marginals to
+  *    every report-grain row, then a full-row distinct collapses to pair
+  *    grain. Three full-table shuffles of the exploded table (SURVEY
+  *    §4.2) — correct but the dominant cost: measured ~3.3× the scale
+  *    path at sf0.1, and the gap widens with data (whole-partition
+  *    windows don't partial-aggregate). Exists to reproduce the
+  *    reference's physical strategy bit-for-bit; never reach for it on a
+  *    real corpus.
   *
-  *  - [[pairStatistics]]: the 100 TB plan — aggregate once to pair grain
-  *    (map-side partial aggregation shrinks the shuffle to one compact
-  *    (drug, reaction) table), compute drug/reaction marginals as two small
-  *    groupBys, and broadcast-join them back. The marginal frames are
-  *    bounded by the drug/reaction vocabularies (≈10⁴–10⁵ rows) regardless
-  *    of corpus size, so the joins never shuffle the big side.
+  *  - [[pairStatistics]]: THE DEFAULT and the 100 TB plan
+  *    (`FdaConfig.compat = false`, which `Pipeline.pairGrain` selects
+  *    unless compat is explicitly requested) — aggregate once to pair
+  *    grain (map-side partial aggregation shrinks the shuffle to one
+  *    compact (drug, reaction) table), compute drug/reaction marginals as
+  *    two small groupBys, and broadcast-join them back. The marginal
+  *    frames are bounded by the drug/reaction vocabularies (≈10⁴–10⁵
+  *    rows) regardless of corpus size, so the joins never shuffle the
+  *    big side.
   */
 object Contingency {
 

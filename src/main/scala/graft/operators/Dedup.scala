@@ -578,6 +578,55 @@ object Dedup {
       .na.fill(0L, Seq("simhash"))
   }
 
+  /** SimHash near-duplicate pairs via pigeonhole banding: fingerprints
+    * within Hamming distance ≤ `maxHamming` must agree EXACTLY on at
+    * least one of `maxHamming + 1` bit bands (pigeonhole: ≤ maxHamming
+    * flipped bits cannot touch every band), so candidate generation is a
+    * self-equi-join on (band index, band bits) — one digest-keyed
+    * shuffle, never all-pairs — and verification is one
+    * popcount(xor) ≤ maxHamming per candidate. Output:
+    * (doc_a < doc_b, hamming).
+    *
+    * Scale notes: band slices are ≤ bits/(maxHamming+1) wide, so random
+    * 2^-15-ish collisions keep buckets tiny on natural corpora; like
+    * every banding scheme here, EXACT duplicates share all bands —
+    * collapse them first on dup-heavy corpora (the
+    * [[nearDuplicateClusters]] composition contract). The final band of
+    * an uneven split absorbs the remainder bits.
+    */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String = "text",
+                            maxHamming: Int = 3,
+                            scheme: HashScheme = HashScheme.Fast): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bits = scheme.simhashBits
+    val bands = maxHamming + 1
+    require(bands <= bits, s"maxHamming + 1 ($bands) bands need <= $bits bits")
+    val width = bits / bands
+    val fp = simhash(docs, textCol, scheme)
+    // unsigned shift: the Fast scheme's xxhash64 fingerprints use the
+    // sign bit as payload
+    val slices = (0 until bands).map { b =>
+      val w = if (b == bands - 1) bits - b * width else width
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array(slices: _*)).as("_s"))
+      .select(col("doc_id"), col("simhash"),
+        col("_s.band").as("band"), col("_s.v").as("v"))
+    val a = banded.select(col("band"), col("v"),
+      col("doc_id").as("doc_a"), col("simhash").as("_sa"))
+    val b = banded.select(col("band"), col("v"),
+      col("doc_id").as("doc_b"), col("simhash").as("_sb"))
+    a.join(b, Seq("band", "v"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "_sa", "_sb").distinct()
+      .withColumn("hamming", bit_count(col("_sa").bitwiseXOR(col("_sb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Incremental exact dedup — the daily-batch pattern: drop arriving
     * documents whose normalized content already exists in the corpus.
     * The anti-join key is the 16-byte fingerprint, so the corpus

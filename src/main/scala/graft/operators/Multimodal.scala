@@ -228,6 +228,38 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic REAL-WAV media frame: each document becomes a valid
+    * RIFF/WAVE 8-bit PCM payload — sample rate 8000 + (id%8)·1000,
+    * channels 1 + (id%2), (n%96)+8 sample bytes cycling (7·id + i) mod
+    * 256. Like [[syntheticPpmMedia]], metadata carries no audio params:
+    * the RIFF chunks are the only source, so the gate proves the
+    * chunk-walk.
+    */
+  def syntheticWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").as("media_id"),
+        length(coalesce(col("text"), lit(""))).as("n"))
+      .mapPartitions { rows =>
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = r.getInt(1)
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val samples = Array.tabulate((n % 96) + 8)(i => ((7 * id + i) % 256).toByte)
+          val payload = "RIFF".getBytes ++ le32(36 + samples.length) ++
+            "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
+            le16(1) ++ le16(channels) ++ le32(rate) ++
+            le32(rate * channels) ++ le16(channels) ++ le16(8) ++
+            "data".getBytes ++ le32(samples.length) ++ samples
+          Row(id, payload, Row("audio", "wav", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Partition-batched decode → (media_id, width, height, feature vector).
     * The decoder is instantiated once per partition (amortized init), rows
     * stream through without collecting the partition. Dimensions decoded

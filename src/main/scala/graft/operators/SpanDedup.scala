@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * doc_id anti-join. The MATERIALIZED state is the covered (doc_id,
   * pos) frame — bounded by the DUPLICATED token volume, which on a
   * boilerplate-saturated corpus approaches one row per corpus token:
-  * executor memory/disk must cover it, and (localCheckpoint truncates
-  * lineage) losing an executor holding its blocks fails the query
-  * rather than recomputing. On clean corpora it is small and the
-  * derived affected-id joins broadcast under AQE.
+  * executor memory/disk must cover it, and under the default
+  * localCheckpoint (lineage truncated) losing an executor holding its
+  * blocks fails the query rather than recomputing — pass
+  * `reliable = true` to checkpoint the frame to a fault-tolerant
+  * directory instead when executor churn is expected. On clean corpora
+  * it is small and the derived affected-id joins broadcast under AQE.
   *
   * Reassembly joins tokens with single spaces, i.e. original whitespace
   * is normalized — the standard contract for token-level editing.
@@ -40,10 +42,25 @@ object SpanDedup {
     *
     * @param k window length in tokens; docs shorter than k tokens are
     *          never edited (no window of length k exists in them)
+    * @param reliable how the covered-position frame is materialized.
+    *          false (default): `localCheckpoint` — executor-local blocks,
+    *          fastest, but losing an executor holding blocks FAILS the
+    *          query (lineage is truncated; acceptable for interactive /
+    *          small runs). true: `checkpoint` to the session's configured
+    *          checkpoint directory (`sparkContext.setCheckpointDir` — an
+    *          hdfs/s3a/gs path at scale), so a 100 TB run with executor
+    *          churn recovers by re-reading the checkpoint instead of
+    *          dying; costs one write + read of the covered frame through
+    *          the checkpoint store.
     */
   def removeRepeatedSpans(docs: DataFrame, k: Int = 8,
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          reliable: Boolean = false): DataFrame = {
     require(k >= 2, s"span window must be at least 2 tokens, got $k")
+    require(!reliable ||
+      docs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "removeRepeatedSpans(reliable = true) needs a checkpoint directory: " +
+        "call spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
     // kernelTokens, NOT tokens: window positions come from the shingle
     // kernel (full whitespace trim), so token positions must use the
     // SAME tokenization — Spark trim's phantom empty token on a leading
@@ -72,11 +89,13 @@ object SpanDedup {
     // Materialize it once — (doc_id, pos) int pairs bounded by the
     // DUPLICATED token volume; blocks are freed by the ContextCleaner
     // with the returned frame.
-    val covered = wins.join(repeated, Seq("dig"))
+    val coveredPlan = wins.join(repeated, Seq("dig"))
       .select(col("doc_id"),
         explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
       .distinct()
-      .localCheckpoint(true)
+    val covered =
+      if (reliable) coveredPlan.checkpoint(true)
+      else coveredPlan.localCheckpoint(true)
 
     // only AFFECTED docs (≥1 repeated window) pay the token explode +
     // regroup; at scale the overwhelming majority of docs have no

@@ -83,6 +83,24 @@ class PipelineSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("pairStatistics is the default contingency plan; windows are opt-in compat") {
+    // the contract the scaladoc states: an FdaConfig that doesn't ask for
+    // compat gets the grouped scale path — no whole-partition windows
+    val fda = cfg("/tmp/unused").fda
+    assert(!fda.compat, "compat must default to false")
+    val clean = Pipeline.cleanEvents(fda).limit(50)
+    val defaultPlan = Pipeline.pairGrain(fda, clean, exactCounts = true)
+      .queryExecution.optimizedPlan.toString
+    assert(!defaultPlan.contains("Window"),
+      s"default pairGrain must not plan windowed marginals:\n$defaultPlan")
+    // (pairGrain's compat output eagerly checkpoints, which truncates the
+    // printable plan — assert on the windowed stage compat is built from)
+    val compatPlan = graft.operators.Contingency.summaryStatisticsWindowed(clean)
+      .queryExecution.optimizedPlan.toString
+    assert(compatPlan.contains("Window"),
+      s"compat path must plan the reference's windowed marginals:\n$compatPlan")
+  }
+
   test("stratified sample: subset of raw reports, tagged seriousnessdeath=1") {
     val fda = cfg("/tmp/unused").fda
     val clean = Pipeline.cleanEvents(fda)

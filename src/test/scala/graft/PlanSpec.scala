@@ -170,6 +170,70 @@ class PlanSpec extends SparkSpec {
       s"post-append corpus side must scan the index at $tmp, scanned: $scanned2")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB a selective dimension filter should reach the fact scan as
+    // a runtime bloom filter, not be applied post-shuffle; the application
+    // side threshold defaults to 10 GB, so shrink it to test scale
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = Tables.orders(spark, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val plan = Tables.lineitem(spark, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"selective join did not inject a runtime bloom filter:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("semantic self-join under one giant cluster: AQE skew-join splits it") {
+    import org.apache.spark.sql.functions._
+    // the Clustering scaladoc claims AQE skew-split applies to the
+    // within-cluster self-join because the key is a plain int column —
+    // prove it triggers: ~95% of vectors land in centroid 0's cluster
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // shrink the skew thresholds to test scale: the hot cluster's
+      // shuffle partition must exceed threshold AND 5× the median
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      val dim = 16
+      val corpus = spark.range(0, 3000).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            // 95% hug basis vector e0 (cluster 0), 5% hug e1 — plus a
+            // per-row wobble so every vector is distinct
+            when(i === 0 && col("vec_id") % 20 =!= 0, 1.0d)
+              .when(i === 1 && col("vec_id") % 20 === 0, 1.0d)
+              .otherwise(sin(col("vec_id") * 31 + i) * 0.3d)))
+      val centroids = Array.tabulate(4, dim)((c, i) => if (i == c) 1.0 else 0.0)
+      val pairs = graft.operators.Clustering
+        .semanticPrunePairs(corpus, centroids, tau = 1.1) // plan-only output
+      pairs.collect() // AQE finalizes only after executing THIS frame
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"giant-cluster self-join did not trigger AQE skew-split:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("t_quality_filter: all signals in one shuffle-free projection") {
     val p = executed("t_quality_filter")
     assert(!p.contains("Exchange"), s"quality filter plans a shuffle:\n$p")

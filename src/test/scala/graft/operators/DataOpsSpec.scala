@@ -551,6 +551,32 @@ class DataOpsSpec extends SparkSpec {
     assert(norm(Dedup.nearDuplicatesAgainst(batch, loaded, "text", 0.9)) == direct)
   }
 
+  test("simhashNearDuplicates ≡ brute-force popcount filter (pigeonhole recall)") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    // perturbed copies sit at small Hamming distances, unrelated docs far
+    val docs = ((1 to 12).map(i =>
+      (i.toLong, s"shared prefix words alpha beta gamma delta tail$i")) ++
+      Seq((100L, "completely unrelated content about something else"),
+        (101L, "completely unrelated content about something else"), // exact copy
+        (102L, "")) // empty doc: fingerprint 0
+    ).toDF("doc_id", "text")
+    val t = 12
+    val got = Dedup.simhashNearDuplicates(docs, maxHamming = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over ALL pairs — banding must find exactly this set
+    // (pigeonhole guarantees no missed pair within distance t)
+    val fp = Dedup.simhash(docs)
+    val brute = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .where(col("hamming") <= t)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    assert(got.exists { case (a, b, h) => a == 100L && b == 101L && h == 0 },
+      "exact copy pair must verify at hamming 0")
+  }
+
   test("SignatureIndex append / appendTo: incremented index ≡ full rebuild") {
     val day1 = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -641,6 +667,27 @@ class DataOpsSpec extends SparkSpec {
     // f0 for doc 8: raster bytes (8 + i) % 256 at i ≡ 0 (mod 16), N = 48
     val want = ((8.0 + 24.0 + 40.0) / 3 / 255.0).toFloat
     assert(out(1).getSeq[Float](3).head == want)
+  }
+
+  test("removeRepeatedSpans(reliable = true): checkpointed run ≡ default run") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta tail2"),
+      (3L, "totally different words here now ok")
+    ).toDF("doc_id", "text")
+    def norm(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(_.toSeq).toSet
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // a reliable run without a checkpoint dir must fail loudly up front,
+      // not die mid-job inside the checkpoint write
+      intercept[IllegalArgumentException] {
+        SpanDedup.removeRepeatedSpans(df, k = 4, reliable = true)
+      }
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
+    assert(norm(SpanDedup.removeRepeatedSpans(df, k = 4, reliable = true)) ==
+      norm(SpanDedup.removeRepeatedSpans(df, k = 4)))
   }
 
   test("removeRepeatedSpans: shared k-window spans removed, unique text survives") {
