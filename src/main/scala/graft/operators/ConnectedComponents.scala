@@ -26,9 +26,25 @@ object ConnectedComponents {
   /** (node, component) for every node appearing in `edges`; component is
     * the minimum node id of the connected component. Self-loops and null
     * endpoints are dropped (a null key identifies nothing to connect).
+    *
+    * @param reliable per-round checkpoint durability, same contract as
+    *          [[SpanDedup.removeRepeatedSpans]]: false (default) uses
+    *          `localCheckpoint` — fastest, but an executor lost mid-run
+    *          fails the job (lineage truncated); true checkpoints each
+    *          round to the session's configured checkpoint directory so
+    *          a long-running 100 TB closure survives executor churn at
+    *          the cost of a write+read of the (small) edge frame per
+    *          round.
     */
   def assign(edges: DataFrame, srcCol: String = "doc_a",
-             dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+             dstCol: String = "doc_b", maxIter: Int = 50,
+             reliable: Boolean = false): DataFrame = {
+    require(!reliable ||
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "ConnectedComponents.assign(reliable = true) needs a checkpoint " +
+        "directory: call spark.sparkContext.setCheckpointDir(<path>) first")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -36,12 +52,12 @@ object ConnectedComponents {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
 
-    var cur = e0.localCheckpoint(true)
+    var cur = ckpt(e0)
     var curSig = signature(cur)
     var done = false
     var i = 0
     while (!done && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = ckpt(smallStar(largeStar(cur)))
       val nextSig = signature(next)
       done = nextSig == curSig
       cur = next

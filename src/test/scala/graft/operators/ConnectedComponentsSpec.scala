@@ -64,6 +64,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(g == Map(4L -> 4L, 5L -> 4L))
   }
 
+  test("assign(reliable = true): checkpointed rounds ≡ default rounds") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.assign(edges.toDF("doc_a", "doc_b"), reliable = true)
+      }
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    }
+    val rel = ConnectedComponents
+      .assign(edges.toDF("doc_a", "doc_b"), reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == got(edges))
+  }
+
   test("dedupClusters: every doc gets exactly one cluster; copies collapse") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
