@@ -543,6 +543,23 @@ object DataOpsQueries {
       SpanDedup.removeRepeatedSpans(d.unionByName(remix), k = 8)
     }),
 
+    // keep-one-copy policy on the same corpus: the corpus-first
+    // occurrence of each repeated window stays — originals (lower ids)
+    // keep their prefixes, remixes still lose the copied span. The
+    // oracle excludes the lexicographic-minimum occurrence per digest
+    // before the coverage explode.
+    "d_span_dedup_keepfirst" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val remix = d.where(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextAnalysis.kernelTokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 12)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(array_join(slice(col("toks"), 1, 12), " "),
+            lit(" tailmark"), col("doc_id").cast("string")).as("text"))
+      SpanDedup.removeRepeatedSpans(d.unionByName(remix), k = 8,
+        keepFirst = true)
+    }),
+
     // Context-window chunking: 64-token windows, 16-token overlap
     // (stride 48) — strided slicing replayed exactly in SQL.
     "t_chunk" -> ((s, dir) =>
@@ -1537,6 +1554,57 @@ object DataOpsQueries {
         |  SELECT DISTINCT w.doc_id, t.pos
         |  FROM wins w JOIN repeated USING (dig),
         |       unnest(range(w.wpos, w.wpos + 8)) AS t(pos)),
+        |toks AS (
+        |  SELECT doc_id, u.pos, u.tok FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i, 'tok': arr[i+1]} FOR i IN range(len(arr))]) AS u
+        |    FROM arrs)),
+        |rebuilt AS (
+        |  SELECT t.doc_id, count(*) AS n_kept,
+        |         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+        |  FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id)
+        |SELECT a.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  len(a.arr)::BIGINT AS n_tokens,
+        |  (len(a.arr) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+        |FROM arrs a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // same census, but the lexicographically-first occurrence of each
+    // repeated digest is excluded from coverage (rn = 1 survives) —
+    // replaying the operator's min(struct) canonical-occurrence exclusion
+    "d_span_dedup_keepfirst" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(toks[1:12], ' ') || ' tailmark' || doc_id
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS toks
+        |        FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> '')
+        |  WHERE len(toks) >= 12),
+        |arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') END AS arr
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, u.wpos, u.dig FROM (
+        |    SELECT doc_id,
+        |      unnest([{'wpos': i, 'dig': md5(array_to_string(arr[i+1:i+8], ' '))}
+        |              FOR i IN range(0, len(arr) - 7)]) AS u
+        |    FROM arrs WHERE len(arr) >= 8)),
+        |repeated AS (SELECT dig FROM wins GROUP BY dig HAVING count(*) > 1),
+        |ranked AS (
+        |  SELECT w.doc_id, w.wpos,
+        |    row_number() OVER (PARTITION BY w.dig ORDER BY w.doc_id, w.wpos) AS rn
+        |  FROM wins w JOIN repeated USING (dig)),
+        |covered AS (
+        |  SELECT DISTINCT r.doc_id, t.pos
+        |  FROM ranked r, unnest(range(r.wpos, r.wpos + 8)) AS t(pos)
+        |  WHERE r.rn > 1),
         |toks AS (
         |  SELECT doc_id, u.pos, u.tok FROM (
         |    SELECT doc_id,

@@ -3,13 +3,27 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Corpus-level repeated-SPAN removal — the fixed-k approximation of
-  * suffix-array substring deduplication (the "remove any ≥k-token
+/** Corpus-level repeated-SPAN removal — the "remove any ≥k-token
   * substring that appears twice in the corpus" policy from the
-  * dedup-training-data literature). A k-token window whose text occurs
-  * more than once ANYWHERE in the corpus (across docs or within one) is
-  * a repeated span; every token covered by at least one repeated window
-  * is dropped and the survivors are reassembled in order.
+  * dedup-training-data literature, computed by k-window coverage. A
+  * k-token window whose text occurs more than once ANYWHERE in the
+  * corpus (across docs or within one) is a repeated window; every token
+  * covered by at least one repeated window is dropped and the survivors
+  * are reassembled in order.
+  *
+  * Window coverage is EXACT for this policy, not an approximation: a
+  * token sits inside some repeated span of length ≥ k iff it is covered
+  * by a repeated k-window. (⇒ a span of length L ≥ k occurring twice
+  * repeats each of its L−k+1 k-windows, which jointly cover all L
+  * tokens; ⇐ a repeated k-window is itself a repeated span of length k.)
+  * What suffix-array implementations (ExactSubstr et al.) buy is
+  * byte-granular span boundaries and memory locality, not a different
+  * token-level removal set. Two policies are offered: the default drops
+  * EVERY occurrence of duplicated content; `keepFirst = true` preserves
+  * the corpus-first occurrence of each repeated window (the literature's
+  * "remove all but one copy" variant) — under it, a span repeated only
+  * ACROSS docs survives in the lowest-id doc, while later copies lose
+  * exactly the tokens whose every covering window is non-canonical.
   *
   * Differs from the line-grain [[Boilerplate]] census (whole lines only)
   * and from [[Decontaminate]] (containment REPORTING, not removal): this
@@ -42,6 +56,13 @@ object SpanDedup {
     *
     * @param k window length in tokens; docs shorter than k tokens are
     *          never edited (no window of length k exists in them)
+    * @param keepFirst false (default): every occurrence of duplicated
+    *          content is dropped. true: the lexicographically-first
+    *          (doc_id, position) occurrence of each repeated window stays
+    *          uncovered, so one copy of each duplicated span survives.
+    *          The canonical occurrence comes from a min(struct) aggregate
+    *          over the (small) repeated-window frame — partial-aggregates
+    *          map-side, no per-digest sort.
     * @param reliable how the covered-position frame is materialized.
     *          false (default): `localCheckpoint` — executor-local blocks,
     *          fastest, but losing an executor holding blocks FAILS the
@@ -55,6 +76,7 @@ object SpanDedup {
     */
   def removeRepeatedSpans(docs: DataFrame, k: Int = 8,
                           textCol: String = "text",
+                          keepFirst: Boolean = false,
                           reliable: Boolean = false): DataFrame = {
     require(k >= 2, s"span window must be at least 2 tokens, got $k")
     require(!reliable ||
@@ -89,7 +111,18 @@ object SpanDedup {
     // Materialize it once — (doc_id, pos) int pairs bounded by the
     // DUPLICATED token volume; blocks are freed by the ContextCleaner
     // with the returned frame.
-    val coveredPlan = wins.join(repeated, Seq("dig"))
+    val dupWins = wins.join(repeated, Seq("dig"))
+    val coveringWins =
+      if (!keepFirst) dupWins
+      else {
+        // canonical occurrence per digest: the lexicographic minimum —
+        // min(struct) partial-aggregates, unlike a row_number window
+        val canon = dupWins.groupBy("dig")
+          .agg(min(struct(col("doc_id"), col("wpos"))).as("_first"))
+        dupWins.join(canon, Seq("dig"))
+          .where(struct(col("doc_id"), col("wpos")) =!= col("_first"))
+      }
+    val coveredPlan = coveringWins
       .select(col("doc_id"),
         explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
       .distinct()

@@ -669,6 +669,26 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).head == want)
   }
 
+  test("removeRepeatedSpans(keepFirst = true): one copy of each span survives") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta tail2"),
+      (3L, "totally different words here now ok")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.removeRepeatedSpans(df, k = 4, keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 holds the canonical occurrence of the shared 4-token span —
+    // it keeps its full text; doc 2's copy is removed; doc 3 untouched
+    assert(got(1L) == (("alpha beta gamma delta unique1 tail1", 6L, 0L)))
+    assert(got(2L) == (("prefix2 tail2", 6L, 4L)))
+    assert(got(3L) == (("totally different words here now ok", 6L, 0L)))
+    // the default policy removes BOTH occurrences — sanity-contrast
+    val both = SpanDedup.removeRepeatedSpans(df, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(both(1L) == "unique1 tail1" && both(2L) == "prefix2 tail2")
+  }
+
   test("removeRepeatedSpans(reliable = true): checkpointed run ≡ default run") {
     val df = Seq(
       (1L, "alpha beta gamma delta unique1 tail1"),
