@@ -565,6 +565,21 @@ object DataOpsQueries {
     "t_chunk" -> ((s, dir) =>
       SpanDedup.chunk(Tables.documents(s, dir), maxTokens = 64, overlap = 16)),
 
+    // Snapshot diff between two corpus versions: %5==0 removed, %3==0
+    // content-perturbed (changed — unless text is null, where both sides
+    // stay null → unchanged), %7==0 re-added under new ids (added), rest
+    // unchanged. Oracle replays the fingerprint full-outer.
+    "a13_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val cur = d.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" zz")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      CorpusStats.snapshotDiff(d, cur)
+    }),
+
     // Transitive-closure semantic dedup on a TRIPLE corpus (vector ∪ two
     // identical twins): each ≥tau component has three members spanning
     // the id shifts, closure keeps the minimum — the original. Exercises
@@ -850,6 +865,28 @@ object DataOpsQueries {
         |  count(DISTINCT fp) AS distinct_fp,
         |  round(1 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_doc_frac
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "a13_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |cur0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' zz' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |cur AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM cur0)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN p.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id""".stripMargin,
 
     "s_mixture_upsample" ->
       s"""WITH w AS (

@@ -32,4 +32,33 @@ object CorpusStats {
       .withColumn("dup_doc_frac",
         round(lit(1.0) - col("distinct_fp").cast("double") / col("n_docs"), 6))
   }
+
+  /** Snapshot diff — what changed between two corpus versions (crawls,
+    * compactions): every doc_id present in either side, classified as
+    *
+    *  - "added":     only in `current`
+    *  - "removed":   only in `previous`
+    *  - "changed":   in both, normalized content fingerprint differs
+    *  - "unchanged": in both, fingerprint equal
+    *
+    * One full-outer join on doc_id carrying 16-byte fingerprints, never
+    * text — at 100 TB both sides reduce to (id, digest) before the
+    * shuffle, so the diff costs two digest projections + one join
+    * regardless of document sizes. Null text fingerprints compare with
+    * null-safe equality (two null-text versions are "unchanged").
+    */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    // presence flags, not fp-null checks: a null-TEXT doc has a null
+    // fingerprint but is still present — it must not read as added/removed
+    def fps(df: DataFrame, fp: String, in: String) = df.select(col("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(fp), lit(true).as(in))
+    fps(previous, "_fp_prev", "_in_prev")
+      .join(fps(current, "_fp_cur", "_in_cur"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_in_prev").isNull, "added")
+          .when(col("_in_cur").isNull, "removed")
+          .when(col("_fp_prev") <=> col("_fp_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

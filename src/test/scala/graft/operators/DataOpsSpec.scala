@@ -551,6 +551,23 @@ class DataOpsSpec extends SparkSpec {
     assert(norm(Dedup.nearDuplicatesAgainst(batch, loaded, "text", 0.9)) == direct)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged incl. null-text docs") {
+    val prev = Seq[(Long, String)](
+      (1L, "stays the same"), (2L, "will change"), (3L, "will vanish"),
+      (4L, null), (5L, "WILL   change?"))
+      .toDF("doc_id", "text")
+    val cur = Seq[(Long, String)](
+      (1L, "stays the same"), (2L, "has changed"),
+      (4L, null),                       // null both sides: unchanged
+      (5L, "will change"),              // equal AFTER normalization
+      (6L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.snapshotDiff(prev, cur)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "unchanged", 6L -> "added"))
+  }
+
   test("simhashNearDuplicates ≡ brute-force popcount filter (pigeonhole recall)") {
     import org.apache.spark.sql.functions.{bit_count, col}
     // perturbed copies sit at small Hamming distances, unrelated docs far
