@@ -631,6 +631,19 @@ object DataOpsQueries {
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
 
+    // Real image resample over the binary column: PPM → nearest-neighbor
+    // 8×6 → re-decoded; f0 (dim 1 = mean of ALL resized bytes) pins the
+    // per-pixel source-index arithmetic, which the oracle replays from
+    // the generation formulas.
+    "m_resize" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.resizePpm(
+            Multimodal.syntheticPpmMedia(Tables.documents(s, dir)),
+            outW = 8, outH = 6),
+          dim = 1, decoder = Multimodal.PpmDecoder)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
+
     // WAV analog of m_decode_features: real RIFF chunk-walk — width/height
     // report sample rate / channel count recovered from the fmt chunk,
     // f0 from the PCM bytes; all replayed by the oracle from the
@@ -1387,6 +1400,23 @@ object DataOpsQueries {
         |SELECT media_id, w AS width, h AS height,
         |  round(CAST(CAST(
         |    list_avg([(media_id + i) % 256 FOR i IN range(0, w*h*3, 16)]) / 255.0
+        |  AS REAL) AS DOUBLE), 6) AS f0
+        |FROM m""".stripMargin,
+
+    // resized raster byte at flat output index i (out dims 8×6): source
+    // pixel (sy, sx) = (y·h/6, x·w/8) with y = i//24, x = (i//3)%8,
+    // channel c = i%3; source byte = (id + 3·(sy·w + sx) + c) mod 256
+    "m_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (length(coalesce(text, '')) % 61) + 4 AS w,
+        |    (length(coalesce(text, '')) % 43) + 4 AS h
+        |  FROM documents)
+        |SELECT media_id, 8 AS width, 6 AS height,
+        |  round(CAST(CAST(
+        |    list_avg([
+        |      (media_id + 3*((((i//24)*h)//6)*w + (((i//3)%8)*w)//8) + (i%3)) % 256
+        |      FOR i IN range(0, 144)]) / 255.0
         |  AS REAL) AS DOUBLE), 6) AS f0
         |FROM m""".stripMargin,
 

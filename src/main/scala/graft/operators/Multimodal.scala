@@ -92,7 +92,10 @@ object Multimodal {
     def features(payload: Array[Byte], dim: Int): Array[Float] =
       decode(payload, dim).features
 
-    override def decode(payload: Array[Byte], dim: Int): Decoded = {
+    /** (width, height, raster offset), or None on any malformed input —
+      * the shared header parse [[decode]] and [[resizePpm]] build on.
+      */
+    private[operators] def parseRaster(payload: Array[Byte]): Option[(Int, Int, Int)] =
       try {
         require(payload.length > 2 && payload(0) == 'P' && payload(1) == '6')
         var pos = 2
@@ -116,11 +119,16 @@ object Multimodal {
         val w = nextInt(); val h = nextInt(); val maxval = nextInt()
         require(maxval == 255, s"only 8-bit PPM supported, maxval=$maxval")
         pos += 1 // exactly ONE whitespace byte separates header from raster
-        val n = w * h * 3
-        require(payload.length - pos >= n, "truncated raster")
-        Decoded(w, h, bucketMeans(payload, pos, n, dim))
-      } catch { case _: Throwable => Decoded(null, null, Array.empty[Float]) }
-    }
+        require(payload.length - pos >= w * h * 3, "truncated raster")
+        Some((w, h, pos))
+      } catch { case _: Throwable => None }
+
+    override def decode(payload: Array[Byte], dim: Int): Decoded =
+      parseRaster(payload) match {
+        case Some((w, h, off)) =>
+          Decoded(w, h, bucketMeans(payload, off, w * h * 3, dim))
+        case None => Decoded(null, null, Array.empty[Float])
+      }
   }
 
   /** REAL decoder for RIFF/WAVE 8-bit PCM audio — pure JVM. Walks the
@@ -298,6 +306,51 @@ object Multimodal {
               if (d.height != null) d.height
               else if (r.isNullAt(3)) null else r.getInt(3),
               d.features.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor resize for PPM payloads — a REAL image transform
+    * over the binary column: parse the source header, sample
+    * src(x·w/outW, y·h/outH) per output pixel, re-emit a valid PPM. Runs
+    * partition-batched like [[decodeFeatures]]; non-PPM or malformed
+    * payloads map to a null payload (one bad file never kills the
+    * batch). The output feeds any downstream consumer of the media
+    * schema — including [[decodeFeatures]], which is how the gate
+    * verifies the resample arithmetic end to end.
+    */
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"output dims must be >= 1, got $outW x $outH")
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val parsed =
+            if (payload == null) None else PpmDecoder.parseRaster(payload)
+          parsed match {
+            case Some((w, h, off)) =>
+              val out = new Array[Byte](outW * outH * 3)
+              var i = 0
+              var y = 0
+              while (y < outH) {
+                val sy = y * h / outH
+                var x = 0
+                while (x < outW) {
+                  val src = off + 3 * (sy * w + x * w / outW)
+                  out(i) = payload(src); out(i + 1) = payload(src + 1)
+                  out(i + 2) = payload(src + 2)
+                  i += 3; x += 1
+                }
+                y += 1
+              }
+              val header = s"P6\n$outW $outH\n255\n"
+                .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+              Row(id, header ++ out, Row("image", "ppm", outW, outH, null))
+            case None => Row(id, null, Row("image", "ppm", null, null, null))
           }
         }
       }(enc)

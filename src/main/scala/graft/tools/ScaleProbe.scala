@@ -59,6 +59,10 @@ object ScaleProbe {
       "e_kmeans_assign", "e_semantic_pairs", "e_semantic_dedup",
       "e_quantize_int8", "e_quantized_topk", "st_stream_join",
       "st_doc_dedup", "t_strip_markup", "t_unigram_logprob",
+      // round-4 surface
+      "d_simhash_neardup", "d_incremental_neardup_appended",
+      "a13_snapshot_diff", "m_decode_features", "m_decode_wav",
+      "d_span_dedup_keepfirst",
       // NOTE: on the K-fold copied corpus EVERY window repeats, so this
       // probes the duplicate-saturated WORST CASE (full coverage
       // explode, all docs edited to empty) — deliberate stress, not the

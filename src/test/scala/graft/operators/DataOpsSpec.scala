@@ -672,6 +672,29 @@ class DataOpsSpec extends SparkSpec {
     assert(Multimodal.WavDecoder.decode("RIFFxxxxWAVE".getBytes, 2).width == null)
   }
 
+  test("resizePpm: nearest-neighbor sampling, valid output PPM, bad input → null") {
+    val src = "P6\n2 1\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 2, 3, -56, -55, -54) // pixels A=(1,2,3), B=(200,201,202)
+    val media = Seq((1L, src, ("image", "ppm")), (2L, "JFIF**garbage**".getBytes, ("image", "jpeg")))
+      .map { case (id, p, (t, f)) => (id, p, t, f) }
+      .toDF("media_id", "payload", "t", "f")
+      .select(col("media_id"), col("payload"),
+        struct(col("t").as("media_type"), col("f").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+    val out = Multimodal.resizePpm(media, outW = 4, outH = 2)
+      .orderBy("media_id").collect()
+    val p1 = out(0).getAs[Array[Byte]](1)
+    // header + 4×2 raster; sx per x = 0,0,1,1 so each row is A A B B
+    val header = "P6\n4 2\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val row = Array[Byte](1, 2, 3, 1, 2, 3, -56, -55, -54, -56, -55, -54)
+    assert(p1.sameElements(header ++ row ++ row))
+    assert(out(1).isNullAt(1), "non-PPM payload must resize to null, not throw")
+    // the resized payload is itself a decodable PPM
+    val d = Multimodal.PpmDecoder.decode(p1, 1)
+    assert(d.width == 4 && d.height == 2)
+  }
+
   test("syntheticPpmMedia → PpmDecoder round trip in Spark") {
     val docs = Seq((7L, "abcdefghij"), (8L, ""), (9L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
