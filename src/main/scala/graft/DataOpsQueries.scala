@@ -321,6 +321,20 @@ object DataOpsQueries {
       Dedup.nearDuplicatesAgainst(batch, idx, "text", 0.999)
     }),
 
+    // Streaming near-dup CANDIDATE stage (batch run of the stream-static
+    // plan — the stateless per-row signature must equal the batch
+    // explode+aggregate signature, so the banded join against the
+    // persisted index finds exactly the pairs the full portable-LSH
+    // oracle chain derives; batch = every %3==0 doc copied).
+    "st_neardup_candidates" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val idx = Dedup.buildSignatureIndex(d,
+        scheme = graft.operators.HashScheme.Portable).cached()
+      graft.streaming.DocStream.nearDupCandidates(batch, idx)
+    }),
+
     // SimHash fingerprints under the portable scheme: 60-bit md5-derived
     // token hashes, so the oracle replays every bit vote in SQL. (The
     // library default stays 64-bit xxhash64.)
@@ -1261,6 +1275,18 @@ object DataOpsQueries {
         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, inter::BIGINT AS inter, uni::BIGINT AS uni, jaccard
         |FROM scored WHERE jaccard >= 0.8""".stripMargin,
+
+    // candidate stage only (no verification): banded pairs between the
+    // batch (ids ≥ 1e6) and the corpus — the shared portable chain's
+    // cand CTE filtered to cross pairs (batch ids are always doc_b
+    // because cand orients doc_a < doc_b and batch ids are shifted high)
+    "st_neardup_candidates" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+        |${portableLshSql("all_docs")}
+        |SELECT c.doc_b AS doc_id, c.doc_a AS corpus_id
+        |FROM cand c WHERE c.doc_b >= 1000000 AND c.doc_a < 1000000""".stripMargin,
 
     // cluster-mode edge list: exact edges (member → min-id rep per md5
     // fingerprint) + the d_minhash_neardup LSH chain run over the REPS

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, SignatureIndex, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,5 +45,49 @@ object DocStream {
       fresh.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("fp"))
     else fresh.dropDuplicates(Seq("fp"))
+  }
+
+  /** Streaming NEAR-duplicate candidates against a persisted corpus
+    * [[SignatureIndex]] — the streaming counterpart of
+    * [[Dedup.nearDuplicatesAgainst]]'s candidate stage.
+    *
+    * The per-document MinHash signature is computed as a STATELESS
+    * projection: `array_min` over a per-row `transform` of the (already
+    * materialized) shingle-key array — no groupBy, no shuffle, no state,
+    * so the same plan runs in append-mode streaming and in batch. (The
+    * batch path's explode+aggregate shape is faster at corpus scale
+    * because the per-seed hashes stay in codegen'd aggregates; per
+    * arriving document the interpreted lambda cost is microseconds and
+    * buys streaming compatibility.) Banding is a stateless posexplode;
+    * the candidate join is stream-static against the index's compact
+    * band table.
+    *
+    * Emits (doc_id, corpus_id) pairs. Batch callers get them distinct;
+    * a streaming query may see a pair once per matching band (bounded by
+    * numBands) — deduplicate downstream with
+    * `dropDuplicatesWithinWatermark` if the consumer needs exactly-once
+    * pairs. Exact-Jaccard verification stays a batch step over the
+    * candidate log: it needs the corpus shingle sets, which do not
+    * belong in per-batch streaming state.
+    */
+  def nearDupCandidates(docs: DataFrame, index: SignatureIndex,
+                        textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), index.shingleSize, distinct = true)
+    // two-step select: the md5/prep per shingle lands in its own
+    // projection, so the numHashes seeded transforms below re-scan an
+    // ATTRIBUTE, not the md5 chain
+    val sigs = docs
+      .select(col("doc_id"),
+        transform(sh, s => index.scheme.prep(index.scheme.key(s))).as("_xs"))
+      .select(col("doc_id"),
+        array((0 until index.numHashes).map(i =>
+          array_min(transform(col("_xs"), x => index.scheme.seeded(x, i)))): _*)
+          .as("signature"))
+    val joined = Dedup.lshBands(sigs, index.numBands, index.scheme)
+      .join(index.bands
+          .select(col("band"), col("band_hash"), col("doc_id").as("corpus_id")),
+        Seq("band", "band_hash"))
+      .select("doc_id", "corpus_id")
+    if (docs.isStreaming) joined else joined.distinct()
   }
 }

@@ -179,6 +179,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming near-dup candidates equal the batch candidate set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").cache()
+    val idx = graft.operators.Dedup.buildSignatureIndex(docs).cached()
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val expected = graft.streaming.DocStream.nearDupCandidates(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture yields no candidates")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-neardup")
+    stageParquet(batch, streamDir, "a.parquet")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.DocStream.nearDupCandidates(stream, idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // streaming may emit one row per matching band — compare as sets
+    val got = spark.table("neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("streaming doc ingestion dedup: corpus hits dropped, in-stream repeats collapse") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").cache()
