@@ -39,4 +39,19 @@ class SourcesSpec extends SparkSpec {
     assert(c.columns.toSeq == Seq("chembl_id", "synonyms", "pref_name", "trade_names"))
     assert(c.count() == 7)
   }
+
+  test("faers: malformed lines null out, never kill the scan (PERMISSIVE)") {
+    // the 100 TB contract: one corrupt line in a multi-TB crawl must not
+    // fail the job — Spark's default PERMISSIVE mode nulls the row's
+    // fields; downstream null filters (P3) then drop it naturally
+    val dir = java.nio.file.Files.createTempDirectory("graft-badjson")
+    val good = """{"safetyreportid":"r1","serious":"1","receivedate":"20200101","primarysource":{"qualification":"1"}}"""
+    java.nio.file.Files.writeString(dir.resolve("mixed.jsonl"),
+      good + "\n{not json at all\n" + good.replace("r1", "r2") + "\n")
+    val fda = Sources.faers(dir.toString + "/mixed.jsonl")
+    val rows = fda.collect()
+    assert(rows.length == 3, "PERMISSIVE keeps the malformed row (nulled)")
+    val ids = rows.map(r => Option(r.getString(0)))
+    assert(ids.count(_.isDefined) == 2 && ids.contains(None))
+  }
 }
