@@ -87,4 +87,79 @@ object DataPipeline {
     if (cfg.chunkTokens <= 0) decontaminated
     else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
   }
+
+  /** The daily-loop (incremental) variant: prepare an ARRIVING increment
+    * against the already-ingested corpus without touching corpus text —
+    * the corpus participates only through its two compact artifacts:
+    *
+    *  - `corpusFps`: one `fp` column (md5 content fingerprints) — drives
+    *    the exact-dedup anti-join ([[Dedup.dedupAgainstExact]] shape)
+    *  - `corpusIndex`: the persisted [[SignatureIndex]] — drives
+    *    MinHash near-dup detection ([[Dedup.nearDuplicatesAgainst]])
+    *
+    * Stage order mirrors [[prepare]]: per-doc cleaning → exact dedup
+    * (vs corpus, then in-batch) → near-dedup (vs corpus, then in-batch
+    * closure) → span removal WITHIN the increment (cross-corpus span
+    * granularity would need a persisted window census — the documented
+    * boundary of this composition) → decontamination → chunking.
+    *
+    * After the run, fold the kept documents back:
+    * `corpusIndex.append(kept)` / [[SignatureIndex.appendTo]] and union
+    * their fingerprints into `corpusFps` — each day's cost stays
+    * increment-proportional.
+    *
+    * doc_id spaces of increment and corpus must be disjoint (same
+    * contract as the underlying incremental operators).
+    */
+  def prepareIncrement(newDocs: DataFrame, corpusIndex: SignatureIndex,
+                       corpusFps: DataFrame,
+                       benchmarks: Option[DataFrame] = None,
+                       cfg: Config = Config()): DataFrame = {
+    val stripped = newDocs.withColumn("text",
+      TextAnalysis.stripMarkup(col("text")))
+    val quality = QualityFilter(stripped, cfg.quality)
+    val deBoiler = Boilerplate.removeBoilerplate(quality)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .where(length(col("text")) > 0)
+    // exact: drop docs whose content already exists in the corpus, then
+    // collapse in-batch exact duplicates. The stage boundary is
+    // MATERIALIZED (localCheckpoint): the downstream near-dup chain
+    // references this frame many times (shingling, candidate join,
+    // verification, cluster closure), and each lazy reference would
+    // clone the whole cleaning lineage into the plan — the tree grows
+    // multiplicatively per stage and Catalyst analysis itself becomes
+    // the bottleneck (measured: minutes on a 4-doc increment).
+    // Increments are small by definition, so pinning them is cheap at
+    // any corpus scale.
+    val freshContent = deBoiler
+      .withColumn("_fp", TextAnalysis.fingerprint(col("text")))
+      .join(corpusFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+    val exact = Dedup.exactDeduped(freshContent).localCheckpoint(true)
+    // near: drop docs near-duplicating the CORPUS (index-only work),
+    // then close in-batch near-dup clusters among what remains
+    val corpusNearIds = Dedup
+      .nearDuplicatesAgainst(exact, corpusIndex, "text", cfg.nearDupThreshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    val freshNear = exact.join(corpusNearIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val survivors = Dedup.dedupClusters(freshNear, threshold = cfg.nearDupThreshold)
+      .where(col("is_survivor")).select("doc_id")
+    val deduped = freshNear.join(survivors, Seq("doc_id"), "left_semi")
+    val deSpan =
+      if (cfg.spanK <= 0) deduped
+      else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .where(length(col("text")) > 0)
+    val decontaminated = benchmarks match {
+      case None => deSpan
+      case Some(bench) =>
+        deSpan.join(
+          Decontaminate.contaminatedTrainIds(bench, deSpan,
+            threshold = cfg.contaminationThreshold),
+          Seq("doc_id"), "left_anti")
+    }
+    if (cfg.chunkTokens <= 0) decontaminated
+    else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
+  }
 }

@@ -106,4 +106,39 @@ class DataPipelineSpec extends SparkSpec {
     assert(d5.length >= 2, "13-token doc at chunk=8/stride=6 → 2 chunks")
     assert(d5.forall(_.getLong(4) <= 8L))
   }
+
+  test("prepareIncrement: corpus artifacts drive dedup; the loop folds forward") {
+    val loopCfg = cfg.copy(spanK = 0) // tiny fixture: no span censuses
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon one"),
+      (2L, "pack my box with five dozen"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val kept1 = DataPipeline.prepare(day1, None, loopCfg).cache()
+    assert(kept1.count() == 3)
+    val idx1 = Dedup.buildSignatureIndex(kept1).cached()
+    val fps1 = kept1
+      .select(TextAnalysis.fingerprint($"text").as("fp")).distinct().cache()
+
+    val day2 = Seq(
+      (101L, "alpha beta gamma delta epsilon one"),   // exact corpus dup
+      (102L, "pack my box with five dozen extra"),    // near corpus dup (j=0.8)
+      (103L, "a genuinely novel document arrives"),   // kept
+      (104L, "a genuinely novel document arrives")    // in-batch exact dup
+    ).toDF("doc_id", "text")
+    val kept2 = DataPipeline
+      .prepareIncrement(day2, idx1, fps1, None, loopCfg).cache()
+    assert(kept2.collect().map(_.getLong(0)).toSet == Set(103L),
+      "exact corpus dup, near corpus dup, and in-batch dup must all drop")
+
+    // fold day 2 forward: a day-3 copy of the day-2 novelty must now drop
+    val idx2 = idx1.append(kept2).cached()
+    val fps2 = fps1.unionByName(
+      kept2.select(TextAnalysis.fingerprint($"text").as("fp"))).distinct()
+    val day3 = Seq(
+      (201L, "a genuinely novel document arrives"),   // now a corpus dup
+      (202L, "and still newer content shows up")      // kept
+    ).toDF("doc_id", "text")
+    val kept3 = DataPipeline.prepareIncrement(day3, idx2, fps2, None, loopCfg)
+    assert(kept3.collect().map(_.getLong(0)).toSet == Set(202L))
+  }
 }
