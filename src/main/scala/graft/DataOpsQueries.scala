@@ -719,6 +719,22 @@ object DataOpsQueries {
 
     // SQL surface: the session-extension-registered native functions
     // resolving inside spark.sql text (GraftExtensions / GraftFunctions).
+    // Unicode NFC through the SQL surface: a decomposed combining
+    // sequence (e+U+0301, A+U+030A) appended to every doc must hash
+    // equal to its composed form after normalization — DuckDB's
+    // utf8proc NFC replays the JDK Normalizer for these stable
+    // sequences, so the md5 pins real Unicode work, not a no-op.
+    "f_sql_nfc" -> ((s, dir) => {
+      graft.session.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_sqlfn")
+      // the suffix is DECOMPOSED (compile-time escapes: e + combining
+      // acute, A + combining ring) \u2014 normalization must really compose
+      // it; the oracle builds the same sequence with chr() and
+      // nfc_normalize
+      s.sql("SELECT doc_id, md5(unicode_norm(concat(coalesce(text, ''), " +
+        "' e\u0301A\u030A'))) AS h FROM docs_sqlfn")
+    }),
+
     "f_sql_cosine" -> ((s, dir) => {
       graft.session.GraftFunctions.register(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_sqlfn")
@@ -732,6 +748,11 @@ object DataOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f_sql_nfc" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(coalesce(text, '') || ' e' || chr(769) || 'A' || chr(778))) AS h
+        |FROM documents""".stripMargin,
+
     "f_sql_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,

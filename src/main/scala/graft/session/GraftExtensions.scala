@@ -1,10 +1,10 @@
 package graft.session
 
-import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles, RollingHash64}
+import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles, RollingHash64, UnicodeNormalize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
 
 /** SQL surface for graft's native expressions.
   *
@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *   - `cosine_sim(a, b)`     — fused cosine similarity
   *   - `ngram_shingles(text, n [, distinct])` — word n-gram shingles
   *   - `rolling_hash(text)`  — 64-bit Karp–Rabin rolling hash
+  *   - `unicode_norm(text [, 'NFC'|'NFD'|'NFKC'|'NFKD'])` — Unicode
+  *     normalization (default NFC)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -36,6 +38,12 @@ object GraftFunctions {
     case Literal(v: Boolean, BooleanType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal boolean, got $other")
+  }
+
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string, got $other")
   }
 
   private def info(name: String): ExpressionInfo =
@@ -57,6 +65,12 @@ object GraftFunctions {
       { case Seq(t) => RollingHash64(t, RollingHash64.DefaultBase)
         case args => throw new IllegalArgumentException(
           s"rolling_hash expects 1 argument, got ${args.length}") }),
+    (FunctionIdentifier("unicode_norm"),
+      info("unicode_norm"),
+      { case Seq(t) => UnicodeNormalize(t, "NFC")
+        case Seq(t, f) => UnicodeNormalize(t, strLit(f, "unicode_norm").toUpperCase)
+        case args => throw new IllegalArgumentException(
+          s"unicode_norm expects 1 or 2 arguments, got ${args.length}") }),
     (FunctionIdentifier("ngram_shingles"),
       info("ngram_shingles"),
       { case Seq(t, n) => NGramShingles(t, intLit(n, "ngram_shingles"), distinct = false)
