@@ -579,6 +579,14 @@ object DataOpsQueries {
     "t_chunk" -> ((s, dir) =>
       SpanDedup.chunk(Tables.documents(s, dir), maxTokens = 64, overlap = 16)),
 
+    // CCNet-style perplexity bucketing (exact mode): global percent_rank
+    // over the 6dp-rounded unigram score — deterministic (integer
+    // micro-log sums → identical doubles in both engines) and replayed
+    // window-for-window by the oracle.
+    "t_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "avg_logp10", "bucket")),
+
     // Snapshot diff between two corpus versions: %5==0 removed, %3==0
     // content-perturbed (changed — unless text is null, where both sides
     // stay null → unchanged), %7==0 re-added under new ids (added), rest
@@ -1055,6 +1063,32 @@ object DataOpsQueries {
         |  a.logp_sum_micro,
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
+        |  FROM documents),
+        |census AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM census),
+        |lp AS (
+        |  SELECT doc_id, CAST(round(log10(c::DOUBLE / n) * 1e6) AS BIGINT) AS lp
+        |  FROM tok JOIN census USING (t) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp)::BIGINT AS logp_sum_micro
+        |  FROM lp GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |    round(logp_sum_micro::DOUBLE / n_tokens / 1e6, 6) AS avg_logp10
+        |  FROM agg WHERE n_tokens > 0),
+        |ranked AS (
+        |  SELECT *, percent_rank() OVER (ORDER BY avg_logp10 DESC, doc_id ASC) AS pr
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, avg_logp10,
+        |  CASE WHEN pr < 1.0/3 THEN 'head'
+        |       WHEN pr >= 1.0 - 1.0/3 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM ranked""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (

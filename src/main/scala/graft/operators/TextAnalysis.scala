@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -214,6 +215,54 @@ object TextAnalysis {
         col("logp_sum_micro"),
         round(col("logp_sum_micro").cast("double")
           / col("n_tokens") / 1e6, 6).as("avg_logp10"))
+  }
+
+  /** CCNet-style perplexity bucketing: rank documents by the unigram LM
+    * score ([[unigramLogProb]]) and split head / middle / tail — the
+    * standard quality-banding step before mixing (train mostly on
+    * head+middle, sample tail). Higher avg log-probability = more
+    * LM-typical text = "head".
+    *
+    * Only token-bearing docs are bucketed (empty docs have no score —
+    * drop or route them upstream). The ordering key is the 6dp-rounded
+    * avg (deterministic: derived from exact integer micro-log sums, so
+    * both engines compute the identical double) with doc_id tiebreak.
+    *
+    *  - `exact = true`: percent_rank over a single global window — the
+    *    oracle-replayable mode; one global sort, fine into the tens of
+    *    millions of docs, NOT the 100 TB path.
+    *  - `exact = false`: the scale path — two approx_percentile
+    *    thresholds (one partial-agg pass, no global sort) broadcast back
+    *    as cut points; band boundaries are then approximate by the
+    *    sketch's rank error, which is the standard trade for this step.
+    */
+  def perplexityBuckets(docs: DataFrame, headFrac: Double = 1.0 / 3,
+                        tailFrac: Double = 1.0 / 3,
+                        textCol: String = "text",
+                        exact: Boolean = true): DataFrame = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac < 1,
+      s"fractions must be positive and sum below 1, got $headFrac/$tailFrac")
+    val scored = unigramLogProb(docs, textCol).where(col("n_tokens") > 0)
+    if (exact) {
+      val w = Window.orderBy(col("avg_logp10").desc, col("doc_id").asc)
+      scored
+        .withColumn("_pr", percent_rank().over(w))
+        .withColumn("bucket",
+          when(col("_pr") < headFrac, "head")
+            .when(col("_pr") >= 1.0d - tailFrac, "tail")
+            .otherwise("middle"))
+        .drop("_pr")
+    } else {
+      val thresholds = scored.agg(
+        expr(s"approx_percentile(avg_logp10, ${1.0 - headFrac})").as("_hcut"),
+        expr(s"approx_percentile(avg_logp10, $tailFrac)").as("_tcut"))
+      scored.crossJoin(broadcast(thresholds))
+        .withColumn("bucket",
+          when(col("avg_logp10") >= col("_hcut"), "head")
+            .when(col("avg_logp10") <= col("_tcut"), "tail")
+            .otherwise("middle"))
+        .drop("_hcut", "_tcut")
+    }
   }
 
   /** Normalization for fingerprinting/dedup: lowercase, strip

@@ -551,6 +551,26 @@ class DataOpsSpec extends SparkSpec {
     assert(norm(Dedup.nearDuplicatesAgainst(batch, loaded, "text", 0.9)) == direct)
   }
 
+  test("perplexityBuckets: common-token docs head, rare-token docs tail") {
+    // doc 1-4: all common tokens; doc 5-6 mixed; doc 7-8: unique tokens
+    val docs = ((1L to 4L).map(i => (i, "the the the the")) ++
+      Seq((5L, "the the rare5a rare5b"), (6L, "the the rare6a rare6b")) ++
+      Seq((7L, "zq7a zq7b zq7c zq7d"), (8L, "zq8a zq8b zq8c zq8d")) :+
+      (9L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(docs, headFrac = 0.25, tailFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(!got.contains(9L), "token-less docs are not bucketed")
+    assert(got(1L) == "head", s"most-typical doc must rank head: $got")
+    assert(got(7L) == "tail" || got(8L) == "tail", s"rare-token docs rank tail: $got")
+    assert(got.values.toSet.subsetOf(Set("head", "middle", "tail")))
+    // scale mode: same schema, only valid buckets, most-typical stays head
+    val approx = TextAnalysis.perplexityBuckets(docs, headFrac = 0.25,
+      tailFrac = 0.25, exact = false)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(approx(1L) == "head")
+    assert(approx.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged incl. null-text docs") {
     val prev = Seq[(Long, String)](
       (1L, "stays the same"), (2L, "will change"), (3L, "will vanish"),
