@@ -579,6 +579,18 @@ object DataOpsQueries {
     "t_chunk" -> ((s, dir) =>
       SpanDedup.chunk(Tables.documents(s, dir), maxTokens = 64, overlap = 16)),
 
+    // Tokenizer-prep vocabulary: min-count-filtered census, ids in
+    // deterministic (freq desc, term asc) rank order (oracle).
+    "t_vocab" -> ((s, dir) =>
+      Salience.vocabulary(Tables.documents(s, dir), minCount = 3,
+        maxSize = 1000)),
+
+    // PMI bigram collocations: adjacent-pair census vs unigram chance,
+    // fixed multiplication order + 6dp round → oracle replays the floats
+    // bit-for-bit.
+    "t_bigram_pmi" -> ((s, dir) =>
+      Salience.bigramPmi(Tables.documents(s, dir), minCount = 3)),
+
     // CCNet-style perplexity bucketing (exact mode): global percent_rank
     // over the 6dp-rounded unigram score — deterministic (integer
     // micro-log sums → identical doubles in both engines) and replayed
@@ -1063,6 +1075,56 @@ object DataOpsQueries {
         |  a.logp_sum_micro,
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_vocab" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS term
+        |  FROM norm),
+        |census AS (
+        |  SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        |  FROM tok WHERE term <> '' GROUP BY term HAVING count(*) >= 3),
+        |ranked AS (
+        |  SELECT (row_number() OVER (ORDER BY freq DESC, term ASC) - 1)::BIGINT AS token_id,
+        |    term, freq, doc_freq
+        |  FROM census)
+        |SELECT token_id, term, freq, doc_freq FROM ranked
+        |WHERE token_id < 1000""".stripMargin,
+
+    "t_bigram_pmi" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |uni AS (
+        |  SELECT t, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS t FROM toks) WHERE t <> ''
+        |  GROUP BY t),
+        |ntot AS (SELECT sum(c) AS n FROM uni),
+        |bigall AS (
+        |  SELECT g, count(*) AS c_ab FROM (
+        |    SELECT unnest([array_to_string(toks[i:i+1], ' ')
+        |                   FOR i IN range(1, len(toks))]) AS g
+        |    FROM toks WHERE len(toks) >= 2)
+        |  GROUP BY g),
+        |btot AS (SELECT sum(c_ab) AS b FROM bigall),
+        |kept AS (
+        |  SELECT split_part(g, ' ', 1) AS term_a, split_part(g, ' ', 2) AS term_b, c_ab
+        |  FROM bigall WHERE c_ab >= 3)
+        |SELECT k.term_a, k.term_b, k.c_ab,
+        |  round(ln(k.c_ab::DOUBLE * n.n * n.n / (t.b::DOUBLE * a.c * b2.c)), 6) AS pmi
+        |FROM kept k
+        |JOIN uni a ON a.t = k.term_a
+        |JOIN uni b2 ON b2.t = k.term_b
+        |CROSS JOIN ntot n CROSS JOIN btot t""".stripMargin,
 
     "t_perplexity_buckets" ->
       """WITH tok AS (

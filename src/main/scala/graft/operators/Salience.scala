@@ -58,6 +58,74 @@ object Salience {
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
+  /** Tokenizer-prep vocabulary: the corpus token census filtered to
+    * terms with ≥ `minCount` occurrences, id-assigned in deterministic
+    * rank order (frequency desc, term asc — the conventional "most
+    * frequent gets the smallest id" layout), optionally truncated to
+    * `maxSize`. One partial-aggregated shuffle builds the census; the
+    * ranking windows over the VOCABULARY (sublinear in corpus size),
+    * not the token stream. Output: (token_id starting at 0, term, freq,
+    * doc_freq).
+    */
+  def vocabulary(docs: DataFrame, minCount: Long = 2, maxSize: Int = 0,
+                 textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val census = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"), count_distinct(col("doc_id")).as("doc_freq"))
+      .where(col("freq") >= minCount)
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+    val ranked = census
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token_id", "term", "freq", "doc_freq")
+    if (maxSize > 0) ranked.where(col("token_id") < maxSize) else ranked
+  }
+
+  /** Bigram collocations by pointwise mutual information — the classic
+    * phrase-mining step (PMI ≫ 0 ⇒ the pair co-occurs far above chance:
+    * "new york", "machine learning"). PMI = ln(p(ab) / (p(a)·p(b))) with
+    * p(ab) = c_ab/B over adjacent-pair occurrences and p(x) = c_x/N over
+    * tokens; `minCount` drops unstable rare pairs BEFORE the join, so
+    * the unigram join-back only touches surviving pairs.
+    *
+    * Scale shape: two partial-aggregated censuses (bigram, unigram) +
+    * one join keyed on the two terms of each surviving bigram; totals
+    * ride along as broadcast one-row frames. The ratio is computed in a
+    * fixed multiplication order and rounded to 6dp so both engines agree
+    * bit-for-bit. Output: (term_a, term_b, c_ab, pmi).
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5,
+                textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val uni = docs.select(
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n"))
+    // adjacent pairs via the 2-gram shingle expression; sub-2-token docs
+    // collapse to a whole-text "shingle" with no space — not a bigram
+    val bigAll = docs.select(explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+    val bTot = bigAll.agg(sum(col("c_ab")).as("b"))
+    bigAll.where(col("c_ab") >= minCount)
+      .select(split(col("g"), " ").getItem(0).as("term_a"),
+        split(col("g"), " ").getItem(1).as("term_b"), col("c_ab"))
+      .join(uni.select(col("t").as("term_a"), col("c").as("_ca")), Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("c").as("_cb")), Seq("term_b"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi",
+        // both factors cast to double FIRST: a long-typed denominator
+        // product would overflow at corpus scale (b·c_a·c_b > 2⁶³ once
+        // token counts pass ~10¹²) — and the oracle mirrors the same
+        // cast placement so the float ops replay in order
+        round(log(col("c_ab").cast("double") * col("n") * col("n")
+          / (col("b").cast("double") * col("_ca") * col("_cb"))), 6))
+      .select("term_a", "term_b", "c_ab", "pmi")
+  }
+
   /** Corpus-wide top-k tokens by total frequency, ties broken by term.
     * Partial aggregation collapses the token stream map-side; the final
     * top-k is TakeOrdered (no full sort/exchange of the vocabulary).
