@@ -459,10 +459,18 @@ object DataOpsQueries {
         .select("query_id", "neighbor_id").cache()
       brute.count()
       val quant = Quantize.quantizedTopK(emb, q, k = 10)
-      val out = brute.join(quant.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id")
-        .agg((count(lit(1)) / 10.0).as("recall_q8"))
+      // left_outer from the full query set, zero-filled: a query whose
+      // quantized top-k shares NOTHING with brute force must count as
+      // recall 0, not silently drop out of the mean — excluding it would
+      // overstate recall exactly when the regression is worst
+      val out = q.select(col("vec_id").as("query_id"))
+        .join(
+          brute.join(quant.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id")
+            .agg((count(lit(1)) / 10.0).as("recall_q8")),
+          Seq("query_id"), "left_outer")
+        .na.fill(0.0, Seq("recall_q8"))
         .cache()
       val m = out.agg(avg("recall_q8")).head().getDouble(0)
       // measured 0.98-1.00 at sf0.001-0.1 (64-dim float32 quantizes with

@@ -51,26 +51,26 @@ object DataPipeline {
       chunkTokens: Int = 2048,
       chunkOverlap: Int = 0)
 
-  /** Run the full chain. Returns chunk-grain rows when chunking is on
-    * ((doc_id, chunk_id, chunk_text, chunk_start, chunk_tokens)),
-    * doc-grain (doc_id, text) otherwise.
+  /** Shared per-document cleaning head (stages 1-3): markup strip →
+    * quality filter → boilerplate removal. removeBoilerplate coalesces
+    * all-boilerplate docs to ""; those empties are dropped HERE —
+    * otherwise exact dedup conflates every unrelated emptied doc into
+    * one ""-fingerprint group and one of them flows through as an empty
+    * "training document".
     */
-  def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
-              cfg: Config = Config()): DataFrame = {
+  private def cleanHead(docs: DataFrame, cfg: Config): DataFrame = {
     val stripped = docs.withColumn("text",
       TextAnalysis.stripMarkup(col("text")))
-    val quality = QualityFilter(stripped, cfg.quality)
-    // removeBoilerplate already coalesces all-boilerplate docs to "";
-    // drop those empties HERE — otherwise exact dedup conflates every
-    // unrelated emptied doc into one ""-fingerprint group and one of
-    // them flows through as an empty "training document"
-    val deBoiler = Boilerplate.removeBoilerplate(quality)
+    Boilerplate.removeBoilerplate(QualityFilter(stripped, cfg.quality))
       .select(col("doc_id"), col("clean_text").as("text"))
       .where(length(col("text")) > 0)
-    val exact = Dedup.exactDeduped(deBoiler)
-    val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
-      .where(col("is_survivor")).select("doc_id")
-    val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
+  }
+
+  /** Shared tail (stages 6-8): span removal → decontamination →
+    * chunking, over an already-deduplicated doc frame.
+    */
+  private def finishTail(deduped: DataFrame, benchmarks: Option[DataFrame],
+                         cfg: Config): DataFrame = {
     val deSpan =
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
@@ -86,6 +86,19 @@ object DataPipeline {
     }
     if (cfg.chunkTokens <= 0) decontaminated
     else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
+  }
+
+  /** Run the full chain. Returns chunk-grain rows when chunking is on
+    * ((doc_id, chunk_id, chunk_text, chunk_start, chunk_tokens)),
+    * doc-grain (doc_id, text) otherwise.
+    */
+  def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
+              cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.exactDeduped(cleanHead(docs, cfg))
+    val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
+      .where(col("is_survivor")).select("doc_id")
+    val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
+    finishTail(deduped, benchmarks, cfg)
   }
 
   /** The daily-loop (incremental) variant: prepare an ARRIVING increment
@@ -115,12 +128,6 @@ object DataPipeline {
                        corpusFps: DataFrame,
                        benchmarks: Option[DataFrame] = None,
                        cfg: Config = Config()): DataFrame = {
-    val stripped = newDocs.withColumn("text",
-      TextAnalysis.stripMarkup(col("text")))
-    val quality = QualityFilter(stripped, cfg.quality)
-    val deBoiler = Boilerplate.removeBoilerplate(quality)
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .where(length(col("text")) > 0)
     // exact: drop docs whose content already exists in the corpus, then
     // collapse in-batch exact duplicates. The stage boundary is
     // MATERIALIZED (localCheckpoint): the downstream near-dup chain
@@ -131,7 +138,7 @@ object DataPipeline {
     // the bottleneck (measured: minutes on a 4-doc increment).
     // Increments are small by definition, so pinning them is cheap at
     // any corpus scale.
-    val freshContent = deBoiler
+    val freshContent = cleanHead(newDocs, cfg)
       .withColumn("_fp", TextAnalysis.fingerprint(col("text")))
       .join(corpusFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
@@ -146,20 +153,6 @@ object DataPipeline {
     val survivors = Dedup.dedupClusters(freshNear, threshold = cfg.nearDupThreshold)
       .where(col("is_survivor")).select("doc_id")
     val deduped = freshNear.join(survivors, Seq("doc_id"), "left_semi")
-    val deSpan =
-      if (cfg.spanK <= 0) deduped
-      else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .where(length(col("text")) > 0)
-    val decontaminated = benchmarks match {
-      case None => deSpan
-      case Some(bench) =>
-        deSpan.join(
-          Decontaminate.contaminatedTrainIds(bench, deSpan,
-            threshold = cfg.contaminationThreshold),
-          Seq("doc_id"), "left_anti")
-    }
-    if (cfg.chunkTokens <= 0) decontaminated
-    else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
+    finishTail(deduped, benchmarks, cfg)
   }
 }

@@ -96,17 +96,28 @@ object SignatureIndex {
     * read or rewritten, so per-increment IO is increment-proportional.
     * params.json is untouched (same family, same params by construction).
     * Returns the re-read, now-larger index.
+    *
+    * Crash-recovery contract (the two appends are not one atomic
+    * transaction): BANDS are written FIRST, deliberately. A failure
+    * between the writes leaves extra band rows with no matching shingle
+    * rows — increment candidates then fail Jaccard verification (a
+    * bounded false-NEGATIVE window), and simply re-running appendTo is
+    * safe: duplicated band rows only produce duplicate candidates,
+    * which the candidate `distinct()` collapses. The reverse order
+    * would be dangerous: duplicated SHINGLE rows double a doc's
+    * intersection/size counts and silently corrupt every Jaccard score
+    * it participates in.
     */
   def appendTo(spark: SparkSession, path: String, newDocs: DataFrame,
                textCol: String = "text"): SignatureIndex = {
     val idx = read(spark, path)
     val shNew = Dedup.shingleRows(newDocs, textCol, idx.shingleSize, idx.scheme)
-      .cache() // shingled once; feeds both the shingle write and the bands
-    shNew.write.mode("append").parquet(s"$path/shingles")
+      .cache() // shingled once; feeds both the bands and the shingle write
     Dedup.lshBands(
         Dedup.minhashSignaturesFromRows(shNew, idx.numHashes, idx.scheme),
         idx.numBands, idx.scheme)
       .write.mode("append").parquet(s"$path/bands")
+    shNew.write.mode("append").parquet(s"$path/shingles")
     shNew.unpersist()
     read(spark, path)
   }
@@ -607,9 +618,13 @@ object Dedup {
     // sign bit as payload
     val slices = (0 until bands).map { b =>
       val w = if (b == bands - 1) bits - b * width else width
+      // w = 64 (maxHamming = 0, Fast scheme): (1L << 64) wraps to 1 and
+      // the mask would be 0, collapsing EVERY fingerprint into one
+      // bucket — an accidental all-pairs join; -1L is the identity mask
+      val mask = if (w >= 64) -1L else (1L << w) - 1
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << w) - 1)).as("v"))
+          .bitwiseAND(lit(mask)).as("v"))
     }
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array(slices: _*)).as("_s"))

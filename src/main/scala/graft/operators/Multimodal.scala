@@ -118,8 +118,12 @@ object Multimodal {
         }
         val w = nextInt(); val h = nextInt(); val maxval = nextInt()
         require(maxval == 255, s"only 8-bit PPM supported, maxval=$maxval")
+        require(w > 0 && h > 0, s"degenerate dimensions ${w}x$h")
         pos += 1 // exactly ONE whitespace byte separates header from raster
-        require(payload.length - pos >= w * h * 3, "truncated raster")
+        // raster size in LONG: a crafted huge header would overflow
+        // w*h*3 to a small/negative Int and slip past this check, then
+        // index out of bounds in every consumer
+        require(payload.length.toLong - pos >= w.toLong * h * 3, "truncated raster")
         Some((w, h, pos))
       } catch { case _: Throwable => None }
 
@@ -157,6 +161,10 @@ object Multimodal {
         while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
           val id = new String(payload, pos, 4, "US-ASCII")
           val len = le32(payload, pos + 4)
+          // a crafted negative length would leave pos unchanged and spin
+          // this walk forever — worse than any exception; require jumps
+          // to the catch → nulls, honoring the never-hang contract
+          require(len >= 0, s"negative chunk length $len")
           if (id == "fmt ") {
             channels = le16(payload, pos + 10)
             rate = le32(payload, pos + 12)
@@ -214,7 +222,6 @@ object Multimodal {
     * header is the only source).
     */
   def syntheticPpmMedia(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     docs.select(col("doc_id").as("media_id"),
         length(coalesce(col("text"), lit(""))).as("n"))
@@ -244,7 +251,6 @@ object Multimodal {
     * chunk-walk.
     */
   def syntheticWavMedia(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     docs.select(col("doc_id").as("media_id"),
         length(coalesce(col("text"), lit(""))).as("n"))
@@ -279,7 +285,6 @@ object Multimodal {
     */
   def decodeFeatures(media: DataFrame, dim: Int = 16,
                      decoder: Decoder = FakeDecoder): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("width", IntegerType),
@@ -322,7 +327,6 @@ object Multimodal {
     */
   def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW >= 1 && outH >= 1, s"output dims must be >= 1, got $outW x $outH")
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select("media_id", "payload")
       .mapPartitions { rows =>
@@ -331,7 +335,10 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](1)
           val parsed =
             if (payload == null) None else PpmDecoder.parseRaster(payload)
-          parsed match {
+          // same never-throw contract as decode: parseRaster rejects
+          // degenerate/overflowing headers, and the belt-and-braces catch
+          // maps any residual surprise to a null payload, not a dead task
+          try parsed match {
             case Some((w, h, off)) =>
               val out = new Array[Byte](outW * outH * 3)
               var i = 0
@@ -351,6 +358,8 @@ object Multimodal {
                 .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
               Row(id, header ++ out, Row("image", "ppm", outW, outH, null))
             case None => Row(id, null, Row("image", "ppm", null, null, null))
+          } catch { case _: Throwable =>
+            Row(id, null, Row("image", "ppm", null, null, null))
           }
         }
       }(enc)

@@ -690,6 +690,15 @@ class DataOpsSpec extends SparkSpec {
     assert(wd.features.toSeq ==
       Seq((128.0 / 2 / 255.0).toFloat, (319.0 / 2 / 255.0).toFloat))
     assert(Multimodal.WavDecoder.decode("RIFFxxxxWAVE".getBytes, 2).width == null)
+    // crafted negative chunk length must terminate (nulls), not spin the
+    // chunk walk forever
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(-8) ++ new Array[Byte](32)
+    assert(Multimodal.WavDecoder.decode(evil, 2).width == null)
+    // zero-dimension and int-overflow PPM headers are rejected at parse
+    assert(Multimodal.PpmDecoder.decode("P6\n0 0\n255\n".getBytes, 2).width == null)
+    assert(Multimodal.PpmDecoder.decode(
+      "P6\n100000 100000\n255\n".getBytes ++ new Array[Byte](64), 2).width == null)
   }
 
   test("resizePpm: nearest-neighbor sampling, valid output PPM, bad input → null") {
