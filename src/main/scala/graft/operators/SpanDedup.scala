@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
   * What suffix-array implementations (ExactSubstr et al.) buy is
   * byte-granular span boundaries and memory locality, not a different
   * token-level removal set. Two policies are offered: the default drops
-  * EVERY occurrence of duplicated content; `keepFirst = true` preserves
-  * the corpus-first occurrence of each repeated window (the literature's
-  * "remove all but one copy" variant) — under it, a span repeated only
-  * ACROSS docs survives in the lowest-id doc, while later copies lose
-  * exactly the tokens whose every covering window is non-canonical.
+  * EVERY occurrence of duplicated content; `keepFirst = true` exempts
+  * the corpus-first occurrence of each repeated WINDOW (the literature's
+  * "remove all but one copy" direction). The implemented rule is: a
+  * token is removed iff SOME non-canonical repeated window covers it.
+  * For repeated spans that don't overlap other repeated content this
+  * preserves exactly the corpus-first copy; where DISTINCT repeated
+  * windows overlap, a canonical window's token can still be removed by
+  * an overlapping non-canonical window — e.g. docs "p q a b" / "a b c" /
+  * "z b c w" at k=2: the canonical "b c" in doc 2 loses its "b" to the
+  * overlapping non-canonical "a b", so no intact "b c" survives. A
+  * guarantee of one intact copy per span would need conflict resolution
+  * across overlapping window families (iterative, order-dependent);
+  * this one-pass rule is deterministic and oracle-replayable instead.
   *
   * Differs from the line-grain [[Boilerplate]] census (whole lines only)
   * and from [[Decontaminate]] (containment REPORTING, not removal): this
@@ -58,10 +66,12 @@ object SpanDedup {
     *          never edited (no window of length k exists in them)
     * @param keepFirst false (default): every occurrence of duplicated
     *          content is dropped. true: the lexicographically-first
-    *          (doc_id, position) occurrence of each repeated window stays
-    *          uncovered, so one copy of each duplicated span survives.
-    *          The canonical occurrence comes from a min(struct) aggregate
-    *          over the (small) repeated-window frame — partial-aggregates
+    *          (doc_id, position) occurrence of each repeated window does
+    *          not contribute coverage — a token is removed iff some
+    *          NON-canonical repeated window covers it (see the object
+    *          scaladoc for the overlap fine print). The canonical
+    *          occurrence comes from a min(struct) aggregate over the
+    *          (small) repeated-window frame — partial-aggregates
     *          map-side, no per-digest sort.
     * @param reliable how the covered-position frame is materialized.
     *          false (default): `localCheckpoint` — executor-local blocks,
