@@ -251,6 +251,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
+  test("t_vocab / t_bigram_pmi: map-side partial aggregation, no cartesian") {
+    for (q <- Seq("t_vocab", "t_bigram_pmi")) {
+      val p = executed(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q census must partial-aggregate map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
+  test("perplexity buckets: approx mode plans no global-sort window") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val approx = graft.operators.TextAnalysis
+      .perplexityBuckets(docs, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Window"),
+      s"approx bucketing must not plan a window:\n$approx")
+    val exact = graft.operators.TextAnalysis
+      .perplexityBuckets(docs, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Window"), "exact mode ranks via one window")
+  }
+
   test("a12_dataset_card: map-side partial aggregation before the group exchange") {
     val p = executed("a12_dataset_card")
     assert(p.contains("partial_"))
