@@ -52,6 +52,47 @@ object DataOpsQueries {
     * shingle-intersection CTE (`cand`/`sizes`/`ix`); callers add their
     * own scoring/select on top.
     */
+  /** Shared DSIR oracle chain (hashed unigram+bigram buckets → smoothed
+    * micro-log10 bucket ratios → per-doc integer sums), ending at the
+    * `agg` CTE with (doc_id, n_feats, llr_micro). Target = lang='en',
+    * raw = all documents, B = 1024 — mirrors the `t_dsir_*` gate
+    * parameters; one string shared by both gates so the hash scheme or
+    * smoothing can never half-change.
+    */
+  private val dsirScoreSql: String =
+    """norm AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, lang, CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+      |  FROM norm),
+      |feats AS (
+      |  SELECT doc_id, lang, t FROM
+      |    (SELECT doc_id, lang, unnest(toks) AS t FROM toks) WHERE t <> ''
+      |  UNION ALL
+      |  SELECT doc_id, lang, g AS t FROM (
+      |    SELECT doc_id, lang,
+      |      unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+      |    FROM toks WHERE len(toks) >= 2)),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b
+      |  FROM feats),
+      |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+      |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+      |ttot AS (SELECT coalesce(sum(ct), 0)::BIGINT AS ctot FROM tc),
+      |rtot AS (SELECT coalesce(sum(cr), 0)::BIGINT AS crtot FROM rc),
+      |lr AS (
+      |  SELECT r.b,
+      |    CAST(round(log10((coalesce(tc.ct, 0)::DOUBLE + 1.0) * (rtot.crtot::DOUBLE + 1024.0)
+      |      / ((r.cr::DOUBLE + 1.0) * (ttot.ctot::DOUBLE + 1024.0))) * 1e6) AS BIGINT) AS lr_micro
+      |  FROM rc r LEFT JOIN tc USING (b) CROSS JOIN ttot CROSS JOIN rtot),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_feats, sum(lr_micro)::BIGINT AS llr_micro
+      |  FROM fb JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
   private def portableLshSql(src: String): String =
     s"""norm AS (
       |  SELECT doc_id,
@@ -607,6 +648,24 @@ object DataOpsQueries {
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "avg_logp10", "bucket")),
 
+    // DSIR importance scores: target = English subset, raw = whole
+    // corpus; hashed unigram+bigram buckets, micro-log10 integer sums —
+    // the oracle replays bucket hash, smoothing, and per-doc sums
+    // exactly.
+    "t_dsir_scores" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Dsir.scores(d, d.where(col("lang") === "en"), buckets = 1024)
+    }),
+
+    // DSIR Gumbel top-k resample (k=100, T=1, seed=7): deterministic
+    // md5-derived Gumbel noise → sampling without replacement ∝
+    // exp(score), fully replayed by the oracle.
+    "t_dsir_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Dsir.resample(d, d.where(col("lang") === "en"), k = 100,
+        buckets = 1024, temperature = 1.0, seed = 7L)
+    }),
+
     // Snapshot diff between two corpus versions: %5==0 removed, %3==0
     // content-perturbed (changed — unless text is null, where both sides
     // stay null → unchanged), %7==0 re-added under new ids (added), rest
@@ -1159,6 +1218,26 @@ object DataOpsQueries {
         |       WHEN pr >= 1.0 - 1.0/3 THEN 'tail'
         |       ELSE 'middle' END AS bucket
         |FROM ranked""".stripMargin,
+
+    "t_dsir_scores" ->
+      s"""WITH $dsirScoreSql
+        |SELECT d.doc_id, coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+        |  a.llr_micro,
+        |  round(a.llr_micro::DOUBLE / a.n_feats / 1e6, 6) AS llr_per_feat
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_dsir_sample" ->
+      s"""WITH $dsirScoreSql,
+        |sc AS (
+        |  SELECT doc_id, n_feats,
+        |    round(llr_micro::DOUBLE / n_feats / 1e6, 6) AS llr_per_feat,
+        |    (('0x' || substr(md5('dsir:7:' || doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5)
+        |      / 1.152921504606846976e18 AS u
+        |  FROM agg WHERE n_feats > 0)
+        |SELECT doc_id, n_feats, llr_per_feat,
+        |  round(llr_per_feat / 1.0 - ln(-ln(u)), 6) AS gkey
+        |FROM sc
+        |ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (
