@@ -648,6 +648,18 @@ object DataOpsQueries {
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "avg_logp10", "bucket")),
 
+    // Semantic (embedding-space) decontamination: benchmark = every 10th
+    // vector, train = the rest; train side takes ONE nearest centroid,
+    // the small benchmark side multi-probes 2 — the oracle replays
+    // assignment, probes, and the 6dp cosine frontier exactly.
+    "d_semantic_decontaminate" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Decontaminate.semanticReport(
+        emb.where(col("vec_id") % 10 === 0),
+        emb.where(col("vec_id") % 10 =!= 0),
+        fixedCentroids(s, dir, 8), tau = 0.3, nProbe = 2)
+    }),
+
     // DSIR importance scores: target = English subset, raw = whole
     // corpus; hashed unigram+bigram buckets, micro-log10 integer sums —
     // the oracle replays bucket hash, smoothing, and per-doc sums
@@ -1218,6 +1230,42 @@ object DataOpsQueries {
         |       WHEN pr >= 1.0 - 1.0/3 THEN 'tail'
         |       ELSE 'middle' END AS bucket
         |FROM ranked""".stripMargin,
+
+    "d_semantic_decontaminate" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored0 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM e CROSS JOIN c),
+        |train AS (
+        |  SELECT vec_id AS train_id, cid AS cluster_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored0 WHERE vec_id % 10 <> 0) WHERE rn = 1),
+        |test AS (
+        |  SELECT vec_id AS test_id, cid AS cluster_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM scored0 WHERE vec_id % 10 = 0) WHERE rn <= 2),
+        |pairs AS (
+        |  SELECT t.test_id, tr.train_id,
+        |    round(list_cosine_similarity(te.ev, tre.ev), 6) AS cosine
+        |  FROM test t JOIN train tr USING (cluster_id)
+        |  JOIN e te ON te.vec_id = t.test_id
+        |  JOIN e tre ON tre.vec_id = tr.train_id
+        |  WHERE round(list_cosine_similarity(te.ev, tre.ev), 6) >= 0.3),
+        |ranked AS (
+        |  SELECT test_id, train_id, cosine,
+        |    row_number() OVER (PARTITION BY test_id
+        |                       ORDER BY cosine DESC, train_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY test_id) AS n_matches,
+        |    max(cosine) OVER (PARTITION BY test_id) AS maxc
+        |  FROM pairs)
+        |SELECT test_id, train_id AS best_train_id,
+        |  round(maxc, 6) AS max_cosine, n_matches
+        |FROM ranked WHERE rk = 1""".stripMargin,
 
     "t_dsir_scores" ->
       s"""WITH $dsirScoreSql

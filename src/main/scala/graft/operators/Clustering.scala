@@ -42,6 +42,22 @@ object Clustering {
     (array_position(ds, array_min(ds)) - 1).cast("int")
   }
 
+  /** The `nProbe` nearest centroid indices (ascending score order, ties
+    * to the lowest index via the struct sort) — multi-probe cluster
+    * lookup for query-side operators ([[Similarity.ivfTopKWith]],
+    * [[Decontaminate.semanticReport]]). ONE definition so every oracle
+    * replays the same probe arithmetic.
+    */
+  def probesColumn(vec: Column, centroids: Array[Array[Double]],
+                   nProbe: Int): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      struct(score(vec, c).as("d"), lit(i).as("i"))
+    }
+    slice(array_sort(array(ds: _*)), 1, nProbe).getField("i")
+  }
+
   /** Corpus + `cluster_id` column: nearest centroid per row. */
   def assign(corpus: DataFrame, centroids: Array[Array[Double]],
              vecCol: String = "embedding",

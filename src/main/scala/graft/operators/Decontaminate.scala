@@ -95,4 +95,65 @@ object Decontaminate {
                            maxDf: Long = DefaultMaxDf): DataFrame =
     scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
       .select(col("train_id").as("doc_id")).distinct()
+
+  /** Embedding-space decontamination — the semantic sibling of [[report]]
+    * for paraphrased/translated benchmark leakage that n-gram containment
+    * misses entirely (zero shingle overlap, same meaning). Train vectors
+    * are assigned to their ONE nearest centroid (the corpus-sized side is
+    * scanned once, never exploded); each benchmark vector probes its
+    * `nProbe` nearest centroids — recall lost to cluster-boundary splits
+    * is bought back by multiplying only the SMALL side. Cosine is rounded
+    * to 6 dp before the threshold so the keep/flag frontier is
+    * engine-portable.
+    *
+    * Scale shape: one shuffle-free centroid argmin over the corpus, one
+    * broadcast join (the exploded benchmark side is nProbe× a benchmark —
+    * still tiny), one partial-aggregated groupBy on test_id. A (test,
+    * train) pair can never double-count: the train side carries exactly
+    * one cluster id, and the probe list holds distinct ids by
+    * construction.
+    */
+  private def semanticScoredPairs(test: DataFrame, train: DataFrame,
+                                  centroids: Array[Array[Double]],
+                                  tau: Double, nProbe: Int,
+                                  idCol: String, vecCol: String): DataFrame = {
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("_tv"))
+      .withColumn("cluster_id", Clustering.assignColumn(col("_tv"), centroids))
+    val te = test.select(col(idCol).as("test_id"), col(vecCol).as("_qv"))
+      .withColumn("cluster_id",
+        explode(Clustering.probesColumn(col("_qv"), centroids, nProbe)))
+    tr.join(broadcast(te), Seq("cluster_id"))
+      .withColumn("cosine",
+        round(graft.functions.VectorOps.cosine(col("_tv"), col("_qv")), 6))
+      .where(col("cosine") >= tau)
+  }
+
+  /** Per benchmark vector: best-matching train vector (max cosine, min
+    * train_id tiebreak), its cosine, and how many train vectors clear
+    * `tau` within the probed clusters.
+    */
+  def semanticReport(test: DataFrame, train: DataFrame,
+                     centroids: Array[Array[Double]], tau: Double,
+                     nProbe: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    semanticScoredPairs(test, train, centroids, tau, nProbe, idCol, vecCol)
+      .groupBy("test_id")
+      .agg(max(struct(col("cosine"), (-col("train_id")).as("_neg"))).as("_best"),
+        count(lit(1)).as("n_matches"),
+        round(max(col("cosine")), 6).as("max_cosine"))
+      .select(col("test_id"),
+        (-col("_best._neg")).cast("long").as("best_train_id"),
+        col("max_cosine"), col("n_matches"))
+
+  /** The DROP set: every train vector within cosine `tau` of ANY
+    * benchmark vector's probed clusters — one `idCol` column for a
+    * left_anti join against the corpus.
+    */
+  def semanticContaminatedTrainIds(test: DataFrame, train: DataFrame,
+                                   centroids: Array[Array[Double]],
+                                   tau: Double, nProbe: Int = 2,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame =
+    semanticScoredPairs(test, train, centroids, tau, nProbe, idCol, vecCol)
+      .select(col("train_id").as(idCol)).distinct()
 }

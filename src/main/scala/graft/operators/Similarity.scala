@@ -130,19 +130,11 @@ object Similarity {
     // definition the oracles replay) and the probe ordering only need
     // score(v,c) = ‖c‖² − 2 v·c — one fused dot per centroid, no per-row
     // diff array. ‖c‖² is precomputed driver-side.
-    // query → its nProbe nearest centroid ids (array literal fold is
-    // driver-cheap: centroids are tiny)
-    def probes(vec: Column): Column = {
-      val ds = quantizer.zipWithIndex.map { case (c, i) =>
-        struct(Clustering.score(vec, c).as("d"), lit(i).as("i"))
-      }
-      slice(array_sort(array(ds: _*)), 1, nProbe).getField("i")
-    }
-
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("list_id", Clustering.assignColumn(col("_cv"), quantizer))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .withColumn("list_id", explode(probes(col("_qv"))))
+      .withColumn("list_id",
+        explode(Clustering.probesColumn(col("_qv"), quantizer, nProbe)))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_cv"), col("_qv")))

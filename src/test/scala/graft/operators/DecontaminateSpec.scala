@@ -50,4 +50,46 @@ class DecontaminateSpec extends SparkSpec {
     assert(capped <= uncapped)
     assert(capped < 1.0, "df-2 shingles dropped from the index")
   }
+
+  // two well-separated directions in R³; paraphrase = same direction,
+  // different magnitude (cosine 1.0, zero n-gram overlap by analogy)
+  private val centroids = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+  private val trainVecs = Seq(
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.2f)),
+    (3L, Seq(2.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("semantic report flags a paraphrase (same direction, different norm)") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Decontaminate.semanticReport(bench, trainVecs, centroids,
+      tau = 0.9, nProbe = 1).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 100L)
+    assert(row.getLong(1) == 3L, "cosine-1.0 rescaled twin beats the 0.99 one")
+    assert(row.getAs[Double]("max_cosine") == 1.0)
+    assert(row.getLong(3) == 2L, "vecs 1 and 3 both clear tau in cluster 0")
+  }
+
+  test("semantic report: nProbe=1 misses a cross-cluster match that nProbe=2 finds") {
+    // benchmark vector between the clusters, nearer centroid 0 (x > y);
+    // its only ≥tau train match (vec 2) lives in cluster 1
+    val bench = Seq((100L, Seq(0.75f, 0.65f, 0.0f))).toDF("vec_id", "embedding")
+    val tr = trainVecs.where($"vec_id" === 2L)
+    assert(Decontaminate.semanticReport(bench, tr, centroids,
+      tau = 0.6, nProbe = 1).count() == 0)
+    val r2 = Decontaminate.semanticReport(bench, tr, centroids,
+      tau = 0.6, nProbe = 2).collect()
+    assert(r2.length == 1 && r2.head.getLong(1) == 2L)
+  }
+
+  test("semanticContaminatedTrainIds is the distinct ≥tau train set") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.95f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+    val ids = Decontaminate.semanticContaminatedTrainIds(bench, trainVecs,
+      centroids, tau = 0.9, nProbe = 1)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"both benchmark vecs flag 1 and 3 once: $ids")
+  }
 }
