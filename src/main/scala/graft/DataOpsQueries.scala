@@ -648,6 +648,15 @@ object DataOpsQueries {
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "avg_logp10", "bucket")),
 
+    // Deterministic corpus shuffle: md5(seed,key) order, 8 contiguous
+    // hash-range shards, per-shard rank + prefix-sum offsets → a total
+    // permutation 1..N the oracle replays exactly.
+    "s_shuffle_perm" -> ((s, dir) =>
+      operators.Shuffle.permutation(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        col("doc_id"), seed = 42L, shards = 8)
+        .select("doc_id", "lang", "shard", "pos", "global_pos")),
+
     // Semantic (embedding-space) decontamination: benchmark = every 10th
     // vector, train = the rest; train side takes ONE nearest centroid,
     // the small benchmark side multi-probes 2 — the oracle replays
@@ -1230,6 +1239,28 @@ object DataOpsQueries {
         |       WHEN pr >= 1.0 - 1.0/3 THEN 'tail'
         |       ELSE 'middle' END AS bucket
         |FROM ranked""".stripMargin,
+
+    "s_shuffle_perm" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    md5('shuffle:42:' || doc_id::VARCHAR) AS hx
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, hx,
+        |    CAST((('0x' || substr(hx, 1, 15))::BIGINT >> 57) AS INT) AS shard
+        |  FROM h),
+        |p AS (
+        |  SELECT doc_id, lang, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY hx ASC, doc_id ASC)::BIGINT AS pos
+        |  FROM s),
+        |off AS (
+        |  SELECT shard,
+        |    coalesce(sum(cnt) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS o
+        |  FROM (SELECT shard, count(*) AS cnt FROM p GROUP BY shard))
+        |SELECT doc_id, lang, shard, pos, (o + pos)::BIGINT AS global_pos
+        |FROM p JOIN off USING (shard)""".stripMargin,
 
     "d_semantic_decontaminate" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
