@@ -260,6 +260,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t_dsir_scores: ratio table broadcasts onto the token stream, no cartesian") {
+    val p = executed("t_dsir_scores")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=B-row log-ratio table must broadcast-join the feature stream:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bucket censuses and per-doc sums must partial-aggregate map-side")
+  }
+
+  test("d_semantic_decontaminate: benchmark side broadcast, corpus never exploded") {
+    val p = executed("d_semantic_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // exactly one Generate (the nProbe explode) — on the benchmark side only
+    assert(p.linesIterator.count(_.contains("Generate")) == 1,
+      s"only the small probe side may explode:\n$p")
+  }
+
+  test("s_shuffle_perm: offset table broadcasts back; shard windows partition by shard") {
+    val p = executed("s_shuffle_perm")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("perplexity buckets: approx mode plans no global-sort window") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
