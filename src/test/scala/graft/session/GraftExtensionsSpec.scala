@@ -55,6 +55,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // wins getOrCreate), so the session-build seam is exercised by the
     // Verify/Bench mains; this pins the declared name set
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
-      Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash"))
+      Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash",
+        "unicode_norm"))
   }
 }
