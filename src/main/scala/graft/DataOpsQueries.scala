@@ -248,6 +248,28 @@ object DataOpsQueries {
       Boilerplate.removeBoilerplate(Tables.documents(s, dir),
         lineSep = " table ", minDocs = 20)),
 
+    // C4-style line-level heuristic filter: lines derived in-query
+    // (split on " table ", re-joined with ".\n" so interior lines end
+    // in terminal punctuation and the last does not) — ≥4 words,
+    // terminal punct required, "spark" blocklisted. Shuffle-free
+    // higher-order filter, fully replayed by the oracle (oracle).
+    "t_line_filter" -> ((s, dir) =>
+      Boilerplate.removeLowQualityLines(
+        Tables.documents(s, dir).select(col("doc_id"),
+          array_join(split(col("text"), " table ", -1), ".\n").as("text")),
+        lineSep = "\n", minWords = 4, requireTerminalPunct = true,
+        blocklist = Seq("spark"))),
+
+    // Per-source frequency cap: at most 10 docs per source, picked by
+    // the deterministic md5 draw — run SALTED (4 buckets) to exercise
+    // the two-phase hot-domain shape; results are salt-invariant, so
+    // the oracle replays the single-phase rank (oracle).
+    "s_source_cap" -> ((s, dir) =>
+      HashSplit.capPerGroup(
+        Tables.documents(s, dir).select("doc_id", "source"),
+        col("source"), maxPerGroup = 10, id = col("doc_id"),
+        seed = 7L, saltBuckets = 4)),
+
     // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
     // engine-specific → rows-only; identity semantics vs md5 are asserted
     // in DataOpsSpec.
@@ -1126,6 +1148,33 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "t_line_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' table '), '.' || chr(10)) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM base),
+        |k AS (SELECT doc_id, lines,
+        |        list_filter(lines, x ->
+        |          trim(x) <> '' AND len(regexp_split_to_array(trim(x), '\s+')) >= 4
+        |          AND NOT contains(lower(x), 'spark')
+        |          AND regexp_matches(rtrim(x), '[.!?"'']$')) AS kept
+        |      FROM l)
+        |SELECT doc_id,
+        |  CASE WHEN lines IS NULL THEN NULL
+        |       ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text,
+        |  len(lines)::INT AS n_lines, len(kept)::INT AS n_lines_kept,
+        |  (len(lines) - len(kept))::INT AS n_lines_removed
+        |FROM k""".stripMargin,
+
+    "s_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    (row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap:7:' || doc_id::VARCHAR) ASC, doc_id ASC))::INT AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
     // entity replaces applied in the same order as the operator's fold;
     // horizontal whitespace collapses to ' ', and ANY run containing a

@@ -44,6 +44,47 @@ object Boilerplate {
         count_distinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
+  /** C4-style LINE-LEVEL heuristic filter — the other half of the C4
+    * cleaning recipe next to the corpus-frequency census above: a line
+    * is kept only if it (a) has at least `minWords` whitespace words,
+    * (b) ends in terminal punctuation (`. ! ? " '` after right-trim —
+    * C4's "terminal punctuation mark" rule) when
+    * `requireTerminalPunct`, and (c) contains none of the lowercase
+    * `blocklist` markers (C4 drops lines with "javascript", pages with
+    * "lorem ipsum"). Unlike [[removeBoilerplate]] this needs NO corpus
+    * census: the predicate is per-line, so the whole operator is one
+    * shuffle-free projection via the higher-order `filter` over the
+    * split array — at 100 TB it is a pure scan that pipelines inside
+    * whole-stage codegen with zero exchanges.
+    *
+    * Null text propagates (null clean_text/counts), matching the
+    * splitter's null semantics in external engines.
+    */
+  def removeLowQualityLines(docs: DataFrame, lineSep: String = "\n",
+                            minWords: Int = 3,
+                            requireTerminalPunct: Boolean = true,
+                            blocklist: Seq[String] =
+                              Seq("javascript", "lorem ipsum", "cookie"),
+                            textCol: String = "text"): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    def keep(l: org.apache.spark.sql.Column) = {
+      // blank-safe word count: trim-empty lines have 0 words, not [""]
+      val words = when(trim(l) === "", lit(0))
+        .otherwise(size(split(trim(l), "\\s+")))
+      val base = blocklist.foldLeft(words >= minWords) {
+        (acc, marker) => acc && !lower(l).contains(marker)
+      }
+      if (requireTerminalPunct) base && rtrim(l).rlike("[.!?\"']$") else base
+    }
+    val lines = splitLines(col(textCol), lineSep)
+    val kept = filter(lines, keep _)
+    docs.select(col("doc_id"),
+      array_join(kept, lineSep).as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      (size(lines) - size(kept)).as("n_lines_removed"))
+  }
+
   /** Documents with boilerplate lines removed (grain preserved — a doc
     * whose every line is boilerplate survives with empty text), plus
     * kept/removed line counts.

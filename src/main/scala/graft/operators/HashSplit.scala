@@ -82,6 +82,46 @@ object HashSplit {
       .drop("_wt", "_thr")
   }
 
+  /** Per-group frequency cap (domain capping): keep at most
+    * `maxPerGroup` rows per `group` value, chosen deterministically by
+    * the md5 draw on (seed, id) with the id as tiebreak — the standard
+    * "no domain may dominate the corpus" guard (C4 caps URLs, Gopher
+    * caps domains). Output keeps the input columns plus the 1-based
+    * `rank` within the group, so callers can tighten the cap later
+    * without re-ranking.
+    *
+    * Scale: the rank is a per-group window — safe when groups are
+    * bounded, but ONE hot domain (half the crawl is `blogspot.com`)
+    * makes one window partition a straggler, and AQE does not split
+    * window partitions. `saltBuckets > 0` switches to the two-phase
+    * top-k shape: phase 1 ranks within (group, hash-salt bucket) and
+    * keeps each bucket's local top `maxPerGroup` — every global
+    * top-`maxPerGroup` row is necessarily in its bucket's local top-k,
+    * so phase 2's exact window ranks ≤ saltBuckets·maxPerGroup
+    * survivors per group instead of the full group. Results are
+    * IDENTICAL with or without salt (pinned by unit test); only the
+    * physical shape changes.
+    */
+  def capPerGroup(df: DataFrame, group: Column, maxPerGroup: Int,
+                  id: Column, seed: Long = 0L,
+                  saltBuckets: Int = 0): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(lit(s"cap:$seed:"), id.cast("string")))
+    val pre =
+      if (saltBuckets <= 0) df
+      else {
+        val bucket = pmod(xxhash64(id), lit(saltBuckets))
+        val wLocal = Window.partitionBy(group, bucket)
+          .orderBy(draw.asc, id.asc)
+        df.withColumn("_lr", row_number().over(wLocal))
+          .where(col("_lr") <= maxPerGroup).drop("_lr")
+      }
+    val w = Window.partitionBy(group).orderBy(draw.asc, id.asc)
+    pre.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= maxPerGroup)
+  }
+
   /** Assign each row to one named split with the given weights
     * (normalized to 1). Splits are disjoint, exhaustive, and stable
     * under any re-run or repartitioning.

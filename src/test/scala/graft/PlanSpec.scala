@@ -284,6 +284,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t_line_filter: line-level filter is one shuffle-free projection") {
+    val p = executed("t_line_filter")
+    assert(!p.contains("Exchange"),
+      s"per-line predicates need no shuffle — the whole op must be a scan:\n$p")
+  }
+
+  test("s_source_cap: salted pre-rank bounds the hot-group window") {
+    val p = executed("s_source_cap")
+    // two Window nodes: the salted (group, bucket) local top-k, then the
+    // exact per-group rank over ≤ salt·cap survivors
+    assert(p.linesIterator.count(_.contains("Window [")) >= 2, p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("perplexity buckets: approx mode plans no global-sort window") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)

@@ -376,6 +376,42 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1L) == 2L && out(2L) == 2L && out(3L) == 0L)
   }
 
+  test("line-level quality filter: word floor, terminal punct, blocklist; nulls propagate") {
+    val df = Seq(
+      (1L, "one two three four.\nshort line.\nhas javascript one two three.\n" +
+        "no terminal punct here\nfive words ending in bang!"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeLowQualityLines(df, minWords = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "one two three four.\nfive words ending in bang!")
+    assert(out(1L).getInt(2) == 5 && out(1L).getInt(3) == 2 && out(1L).getInt(4) == 3)
+    // empty text = one blank line, which fails the word floor
+    assert(out(2L).getString(1) == "" && out(2L).getInt(3) == 0)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+    // punct rule off: the unpunctuated 4-word line survives too
+    val lax = Boilerplate.removeLowQualityLines(df, minWords = 4,
+      requireTerminalPunct = false).collect().map(r => r.getLong(0) -> r).toMap
+    assert(lax(1L).getInt(3) == 3)
+  }
+
+  test("per-group cap: salted ≡ unsalted, cap respected, small groups intact") {
+    val df = spark.range(0, 500)
+      .select(concat(lit("g"), ($"id" % 7).cast("string")).as("source"), $"id".as("doc_id"))
+      .unionByName(spark.range(1000, 1004)
+        .select(lit("tiny").as("source"), $"id".as("doc_id")))
+    def rows(salt: Int) =
+      HashSplit.capPerGroup(df, $"source", 10, $"doc_id", seed = 3L, saltBuckets = salt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = rows(0)
+    assert(rows(8) == plain)            // salt changes the shape, never the result
+    val perGroup = plain.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0 until 7).forall(i => perGroup(s"g$i") == 10))
+    assert(perGroup("tiny") == 4)       // under-cap group kept whole
+    assert(plain.forall(_._3 <= 10))
+  }
+
   test("stratified hash sample: per-stratum rates, deterministic membership") {
     val df = spark.range(0, 3000)
       .select($"id".as("doc_id"),
