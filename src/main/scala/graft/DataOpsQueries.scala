@@ -59,7 +59,12 @@ object DataOpsQueries {
     * parameters; one string shared by both gates so the hash scheme or
     * smoothing can never half-change.
     */
-  private val dsirScoreSql: String =
+  /** Hashed-feature chain shared by the DSIR and Naive-Bayes-classifier
+    * oracles: normalized unigram+bigram rows hashed into B = 1024 buckets
+    * (same md5-prefix scheme as [[Dsir.featureBucket]]), ending at the
+    * `fb` CTE with (doc_id, lang, b).
+    */
+  private val hashedFeatureSql: String =
     """norm AS (
       |  SELECT doc_id, lang,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
@@ -79,7 +84,10 @@ object DataOpsQueries {
       |fb AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b
-      |  FROM feats),
+      |  FROM feats)""".stripMargin
+
+  private val dsirScoreSql: String =
+    hashedFeatureSql + """,
       |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
       |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
       |ttot AS (SELECT coalesce(sum(ct), 0)::BIGINT AS ctot FROM tc),
@@ -92,6 +100,93 @@ object DataOpsQueries {
       |agg AS (
       |  SELECT doc_id, count(*) AS n_feats, sum(lr_micro)::BIGINT AS llr_micro
       |  FROM fb JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** Sign-matrix VALUES rows (j 0-based out-dim, i 1-based in-dim, s ±1)
+    * for the `e_rand_proj` oracle — the SAME md5-derived matrix
+    * [[operators.Projection.signMatrix]] builds for (seed 11, 16×64),
+    * so DuckDB replays every projected coordinate integer-exactly.
+    */
+  private lazy val projSignRows: String =
+    operators.Projection.signMatrix(11L, 16, 64).zipWithIndex.flatMap {
+      case (row, j) => row.zipWithIndex.map { case (s0, i) => s"($j, ${i + 1}, $s0)" }
+    }.mkString(", ")
+
+  /** BM25 oracle (Lucene idf, k1 = 1.2, b = 0.75, queries = first 8
+    * normalized tokens of every 97th doc, top-10): constants embedded
+    * from the SAME Scala doubles the operator uses (toString
+    * round-trips), so the one float chain per (q,d,term) replays in
+    * order before the micro fix; avgdl is a sum of longs in double
+    * (exact below 2^53 — integer partials), so it is order-free.
+    * `maxDfFrac` parameterizes the stop-term cap shared with the capped
+    * twin gate.
+    */
+  private def bm25OracleSql(maxDfFrac: Double): String =
+    s"""WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks
+      |  FROM norm),
+      |tc AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+      |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tc GROUP BY 1),
+      |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |              (SELECT avg(dl) FROM dl) AS avgdl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
+      |    FROM tok WHERE doc_id % 97 = 0)
+      |  WHERE term <> ''),
+      |post AS (
+      |  SELECT tc.doc_id, tc.term, tc.tf, dfq.df, dl.dl, st.n_docs, st.avgdl
+      |  FROM tc JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  WHERE dfq.df <= st.n_docs::DOUBLE * $maxDfFrac),
+      |con AS (
+      |  SELECT qt.query_id, post.doc_id,
+      |    CAST(round(ln((post.n_docs::DOUBLE - post.df + 0.5) / (post.df::DOUBLE + 0.5) + 1.0)
+      |      * (post.tf::DOUBLE * ${1.2 + 1.0})
+      |      / (post.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} + ${0.75} * post.dl::DOUBLE / post.avgdl))
+      |      * 1e6) AS BIGINT) AS c_micro
+      |  FROM post JOIN qt USING (term)),
+      |sc AS (SELECT query_id, doc_id, sum(c_micro)::BIGINT AS score_micro
+      |       FROM con GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+      |  FROM sc)
+      |SELECT query_id, doc_id, score_micro,
+      |  round(score_micro::DOUBLE / 1e6, 6) AS score, rank
+      |FROM rk WHERE rank <= 10""".stripMargin
+
+  /** Naive-Bayes classifier oracle chain: positive = lang='en', negative
+    * = the rest, B = 1024 — mirrors the `t_nb_classifier` gate. Ends at
+    * `nbagg` with per-doc (n_feats, w_sum_micro) plus the one-row
+    * `nbprior`.
+    */
+  private val nbScoreSql: String =
+    hashedFeatureSql + """,
+      |pc AS (SELECT b, count(*) AS cp FROM fb WHERE lang = 'en' GROUP BY b),
+      |nc AS (SELECT b, count(*) AS cn FROM fb WHERE lang <> 'en' GROUP BY b),
+      |ptot AS (SELECT coalesce(sum(cp), 0)::BIGINT AS cptot FROM pc),
+      |ntot AS (SELECT coalesce(sum(cn), 0)::BIGINT AS cntot FROM nc),
+      |w AS (
+      |  SELECT coalesce(pc.b, nc.b) AS b,
+      |    CAST(round(log10((coalesce(pc.cp, 0)::DOUBLE + 1.0) * (ntot.cntot::DOUBLE + 1024.0)
+      |      / ((coalesce(nc.cn, 0)::DOUBLE + 1.0) * (ptot.cptot::DOUBLE + 1024.0))) * 1e6) AS BIGINT) AS w_micro
+      |  FROM pc FULL OUTER JOIN nc ON pc.b = nc.b CROSS JOIN ptot CROSS JOIN ntot),
+      |nbprior AS (
+      |  SELECT CAST(round(log10(
+      |      ((SELECT count(*) FROM documents WHERE lang = 'en')::DOUBLE + 1.0)
+      |    / ((SELECT count(*) FROM documents WHERE lang <> 'en')::DOUBLE + 1.0)) * 1e6) AS BIGINT) AS prior_micro),
+      |nbagg AS (
+      |  SELECT doc_id, count(*) AS n_feats,
+      |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
+      |  FROM fb LEFT JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
   private def portableLshSql(src: String): String =
     s"""norm AS (
@@ -189,6 +284,13 @@ object DataOpsQueries {
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
 
+    // Interpolated bigram LM (Jelinek-Mercer λ=0.7): first token scores
+    // unigram, transitions score λ·P_ml(w|prev) + (1−λ)·P_uni(w) —
+    // micro-log10 integer sums, the oracle replays censuses and
+    // interpolation with the same float constants.
+    "t_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), lambda = 0.7)),
+
     // TF-IDF top-5 salient terms per doc: scores rounded 6dp before
     // ranking so the cross-engine order is exact (oracle).
     "t_tfidf_topk" -> ((s, dir) =>
@@ -197,6 +299,34 @@ object DataOpsQueries {
     // Corpus-wide top-50 tokens by frequency (oracle).
     "t_heavy_hitters" -> ((s, dir) =>
       Salience.heavyHitters(Tables.documents(s, dir), k = 50)),
+
+    // BM25 top-10 retrieval: queries = first 8 normalized tokens of every
+    // 97th document against the whole corpus — inverted-index join;
+    // per-(query,doc,term) contributions micro-fixed before the exact
+    // integer sum (oracle replays the whole chain). Cap OFF here: the
+    // synthetic corpus has a ~55-word vocabulary where EVERY term is
+    // ubiquitous, so any df cap empties the output — the capped twin
+    // below exercises the cap where it binds partially.
+    "r_bm25_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
+      operators.Retrieval.bm25TopK(d, q, k = 10, maxDfFrac = 1.0)
+    }),
+
+    // Same retrieval with the stop-term cap BINDING (df ≤ 0.78·N keeps
+    // only the rarer fifth of this corpus's vocabulary): proves the cap
+    // changes scores/ranks and the oracle still replays them.
+    "r_bm25_capped" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
+      operators.Retrieval.bm25TopK(d, q, k = 10, maxDfFrac = 0.78)
+    }),
 
     // Deterministic md5-keyed train/val/test assignment: same doc →
     // same split on any engine, run, or partitioning (oracle — the
@@ -709,6 +839,17 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // fastText-style Naive Bayes quality classifier: train log-odds
+    // weights on en (positive) vs non-en (negative) hashed unigram+bigram
+    // buckets, score the whole corpus — decision + margin, exact integer
+    // micro-log sums; the oracle replays training AND scoring.
+    "t_nb_classifier" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Classifier.scoreAgainst(d,
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        buckets = 1024)
+    }),
+
     // Snapshot diff between two corpus versions: %5==0 removed, %3==0
     // content-perturbed (changed — unless text is null, where both sides
     // stay null → unchanged), %7==0 re-added under new ids (added), rest
@@ -758,6 +899,60 @@ object DataOpsQueries {
     "e_quantized_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+    }),
+
+    // Seeded JL sign projection 64 → 16 dims: outputs are exact integer
+    // sums of ±micro-fixed inputs, emitted as portable scalars (the
+    // array-gate lesson from e_quantize_int8); the oracle rebuilds the
+    // SAME md5-derived sign matrix as a VALUES table and replays every
+    // coordinate integer-exactly.
+    "e_rand_proj" -> ((s, dir) =>
+      operators.Projection.projectSigns(
+          Tables.embeddings(s, dir), outDim = 16, inDim = 64, seed = 11L)
+        .select(col("vec_id"),
+          md5(array_join(col("proj_micro"), ",").cast("binary")).as("phash"),
+          aggregate(col("proj_micro"), lit(0L), (acc, x) => acc + x).as("psum"),
+          array_min(col("proj_micro")).as("pmin"),
+          array_max(col("proj_micro")).as("pmax"))),
+
+    // JL-projection quality harness on the PLANTED corpus (the
+    // e_ann_recall construction: 10 near-copies per query at noise
+    // 0.02): top-10 recall of brute-force search in the 16-dim projected
+    // space vs the exact 64-dim float path. Self-asserting (require
+    // floor), rows-only by design. Uniform random 64-dim points have no
+    // stable neighbor structure for ANY 4× compression to preserve
+    // (measured 0.15 recall on the raw table) — planted true neighbors
+    // are what the projection must keep, and does.
+    "e_proj_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 20)
+      val planted = q
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(10))).as("j"))
+        .select(
+          (lit(2000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id") * 7 + col("j") * 13 + i) * lit(0.02))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      val proj = operators.Projection.projectedTopK(corpus, q, k = 10,
+        outDim = 16, inDim = 64, seed = 11L)
+      val out = q.select(col("vec_id").as("query_id"))
+        .join(brute.join(proj.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id")
+          .agg((count(lit(1)) / 10.0).as("recall_proj")),
+          Seq("query_id"), "left_outer")
+        .na.fill(0.0, Seq("recall_proj"))
+        .cache()
+      val m = out.agg(avg("recall_proj")).head().getDouble(0)
+      require(m >= 0.8,
+        f"JL-projection recall regression: mean recall_proj=$m%.3f (floor 0.8)")
+      out
     }),
 
     // Multimodal decode on REAL bytes: every document becomes a valid
@@ -1013,6 +1208,14 @@ object DataOpsQueries {
         |WHERE term <> ''
         |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50""".stripMargin,
 
+    // BM25 constants embedded from the SAME Scala doubles the operator
+    // uses (toString round-trips), so the one float chain per (q,d,term)
+    // replays in order before the micro fix; avgdl is a sum of longs in
+    // double (exact below 2^53 — integer partials), so it is order-free
+    "r_bm25_topk" -> bm25OracleSql(1.0),
+
+    "r_bm25_capped" -> bm25OracleSql(0.78),
+
     "s_hash_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.8)}' THEN 'train'
@@ -1213,6 +1416,48 @@ object DataOpsQueries {
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // kernel tokenization (full whitespace trim — the span-dedup oracle's
+    // idiom); interpolation constants embedded from the SAME Scala doubles
+    // the operator uses (${"$"}{1.0 - lambda} toString round-trips), so the
+    // float chain replays in order
+    "t_bigram_logprob" ->
+      s"""WITH kt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS toks
+        |  FROM documents),
+        |tokrows AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t FROM kt),
+        |uni AS (SELECT t, count(*) AS cu FROM tokrows GROUP BY t),
+        |ntot AS (SELECT sum(cu)::BIGINT AS n FROM uni),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |  FROM kt WHERE len(toks) >= 2),
+        |big AS (SELECT g, count(*) AS cb FROM pairs GROUP BY g),
+        |fs AS (
+        |  SELECT doc_id, CAST(round(log10(cu::DOUBLE / n) * 1e6) AS BIGINT) AS lp
+        |  FROM tokrows JOIN uni USING (t) CROSS JOIN ntot WHERE pos = 1),
+        |pr AS (
+        |  SELECT doc_id, string_split(g, ' ')[1] AS prev,
+        |         string_split(g, ' ')[2] AS w, g
+        |  FROM pairs),
+        |ps AS (
+        |  SELECT pr.doc_id,
+        |    CAST(round(log10(${0.7} * coalesce(big.cb, 0)::DOUBLE / up.cu
+        |      + ${1.0 - 0.7} * uw.cu::DOUBLE / ntot.n) * 1e6) AS BIGINT) AS lp
+        |  FROM pr LEFT JOIN big USING (g)
+        |  JOIN uni up ON up.t = pr.prev
+        |  JOIN uni uw ON uw.t = pr.w
+        |  CROSS JOIN ntot),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp)::BIGINT AS logp_sum_micro
+        |  FROM (SELECT * FROM fs UNION ALL SELECT * FROM ps) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  a.logp_sum_micro,
+        |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     "t_vocab" ->
       """WITH norm AS (
         |  SELECT doc_id,
@@ -1366,6 +1611,14 @@ object DataOpsQueries {
         |  round(llr_per_feat / 1.0 - ln(-ln(u)), 6) AS gkey
         |FROM sc
         |ORDER BY gkey DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "t_nb_classifier" ->
+      s"""WITH $nbScoreSql
+        |SELECT d.doc_id, coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+        |  (coalesce(a.w_sum_micro, 0) + p.prior_micro)::BIGINT AS score_micro,
+        |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
+        |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
+        |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (
@@ -2067,6 +2320,26 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    // every coordinate is an integer sum of ±micro-fixed inputs — the
+    // group-by association order cannot matter, so the two engines agree
+    // exactly despite computing the sums in different orders
+    "e_rand_proj" ->
+      s"""WITH ev AS (
+        |  SELECT vec_id, i, CAST(round(x::DOUBLE * 1e6) AS BIGINT) AS vq
+        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |               unnest(embedding) AS x
+        |        FROM embeddings)),
+        |pj AS (
+        |  SELECT vec_id, sm.j, sum(sm.s * ev.vq)::BIGINT AS v
+        |  FROM ev JOIN (VALUES $projSignRows) sm(j, i, s) ON sm.i = ev.i
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  md5(string_agg(v::VARCHAR, ',' ORDER BY j)) AS phash,
+        |  sum(v)::BIGINT AS psum,
+        |  min(v) AS pmin,
+        |  max(v) AS pmax
+        |FROM pj GROUP BY vec_id""".stripMargin,
 
     // int dots are exact in double (products ≤ 127² summed over dim 64
     // ≪ 2^53), but the NORMALIZATION (dot/(√·√) vs list_cosine_similarity)

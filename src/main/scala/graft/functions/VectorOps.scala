@@ -33,14 +33,14 @@ trait VectorBinaryOp { self: BinaryExpression =>
     */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType | DoubleType | IntegerType | ByteType, _) => true
+      case ArrayType(FloatType | DoubleType | IntegerType | ByteType | LongType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"${self.prettyName} requires array<float|double|int|tinyint> arguments, " +
+        s"${self.prettyName} requires array<float|double|int|tinyint|bigint> arguments, " +
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
@@ -51,6 +51,7 @@ trait VectorBinaryOp { self: BinaryExpression =>
     case FloatType   => arr.getFloat(i).toDouble
     case IntegerType => arr.getInt(i).toDouble
     case ByteType    => arr.getByte(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
     case _           => arr.getDouble(i)
   }
 
@@ -58,6 +59,7 @@ trait VectorBinaryOp { self: BinaryExpression =>
     case FloatType   => "getFloat"
     case IntegerType => "getInt"
     case ByteType    => "getByte"
+    case LongType    => "getLong"
     case _           => "getDouble"
   }
 

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature Naive Bayes quality classifier — the fastText-style
+  * "trained on a trusted seed corpus" filter used by the GPT-3 / LLaMA /
+  * CCNet data recipes: train log-odds weights from a POSITIVE corpus
+  * (e.g. curated reference text) and a NEGATIVE corpus (e.g. raw crawl),
+  * then score and filter candidate documents by which side their hashed
+  * n-gram distribution favors. Beyond-reference surface (SURVEY §2.13).
+  *
+  * Relationship to [[Dsir]]: DSIR answers "how much does this document
+  * look like the target DISTRIBUTION" (importance ratio for resampling);
+  * the classifier answers "which of two labeled classes does it belong
+  * to" (decision + margin for hard filtering). The two share the hashed
+  * unigram+bigram featurizer and the micro-log10 integer-sum portability
+  * trick, and real pipelines run both (classifier to cut junk, DSIR to
+  * match the domain mix).
+  *
+  * Determinism / engine portability:
+  *  - feature bucket = 60-bit md5 prefix mod `buckets`
+  *    ([[Dsir.featureBucket]]) — identical integer in Spark and DuckDB;
+  *  - per-bucket weight w(b) = log10 P(b|pos) − log10 P(b|neg) with
+  *    add-one smoothing, rounded to integer MICRO-log10 units before any
+  *    per-document sum, so document scores are exact integer arithmetic
+  *    with no float-order dependence;
+  *  - the class prior log10(Np/Nn) (document counts) rides as a separate
+  *    micro-integer column so score = prior + Σ w(feature) stays exact.
+  *
+  * 100 TB shape: the two training censuses partial-aggregate map-side to
+  * ≤ `buckets` rows each; the weight table (≤ `buckets` rows) broadcasts
+  * onto the candidate token stream; per-document sums are one
+  * partial-aggregated shuffle on doc_id. Nothing driver-side; both
+  * training corpora stream.
+  */
+object Classifier {
+
+  /** Per-bucket micro-log10 Naive Bayes weights from labeled corpora:
+    * w(b) = log10((cp_b + 1) / (CP + B)) − log10((cn_b + 1) / (CN + B))
+    * computed as one log10 of the cross ratio (fixed operation order,
+    * mirrored by the oracle). Output: (b, w_micro) for every bucket seen
+    * in EITHER class — unseen buckets get weight 0 by construction of
+    * the left join in [[score]] (coalesce to 0), which equals the
+    * smoothed weight only up to the prior-mass difference; buckets never
+    * observed in training carry no evidence, matching the standard
+    * hashed-NB treatment.
+    */
+  def trainNaiveBayes(positive: DataFrame, negative: DataFrame,
+                      buckets: Int = 4096,
+                      textCol: String = "text"): DataFrame = {
+    val pCensus = Dsir.featureRows(positive, textCol)
+      .groupBy(Dsir.featureBucket(col("t"), buckets).as("b"))
+      .agg(count(lit(1)).as("cp"))
+    val nCensus = Dsir.featureRows(negative, textCol)
+      .groupBy(Dsir.featureBucket(col("t"), buckets).as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val pTot = pCensus.agg(coalesce(sum(col("cp")), lit(0L)).as("cptot"))
+    val nTot = nCensus.agg(coalesce(sum(col("cn")), lit(0L)).as("cntot"))
+    pCensus.join(nCensus, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("cp", "cn"))
+      .crossJoin(broadcast(pTot)).crossJoin(broadcast(nTot))
+      // (cp+1)·(CN+B) / ((cn+1)·(CP+B)), one log10 at the end — the
+      // same cast placement the oracle replays
+      .withColumn("w_micro",
+        round(log10((col("cp").cast("double") + 1.0d)
+            * (col("cntot").cast("double") + buckets.toDouble)
+          / ((col("cn").cast("double") + 1.0d)
+            * (col("cptot").cast("double") + buckets.toDouble))) * 1e6)
+          .cast("long"))
+      .select("b", "w_micro")
+  }
+
+  /** Micro-log10 class prior log10(Np/Nn) over DOCUMENT counts (add-one
+    * smoothed so an empty class cannot produce ±∞). One row, broadcast.
+    */
+  def classPrior(positive: DataFrame, negative: DataFrame): DataFrame = {
+    val np = positive.agg(count(lit(1)).as("np"))
+    val nn = negative.agg(count(lit(1)).as("nn"))
+    np.crossJoin(nn).select(
+      round(log10((col("np").cast("double") + 1.0d)
+        / (col("nn").cast("double") + 1.0d)) * 1e6).cast("long")
+        .as("prior_micro"))
+  }
+
+  /** Score candidate documents under a trained model: per-document
+    * n_feats, the exact integer micro-log-odds sum (prior + Σ w), its
+    * 6 dp per-feature rendering, and the hard decision
+    * (score_micro > 0 ⇔ positive class more likely). Zero-feature
+    * documents keep a row with the bare prior as their score (the NB
+    * decision with no evidence) and null per-feature average.
+    */
+  def score(candidates: DataFrame, model: DataFrame, prior: DataFrame,
+            buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    val feats = Dsir.featureRows(candidates, textCol)
+      .select(col("doc_id"), Dsir.featureBucket(col("t"), buckets).as("b"))
+    val agg = feats.join(broadcast(model), Seq("b"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_micro"), lit(0L))).as("w_sum_micro"))
+    candidates.select("doc_id").join(agg, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        (coalesce(col("w_sum_micro"), lit(0L)) + col("prior_micro"))
+          .as("score_micro"),
+        // null (not NaN) for zero-feature docs: w_sum_micro is null from
+        // the left join and null propagates identically on both engines —
+        // a 0/0 here would be NaN in Spark but engine-defined elsewhere
+        round(col("w_sum_micro").cast("double")
+          / col("n_feats") / 1e6, 6).as("w_per_feat"),
+        (coalesce(col("w_sum_micro"), lit(0L)) + col("prior_micro") > 0L)
+          .as("pred_positive"))
+  }
+
+  /** Train + score in one call (the common case: seed corpora are
+    * distinguished subsets of one frame).
+    */
+  def scoreAgainst(candidates: DataFrame, positive: DataFrame,
+                   negative: DataFrame, buckets: Int = 4096,
+                   textCol: String = "text"): DataFrame =
+    score(candidates, trainNaiveBayes(positive, negative, buckets, textCol),
+      classPrior(positive, negative), buckets, textCol)
+
+  /** Hard quality filter: keep candidates whose per-feature average
+    * log-odds clears `minWPerFeat` (per-feature, not the raw sum, so
+    * document length does not swamp the decision — the same reasoning as
+    * [[Dsir.resample]]). Zero-feature docs carry no evidence and are
+    * dropped; route them separately if they should be kept.
+    */
+  def filterByClassifier(candidates: DataFrame, positive: DataFrame,
+                         negative: DataFrame, minWPerFeat: Double = 0.0,
+                         buckets: Int = 4096,
+                         textCol: String = "text"): DataFrame = {
+    val kept = scoreAgainst(candidates, positive, negative, buckets, textCol)
+      .where(col("n_feats") > 0 && col("w_per_feat") >= minWPerFeat)
+      .select("doc_id")
+    candidates.join(kept, Seq("doc_id"), "left_semi")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over the corpus — the lexical ranking half
+  * of a RAG / hard-negative-mining pipeline (Robertson–Walker Okapi
+  * BM25, the function every Lucene/Elasticsearch deployment defaults
+  * to). Beyond-reference surface (SURVEY §2.13): complements the
+  * embedding retrieval in [[Similarity]] — production retrieval stacks
+  * run both and fuse.
+  *
+  * score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene variant,
+  * non-negative by construction).
+  *
+  * Engine portability: each (query, doc, term) contribution is computed
+  * in one fixed float-op order and rounded to integer MICRO units
+  * (round(·1e6) — the [[TextAnalysis.unigramLogProb]] trick), so the
+  * per-pair sum is exact integer arithmetic and ranking is
+  * order-independent; ranks tiebreak on doc_id asc.
+  *
+  * 100 TB shape: the postings list (doc census keyed by term) is built
+  * once with map-side partial aggregation; query terms equi-join onto it
+  * — an inverted-index join, never a doc×query product. Ubiquitous
+  * terms ("the") would fan out |q|×N rows while contributing ~zero idf,
+  * so `maxDfFrac` drops postings for terms in more than that fraction
+  * of documents BEFORE the join — the same structural hot-key answer as
+  * [[Decontaminate]]'s `maxDf` stop-shingle cap (on by default, 0.5;
+  * set ≥ 1.0 to opt out and lean on AQE skew-split alone). Per-query
+  * top-k is a window over the query partition: candidates per query are
+  * df-bounded postings, so no global sort and no single-partition
+  * window appears anywhere.
+  */
+object Retrieval {
+
+  /** Top-k documents per query by BM25. `docs` = (doc_id, textCol);
+    * `queries` = (query_id, textCol). Output: (query_id, doc_id,
+    * score_micro, score, rank) — `score` is the 6 dp rendering of the
+    * exact micro sum.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.5,
+               textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    // postings: per-(doc, term) tf; reused for df, dl, and the join —
+    // eager-cached because three subtrees consume it
+    val tc = Salience.termCounts(docs, textCol).cache()
+    tc.count()
+    val dfreq = Salience.docFrequency(tc)
+    val dl = tc.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    val qTerms = queries.select(col("query_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    // stop-term cap: drop postings for terms in > maxDfFrac of docs
+    val postings0 = tc.join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val postings =
+      if (maxDfFrac >= 1.0) postings0
+      else postings0.where(col("df") <= col("n_docs").cast("double") * maxDfFrac)
+    val contrib = postings
+      .join(qTerms, Seq("term"))
+      // fixed float-op order, one micro round at the end — the oracle
+      // replays the identical expression tree
+      .withColumn("c_micro",
+        round(
+          log((col("n_docs").cast("double") - col("df") + 0.5d)
+              / (col("df").cast("double") + 0.5d) + 1.0d)
+            * (col("tf").cast("double") * (k1 + 1.0d))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+          * 1e6).cast("long"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c_micro")).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("score"),
+        col("rank"))
+  }
+}

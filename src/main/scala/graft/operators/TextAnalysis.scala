@@ -217,6 +217,87 @@ object TextAnalysis {
           / col("n_tokens") / 1e6, 6).as("avg_logp10"))
   }
 
+  /** Interpolated bigram language-model score (Jelinek–Mercer smoothing
+    * — the KenLM-lite perplexity signal, one order up from
+    * [[unigramLogProb]]): the first token of a document scores
+    * log10 P(w) under the corpus unigram distribution; every later
+    * token scores log10(λ·c(prev,w)/c(prev) + (1−λ)·c(w)/N). Bigram
+    * evidence dominates where the corpus has seen the transition;
+    * the unigram floor keeps unseen transitions finite — no
+    * add-one blowup over the quadratic bigram space.
+    *
+    * Tokenization is [[kernelTokens]] (full whitespace trim), NOT
+    * [[tokens]]: positions matter here (token i+1 pairs with token i,
+    * via the n=2 shingle window invariant), and a phantom empty first
+    * token would corrupt every first transition. All censuses are
+    * derived from the same kernel-token stream so the model is
+    * self-consistent.
+    *
+    * Portability: per-token logs round to MICRO-log10 integers before
+    * the per-doc sum (exact integer arithmetic; the interpolation's
+    * float ops run in one fixed order mirrored by the oracle).
+    *
+    * 100 TB shape: two censuses (unigram ≤ vocab rows, bigram ≤ seen-
+    * transition rows) partial-aggregate map-side; scoring is equi-joins
+    * of the pair stream onto them — the bigram census is the big one
+    * (it IS the KenLM model size) and shuffles on the pair key; at
+    * scale, prune it with a min-count floor the same way KenLM does
+    * (here: `minPairCount`, default 1 = keep all).
+    *
+    * Output: (doc_id, n_tokens, logp_sum_micro, avg_logp10);
+    * token-less docs carry n_tokens = 0 and null scores.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7,
+                    minPairCount: Long = 1,
+                    textCol: String = "text"): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = docs.select(col("doc_id"), kernelTokens(col(textCol)).as("_toks"))
+    val tok = toks.select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "t")))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("cu"))
+    val nTot = uni.agg(sum(col("cu")).as("n")) // one row, broadcast
+    // adjacent pairs: shingle window i covers kernel tokens i, i+1 — the
+    // SCORED token is the second element
+    val pairs = toks.select(col("doc_id"),
+        explode(graft.functions.NGramShingles.shingles(
+          array_join(col("_toks"), " "), 2, distinct = false)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+    val big = pairs.groupBy("g").agg(count(lit(1)).as("cb"))
+      .where(col("cb") >= minPairCount)
+    // first-token rows: unigram-only score
+    val firstScores = tok.where(col("pos") === 0)
+      .join(uni, Seq("t"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        round(log10(col("cu").cast("double") / col("n")) * 1e6)
+          .cast("long").as("lp"))
+    // transition rows: λ·c_ab/c_prev + (1−λ)·c_w/N, one log10 at the end;
+    // a pruned (minPairCount) transition falls back to the unigram floor
+    val pairScores = pairs
+      .select(col("doc_id"),
+        split(col("g"), " ").getItem(0).as("_prev"),
+        split(col("g"), " ").getItem(1).as("_w"),
+        col("g"))
+      .join(big, Seq("g"), "left_outer")
+      .join(uni.select(col("t").as("_prev"), col("cu").as("_cprev")), Seq("_prev"))
+      .join(uni.select(col("t").as("_w"), col("cu").as("_cw")), Seq("_w"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        round(log10(
+          lit(lambda) * coalesce(col("cb"), lit(0L)).cast("double") / col("_cprev")
+            + lit(1.0d - lambda) * col("_cw").cast("double") / col("n")) * 1e6)
+          .cast("long").as("lp"))
+    val scored = firstScores.unionByName(pairScores)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("logp_sum_micro"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logp_sum_micro"),
+        round(col("logp_sum_micro").cast("double")
+          / col("n_tokens") / 1e6, 6).as("avg_logp10"))
+  }
+
   /** CCNet-style perplexity bucketing: rank documents by the unigram LM
     * score ([[unigramLogProb]]) and split head / middle / tail — the
     * standard quality-banding step before mixing (train mostly on

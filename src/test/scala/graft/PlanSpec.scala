@@ -360,4 +360,26 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast of the query side:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("e_rand_proj: sign projection is a shuffle-free scan") {
+    val p = executed("e_rand_proj")
+    assert(!p.contains("Exchange"), s"JL projection plans a shuffle:\n$p")
+    assert(!p.contains("Generate"), s"JL projection must not explode:\n$p")
+  }
+
+  test("t_nb_classifier: weight table broadcasts onto the feature stream") {
+    val p = executed("t_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=B-row weight table must broadcast-join the feature stream:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "training censuses and per-doc sums must partial-aggregate map-side")
+  }
+
+  test("r_bm25_topk: inverted-index join, no cartesian, partial-agg censuses") {
+    val p = executed("r_bm25_topk")
+    assert(!p.contains("CartesianProduct"), s"doc x query product in BM25:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "postings census must partial-aggregate map-side")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two separable vocabularies, as in DsirSpec
+  private val pos = Seq(
+    (1L, "cat kitten purr cat whiskers feline cat nap"),
+    (2L, "kitten feline purr whiskers cat cat tail"),
+    (3L, "purr cat feline kitten whiskers soft fur")
+  ).toDF("doc_id", "text")
+
+  private val neg = Seq(
+    (11L, "stock market index futures bond yield trading"),
+    (12L, "bond yield curve market trading futures index"),
+    (13L, "futures trading market stock bond index price")
+  ).toDF("doc_id", "text")
+
+  private val candidates = Seq(
+    (21L, "cat purr kitten feline"),
+    (22L, "market bond futures yield"),
+    (23L, "   ")
+  ).toDF("doc_id", "text")
+
+  test("classifier separates the two vocabularies; margin signs match") {
+    val s = Classifier.scoreAgainst(candidates, pos, neg, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(s(21L).getBoolean(4), "cat doc must classify positive")
+    assert(!s(22L).getBoolean(4), "finance doc must classify negative")
+    assert(s(21L).getDouble(3) > 0 && s(22L).getDouble(3) < 0,
+      "per-feature margins must carry the class sign")
+  }
+
+  test("zero-feature doc keeps a row, null margin, prior-only decision") {
+    val s = Classifier.scoreAgainst(candidates, pos, neg, buckets = 256)
+      .where($"doc_id" === 23L).collect()
+    assert(s.length == 1)
+    assert(s.head.getLong(1) == 0L, "n_feats must be 0")
+    assert(s.head.isNullAt(3), "w_per_feat must be null, never NaN")
+    // equal-sized classes: prior_micro = 0, score_micro = 0, pred = false
+    assert(s.head.getLong(2) == 0L && !s.head.getBoolean(4))
+  }
+
+  test("filterByClassifier keeps positives, drops negatives and empties") {
+    val kept = Classifier.filterByClassifier(candidates, pos, neg,
+      minWPerFeat = 0.0, buckets = 256).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L), s"expected only the cat doc, got $kept")
+  }
+
+  test("unbalanced classes shift the prior, not the per-feature weights") {
+    val posBig = pos.unionByName(pos.select(($"doc_id" + 100).as("doc_id"), $"text"))
+    val p = Classifier.classPrior(posBig, neg).head().getLong(0)
+    assert(p > 0, "more positive docs must give a positive prior")
+    val pEq = Classifier.classPrior(pos, neg).head().getLong(0)
+    assert(pEq == 0L, "equal doc counts must give a zero prior")
+  }
+}

@@ -926,4 +926,36 @@ class DataOpsSpec extends SparkSpec {
     assert(got(0).getDouble(3) ==
       BigDecimal(3.0 * lpA / 3 / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("bigramLogProb: hand-checked interpolated micro-log sums") {
+    // corpus: "a b a b" + "a b" → uni a:3 b:3 N=6; bigrams "a b":3 "b a":1
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, lambda = 0.7).orderBy("doc_id").collect()
+    val lpFirstA = math.round(math.log10(3.0 / 6.0) * 1e6)
+    val lpAB = math.round(math.log10(0.7 * 3.0 / 3.0 + (1.0 - 0.7) * 3.0 / 6.0) * 1e6)
+    val lpBA = math.round(math.log10(0.7 * 1.0 / 3.0 + (1.0 - 0.7) * 3.0 / 6.0) * 1e6)
+    assert(got(0).getLong(1) == 4L)
+    assert(got(0).getLong(2) == lpFirstA + 2 * lpAB + lpBA)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(2) == lpFirstA + lpAB)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
+  test("bigramLogProb: deterministic transitions outscore the unigram model") {
+    val df = (1L to 6L).map(i => (i, "x y z x y z x y z")).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(df).collect().map(_.getDouble(3)).head
+    val uni = TextAnalysis.unigramLogProb(df).collect().map(_.getDouble(3)).head
+    assert(bi > uni,
+      s"predictable transitions must score higher under the bigram model: $bi <= $uni")
+  }
+
+  test("bigramLogProb: pruned transitions fall back to the unigram floor") {
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val full = TextAnalysis.bigramLogProb(df, lambda = 0.7)
+      .where($"doc_id" === 1L).head().getLong(2)
+    // minPairCount=2 prunes "b a" (count 1): its transition loses the
+    // bigram term and the score drops
+    val pruned = TextAnalysis.bigramLogProb(df, lambda = 0.7, minPairCount = 2)
+      .where($"doc_id" === 1L).head().getLong(2)
+    assert(pruned < full, s"pruning must lower the score: $pruned >= $full")
+  }
 }

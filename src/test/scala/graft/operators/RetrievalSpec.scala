@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple apple apple apple banana"),
+    (3L, "cherry cherry durian"),
+    (4L, "banana cherry apple durian elderberry"),
+    (5L, "fig grape fig grape fig")
+  ).toDF("doc_id", "text")
+
+  private def queries(rows: (Long, String)*) =
+    rows.toDF("query_id", "text")
+
+  test("rarer query term dominates; ranks are contiguous from 1") {
+    // "durian" (df=2) is rarer than "apple" (df=3): a doc matching only
+    // durian must outrank a doc matching only apple for this query
+    val out = Retrieval.bm25TopK(docs, queries(100L -> "durian apple"),
+      k = 5, maxDfFrac = 1.0)
+      .orderBy("rank").collect()
+    assert(out.map(_.getInt(4)).toSeq == (1 to out.length),
+      "ranks must be contiguous from 1")
+    val byDoc = out.map(r => r.getLong(1) -> r.getInt(4)).toMap
+    assert(byDoc(3L) < byDoc(2L),
+      s"durian-only doc must outrank apple-only doc: $byDoc")
+  }
+
+  test("df cap drops ubiquitous terms from scoring") {
+    // "apple" df=3/5 > 0.5 → capped out; only durian contributes
+    val capped = Retrieval.bm25TopK(docs, queries(100L -> "durian apple"),
+      k = 5, maxDfFrac = 0.5).collect()
+    assert(capped.map(_.getLong(1)).toSet == Set(3L, 4L),
+      "only durian-bearing docs may score under the cap")
+    val uncapped = Retrieval.bm25TopK(docs, queries(100L -> "durian apple"),
+      k = 5, maxDfFrac = 1.0).collect()
+    assert(uncapped.length > capped.length)
+  }
+
+  test("longer docs score below shorter docs at equal tf (length norm)") {
+    val out = Retrieval.bm25TopK(docs, queries(101L -> "banana"),
+      k = 5, maxDfFrac = 1.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // banana tf=1 in docs 1 (len 4) and 4 (len 5): shorter doc wins
+    assert(out(1L) > out(4L),
+      s"length normalization must favor the shorter doc: $out")
+  }
+
+  test("empty or unmatched queries yield no rows; k bounds output") {
+    val out = Retrieval.bm25TopK(docs,
+      queries(102L -> "zzz", 103L -> "", 104L -> "apple"), k = 2,
+      maxDfFrac = 1.0)
+    val rows = out.collect()
+    assert(rows.forall(_.getLong(0) == 104L), "only the apple query matches")
+    assert(rows.length == 2, "k=2 must bound the per-query output")
+  }
+}
