@@ -121,7 +121,17 @@ object DataOpsQueries {
     * twin gate.
     */
   private def bm25OracleSql(maxDfFrac: Double): String =
-    s"""WITH norm AS (
+    s"""WITH ${bm25ChainSql(maxDfFrac)}
+      |SELECT query_id, doc_id, score_micro,
+      |  round(score_micro::DOUBLE / 1e6, 6) AS score, rank
+      |FROM rk WHERE rank <= 10""".stripMargin
+
+  /** The CTE chain of [[bm25OracleSql]] up to `rk` (ranked per-query
+    * scores) — shared with the RRF hybrid gate, which fuses it with the
+    * cosine ranking.
+    */
+  private def bm25ChainSql(maxDfFrac: Double): String =
+    s"""norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
       |  FROM documents),
@@ -158,10 +168,7 @@ object DataOpsQueries {
       |rk AS (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
-      |  FROM sc)
-      |SELECT query_id, doc_id, score_micro,
-      |  round(score_micro::DOUBLE / 1e6, 6) AS score, rank
-      |FROM rk WHERE rank <= 10""".stripMargin
+      |  FROM sc)""".stripMargin
 
   /** Naive-Bayes classifier oracle chain: positive = lang='en', negative
     * = the rest, B = 1024 — mirrors the `t_nb_classifier` gate. Ends at
@@ -314,6 +321,26 @@ object DataOpsQueries {
           array_join(slice(TextAnalysis.tokens(
             TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
       operators.Retrieval.bm25TopK(d, q, k = 10, maxDfFrac = 1.0)
+    }),
+
+    // Hybrid retrieval: BM25 lexical top-10 fused with embedding cosine
+    // top-10 (vec_id ≡ doc_id in the synthetic tables) by reciprocal-rank
+    // fusion — each reciprocal micro-fixed before the exact integer sum,
+    // so fusing any number of systems is association-order-free (oracle
+    // replays both rankings and the fusion).
+    "r_rrf_hybrid" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
+      val lexical = operators.Retrieval.bm25TopK(d, q, k = 10, maxDfFrac = 1.0)
+        .select("query_id", "doc_id", "rank")
+      val emb = Tables.embeddings(s, dir)
+      val semantic = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") % 97 === 0), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Retrieval.rrfFuse(Seq(lexical, semantic), topK = 10)
     }),
 
     // Same retrieval with the stop-term cap BINDING (df ≤ 0.78·N keeps
@@ -1215,6 +1242,38 @@ object DataOpsQueries {
     "r_bm25_topk" -> bm25OracleSql(1.0),
 
     "r_bm25_capped" -> bm25OracleSql(0.78),
+
+    "r_rrf_hybrid" ->
+      s"""WITH ${bm25ChainSql(1.0)},
+        |lex AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 10),
+        |sq AS (SELECT vec_id AS query_id, embedding AS qv
+        |       FROM embeddings WHERE vec_id % 97 = 0),
+        |sc0 AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) AS cos
+        |  FROM embeddings CROSS JOIN sq WHERE vec_id <> query_id),
+        |sem AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY round(cos, 6) DESC, doc_id ASC) AS rank
+        |    FROM sc0)
+        |  WHERE rank <= 10),
+        |terms AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60.0 + rank) * 1e6) AS BIGINT) AS r FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(round(1.0 / (60.0 + rank) * 1e6) AS BIGINT) AS r FROM sem),
+        |fused AS (
+        |  SELECT query_id, doc_id, sum(r)::BIGINT AS rrf_micro
+        |  FROM terms GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf_micro,
+        |  round(rrf_micro::DOUBLE / 1e6, 6) AS rrf_score, rank
+        |FROM fr WHERE rank <= 10""".stripMargin,
 
     "s_hash_split" ->
       s"""SELECT doc_id,

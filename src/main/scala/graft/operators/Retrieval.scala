@@ -86,4 +86,40 @@ object Retrieval {
         round(col("score_micro").cast("double") / 1e6, 6).as("score"),
         col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) — the standard way a RAG
+    * stack combines lexical ([[bm25TopK]]) and semantic
+    * ([[Similarity.bruteForceTopK]] / ANN) result lists WITHOUT
+    * comparable scores: fused(d) = Σ_systems 1/(k0 + rank_s(d)).
+    * Each input carries (query_id, doc_id, rank); documents absent from
+    * a system simply contribute no term.
+    *
+    * Portability: each reciprocal is one double division rounded to
+    * integer MICRO units before the per-(query, doc) sum — the usual
+    * exact-integer trick, so fusing any number of systems stays
+    * association-order-free and the oracle replays it.
+    *
+    * 100 TB shape: inputs are already top-k lists (≤ k rows per query
+    * per system), so the union + one partial-agg shuffle on
+    * (query_id, doc_id) is bounded by queries·systems·k, not corpus
+    * size; the final per-query window partitions on query_id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(topK >= 1 && k0 >= 0, s"bad fusion params topK=$topK k0=$k0")
+    val terms = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        round(lit(1.0d) / (lit(k0).cast("double") + col("rank")) * 1e6)
+          .cast("long").as("_r")))
+      .reduce(_ unionByName _)
+    val fused = terms.groupBy("query_id", "doc_id")
+      .agg(sum(col("_r")).as("rrf_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        round(col("rrf_micro").cast("double") / 1e6, 6).as("rrf_score"),
+        col("rank"))
+  }
 }

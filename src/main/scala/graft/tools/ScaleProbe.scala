@@ -67,7 +67,10 @@ object ScaleProbe {
       // probes the duplicate-saturated WORST CASE (full coverage
       // explode, all docs edited to empty) — deliberate stress, not the
       // near-linear-growth premise the other probes validate
-      "d_span_dedup")
+      "d_span_dedup",
+      // round-4b surface
+      "t_nb_classifier", "t_bigram_logprob", "r_bm25_topk",
+      "r_bm25_capped", "e_rand_proj")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()

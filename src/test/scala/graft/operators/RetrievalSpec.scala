@@ -50,6 +50,24 @@ class RetrievalSpec extends SparkSpec {
       s"length normalization must favor the shorter doc: $out")
   }
 
+  test("rrfFuse: consensus beats a single top rank; micro sums are exact") {
+    val sysA = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sysB = Seq((1L, 20L, 1), (1L, 30L, 2), (1L, 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(sysA, sysB), topK = 4)
+      .orderBy("rank").collect()
+    // doc 20 (ranks 2+1) must beat doc 10 (rank 1 in one system only)
+    assert(out.head.getLong(1) == 20L,
+      s"consensus doc must fuse to the top: ${out.toSeq}")
+    def micro(ranks: Int*): Long =
+      ranks.map(r => math.round(1.0 / (60.0 + r) * 1e6)).sum
+    val byDoc = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byDoc(20L) == micro(2, 1) && byDoc(10L) == micro(1)
+      && byDoc(30L) == micro(3, 2) && byDoc(40L) == micro(3))
+    assert(out.map(_.getInt(4)).toSeq == (1 to 4), "fused ranks contiguous")
+  }
+
   test("empty or unmatched queries yield no rows; k bounds output") {
     val out = Retrieval.bm25TopK(docs,
       queries(102L -> "zzz", 103L -> "", 104L -> "apple"), k = 2,
