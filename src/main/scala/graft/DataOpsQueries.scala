@@ -170,6 +170,28 @@ object DataOpsQueries {
       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
       |  FROM sc)""".stripMargin
 
+  /** Product-quantization oracle chain (m = 8 subspaces of width 8,
+    * codebooks = the 16 fixed-centroid seed vectors sliced): per-subspace
+    * ‖c‖²−2·v·c argmin — the e_kmeans_assign kernel — ending at the
+    * `codes` CTE with (vec_id, j, code). Shared by encode and ADC top-k
+    * so the code assignment can never half-change.
+    */
+  private def pqCodesSql(): String =
+    """c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      |      FROM embeddings WHERE vec_id < 16),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |sub AS (SELECT unnest(range(0, 8)) AS j),
+      |cs AS (
+      |  SELECT v.vec_id, sub.j, c.cid,
+      |    list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
+      |      - 2 * list_dot_product(ev[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8]) AS sc
+      |  FROM v CROSS JOIN sub CROSS JOIN c),
+      |codes AS (
+      |  SELECT vec_id, j, cid AS code FROM (
+      |    SELECT vec_id, j, cid,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sc ASC, cid ASC) AS rn
+      |    FROM cs) WHERE rn = 1)""".stripMargin
+
   /** Naive-Bayes classifier oracle chain: positive = lang='en', negative
     * = the rest, B = 1024 — mirrors the `t_nb_classifier` gate. Ends at
     * `nbagg` with per-doc (n_feats, w_sum_micro) plus the one-row
@@ -926,6 +948,66 @@ object DataOpsQueries {
     "e_quantized_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+    }),
+
+    // PQ encode (m=8 subspaces × 16 seed centroids from the fixed-
+    // centroid idiom): per-subspace argmin reuses the e_kmeans_assign
+    // kernel, so every code replays bit-identically; portable scalars.
+    "e_pq_encode" -> ((s, dir) => {
+      val model = operators.ProductQuantizer.seedModel(
+        fixedCentroids(s, dir, 16), m = 8)
+      operators.ProductQuantizer.encode(Tables.embeddings(s, dir), model)
+        .select(col("vec_id"),
+          md5(array_join(col("codes"), ",").cast("binary")).as("chash"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("csum"),
+          array_min(col("codes")).as("cmin"),
+          array_max(col("codes")).as("cmax"))
+    }),
+
+    // PQ asymmetric-distance top-10: LUT entries micro-fixed before the
+    // m-term integer sum — the oracle replays encoding, LUT, and ranking.
+    "e_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.ProductQuantizer.seedModel(
+        fixedCentroids(s, dir, 16), m = 8)
+      operators.ProductQuantizer.adcTopK(emb,
+        emb.where(col("vec_id") % 83 === 0), model, k = 10)
+    }),
+
+    // PQ quality harness on the planted corpus (cf. e_proj_recall):
+    // top-10 recall of the 8-byte ADC path vs float brute force.
+    // Self-asserting, rows-only by design.
+    "e_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 20)
+      val planted = q
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(10))).as("j"))
+        .select(
+          (lit(3000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id") * 7 + col("j") * 13 + i) * lit(0.02))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      val model = operators.ProductQuantizer.seedModel(
+        fixedCentroids(s, dir, 16), m = 8)
+      val pq = operators.ProductQuantizer.adcTopK(corpus, q, model, k = 10)
+      val out = q.select(col("vec_id").as("query_id"))
+        .join(brute.join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id")
+          .agg((count(lit(1)) / 10.0).as("recall_pq")),
+          Seq("query_id"), "left_outer")
+        .na.fill(0.0, Seq("recall_pq"))
+        .cache()
+      val m = out.agg(avg("recall_pq")).head().getDouble(0)
+      require(m >= 0.8,
+        f"PQ-ADC recall regression: mean recall_pq=$m%.3f (floor 0.8)")
+      out
     }),
 
     // Seeded JL sign projection 64 → 16 dims: outputs are exact integer
@@ -2379,6 +2461,38 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "e_pq_encode" ->
+      s"""WITH ${pqCodesSql()}
+        |SELECT vec_id,
+        |  md5(string_agg(code::VARCHAR, ',' ORDER BY j)) AS chash,
+        |  sum(code)::BIGINT AS csum,
+        |  min(code)::INT AS cmin,
+        |  max(code)::INT AS cmax
+        |FROM codes GROUP BY vec_id""".stripMargin,
+
+    "e_pq_topk" ->
+      s"""WITH ${pqCodesSql()},
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id % 83 = 0),
+        |lut AS (
+        |  SELECT q.query_id, sub.j, c.cid AS code,
+        |    CAST(round((list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
+        |      - 2 * list_dot_product(qv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])) * 1e6) AS BIGINT) AS lm
+        |  FROM q CROSS JOIN sub CROSS JOIN c),
+        |adc AS (
+        |  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+        |    sum(lm)::BIGINT AS adc_micro
+        |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code
+        |  WHERE codes.vec_id <> lut.query_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adc_micro,
+        |  round(adc_micro::DOUBLE / 1e6, 6) AS adc, rank
+        |FROM rk WHERE rank <= 10""".stripMargin,
 
     // every coordinate is an integer sum of ±micro-fixed inputs — the
     // group-by association order cannot matter, so the two engines agree

@@ -361,6 +361,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("e_pq_topk: codebook and LUT broadcast; no cartesian; argmin partial-aggregates") {
+    val p = executed("e_pq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT must broadcast onto the exploded corpus rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PQ:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "per-(id, j) argmin / ADC sums must partial-aggregate map-side")
+  }
+
   test("e_rand_proj: sign projection is a shuffle-free scan") {
     val p = executed("e_rand_proj")
     assert(!p.contains("Exchange"), s"JL projection plans a shuffle:\n$p")

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 seed vectors of dim 8 → m=2 subspaces of width 4, ksub=4
+  private val seeds: Array[Array[Double]] = Array(
+    Array(1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0),
+    Array(0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0),
+    Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0),
+    Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0))
+
+  private def corpusOf(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  private val seedCorpus = corpusOf(
+    seeds.zipWithIndex.map { case (s, i) => (i.toLong, s.map(_.toFloat)) }: _*)
+
+  test("seedModel slices seeds into per-subspace codebooks") {
+    val m = ProductQuantizer.seedModel(seeds, m = 2)
+    assert(m.dsub == 4 && m.ksub == 4 && m.dim == 8)
+    assert(m.codebooks(0)(1).toSeq == Seq(0.0, 1.0, 0.0, 0.0))
+    assert(m.codebooks(1)(2).toSeq == Seq(0.0, 0.0, 5.0, 0.0))
+  }
+
+  test("a seed vector encodes to its own code in every subspace") {
+    // ||e||^2 - 2c·e >= -||c||^2 with equality iff e = c, so the argmin
+    // of the shared kernel at a centroid is that centroid
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val codes = ProductQuantizer.encode(seedCorpus, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for (i <- seeds.indices)
+      assert(codes(i.toLong) == Seq(i, i),
+        s"seed $i must self-encode, got ${codes(i.toLong)}")
+  }
+
+  test("adcTopK ranks an exact duplicate first and excludes self") {
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val corpus = seedCorpus.unionByName(corpusOf(
+      (100L, seeds(1).map(_.toFloat)), // duplicate of seed 1
+      (101L, Array(9f, 9f, 9f, 9f, 9f, 9f, 9f, 9f))))
+    val out = ProductQuantizer.adcTopK(corpus,
+      seedCorpus.where($"vec_id" === 1L), model, k = 3).orderBy("rank").collect()
+    assert(out.forall(_.getLong(1) != 1L), "self must be excluded")
+    assert(out.head.getLong(1) == 100L,
+      s"the exact duplicate must rank first: ${out.toSeq}")
+    assert(out.map(_.getInt(4)).toSeq == (1 to 3))
+  }
+
+  test("train fits per-subspace codebooks of the requested shape") {
+    val corpus = corpusOf((1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
+    val model = ProductQuantizer.train(corpus, m = 4, ksub = 2, maxIter = 3)
+    assert(model.m == 4 && model.dsub == 2 && model.ksub == 2)
+    assert(model.codebooks.forall(_.forall(_.length == 2)))
+    // encoding under the trained model is total and in-range
+    val codes = ProductQuantizer.encode(corpus, model).collect()
+    assert(codes.length == 40)
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 2)))
+  }
+}
