@@ -170,6 +170,42 @@ object DataOpsQueries {
       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
       |  FROM sc)""".stripMargin
 
+  /** BPE-training oracle chain: the word census symbolized to spaced
+    * characters + `</w>`, then `n` generated rounds of (pair census →
+    * argmax → one-pass merge application) — the loop the Spark trainer
+    * runs, unrolled into CTEs. Ends with `s$n` (final symbolization)
+    * and `b1..b$n` (the per-round winning pairs).
+    */
+  private def bpeChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS (
+        |  SELECT g, sum(freq)::BIGINT AS cnt FROM (
+        |    SELECT freq, unnest([array_to_string(l[k:k+1], ' ') FOR k IN range(1, len(l))]) AS g
+        |    FROM (SELECT freq, str_split(syms, ' ') AS l FROM s${i - 1}) WHERE len(l) >= 2)
+        |  GROUP BY g),
+        |b$i AS MATERIALIZED (SELECT g, cnt FROM p$i ORDER BY cnt DESC, g ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    trim(replace(' ' || syms || ' ',
+        |      ' ' || (SELECT g FROM b$i) || ' ',
+        |      ' ' || replace((SELECT g FROM b$i), ' ', '') || ' ')) AS syms
+        |  FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tok AS (
+      |  SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(norm, '\\s+') END) AS word
+      |  FROM norm),
+      |w0 AS (SELECT word, count(*)::BIGINT AS freq FROM tok WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT word, freq,
+      |         regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS syms
+      |       FROM w0),
+      |$rounds""".stripMargin
+  }
+
   /** Product-quantization oracle chain (m = 8 subspaces of width 8,
     * codebooks = the 16 fixed-centroid seed vectors sliced): per-subspace
     * ‖c‖²−2·v·c argmin — the e_kmeans_assign kernel — ending at the
@@ -949,6 +985,23 @@ object DataOpsQueries {
       val emb = Tables.embeddings(s, dir)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
+
+    // BPE tokenizer training, 20 merge rounds: pure integer census
+    // arithmetic, so the oracle replays the ENTIRE training loop as a
+    // generated per-round CTE chain — pair census, argmax (count desc,
+    // pair asc), one-pass merge application.
+    "t_bpe_train" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val r = operators.Bpe.train(d, nMerges = 20)
+      operators.Bpe.mergeTable(r, d)
+    }),
+
+    // Subword census of the corpus under the 20 learned merges — the
+    // new vocabulary's token frequencies (oracle: same chain, final
+    // segmentation aggregated).
+    "t_bpe_encode" -> ((s, dir) =>
+      operators.Bpe.subwordCensus(
+        operators.Bpe.train(Tables.documents(s, dir), nMerges = 20))),
 
     // PQ encode (m=8 subspaces × 16 seed centroids from the fixed-
     // centroid idiom): per-subspace argmin reuses the e_kmeans_assign
@@ -2461,6 +2514,23 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "t_bpe_train" ->
+      s"""WITH ${bpeChainSql(20)},
+        |allm AS (
+        |  ${(1 to 20).map(i =>
+              s"SELECT $i AS rank, (SELECT g FROM b$i) AS g, (SELECT cnt FROM b$i) AS cnt")
+            .mkString("\n  UNION ALL ")})
+        |SELECT rank, string_split(g, ' ')[1] AS merge_left,
+        |  string_split(g, ' ')[2] AS merge_right,
+        |  replace(g, ' ', '') AS merged, cnt
+        |FROM allm""".stripMargin,
+
+    "t_bpe_encode" ->
+      s"""WITH ${bpeChainSql(20)}
+        |SELECT subword, sum(freq)::BIGINT AS freq FROM (
+        |  SELECT freq, unnest(str_split(syms, ' ')) AS subword FROM s20)
+        |GROUP BY subword""".stripMargin,
 
     "e_pq_encode" ->
       s"""WITH ${pqCodesSql()}

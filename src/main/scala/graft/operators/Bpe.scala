@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al.) over the corpus — the
+  * tokenizer-construction step of an LLM data pipeline, one level up
+  * from [[Salience.vocabulary]]: learn `nMerges` subword merges from
+  * the word census, most-frequent adjacent symbol pair first.
+  * Beyond-reference surface (SURVEY §2.13).
+  *
+  * Everything is integer census arithmetic — counts, string symbols, no
+  * floats anywhere — so the whole ITERATIVE training loop is exactly
+  * replayable by the DuckDB oracle as a generated chain of per-round
+  * CTEs (pair census → argmax → merge application), which is how
+  * `t_bpe_train` stays a full oracle gate despite being a loop.
+  *
+  * Merge application is ONE non-overlapping left-to-right `replace`
+  * pass per round on the space-joined symbol string (padded with
+  * sentinel spaces so matches are whole-symbol): `' a b ' → ' ab '`.
+  * DOCUMENTED VARIANT: on a same-symbol run (`a a a a`) a single pass
+  * merges the odd occurrences only (`aa a a` — the consumed boundary
+  * space hides the next adjacency); classic BPE's greedy rescan is
+  * recovered in later rounds whenever the pair stays on top, and
+  * non-run text behaves identically. Both engines' `replace` share
+  * these exact semantics, which is what makes the round replayable.
+  *
+  * Word census grain: training runs over DISTINCT words weighted by
+  * frequency (the standard trick), so per-round cost scales with the
+  * vocabulary — sublinear in corpus size — not the token stream. Ties
+  * break (count desc, pair asc) on binary string order, identical in
+  * both engines. Per round the driver fetches exactly ONE row (the
+  * argmax pair — TakeOrdered, no global sort); `checkpointEvery`
+  * truncates the accumulated replace lineage so round i costs O(vocab),
+  * not O(i·vocab) re-evaluation.
+  */
+object Bpe {
+
+  /** Learned merges in application order, with the final symbolized
+    * word census (word, freq, syms — space-joined subwords).
+    */
+  final case class BpeResult(merges: Seq[(String, String, Long)],
+                             words: DataFrame)
+
+  /** (word, freq) census over normalized whitespace tokens. */
+  def wordCensus(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbolization: characters joined by spaces + the `</w>`
+    * end-of-word marker (words are normalized alnum, so the marker
+    * cannot collide with a real symbol). `(.)` → `$1 ` instead of a
+    * split-on-empty (whose trailing-empty behavior differs between
+    * engines); BMP-only caveat: Java regex `.` is a UTF-16 code unit,
+    * RE2's a rune, so supplementary-plane characters would split
+    * differently — normalized corpus text here is BMP.
+    */
+  private def initSyms(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
+
+  /** Adjacent-pair census of the current symbolization, weighted by
+    * word frequency: (g = "left right", cnt).
+    */
+  private def pairCensus(words: DataFrame): DataFrame =
+    words.select(col("freq"),
+        explode(graft.functions.NGramShingles.shingles(col("syms"), 2)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+      .groupBy("g").agg(sum(col("freq")).as("cnt"))
+
+  /** Train `nMerges` rounds. Fails loudly (require) if the corpus runs
+    * out of distinct pairs first — the oracle replays a FIXED number of
+    * rounds, so a silent early stop would diverge.
+    */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+            checkpointEvery: Int = 8): BpeResult = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var words = wordCensus(docs, textCol)
+      .select(col("word"), col("freq"), initSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var i = 0
+    while (i < nMerges) {
+      val top = pairCensus(words)
+        .orderBy(col("cnt").desc, col("g").asc).limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus exhausted after ${merges.size} merges (asked for $nMerges)")
+      val g = top.head.getString(0); val cnt = top.head.getLong(1)
+      val Array(l, r) = g.split(" ", 2)
+      merges += ((l, r, cnt))
+      words = words.withColumn("syms",
+        trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $l $r "), lit(s" ${l + r} "))))
+      i += 1
+      if (i % checkpointEvery == 0) words = words.localCheckpoint()
+    }
+    BpeResult(merges.toSeq, words)
+  }
+
+  /** The learned merge list as a frame: (rank 1-based, left, right,
+    * merged, cnt) — the artifact a tokenizer ships.
+    */
+  def mergeTable(result: BpeResult, docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    result.merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, l + r, c) }
+      .toDF("rank", "merge_left", "merge_right", "merged", "cnt")
+  }
+
+  /** Corpus subword census under the trained segmentation: (subword,
+    * freq) — token-frequency statistics of the NEW vocabulary, the
+    * standard check that merges actually compress the corpus.
+    */
+  def subwordCensus(result: BpeResult): DataFrame =
+    result.words
+      .select(col("freq"), explode(split(col("syms"), " ")).as("subword"))
+      .groupBy("subword").agg(sum(col("freq")).as("freq"))
+}
