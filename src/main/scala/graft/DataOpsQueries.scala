@@ -986,6 +986,18 @@ object DataOpsQueries {
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
 
+    // WARC container parse on REAL bytes (the Common Crawl ingestion
+    // path): every document becomes a 2-record WARC blob (warcinfo +
+    // resource) and the parser genuinely walks headers/Content-Length/
+    // terminators; the oracle predicts every parsed field from the
+    // generation formulas (the m_decode_features round-trip pattern).
+    "s5_warc_source" -> ((s, dir) =>
+      operators.Warc.parseRecords(
+          operators.Warc.syntheticWarcMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("body")).as("body_md5"))),
+
     // BPE tokenizer training, 20 merge rounds: pure integer census
     // arithmetic, so the oracle replays the ENTIRE training loop as a
     // generated per-round CTE chain — pair census, argmax (count desc,
@@ -2514,6 +2526,17 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "s5_warc_source" ->
+      """SELECT doc_id AS media_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |  NULL::VARCHAR AS target_uri, 21::BIGINT AS content_length,
+        |  md5('software: graft/0.4' || chr(13) || chr(10)) AS body_md5
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1, 'resource', 'http://example.com/doc/' || doc_id,
+        |  octet_length(encode(coalesce(text, '')))::BIGINT,
+        |  md5(coalesce(text, ''))
+        |FROM documents""".stripMargin,
 
     "t_bpe_train" ->
       s"""WITH ${bpeChainSql(20)},
