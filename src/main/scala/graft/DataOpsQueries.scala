@@ -986,6 +986,27 @@ object DataOpsQueries {
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
     }),
 
+    // Bucketed range join: events against 30-minute per-user windows
+    // (every 7th user) WITHOUT a user equi-key — pure containment. The
+    // bucket-explode turns it into a hash join (plan-pinned no-cartesian);
+    // integer-only aggregates keep the gate hash-exact.
+    "j11_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min(col("p_us")).as("start_us"))
+        .where(col("iv_user") % 7 === 0)
+        .withColumn("end_us", col("start_us") + lit(1800000000L))
+        .select("iv_user", "start_us", "end_us")
+      operators.RangeJoin.bucketed(ev, iv, "p_us", "start_us", "end_us",
+          bucketWidth = 600000000L)
+        .groupBy("iv_user", "start_us")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+    }),
+
     // WARC container parse on REAL bytes (the Common Crawl ingestion
     // path): every document becomes a 2-record WARC blob (warcinfo +
     // resource) and the parser genuinely walks headers/Content-Length/
@@ -2526,6 +2547,18 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "j11_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS p_us FROM events),
+        |iv AS (
+        |  SELECT user_id AS iv_user, min(p_us) AS start_us,
+        |    min(p_us) + 1800000000 AS end_us
+        |  FROM ev GROUP BY user_id HAVING user_id % 7 = 0)
+        |SELECT iv_user, start_us, count(*) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM ev JOIN iv ON ev.p_us >= iv.start_us AND ev.p_us < iv.end_us
+        |GROUP BY 1, 2""".stripMargin,
 
     "s5_warc_source" ->
       """SELECT doc_id AS media_id, 0 AS rec_idx, 'warcinfo' AS warc_type,

@@ -361,6 +361,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("j11_range_join: bucket explode makes it a hash join, never nested-loop") {
+    val p = executed("j11_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket id:\n$p")
+    assert(p.contains("Generate"), "interval side must explode into buckets")
+  }
+
   test("e_pq_topk: codebook and LUT broadcast; no cartesian; argmin partial-aggregates") {
     val p = executed("e_pq_topk")
     assert(p.contains("BroadcastHashJoin"),
