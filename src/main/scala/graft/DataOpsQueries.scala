@@ -170,6 +170,34 @@ object DataOpsQueries {
       |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
       |  FROM sc)""".stripMargin
 
+  /** PageRank oracle chain: the deterministic pseudo link graph, node
+    * table, out-degrees, and `n` unrolled MATERIALIZED update rounds —
+    * float constants interpolated from the operator's own doubles.
+    */
+  private def pageRankChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""pr$i AS MATERIALIZED (
+        |  SELECT n.node,
+        |    (SELECT CAST(round(${1.0 - 0.85} * 1e6 / nn) AS BIGINT) FROM cnt)
+        |      + coalesce(c.s, 0) AS pr
+        |  FROM n LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(${0.85} * p.pr / od.out) AS BIGINT))::BIGINT AS s
+        |    FROM e JOIN pr${i - 1} p ON p.node = e.src JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |cnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM n),
+      |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS out FROM e GROUP BY src),
+      |pr0 AS MATERIALIZED (
+      |  SELECT node, (SELECT CAST(round(1e6 / nn) AS BIGINT) FROM cnt) AS pr FROM n),
+      |$rounds""".stripMargin
+  }
+
   /** BPE-training oracle chain: the word census symbolized to spaced
     * characters + `</w>`, then `n` generated rounds of (pair census →
     * argmax → one-pass merge application) — the loop the Spark trainer
@@ -984,6 +1012,19 @@ object DataOpsQueries {
     "e_quantized_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Quantize.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+    }),
+
+    // Micro-quantized PageRank, 10 rounds, over a deterministic pseudo
+    // link graph (doc → 7·doc+3 mod 409, doc → its decade root): every
+    // per-edge term is one rounded double op, so the oracle replays the
+    // whole iteration as unrolled CTEs (the BPE trick).
+    "g_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.PageRank.pageRank(edges, iterations = 10)
     }),
 
     // Bucketed range join: events against 30-minute per-user windows
@@ -2547,6 +2588,11 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "g_pagerank" ->
+      s"""WITH ${pageRankChainSql(10)}
+        |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
+        |FROM pr10""".stripMargin,
 
     "j11_range_join" ->
       """WITH ev AS (

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Micro-quantized PageRank over an edge list — the link-graph quality
+  * prior of web-corpus curation (crawl frontiers and quality filters
+  * both rank by it). Beyond-reference surface (SURVEY §2.13).
+  *
+  * Ranks are held as MICRO units (long, 1.0 ≡ 1e6):
+  *   pr'(v) = round((1−d)·1e6 / N) + Σ_{u→v} round(d · pr(u) / out(u))
+  * Exactly ONE double operation chain per edge per round, rounded to an
+  * integer before the sum — so every iteration is deterministic integer
+  * arithmetic, association-order-free, and the `g_pagerank` oracle
+  * replays the ENTIRE loop as unrolled MATERIALIZED CTEs (the
+  * [[Bpe]] trick). Quantization error vs float PageRank is < 1e-6 per
+  * term per round — irrelevant for ranking, decisive for replayability.
+  *
+  * DANGLING NODES (no out-edges) leak their mass — ranks sum to less
+  * than 1. The usual redistribute-variant needs a global aggregate per
+  * round; rankings rarely change, so the simple variant is the default
+  * and the contract is documented here. Self-loops are allowed and
+  * contribute to their own node like any edge.
+  *
+  * 100 TB shape: the Pregel shape without Pregel — per round one
+  * partial-aggregated shuffle of edge contributions keyed on dst and
+  * one node-table left join; NO driver data path at all (contrast
+  * [[Bpe.train]]'s one argmax row per round); `checkpointEvery`
+  * truncates lineage so round i costs O(edges), not O(i·edges).
+  */
+object PageRank {
+
+  /** (node, pr_micro, pr): ranks after `iterations` rounds over
+    * `edges` (src, dst).
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val cnt = nodes.agg(count(lit(1)).as("nn"))
+    val od = e.groupBy("src").agg(count(lit(1)).as("out"))
+    var pr = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
+      .localCheckpoint()
+    var i = 1
+    while (i <= iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(od, Seq("src"))
+        .select(col("dst").as("node"),
+          round(lit(damping) * col("pr") / col("out")).cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(cnt))
+        .select(col("node"),
+          (round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
+            + coalesce(col("s"), lit(0L))).as("pr"))
+      if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
+      i += 1
+    }
+    pr.select(col("node"), col("pr").as("pr_micro"),
+      round(col("pr").cast("double") / 1e6, 6).as("pr"))
+  }
+}
