@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   *  1. markup stripping ([[TextAnalysis.stripMarkup]])
   *  2. quality filtering ([[QualityFilter]], Gopher-style rules)
   *  3. boilerplate line removal ([[Boilerplate.removeBoilerplate]])
+  *  3b. model-based quality filter ([[Classifier.filterByClassifier]],
+  *     fastText-style NB trained on caller-supplied seed corpora;
+  *     skipped when no seeds are supplied) — after the heuristic
+  *     rules, before dedup, the GPT-3/LLaMA recipe order
   *  4. exact dedup ([[Dedup.exactDeduped]])
   *  5. near-dedup ([[Dedup.dedupClusters]] — MinHash+LSH with
   *     connected-components closure, keep cluster representatives)
@@ -49,7 +53,8 @@ object DataPipeline {
       nearDupThreshold: Double = 0.8,
       contaminationThreshold: Double = 0.8,
       chunkTokens: Int = 2048,
-      chunkOverlap: Int = 0)
+      chunkOverlap: Int = 0,
+      classifierMargin: Double = 0.0)
 
   /** Shared per-document cleaning head (stages 1-3): markup strip →
     * quality filter → boilerplate removal. removeBoilerplate coalesces
@@ -58,12 +63,20 @@ object DataPipeline {
     * one ""-fingerprint group and one of them flows through as an empty
     * "training document".
     */
-  private def cleanHead(docs: DataFrame, cfg: Config): DataFrame = {
+  private def cleanHead(docs: DataFrame, cfg: Config,
+                        seeds: Option[(DataFrame, DataFrame)]): DataFrame = {
     val stripped = docs.withColumn("text",
       TextAnalysis.stripMarkup(col("text")))
-    Boilerplate.removeBoilerplate(QualityFilter(stripped, cfg.quality))
+    val cleaned = Boilerplate.removeBoilerplate(QualityFilter(stripped, cfg.quality))
       .select(col("doc_id"), col("clean_text").as("text"))
       .where(length(col("text")) > 0)
+    // stage 3b: model-based filter — trains per run for convenience; at
+    // scale train once (Classifier.trainNaiveBayes) and reuse the model
+    seeds match {
+      case None => cleaned
+      case Some((pos, neg)) =>
+        Classifier.filterByClassifier(cleaned, pos, neg, cfg.classifierMargin)
+    }
   }
 
   /** Shared tail (stages 6-8): span removal → decontamination →
@@ -93,8 +106,9 @@ object DataPipeline {
     * doc-grain (doc_id, text) otherwise.
     */
   def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
-              cfg: Config = Config()): DataFrame = {
-    val exact = Dedup.exactDeduped(cleanHead(docs, cfg))
+              cfg: Config = Config(),
+              seeds: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val exact = Dedup.exactDeduped(cleanHead(docs, cfg, seeds))
     val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
       .where(col("is_survivor")).select("doc_id")
     val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
@@ -127,7 +141,8 @@ object DataPipeline {
   def prepareIncrement(newDocs: DataFrame, corpusIndex: SignatureIndex,
                        corpusFps: DataFrame,
                        benchmarks: Option[DataFrame] = None,
-                       cfg: Config = Config()): DataFrame = {
+                       cfg: Config = Config(),
+                       seeds: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // exact: drop docs whose content already exists in the corpus, then
     // collapse in-batch exact duplicates. The stage boundary is
     // MATERIALIZED (localCheckpoint): the downstream near-dup chain
@@ -138,7 +153,7 @@ object DataPipeline {
     // the bottleneck (measured: minutes on a 4-doc increment).
     // Increments are small by definition, so pinning them is cheap at
     // any corpus scale.
-    val freshContent = cleanHead(newDocs, cfg)
+    val freshContent = cleanHead(newDocs, cfg, seeds)
       .withColumn("_fp", TextAnalysis.fingerprint(col("text")))
       .join(corpusFps.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")

@@ -80,6 +80,24 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(1L).contains("w1_0") && out(3L).contains("w3_0"))
   }
 
+  test("stage 3b: classifier seeds drop off-domain docs before dedup") {
+    val docs = Seq(
+      (1L, "cat kitten purr feline whiskers nap"),
+      (2L, "kitten cat whiskers purr soft fur"),
+      (3L, "buy pills casino winner click spam")).toDF("doc_id", "text")
+    val pos = Seq((100L, "cat kitten purr feline whiskers fur"))
+      .toDF("doc_id", "text")
+    val neg = Seq((200L, "buy pills casino winner click spam prize"))
+      .toDF("doc_id", "text")
+    val without = DataPipeline.prepare(docs, None, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(without == Set(1L, 2L, 3L), s"no-seeds baseline: $without")
+    val withSeeds = DataPipeline.prepare(docs, None, cfg, Some((pos, neg)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(withSeeds == Set(1L, 2L),
+      s"classifier must drop the spam-vocabulary doc: $withSeeds")
+  }
+
   test("stage 4 exact dedup catches the stripped markup copy before LSH") {
     // replicate stages 1-3, then assert the EXACT stage drops doc 20 —
     // the end-to-end test cannot distinguish this from the near-dup
