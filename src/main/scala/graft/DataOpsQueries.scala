@@ -1101,6 +1101,19 @@ object DataOpsQueries {
         emb.where(col("vec_id") % 83 === 0), model, k = 10)
     }),
 
+    // IVF-PQ (the FAISS composition): coarse lists from the 8 fixed
+    // centroids, nProbe=3 multi-probe, ADC only over probed candidates —
+    // the bounded-candidate answer to exhaustive ADC. Oracle replays
+    // assignment, probes, codes, LUT, and ranking.
+    "e_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.ProductQuantizer.seedModel(
+        fixedCentroids(s, dir, 16), m = 8)
+      operators.ProductQuantizer.ivfPqTopK(emb,
+        emb.where(col("vec_id") % 83 === 0),
+        fixedCentroids(s, dir, 8), model, k = 10, nProbe = 3)
+    }),
+
     // PQ quality harness on the planted corpus (cf. e_proj_recall):
     // top-10 recall of the 8-byte ADC path vs float brute force.
     // Self-asserting, rows-only by design.
@@ -2657,6 +2670,49 @@ object DataOpsQueries {
         |    sum(lm)::BIGINT AS adc_micro
         |  FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code
         |  WHERE codes.vec_id <> lut.query_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_micro ASC, neighbor_id ASC) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adc_micro,
+        |  round(adc_micro::DOUBLE / 1e6, 6) AS adc, rank
+        |FROM rk WHERE rank <= 10""".stripMargin,
+
+    "e_ivfpq_topk" ->
+      s"""WITH ${pqCodesSql()},
+        |c8 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv8
+        |       FROM embeddings WHERE vec_id < 8),
+        |sc8 AS (
+        |  SELECT v.vec_id, c8.cid,
+        |    list_dot_product(cv8, cv8) - 2 * list_dot_product(ev, cv8) AS sc
+        |  FROM v CROSS JOIN c8),
+        |asg AS (
+        |  SELECT vec_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM sc8) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM sc8 WHERE vec_id % 83 = 0) WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN asg a USING (list_id)
+        |  WHERE a.vec_id <> p.query_id),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id % 83 = 0),
+        |lut AS (
+        |  SELECT q.query_id, sub.j, c.cid AS code,
+        |    CAST(round((list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
+        |      - 2 * list_dot_product(qv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])) * 1e6) AS BIGINT) AS lm
+        |  FROM q CROSS JOIN sub CROSS JOIN c),
+        |adc AS (
+        |  SELECT cand.query_id, cand.neighbor_id, sum(lm)::BIGINT AS adc_micro
+        |  FROM cand JOIN codes ON codes.vec_id = cand.neighbor_id
+        |  JOIN lut ON lut.query_id = cand.query_id
+        |    AND lut.j = codes.j AND lut.code = codes.code
         |  GROUP BY 1, 2),
         |rk AS (
         |  SELECT *, row_number() OVER (

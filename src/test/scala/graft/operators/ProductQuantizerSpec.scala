@@ -50,6 +50,44 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(out.map(_.getInt(4)).toSeq == (1 to 3))
   }
 
+  test("ivfPqTopK with all lists probed equals exhaustive adcTopK") {
+    val corpus = corpusOf((1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+    val q = corpus.where($"vec_id" <= 2L)
+    val full = ProductQuantizer.adcTopK(corpus, q, model, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val ivf = ProductQuantizer.ivfPqTopK(corpus, q, centroids, model,
+      k = 5, nProbe = 2) // nProbe == nLists → identical candidate set
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(ivf == full, s"all-lists IVF-PQ must equal exhaustive ADC")
+  }
+
+  test("ivfPqTopK candidates stay inside probed lists") {
+    val corpus = corpusOf((1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    val q = corpus.where($"vec_id" === 1L)
+    val out = ProductQuantizer.ivfPqTopK(corpus, q, centroids, model,
+      k = 30, nProbe = 1)
+    val allowed = corpus
+      .select($"vec_id",
+        Clustering.assignColumn($"embedding", centroids).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queryList = allowed(1L)
+    val neighbors = out.select("neighbor_id").as[Long].collect()
+    assert(neighbors.nonEmpty)
+    assert(neighbors.forall(n => allowed(n) == queryList),
+      "nProbe=1 results must come from the query's own list")
+  }
+
   test("train fits per-subspace codebooks of the requested shape") {
     val corpus = corpusOf((1L to 40L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
