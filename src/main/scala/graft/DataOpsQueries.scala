@@ -952,6 +952,23 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // Stateless NB scoring (model serving): weights as a dense array
+    // literal, one pure projection — no join/agg/shuffle, so the same
+    // expression drops into a readStream. Scores every 4th doc under
+    // the full-corpus model; MUST equal the join-based path bit for bit
+    // (same oracle chain, filtered).
+    "t_nb_stateless" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Classifier.scoreStateless(
+        d.where(col("doc_id") % 4 === 0),
+        operators.Classifier.trainNaiveBayes(
+          d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+          buckets = 1024),
+        operators.Classifier.classPrior(
+          d.where(col("lang") === "en"), d.where(col("lang") =!= "en")),
+        buckets = 1024)
+    }),
+
     // fastText-style Naive Bayes quality classifier: train log-odds
     // weights on en (positive) vs non-en (negative) hashed unigram+bigram
     // buckets, score the whole corpus — decision + margin, exact integer
@@ -1900,6 +1917,15 @@ object DataOpsQueries {
         |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
+
+    "t_nb_stateless" ->
+      s"""WITH $nbScoreSql
+        |SELECT d.doc_id, coalesce(a.n_feats, 0)::BIGINT AS n_feats,
+        |  (coalesce(a.w_sum_micro, 0) + p.prior_micro)::BIGINT AS score_micro,
+        |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
+        |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
+        |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p
+        |WHERE d.doc_id % 4 = 0""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (

@@ -122,6 +122,45 @@ object Classifier {
     score(candidates, trainNaiveBayes(positive, negative, buckets, textCol),
       classPrior(positive, negative), buckets, textCol)
 
+  /** STATELESS scorer — the model-serving path: weights collected to a
+    * dense `buckets`-sized array literal (driver-bounded by
+    * construction: the model never exceeds `buckets` rows) and applied
+    * as one pure column expression — tokenize, bucket, O(1)
+    * array-index lookup, integer sum. No join, no aggregation, no
+    * shuffle, which means it drops unchanged into a Structured
+    * Streaming `readStream` projection (stateful ops can't), a
+    * broadcast-starved edge executor, or a `filter` pushed against a
+    * scan. Output contract is IDENTICAL to [[score]] (pinned by spec):
+    * same n_feats, exact same integer score_micro, same null-margin
+    * rule for zero-feature docs.
+    */
+  def scoreStateless(candidates: DataFrame, model: DataFrame, prior: DataFrame,
+                     buckets: Int = 4096,
+                     textCol: String = "text"): DataFrame = {
+    val weights = new Array[Long](buckets)
+    model.collect().foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+    val priorMicro = prior.head().getLong(0)
+    val warr = typedLit(weights.toSeq)
+    val text = col(textCol)
+    val unis = filter(TextAnalysis.tokens(TextAnalysis.normalized(text)),
+      t => t =!= "")
+    val bis = filter(Dedup.shingles(text, 2), g => size(split(g, " ")) === 2)
+    val feats = when(text.isNull, array().cast("array<string>"))
+      .otherwise(concat(unis, bis))
+    val wSum = aggregate(
+      transform(feats, f =>
+        element_at(warr, (Dsir.featureBucket(f, buckets) + 1L).cast("int"))),
+      lit(0L), _ + _)
+    candidates.select(col("doc_id"),
+        size(feats).as("n_feats"), wSum.as("_w"))
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+        (col("_w") + lit(priorMicro)).as("score_micro"),
+        when(col("n_feats") > 0,
+          round(col("_w").cast("double") / col("n_feats") / 1e6, 6))
+          .as("w_per_feat"),
+        (col("_w") + lit(priorMicro) > 0L).as("pred_positive"))
+  }
+
   /** Hard quality filter: keep candidates whose per-feature average
     * log-odds clears `minWPerFeat` (per-feature, not the raw sum, so
     * document length does not swamp the decision — the same reasoning as

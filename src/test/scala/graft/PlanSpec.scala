@@ -394,6 +394,13 @@ class PlanSpec extends SparkSpec {
       "training censuses and per-doc sums must partial-aggregate map-side")
   }
 
+  test("t_nb_stateless: model serving is one shuffle-free projection") {
+    val p = executed("t_nb_stateless")
+    assert(!p.contains("Exchange"),
+      s"stateless scoring must not shuffle (streaming-safe contract):\n$p")
+    assert(!p.contains("Join"), s"stateless scoring must not join:\n$p")
+  }
+
   test("r_bm25_topk: inverted-index join, no cartesian, partial-agg censuses") {
     val p = executed("r_bm25_topk")
     assert(!p.contains("CartesianProduct"), s"doc x query product in BM25:\n$p")

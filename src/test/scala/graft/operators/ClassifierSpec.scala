@@ -50,6 +50,20 @@ class ClassifierSpec extends SparkSpec {
     assert(kept == Set(21L), s"expected only the cat doc, got $kept")
   }
 
+  test("stateless scorer equals the join-based path bit for bit") {
+    val model = Classifier.trainNaiveBayes(pos, neg, buckets = 256)
+    val prior = Classifier.classPrior(pos, neg)
+    val joined = Classifier.score(candidates, model, prior, buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val stateless = Classifier.scoreStateless(candidates, model, prior,
+        buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(stateless == joined,
+      s"stateless != joined:\n$stateless\n$joined")
+  }
+
   test("unbalanced classes shift the prior, not the per-feature weights") {
     val posBig = pos.unionByName(pos.select(($"doc_id" + 100).as("doc_id"), $"text"))
     val p = Classifier.classPrior(posBig, neg).head().getLong(0)
