@@ -148,4 +148,63 @@ class InvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("rangeJoin: equals the naive theta join on random data, any width") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(700 + trial)
+      val points = (1L to 60L).map(i => (i, rnd.nextInt(1000).toLong))
+        .toDF("pid", "p")
+      val intervals = (1L to 25L).map { i =>
+        val s = rnd.nextInt(1000).toLong
+        (i, s, s + rnd.nextInt(120).toLong)
+      }.toDF("iid", "s", "e")
+      val naive = points.join(intervals, $"p" >= $"s" && $"p" < $"e")
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (w <- Seq(1L, 17L, 64L, 500L)) {
+        val got = RangeJoin.bucketed(points, intervals, "p", "s", "e", w)
+          .select("pid", "iid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"trial $trial w=$w: duplicates")
+        assert(got.toSet == naive, s"trial $trial w=$w: mismatch")
+      }
+    }
+  }
+
+  test("pageRank: mass conserved (within rounding) when no node dangles") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(800 + trial)
+      val n = 20
+      // every node gets >= 1 out-edge → no dangling leak
+      val edges = (1L to n.toLong).flatMap { i =>
+        (0 to rnd.nextInt(3)).map(_ => i -> (rnd.nextInt(n) + 1).toLong)
+      }
+      val out = PageRank.pageRank(edges.toDF("src", "dst"), iterations = 5)
+        .collect().map(_.getLong(1))
+      val total = out.sum
+      // each round applies <= 1 micro rounding error per node and edge
+      val tol = 5L * (n + edges.size)
+      assert(math.abs(total - 1000000L) <= tol,
+        s"trial $trial: mass $total drifted beyond +-$tol")
+      assert(out.forall(_ > 0), s"trial $trial: nonpositive rank")
+    }
+  }
+
+  test("rrfFuse: fused micro scores recompute from the input ranks") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(900 + trial)
+      def ranking(sys: Int) = (1L to 5L).flatMap { q =>
+        rnd.shuffle((1L to 20L).toList).take(8).zipWithIndex
+          .map { case (d, i) => (q, d, i + 1) }
+      }.toDF("query_id", "doc_id", "rank")
+      val a = ranking(1).cache(); val b = ranking(2).cache()
+      val expected = (a.collect() ++ b.collect())
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          math.round(1.0 / (60.0 + r.getInt(2)) * 1e6))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val fused = Retrieval.rrfFuse(Seq(a, b), topK = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fused == expected, s"trial $trial: fusion mismatch")
+    }
+  }
 }
