@@ -952,6 +952,22 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // URL decomposition over deterministically generated URLs (userinfo,
+    // ports, public-suffix second levels, varying path depth and query
+    // strings all exercised); the oracle generates the SAME urls and
+    // replays the regex/array chain verbatim.
+    "t_url_parse" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val url = concat(lit("https://u"), (col("doc_id") % 5).cast("string"),
+        lit(":pw@w"), (col("doc_id") % 7).cast("string"),
+        lit("."), coalesce(col("lang"), lit("xx")), lit("site."),
+        when(col("doc_id") % 3 === 0, "co.uk").otherwise("com"),
+        when(col("doc_id") % 4 === 0, ":8080").otherwise(""),
+        expr("repeat('/seg', CAST(doc_id % 4 AS INT))"),
+        when(col("doc_id") % 2 === 0, "?q=1&r=2").otherwise(""))
+      operators.UrlOps.parse(d.select(col("doc_id"), url.as("url")), "url")
+    }),
+
     // Stateless NB scoring (model serving): weights as a dense array
     // literal, one pure projection — no join/agg/shuffle, so the same
     // expression drops into a readStream. Scores every 4th doc under
@@ -1917,6 +1933,38 @@ object DataOpsQueries {
         |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
+
+    "t_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://u' || (doc_id % 5) || ':pw@w' || (doc_id % 7) || '.' ||
+        |    coalesce(lang, 'xx') || 'site.' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END) ||
+        |    repeat('/seg', (doc_id % 4)::INT) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '?q=1&r=2' ELSE '' END) AS url
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |      '^[^@]*@', ''), ':[0-9]*$', '') AS host
+        |  FROM u),
+        |d0 AS (
+        |  SELECT doc_id, url, host, string_split(host, '.') AS l,
+        |    len(string_split(host, '.')) AS n
+        |  FROM h0)
+        |SELECT doc_id, host,
+        |  CASE WHEN n < 2 THEN ''
+        |       WHEN n >= 3 AND l[n-1] IN ('co','com','net','org','ac','gov','edu')
+        |         THEN array_to_string(l[n-2:n], '.')
+        |       ELSE array_to_string(l[n-1:n], '.') END AS domain,
+        |  len(list_filter(string_split(
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |    '/'), s -> s <> '')) AS path_depth,
+        |  len(list_filter(string_split(
+        |    regexp_extract(url, '\?([^#]*)', 1), '&'), s -> s <> '')) AS n_params
+        |FROM d0""".stripMargin,
 
     "t_nb_stateless" ->
       s"""WITH $nbScoreSql
