@@ -952,6 +952,33 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // Mergeable dataset card: three disjoint shards sketched separately,
+    // merged without re-scan; integer counters must EQUAL the direct
+    // exact card, HLL distinct estimates must land within 5% per group.
+    // Self-asserting (require), rows-only by design (sketch bytes are
+    // engine-specific).
+    "a14_card_merge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val shards = (0 to 2).map(i =>
+        CorpusStats.datasetCardSketch(d.where(col("doc_id") % 3 === i)))
+      val merged = CorpusStats.mergeCards(shards)
+      val exact = CorpusStats.datasetCard(d)
+        .select(col("lang"), col("source"), col("n_docs").as("x_docs"),
+          col("total_tokens").as("x_toks"), col("distinct_fp").as("x_distinct"))
+      val out = merged.join(exact, Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_tokens"), col("distinct_fp_est"), col("x_distinct"),
+          round(abs(col("distinct_fp_est") - col("x_distinct")).cast("double")
+            / col("x_distinct"), 6).as("rel_err"),
+          (col("n_docs") === col("x_docs") &&
+            col("total_tokens") === col("x_toks")).as("counters_exact"))
+        .cache()
+      val bad = out.where(!col("counters_exact") || col("rel_err") > 0.05).count()
+      require(bad == 0L,
+        s"$bad groups failed the merge contract (exact counters, <=5% HLL err)")
+      out
+    }),
+
     // URL decomposition over deterministically generated URLs (userinfo,
     // ports, public-suffix second levels, varying path depth and query
     // strings all exercised); the oracle generates the SAME urls and

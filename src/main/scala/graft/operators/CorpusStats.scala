@@ -33,6 +33,51 @@ object CorpusStats {
         round(lit(1.0) - col("distinct_fp").cast("double") / col("n_docs"), 6))
   }
 
+  /** MERGEABLE dataset card — the incremental-corpus design: per-group
+    * counters plus a DataSketches HLL sketch of the content
+    * fingerprints ([[org.apache.spark.sql.functions.hll_sketch_agg]]).
+    * Unlike `count_distinct`, sketches UNION losslessly across shards,
+    * days, or clusters — `card(A ∪ B) = merge(card(A), card(B))` with
+    * no re-scan of either corpus — which is what a daily-loop pipeline
+    * (cf. [[DataPipeline.prepareIncrement]]) needs to keep corpus-level
+    * stats without re-reading 100 TB. Integer counters merge exactly;
+    * distinct counts carry the sketch's standard ~1.6% relative error
+    * at lgK 12 (gated by the self-asserting `a14_card_merge` harness).
+    */
+  def datasetCardSketch(docs: DataFrame, textCol: String = "text",
+                        lgK: Int = 12): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    docs.select(col("lang"), col("source"),
+        size(toks).as("n_toks"), length(col(textCol)).as("n_chars"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        hll_sketch_agg(col("fp"), lit(lgK)).as("fp_sketch"))
+  }
+
+  /** Merge shard/day cards from [[datasetCardSketch]] into one card of
+    * the union corpus: counters add, sketches union, the estimate
+    * materializes as `distinct_fp_est`. Output mirrors [[datasetCard]]
+    * (dup_doc_frac derived from the estimate).
+    */
+  def mergeCards(cards: Seq[DataFrame]): DataFrame = {
+    require(cards.nonEmpty, "need at least one card to merge")
+    cards.reduce(_ unionByName _)
+      .groupBy("lang", "source")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(col("total_chars")).as("total_chars"),
+        hll_union_agg(col("fp_sketch")).as("fp_sketch"))
+      .withColumn("distinct_fp_est",
+        hll_sketch_estimate(col("fp_sketch")))
+      .withColumn("dup_doc_frac_est",
+        round(lit(1.0) - col("distinct_fp_est").cast("double") / col("n_docs"), 6))
+  }
+
   /** Snapshot diff — what changed between two corpus versions (crawls,
     * compactions): every doc_id present in either side, classified as
     *

@@ -927,6 +927,30 @@ class DataOpsSpec extends SparkSpec {
       BigDecimal(3.0 * lpA / 3 / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("mergeable card: shard merge keeps counters exact, HLL within 5%") {
+    val docs = (1L to 90L).map { i =>
+      // duplicates planted ACROSS shard boundaries (i, i+1, i+2 share text
+      // for every i % 9 == 0) so per-shard sketches must union correctly
+      val t = if (i % 9 < 3) s"dup text ${(i / 9) * 9}" else s"unique text $i"
+      (i, t, if (i % 2 == 0) "en" else "de", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val shards = (0 to 2).map(k =>
+      CorpusStats.datasetCardSketch(docs.where($"doc_id" % 3 === k)))
+    val merged = CorpusStats.mergeCards(shards)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    val exact = CorpusStats.datasetCard(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((g, (nd, nt, est)) <- merged) {
+      val (xd, xt, xdist) = exact(g)
+      assert(nd == xd && nt == xt, s"group $g: counters must merge exactly")
+      assert(math.abs(est - xdist) <= math.max(1L, xdist / 20),
+        s"group $g: estimate $est vs exact $xdist")
+    }
+  }
+
   test("bigramLogProb: hand-checked interpolated micro-log sums") {
     // corpus: "a b a b" + "a b" → uni a:3 b:3 N=6; bigrams "a b":3 "b a":1
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "  ")).toDF("doc_id", "text")
