@@ -377,6 +377,12 @@ object DataOpsQueries {
     "t_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
 
+    // Kneser-Ney bigram LM (D=0.75): absolute discounting with the
+    // continuation-probability lower order — KenLM's actual smoothing;
+    // oracle replays all four censuses and the fixed float chain.
+    "t_bigram_kn" -> ((s, dir) =>
+      TextAnalysis.bigramLogProbKN(Tables.documents(s, dir), discount = 0.75)),
+
     // Interpolated bigram LM (Jelinek-Mercer λ=0.7): first token scores
     // unigram, transitions score λ·P_ml(w|prev) + (1−λ)·P_uni(w) —
     // micro-log10 integer sums, the oracle replays censuses and
@@ -1757,10 +1763,55 @@ object DataOpsQueries {
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    "t_bigram_kn" ->
+      s"""WITH kt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS toks
+        |  FROM documents),
+        |tokrows AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t FROM kt),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |  FROM kt WHERE len(toks) >= 2),
+        |big AS (SELECT g, count(*)::BIGINT AS cab FROM pairs GROUP BY g),
+        |bigpw AS (
+        |  SELECT g, cab, string_split(g, ' ')[1] AS prev,
+        |         string_split(g, ' ')[2] AS w
+        |  FROM big),
+        |ps_ AS (SELECT prev, sum(cab)::BIGINT AS cprev, count(*)::BIGINT AS n1prev
+        |        FROM bigpw GROUP BY prev),
+        |cs_ AS (SELECT w, count(*)::BIGINT AS n1w FROM bigpw GROUP BY w),
+        |tot AS (SELECT (SELECT count(*)::BIGINT FROM big) AS tt,
+        |               (SELECT count(DISTINCT t)::BIGINT FROM tokrows) AS vv),
+        |fs AS (
+        |  SELECT doc_id,
+        |    CAST(round(log10((coalesce(cs_.n1w, 0)::DOUBLE + 1.0)
+        |      / (tot.tt::DOUBLE + tot.vv)) * 1e6) AS BIGINT) AS lp
+        |  FROM tokrows LEFT JOIN cs_ ON cs_.w = tokrows.t
+        |  CROSS JOIN tot WHERE pos = 1),
+        |psc AS (
+        |  SELECT pairs.doc_id,
+        |    CAST(round(log10(
+        |      (bp.cab::DOUBLE - ${0.75}) / ps_.cprev
+        |        + ${0.75} * ps_.n1prev / ps_.cprev * (cs_.n1w::DOUBLE / tot.tt)) * 1e6) AS BIGINT) AS lp
+        |  FROM pairs JOIN bigpw bp USING (g)
+        |  JOIN ps_ ON ps_.prev = bp.prev
+        |  JOIN cs_ ON cs_.w = bp.w
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp)::BIGINT AS logp_sum_micro
+        |  FROM (SELECT * FROM fs UNION ALL SELECT * FROM psc) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  a.logp_sum_micro,
+        |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // kernel tokenization (full whitespace trim — the span-dedup oracle's
     // idiom); interpolation constants embedded from the SAME Scala doubles
-    // the operator uses (${"$"}{1.0 - lambda} toString round-trips), so the
-    // float chain replays in order
+    // the operator uses (toString round-trips), so the float chain
+    // replays in order
     "t_bigram_logprob" ->
       s"""WITH kt AS (
         |  SELECT doc_id,

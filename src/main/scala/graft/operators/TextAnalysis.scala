@@ -298,6 +298,76 @@ object TextAnalysis {
           / col("n_tokens") / 1e6, 6).as("avg_logp10"))
   }
 
+  /** Kneser–Ney bigram language-model score — the production smoothing
+    * (what KenLM actually ships), one notch above the Jelinek–Mercer
+    * interpolation of [[bigramLogProb]]: the lower-order distribution is
+    * the CONTINUATION probability (in how many distinct contexts does w
+    * appear?), not raw frequency, so ubiquitous-but-context-bound tokens
+    * ("francisco") stop inflating unseen transitions.
+    *
+    *   P(w|prev) = (c(prev,w) − D)/c(prev)
+    *             + D·N1+(prev,·)/c(prev) · N1+(·,w)/T
+    *
+    * with T = distinct bigram types; every scored transition is corpus-
+    * attested (c ≥ 1 > D), so probabilities stay positive without a
+    * max(). First tokens score the type-smoothed continuation
+    * probability (N1+(·,w)+1)/(T+V) — the documented fallback for
+    * tokens that never occur mid-sentence. All censuses are integer;
+    * the per-token float chain runs in one fixed order and rounds to
+    * MICRO-log10 before the exact per-doc sum (the house portability
+    * contract).
+    *
+    * Scale shape = [[bigramLogProb]]: the bigram census is the model;
+    * the three derived censuses (prefix totals + distinct-successor
+    * counts, distinct-predecessor counts, type totals) partial-aggregate
+    * from it; scoring is equi-joins of the pair stream onto them.
+    */
+  def bigramLogProbKN(docs: DataFrame, discount: Double = 0.75,
+                      textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val toks = docs.select(col("doc_id"), kernelTokens(col(textCol)).as("_toks"))
+    val tok = toks.select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "t")))
+    val pairs = toks.select(col("doc_id"),
+        explode(graft.functions.NGramShingles.shingles(
+          array_join(col("_toks"), " "), 2, distinct = false)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+    val big = pairs.groupBy("g").agg(count(lit(1)).as("cab"))
+      .select(split(col("g"), " ").getItem(0).as("_prev"),
+        split(col("g"), " ").getItem(1).as("_w"), col("g"), col("cab"))
+    val prevStats = big.groupBy("_prev")
+      .agg(sum(col("cab")).as("cprev"), count(lit(1)).as("n1prev"))
+    val contStats = big.groupBy("_w").agg(count(lit(1)).as("n1w"))
+    val totals = big.agg(count(lit(1)).as("tt")) // distinct bigram types
+      .crossJoin(tok.agg(count_distinct(col("t")).as("vv")))
+    val firstScores = tok.where(col("pos") === 0)
+      .join(contStats.select(col("_w").as("t"), col("n1w")), Seq("t"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10((coalesce(col("n1w"), lit(0L)).cast("double") + 1.0d)
+          / (col("tt").cast("double") + col("vv"))) * 1e6)
+          .cast("long").as("lp"))
+    val pairScores = pairs
+      .join(big.select(col("g"), col("_prev"), col("_w"), col("cab")), Seq("g"))
+      .join(prevStats, Seq("_prev"))
+      .join(contStats, Seq("_w"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10(
+          (col("cab").cast("double") - lit(discount)) / col("cprev")
+            + lit(discount) * col("n1prev") / col("cprev")
+              * (col("n1w").cast("double") / col("tt"))) * 1e6)
+          .cast("long").as("lp"))
+    val scored = firstScores.unionByName(pairScores)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("logp_sum_micro"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logp_sum_micro"),
+        round(col("logp_sum_micro").cast("double")
+          / col("n_tokens") / 1e6, 6).as("avg_logp10"))
+  }
+
   /** CCNet-style perplexity bucketing: rank documents by the unigram LM
     * score ([[unigramLogProb]]) and split head / middle / tail — the
     * standard quality-banding step before mixing (train mostly on

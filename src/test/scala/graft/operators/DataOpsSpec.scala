@@ -964,6 +964,28 @@ class DataOpsSpec extends SparkSpec {
     assert(got(2).getLong(1) == 0L && got(2).isNullAt(2) && got(2).isNullAt(3))
   }
 
+  test("bigramLogProbKN: hand-checked Kneser-Ney micro-log sums") {
+    // bigrams: "a b" x3, "b a" x1 → T=2 types, V=2; cprev(a)=3 n1prev(a)=1,
+    // cprev(b)=1 n1prev(b)=1; n1w(a)=n1w(b)=1
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbKN(df, discount = 0.75)
+      .orderBy("doc_id").collect()
+    val lpFirst = math.round(math.log10((1.0 + 1.0) / (2.0 + 2.0)) * 1e6)
+    val lpAB = math.round(math.log10((3.0 - 0.75) / 3.0 + 0.75 * 1 / 3.0 * (1.0 / 2.0)) * 1e6)
+    val lpBA = math.round(math.log10((1.0 - 0.75) / 1.0 + 0.75 * 1 / 1.0 * (1.0 / 2.0)) * 1e6)
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == lpFirst + 2 * lpAB + lpBA)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(2) == lpFirst + lpAB)
+  }
+
+  test("bigramLogProbKN: doc-initial-only tokens get a finite fallback") {
+    val df = Seq((1L, "a b a b"), (2L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbKN(df)
+      .where($"doc_id" === 2L).head()
+    // z never appears as a continuation: (0+1)/(T+V) keeps it finite
+    assert(got.getLong(1) == 1L && !got.isNullAt(2),
+      "single never-continued token must still score")
+  }
+
   test("bigramLogProb: deterministic transitions outscore the unigram model") {
     val df = (1L to 6L).map(i => (i, "x y z x y z x y z")).toDF("doc_id", "text")
     val bi = TextAnalysis.bigramLogProb(df).collect().map(_.getDouble(3)).head
