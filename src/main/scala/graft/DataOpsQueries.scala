@@ -958,6 +958,20 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // Morton z-values over (user_id, event_id) low bits: pure integer
+    // bit interleave, replayed bit for bit by the oracle (the layout
+    // effect itself — shrinking per-partition bounding boxes — is
+    // pinned by the self-asserting ZOrderSpec).
+    "s7_zorder" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        operators.ZOrder.zValue2(col("user_id"), col("event_id")).as("z"))),
+
+    // Batch sessionization (30-min gap): lag-flag + running-sum windows
+    // over one (user, time) partition order; the oracle replays the
+    // identical window chain on µs integers.
+    "a15_sessionize" -> ((s, dir) =>
+      operators.Sessionize.sessions(Tables.events(s, dir))),
+
     // Mergeable dataset card: three disjoint shards sketched separately,
     // merged without re-scan; integer counters must EQUAL the direct
     // exact card, HLL distinct estimates must land within 5% per group.
@@ -2011,6 +2025,30 @@ object DataOpsQueries {
         |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
+
+    "s7_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((user_id & 65535) >> $i) & 1) << ${2 * i}) | ((((event_id & 65535) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"SELECT event_id, ($terms)::BIGINT AS z FROM events"
+    },
+
+    "a15_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+        |brk AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS b
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |asgn AS (
+        |  SELECT user_id, ts_us,
+        |    sum(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM brk)
+        |SELECT user_id, session_id::BIGINT AS session_id,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM asgn GROUP BY user_id, session_id""".stripMargin,
 
     "t_url_parse" ->
       """WITH u AS (
