@@ -72,7 +72,8 @@ object ScaleProbe {
       "t_nb_classifier", "t_bigram_logprob", "r_bm25_topk",
       "r_bm25_capped", "e_rand_proj", "r_rrf_hybrid", "e_pq_encode",
       "e_pq_topk", "t_bpe_train", "g_pagerank", "j11_range_join",
-      "s5_warc_source", "e_ivfpq_topk")
+      "s5_warc_source", "e_ivfpq_topk", "t_bigram_kn", "t_url_parse",
+      "a15_sessionize", "s7_zorder", "a14_card_merge", "t_nb_stateless")
     for (dir <- Seq(src, dst); q <- probes) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()
