@@ -958,6 +958,37 @@ object DataOpsQueries {
         buckets = 1024, temperature = 1.0, seed = 7L)
     }),
 
+    // Count-min-sketch heavy hitters: whole-corpus sketch vs the 3-shard
+    // driver-merge vs exact counts for the true top-50 — CMS bounds
+    // (exact <= est <= exact + eps*N) and EXACT merge equality asserted.
+    // Self-asserting, rows-only (sketch hashing is engine-specific).
+    "t_cms_hitters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val whole = Salience.tokenSketch(d)
+      val merged = Salience.mergeSketches((0 to 2).map(i =>
+        Salience.tokenSketch(d.where(col("doc_id") % 3 === i))))
+      val top = Salience.heavyHitters(d, k = 50).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val nTokens = d.select(TextAnalysis.tokens(
+          TextAnalysis.normalized(col("text"))).as("t"))
+        .agg(sum(size(col("t")))).head().getLong(0)
+      val bound = math.ceil(0.001 * nTokens).toLong
+      val estW = Salience.cmsEstimates(whole, top.map(_._1).toSeq)
+      val estM = Salience.cmsEstimates(merged, top.map(_._1).toSeq)
+      val rows = top.map { case (t, exact) =>
+        (t, exact, estW(t), estM(t),
+          estW(t) >= exact && estW(t) <= exact + bound, estW(t) == estM(t))
+      }.toSeq
+      import s.implicits._
+      val out = rows.toDF("term", "exact", "est", "est_merged",
+        "within_bound", "merge_exact")
+      require(rows.forall(_._5),
+        s"CMS bound violated: ${rows.filterNot(_._5).take(3)}")
+      require(rows.forall(_._6),
+        s"CMS shard merge must be exact: ${rows.filterNot(_._6).take(3)}")
+      out
+    }),
+
     // Morton z-values over (user_id, event_id) low bits: pure integer
     // bit interleave, replayed bit for bit by the oracle (the layout
     // effect itself — shrinking per-partition bounding boxes — is

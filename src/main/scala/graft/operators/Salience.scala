@@ -137,4 +137,42 @@ object Salience {
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term").asc)
       .limit(k)
+
+  /** Count-min sketch over the corpus token stream — the SUBLINEAR-STATE
+    * twin of [[heavyHitters]]: the exact census needs a vocabulary-sized
+    * aggregation state, the sketch needs O(1/eps · log 1/conf) counters
+    * no matter how unbounded the vocabulary (web-crawl tails, n-gram
+    * streams). Guarantees: estimate ≥ true count always, ≤ true + eps·N
+    * with probability `confidence` — and sketches with identical
+    * (eps, confidence, seed) MERGE EXACTLY (counter addition), so
+    * shard/day sketches fold like the HLL cards in
+    * [[CorpusStats.mergeCards]]. Returns the serialized sketch bytes
+    * (one row); [[cmsEstimates]] reads them driver-side.
+    */
+  def tokenSketch(docs: DataFrame, eps: Double = 0.001,
+                  confidence: Double = 0.99, seed: Int = 42,
+                  textCol: String = "text"): Array[Byte] =
+    docs.select(
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Driver-side point estimates from a serialized sketch. */
+  def cmsEstimates(sketch: Array[Byte], terms: Seq[String]): Map[String, Long] = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(sketch)
+    terms.map(t => t -> cms.estimateCount(t)).toMap
+  }
+
+  /** Exact merge of same-parameter sketches (counter addition). */
+  def mergeSketches(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val merged = org.apache.spark.util.sketch.CountMinSketch.readFrom(sketches.head)
+    sketches.tail.foreach(b => merged.mergeInPlace(
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(b)))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
 }

@@ -237,4 +237,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == expected)
     assert(got.length == got.toSet.size, "in-stream repeats not collapsed")
   }
+
+  test("stateless classifier scores a real stream identically to batch") {
+    // batch-train the NB model, then serve it inside a streaming
+    // projection — scoreStateless is join/agg-free by construction (the
+    // plan pin), so append mode needs no watermark or state
+    val docs = graft.Tables.documents(spark, eventsDir)
+    val pos = docs.where(col("lang") === "en")
+    val neg = docs.where(col("lang") =!= "en")
+    val model = graft.operators.Classifier.trainNaiveBayes(pos, neg, buckets = 256)
+    val prior = graft.operators.Classifier.classPrior(pos, neg)
+    val expected = graft.operators.Classifier
+      .scoreStateless(docs, model, prior, buckets = 256)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-nbstream")
+    stageParquet(docs.where(col("doc_id") % 2 === 0), streamDir, "a.parquet")
+    stageParquet(docs.where(col("doc_id") % 2 === 1), streamDir, "b.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.operators.Classifier
+      .scoreStateless(stream, model, prior, buckets = 256)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nbstream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("nbstream_out").collect().map(_.toSeq).toSet
+    assert(got == expected, "streamed scores must equal batch scores")
+    assert(got.nonEmpty)
+  }
 }
