@@ -103,6 +103,29 @@ object SkewProbe {
         .report(test, train, threshold = 0.5, maxDf = maxDf).count()
     measure(s"decontaminate hot shingle, capped")(decon(1000L))
     measure(s"decontaminate hot shingle, UNCAPPED")(decon(0L))
+
+    // -- BM25: one term ("the") in EVERY doc, queries all contain it.
+    // Same structural hazard as the decontaminate shingle: the postings
+    // join fans the ubiquitous term out to |queries|x|corpus| rows for
+    // ~zero idf contribution; maxDfFrac drops its postings BEFORE the
+    // join (default 0.5) — the cap, not AQE, is the answer.
+    val bdocs = spark.range(0, nd).toDF("doc_id")
+      .withColumn("text", concat(
+        lit("the common filler "),
+        col("doc_id").cast("string"), lit(" alpha"),
+        (col("doc_id") % 97).cast("string"), lit(" beta"),
+        (col("doc_id") % 31).cast("string")))
+      .cache()
+    bdocs.count()
+    val bq = bdocs.where(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat(lit("the alpha"), (col("doc_id") % 97).cast("string"))
+          .as("text"))
+    def bm25(frac: Double): Long =
+      graft.operators.Retrieval.bm25TopK(bdocs, bq, k = 10, maxDfFrac = frac)
+        .queryExecution.toRdd.count()
+    measure("bm25 hot term, capped (0.5)")(bm25(0.5))
+    measure("bm25 hot term, UNCAPPED")(bm25(1.0))
     spark.stop()
   }
 }
