@@ -69,4 +69,17 @@ object Sinks {
       case other =>
         log.error(s"Unrecognised output format $other")
     }
+
+  /** Beyond-reference scale sink: Z-ordered parquet
+    * ([[graft.operators.ZOrder.layout]] + write). Every output file
+    * covers a near-square rectangle in (aCol, bCol) space, so parquet
+    * footer min/max — and any lakehouse file-skipping index over them —
+    * prunes files for predicates on EITHER column; a single-column sort
+    * only ever prunes its own column. `files` bounds output file count
+    * (one per range partition).
+    */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+                    files: Int, bits: Int = 16): Unit =
+    graft.operators.ZOrder.layout(df, aCol, bCol, files, bits)
+      .write.mode("overwrite").parquet(path)
 }

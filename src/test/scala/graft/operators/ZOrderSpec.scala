@@ -45,4 +45,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zHit <= 8L,
       s"z layout must let min/max skip most partitions on y: $zHit of 16")
   }
+
+  test("writeZOrdered: ON-DISK file stats prune on the second column") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 4096).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zsink")
+    graft.sinks.Sinks.writeZOrdered(pts, dir.toString, "x", "y", files = 16)
+    val parts = dir.toFile.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(parts.length == 16, s"expected 16 files, got ${parts.length}")
+    // read each FILE back and test its actual y bounds against a narrow
+    // predicate — what a footer-stats skipper would do
+    val hit = parts.count { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min($"y"), max($"y")).head()
+      r.getLong(0) <= 30100L && r.getLong(1) >= 30000L
+    }
+    assert(hit <= 8, s"on-disk z files must be y-prunable: $hit of 16 overlap")
+  }
 }
