@@ -383,6 +383,11 @@ object DataOpsQueries {
     "t_bigram_kn" -> ((s, dir) =>
       TextAnalysis.bigramLogProbKN(Tables.documents(s, dir), discount = 0.75)),
 
+    // KN trigram: the full two-level continuation-count backoff; every
+    // census and the fixed-order float chain replayed in SQL
+    "t_trigram_kn" -> ((s, dir) =>
+      TextAnalysis.trigramLogProbKN(Tables.documents(s, dir), discount = 0.75)),
+
     // Interpolated bigram LM (Jelinek-Mercer λ=0.7): first token scores
     // unigram, transitions score λ·P_ml(w|prev) + (1−λ)·P_uni(w) —
     // micro-log10 integer sums, the oracle replays censuses and
@@ -894,6 +899,20 @@ object DataOpsQueries {
         keepFirst = true)
     }),
 
+    // Variable-length span REPORTING on the same remixed corpus: each
+    // maximal island of covered positions comes back with its true
+    // length and text — the suffix-array-style report from the k-census.
+    "d_span_maximal" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val remix = d.where(trim(col("text")) =!= "")
+        .select(col("doc_id"), TextAnalysis.kernelTokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 12)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(array_join(slice(col("toks"), 1, 12), " "),
+            lit(" tailmark"), col("doc_id").cast("string")).as("text"))
+      SpanDedup.maximalRepeatedSpans(d.unionByName(remix), k = 8)
+    }),
+
     // Context-window chunking: 64-token windows, 16-token overlap
     // (stride 48) — strided slicing replayed exactly in SQL.
     "t_chunk" -> ((s, dir) =>
@@ -1028,6 +1047,21 @@ object DataOpsQueries {
       require(bad == 0L,
         s"$bad groups failed the merge contract (exact counters, <=5% HLL err)")
       out
+    }),
+
+    // Theta-sketch split-overlap matrix: two overlapping slices
+    // (doc_id%3<2 vs %3>=1) sketched per group, then intersection /
+    // union / difference ESTIMATES — exact integers below 2^lgK
+    // distincts, so the DuckDB oracle replays them as exact distinct
+    // counts over the same fingerprint sets.
+    "k_theta_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val tagged = d.where(pmod(col("doc_id"), lit(3)) < 2)
+          .select(lit("train").as("grp"), col("text"))
+        .unionByName(d.where(pmod(col("doc_id"), lit(3)) >= 1)
+          .select(lit("eval").as("grp"), col("text")))
+      operators.SketchOps.overlapMatrix(
+        operators.SketchOps.groupSketches(tagged, "grp"))
     }),
 
     // URL decomposition over deterministically generated URLs (userinfo,
@@ -1853,6 +1887,92 @@ object DataOpsQueries {
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+    // trigram KN: same tokenization/census idioms one order up. The
+    // shared censuses are AS MATERIALIZED — tripw/bigpw fan out to 4+
+    // consumers and DuckDB would otherwise inline a copy per reference.
+    // Discounts interpolate from the operator's own Scala double.
+    "t_trigram_kn" ->
+      s"""WITH kt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS toks
+        |  FROM documents),
+        |tokrows AS MATERIALIZED (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS t FROM kt),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |  FROM kt WHERE len(toks) >= 2),
+        |tris AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS g3
+        |  FROM kt WHERE len(toks) >= 3),
+        |big AS (SELECT g, count(*)::BIGINT AS cab FROM pairs GROUP BY g),
+        |bigpw AS MATERIALIZED (
+        |  SELECT g, cab, string_split(g, ' ')[1] AS prev,
+        |         string_split(g, ' ')[2] AS w
+        |  FROM big),
+        |ps_ AS MATERIALIZED (
+        |  SELECT prev, sum(cab)::BIGINT AS cprev, count(*)::BIGINT AS n1prev
+        |  FROM bigpw GROUP BY prev),
+        |cs_ AS MATERIALIZED (
+        |  SELECT w, count(*)::BIGINT AS n1w FROM bigpw GROUP BY w),
+        |tri AS (SELECT g3, count(*)::BIGINT AS c3 FROM tris GROUP BY g3),
+        |tripw AS MATERIALIZED (
+        |  SELECT g3, c3, string_split(g3, ' ')[1] AS u,
+        |         string_split(g3, ' ')[2] AS v, string_split(g3, ' ')[3] AS w
+        |  FROM tri),
+        |ctx AS MATERIALIZED (
+        |  SELECT u, v, sum(c3)::BIGINT AS cuv, count(*)::BIGINT AS n1uv
+        |  FROM tripw GROUP BY u, v),
+        |mc AS MATERIALIZED (
+        |  SELECT v, w, count(*)::BIGINT AS n1vw FROM tripw GROUP BY v, w),
+        |mt AS MATERIALIZED (
+        |  SELECT v, count(*)::BIGINT AS n1vmid FROM tripw GROUP BY v),
+        |tot AS MATERIALIZED (
+        |  SELECT (SELECT count(*)::BIGINT FROM big) AS tt,
+        |         (SELECT count(DISTINCT t)::BIGINT FROM tokrows) AS vv),
+        |fs AS (
+        |  SELECT doc_id,
+        |    CAST(round(log10((coalesce(cs_.n1w, 0)::DOUBLE + 1.0)
+        |      / (tot.tt::DOUBLE + tot.vv)) * 1e6) AS BIGINT) AS lp
+        |  FROM tokrows LEFT JOIN cs_ ON cs_.w = tokrows.t
+        |  CROSS JOIN tot WHERE pos = 1),
+        |sp AS (
+        |  SELECT fp.doc_id,
+        |    CAST(round(log10(
+        |      (bp.cab::DOUBLE - ${0.75}) / ps_.cprev
+        |        + ${0.75} * ps_.n1prev / ps_.cprev * (cs_.n1w::DOUBLE / tot.tt)) * 1e6) AS BIGINT) AS lp
+        |  FROM (SELECT doc_id, array_to_string(toks[1:2], ' ') AS g
+        |        FROM kt WHERE len(toks) >= 2) fp
+        |  JOIN bigpw bp USING (g)
+        |  JOIN ps_ ON ps_.prev = bp.prev
+        |  JOIN cs_ ON cs_.w = bp.w
+        |  CROSS JOIN tot),
+        |ts AS (
+        |  SELECT tris.doc_id,
+        |    CAST(round(log10(
+        |      (tp.c3::DOUBLE - ${0.75}) / ctx.cuv
+        |        + ${0.75} * ctx.n1uv / ctx.cuv
+        |          * ((mc.n1vw::DOUBLE - ${0.75}) / mt.n1vmid
+        |            + ${0.75} * ps_.n1prev / mt.n1vmid
+        |              * (cs_.n1w::DOUBLE / tot.tt))) * 1e6) AS BIGINT) AS lp
+        |  FROM tris JOIN tripw tp USING (g3)
+        |  JOIN ctx ON ctx.u = tp.u AND ctx.v = tp.v
+        |  JOIN mc ON mc.v = tp.v AND mc.w = tp.w
+        |  JOIN mt ON mt.v = tp.v
+        |  JOIN ps_ ON ps_.prev = tp.v
+        |  JOIN cs_ ON cs_.w = tp.w
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(lp)::BIGINT AS logp_sum_micro
+        |  FROM (SELECT * FROM fs UNION ALL SELECT * FROM sp UNION ALL SELECT * FROM ts)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  a.logp_sum_micro,
+        |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // kernel tokenization (full whitespace trim — the span-dedup oracle's
     // idiom); interpolation constants embedded from the SAME Scala doubles
     // the operator uses (toString round-trips), so the float chain
@@ -2080,6 +2200,29 @@ object DataOpsQueries {
         |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  max(ts_us) - min(ts_us) AS duration_us
         |FROM asgn GROUP BY user_id, session_id""".stripMargin,
+
+    // exact-mode theta estimates ≡ exact distinct counts: the oracle
+    // computes the same overlapping fingerprint sets directly
+    "k_theta_overlap" ->
+      """WITH fp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |tr AS MATERIALIZED (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 3 < 2 AND fp IS NOT NULL),
+        |ev AS MATERIALIZED (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 3 >= 1 AND fp IS NOT NULL),
+        |m AS (
+        |  SELECT
+        |    (SELECT count(*) FROM ev)::BIGINT AS card_a,
+        |    (SELECT count(*) FROM tr)::BIGINT AS card_b,
+        |    (SELECT count(*) FROM ev JOIN tr USING (fp))::BIGINT AS card_intersect,
+        |    (SELECT count(DISTINCT fp) FROM (SELECT fp FROM ev UNION ALL SELECT fp FROM tr))::BIGINT AS card_union,
+        |    (SELECT count(*) FROM ev WHERE fp NOT IN (SELECT fp FROM tr))::BIGINT AS card_a_not_b)
+        |SELECT 'eval' AS a, 'train' AS b, card_a, card_b, card_intersect,
+        |  card_union, card_a_not_b,
+        |  round(card_intersect::DOUBLE / card_union, 6) AS jaccard_est
+        |FROM m""".stripMargin,
 
     "t_url_parse" ->
       """WITH u AS (
@@ -2802,6 +2945,48 @@ object DataOpsQueries {
         |  len(a.arr)::BIGINT AS n_tokens,
         |  (len(a.arr) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
         |FROM arrs a LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // same census, then gaps-and-islands over the covered positions:
+    // consecutive positions share pos − row_number, each island is one
+    // maximal repeated span, its text sliced from the doc's token array
+    "d_span_maximal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(toks[1:12], ' ') || ' tailmark' || doc_id
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') AS toks
+        |        FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> '')
+        |  WHERE len(toks) >= 12),
+        |arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') END AS arr
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, u.wpos, u.dig FROM (
+        |    SELECT doc_id,
+        |      unnest([{'wpos': i, 'dig': md5(array_to_string(arr[i+1:i+8], ' '))}
+        |              FOR i IN range(0, len(arr) - 7)]) AS u
+        |    FROM arrs WHERE len(arr) >= 8)),
+        |repeated AS (SELECT dig FROM wins GROUP BY dig HAVING count(*) > 1),
+        |covered AS (
+        |  SELECT DISTINCT w.doc_id, t.pos
+        |  FROM wins w JOIN repeated USING (dig),
+        |       unnest(range(w.wpos, w.wpos + 8)) AS t(pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM covered),
+        |spans AS (
+        |  SELECT doc_id, min(pos)::BIGINT AS span_start,
+        |         count(*)::BIGINT AS span_len
+        |  FROM isl GROUP BY doc_id, g)
+        |SELECT s.doc_id, s.span_start, s.span_len,
+        |  array_to_string(a.arr[s.span_start+1 : s.span_start+s.span_len], ' ')
+        |    AS span_text
+        |FROM spans s JOIN arrs a USING (doc_id)""".stripMargin,
 
     // qvec is pinned as md5(comma-join) — a portable scalar the driver's
     // pandas comparator can sort (raw array cells are unhashable there)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level repeated-SPAN removal — the "remove any ≥k-token
@@ -170,6 +171,64 @@ object SpanDedup {
         size(toksCol).cast("long").as("n_tokens"),
         lit(0L).as("n_removed"))
     edited.unionByName(untouched)
+  }
+
+  /** Maximal repeated spans — the VARIABLE-LENGTH layer over the fixed-k
+    * census: instead of (or before) removing, REPORT each maximal run of
+    * duplicated content per document with its true token length and text.
+    * This is what suffix-array pipelines (ExactSubstr et al.) emit; here
+    * the same spans fall out of the k-window census by coalescing
+    * overlapping repeated windows: a maximal repeated span of length
+    * L ≥ k is exactly a maximal island of consecutive covered positions
+    * (each of its L−k+1 k-windows repeats, jointly covering all L
+    * tokens; conversely an island's every position lies in some repeated
+    * window, and maximality ends the island where coverage ends). So the
+    * report is EXACT at token granularity for the ≥k policy — no second
+    * pass over larger k needed.
+    *
+    * Scale shape: census + coverage explode as in
+    * [[removeRepeatedSpans]]; the island merge is one window function
+    * (row_number per doc over covered positions — partitioned by doc_id,
+    * bounded by the duplicated token volume, never the corpus), and the
+    * span text resolves by slicing each affected doc's token array once
+    * (left_semi-pruned join, no re-census).
+    *
+    * Output: (doc_id, span_start, span_len, span_text), one row per
+    * maximal repeated span, span_start 0-based in kernel tokens.
+    */
+  def maximalRepeatedSpans(docs: DataFrame, k: Int = 8,
+                           textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"span window must be at least 2 tokens, got $k")
+    val toksCol = TextAnalysis.kernelTokens(col(textCol))
+    val wins = docs
+      .select(col("doc_id"),
+        when(size(toksCol) >= k,
+          graft.functions.NGramShingles.shingles(col(textCol), k))
+          .otherwise(array().cast("array<string>")).as("wins"))
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("wpos", "w")))
+      .select(col("doc_id"), col("wpos"), md5(col("w")).as("dig"))
+    val repeated = wins.groupBy("dig").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("dig")
+    val covered = wins.join(repeated, Seq("dig"))
+      .select(col("doc_id"),
+        explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
+      .distinct()
+    // gaps-and-islands: consecutive covered positions share pos − rank.
+    // The window partitions by doc_id over the covered frame only —
+    // per-doc state is the doc's duplicated positions, not its tokens.
+    val isl = covered.withColumn("_g",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val spans = isl.groupBy(col("doc_id"), col("_g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+    val affectedToks = docs
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), toksCol.as("_toks"))
+    spans.join(affectedToks, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        array_join(slice(col("_toks"), (col("span_start") + 1).cast("int"),
+          col("span_len").cast("int")), " ").as("span_text"))
   }
 
   /** Split documents into fixed-size token chunks with overlap — the

@@ -368,6 +368,117 @@ object TextAnalysis {
           / col("n_tokens") / 1e6, 6).as("avg_logp10"))
   }
 
+  /** Kneser–Ney TRIGRAM language-model score — one order above
+    * [[bigramLogProbKN]], the order KenLM ships by default for quality
+    * filtering. The interpolated-KN recursion with a single discount D:
+    *
+    *   P(w|u,v) = (c(uvw) − D)/c(uv·) + D·N1+(uv·)/c(uv·) · P₂(w|v)
+    *   P₂(w|v)  = (N1+(·vw) − D)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · N1+(·w)/T
+    *
+    * — the middle order is built from CONTINUATION counts (distinct
+    * left-contexts), not raw bigram frequencies: that is the defining
+    * KN move, applied at both backoff levels. Every scored trigram is
+    * corpus-attested (c ≥ 1 > D) and every attested (v,w) has
+    * N1+(·vw) ≥ 1 > D, so all terms stay positive without clamping.
+    * Position 1 (the doc's second token) has only one token of context
+    * and scores the BIGRAM-KN probability; position 0 scores the
+    * type-smoothed continuation unigram (N1+(·w)+1)/(T+V) — same
+    * fallbacks as the bigram model, so per-doc token accounting is
+    * exact: n₀ + n₁ + (n−2) rows for an n-token doc.
+    *
+    * Scale shape: the TRIGRAM census is the model (one partial-agg
+    * shuffle of the trigram stream); all five derived censuses
+    * (context totals/successors, continuation counts, middle totals,
+    * bigram prefix/continuation stats) partial-aggregate from the
+    * trigram or bigram census — never from the corpus again. Scoring is
+    * equi-joins of the doc streams onto them plus one broadcast 1-row
+    * totals frame. Per-token float chain in one fixed order, rounded to
+    * micro-log10 before the exact integer per-doc sum (the house
+    * portability contract).
+    */
+  def trigramLogProbKN(docs: DataFrame, discount: Double = 0.75,
+                       textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val toks = docs.select(col("doc_id"), kernelTokens(col(textCol)).as("_toks"))
+    val tok = toks.select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "t")))
+    val pairs = toks.select(col("doc_id"),
+        explode(graft.functions.NGramShingles.shingles(
+          array_join(col("_toks"), " "), 2, distinct = false)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+    val tris = toks.select(col("doc_id"),
+        explode(graft.functions.NGramShingles.shingles(
+          array_join(col("_toks"), " "), 3, distinct = false)).as("g3"))
+      .where(size(split(col("g3"), " ")) === 3)
+    // trigram census = the model; (u,v,w) split once here, reused below
+    val tri = tris.groupBy("g3").agg(count(lit(1)).as("c3"))
+      .select(split(col("g3"), " ").getItem(0).as("_u"),
+        split(col("g3"), " ").getItem(1).as("_v"),
+        split(col("g3"), " ").getItem(2).as("_w"), col("g3"), col("c3"))
+    val ctx = tri.groupBy("_u", "_v")
+      .agg(sum(col("c3")).as("cuv"), count(lit(1)).as("n1uv"))
+    val midCont = tri.groupBy("_v", "_w").agg(count(lit(1)).as("n1vw"))
+    val midTot = tri.groupBy("_v").agg(count(lit(1)).as("n1vmid"))
+    val big = pairs.groupBy("g").agg(count(lit(1)).as("cab"))
+      .select(split(col("g"), " ").getItem(0).as("_prev"),
+        split(col("g"), " ").getItem(1).as("_w"), col("g"), col("cab"))
+    val prevStats = big.groupBy("_prev")
+      .agg(sum(col("cab")).as("cprev"), count(lit(1)).as("n1prev"))
+    val contStats = big.groupBy("_w").agg(count(lit(1)).as("n1w"))
+    val totals = big.agg(count(lit(1)).as("tt"))
+      .crossJoin(tok.agg(count_distinct(col("t")).as("vv")))
+    // pos 0: continuation unigram with +1 type smoothing
+    val firstScores = tok.where(col("pos") === 0)
+      .join(contStats.select(col("_w").as("t"), col("n1w")), Seq("t"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10((coalesce(col("n1w"), lit(0L)).cast("double") + 1.0d)
+          / (col("tt").cast("double") + col("vv"))) * 1e6)
+          .cast("long").as("lp"))
+    // pos 1: bigram-KN on the doc's FIRST pair only (the other pairs
+    // are covered by the trigram stream)
+    val firstPair = toks.where(size(col("_toks")) >= 2)
+      .select(col("doc_id"),
+        array_join(slice(col("_toks"), 1, 2), " ").as("g"))
+    val secondScores = firstPair
+      .join(big.select(col("g"), col("_prev"), col("_w"), col("cab")), Seq("g"))
+      .join(prevStats, Seq("_prev"))
+      .join(contStats, Seq("_w"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10(
+          (col("cab").cast("double") - lit(discount)) / col("cprev")
+            + lit(discount) * col("n1prev") / col("cprev")
+              * (col("n1w").cast("double") / col("tt"))) * 1e6)
+          .cast("long").as("lp"))
+    // pos ≥ 2: full trigram-KN over the attested trigram stream
+    val triScores = tris
+      .join(tri.select(col("g3"), col("_u"), col("_v"), col("_w"), col("c3")),
+        Seq("g3"))
+      .join(ctx, Seq("_u", "_v"))
+      .join(midCont, Seq("_v", "_w"))
+      .join(midTot, Seq("_v"))
+      .join(prevStats.select(col("_prev").as("_v"), col("n1prev")), Seq("_v"))
+      .join(contStats, Seq("_w"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log10(
+          (col("c3").cast("double") - lit(discount)) / col("cuv")
+            + lit(discount) * col("n1uv") / col("cuv")
+              * ((col("n1vw").cast("double") - lit(discount)) / col("n1vmid")
+                + lit(discount) * col("n1prev") / col("n1vmid")
+                  * (col("n1w").cast("double") / col("tt")))) * 1e6)
+          .cast("long").as("lp"))
+    val scored = firstScores.unionByName(secondScores).unionByName(triScores)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("logp_sum_micro"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logp_sum_micro"),
+        round(col("logp_sum_micro").cast("double")
+          / col("n_tokens") / 1e6, 6).as("avg_logp10"))
+  }
+
   /** CCNet-style perplexity bucketing: rank documents by the unigram LM
     * score ([[unigramLogProb]]) and split head / middle / tail — the
     * standard quality-banding step before mixing (train mostly on

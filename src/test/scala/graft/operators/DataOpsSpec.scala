@@ -794,6 +794,30 @@ class DataOpsSpec extends SparkSpec {
     assert(both(1L) == "unique1 tail1" && both(2L) == "prefix2 tail2")
   }
 
+  test("maximalRepeatedSpans: islands merge into true variable-length spans") {
+    val df = Seq(
+      // docs 1/2 share a 5-token span → one maximal island of length 5
+      // (> k = 4), reported once per doc with the true length and text
+      (1L, "alpha beta gamma delta echo unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta echo tail2"),
+      (3L, "totally different words here now ok")
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.maximalRepeatedSpans(df, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 5L, "alpha beta gamma delta echo"),
+      (2L, 1L, 5L, "alpha beta gamma delta echo")))
+    // two disjoint repeats inside one doc → two islands, not one
+    val df2 = Seq(
+      (1L, "a b c d X Y Z p q r s"),
+      (2L, "a b c d J K L p q r s")).toDF("doc_id", "text")
+    val spans2 = SpanDedup.maximalRepeatedSpans(df2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((1L, 0L, 4L), (1L, 7L, 4L),
+      (2L, 0L, 4L), (2L, 7L, 4L)))
+  }
+
   test("removeRepeatedSpans(reliable = true): checkpointed run ≡ default run") {
     val df = Seq(
       (1L, "alpha beta gamma delta unique1 tail1"),
@@ -975,6 +999,57 @@ class DataOpsSpec extends SparkSpec {
     val lpBA = math.round(math.log10((1.0 - 0.75) / 1.0 + 0.75 * 1 / 1.0 * (1.0 / 2.0)) * 1e6)
     assert(got(0).getLong(1) == 4L && got(0).getLong(2) == lpFirst + 2 * lpAB + lpBA)
     assert(got(1).getLong(1) == 2L && got(1).getLong(2) == lpFirst + lpAB)
+  }
+
+  test("trigramLogProbKN: matches an independent plain-Scala KN reference") {
+    val corpus = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "c a b"),
+      (4L, ""), (5L, "q"))
+    val D = 0.75
+    // reference model: censuses over plain Maps, same fixed-order float
+    // chain — an independent implementation of the documented recursion
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val tris = toks.values.flatMap(_.sliding(3).filter(_.size == 3)).toSeq
+    val bigs = toks.values.flatMap(_.sliding(2).filter(_.size == 2)).toSeq
+    val c3 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cab = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cuv = c3.groupBy(_._1.take(2)).view.mapValues(_.values.sum).toMap
+    val n1uv = c3.groupBy(_._1.take(2)).view.mapValues(_.size.toLong).toMap
+    val n1vw = c3.keys.groupBy(_.drop(1)).view.mapValues(_.size.toLong).toMap
+    val n1vmid = c3.keys.groupBy(t => t(1)).view.mapValues(_.size.toLong).toMap
+    val cprev = cab.groupBy(_._1.head).view.mapValues(_.values.sum).toMap
+    val n1prev = cab.keys.groupBy(_.head).view.mapValues(_.size.toLong).toMap
+    val n1w = cab.keys.groupBy(_.last).view.mapValues(_.size.toLong).toMap
+    val tt = cab.size.toDouble
+    val vv = toks.values.flatten.toSet.size.toDouble
+    def lp(ts: Seq[String], pos: Int): Long = {
+      val w = ts(pos)
+      val x =
+        if (pos == 0) (n1w.getOrElse(w, 0L).toDouble + 1.0) / (tt + vv)
+        else if (pos == 1) {
+          val p = ts(pos - 1)
+          (cab(Seq(p, w)) - D) / cprev(p) +
+            D * n1prev(p) / cprev(p) * (n1w(w).toDouble / tt)
+        } else {
+          val k3 = Seq(ts(pos - 2), ts(pos - 1), w); val k2 = k3.take(2)
+          val v = ts(pos - 1)
+          (c3(k3) - D) / cuv(k2) + D * n1uv(k2) / cuv(k2) *
+            ((n1vw(Seq(v, w)) - D) / n1vmid(v) +
+              D * n1prev(v) / n1vmid(v) * (n1w(w).toDouble / tt))
+        }
+      math.round(math.log10(x) * 1e6)
+    }
+    val want = toks.view.mapValues(ts =>
+      ts.indices.map(lp(ts, _)).sum).toMap
+    val got = TextAnalysis.trigramLogProbKN(
+        corpus.toDF("doc_id", "text"), discount = D)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    for ((id, ts) <- toks) {
+      assert(got(id)._1 == ts.size.toLong, s"doc $id token count")
+      if (ts.nonEmpty) assert(got(id)._2 == want(id), s"doc $id micro sum")
+      else assert(got(id)._2 == null, s"doc $id must have null sum")
+    }
   }
 
   test("bigramLogProbKN: doc-initial-only tokens get a finite fallback") {
