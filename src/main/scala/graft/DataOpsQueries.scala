@@ -524,6 +524,17 @@ object DataOpsQueries {
         col("source"), maxPerGroup = 10, id = col("doc_id"),
         seed = 7L, saltBuckets = 4)),
 
+    // Per-language token-budget fill: take docs in md5 draw order until
+    // 2000 tokens per lang, crossing doc included — SALTED (4 buckets)
+    // to exercise the bounded two-phase shape; salt-invariant, so the
+    // oracle replays the single-phase running sum (oracle).
+    "s_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(TextAnalysis.kernelTokens(col("text"))).cast("long").as("n_toks"))
+      HashSplit.takeToTokenBudget(d, col("lang"), col("n_toks"),
+        budget = 2000L, id = col("doc_id"), seed = 7L, saltBuckets = 4)
+    }),
+
     // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
     // engine-specific → rows-only; identity semantics vs md5 are asserted
     // in DataOpsSpec.
@@ -1078,6 +1089,31 @@ object DataOpsQueries {
         expr("repeat('/seg', CAST(doc_id % 4 AS INT))"),
         when(col("doc_id") % 2 === 0, "?q=1&r=2").otherwise(""))
       operators.UrlOps.parse(d.select(col("doc_id"), url.as("url")), "url")
+    }),
+
+    // PSL-exact registrable domains: longest-suffix match against the
+    // bundled rule snapshot with wildcard and exception semantics; the
+    // host mix exercises every rule kind (exception, wildcard,
+    // multi-label exact, default-* fallback). Oracle replays candidate
+    // generation, the rule join, and the winner aggregation.
+    "t_url_psl" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = pmod(col("doc_id"), lit(8))
+      val url = concat(lit("https://"),
+        when(m === 0, lit("www.ck"))
+          .when(m === 1, lit("a.b.github.io"))
+          .when(m === 2, concat(lit("x"), (col("doc_id") % 5).cast("string"),
+            lit(".bbc.co.uk")))
+          .when(m === 3, concat(lit("example"), col("doc_id").cast("string"),
+            lit(".com")))
+          .when(m === 4, lit("bar.foo.ck"))
+          .when(m === 5, lit("deep.a.b.c.com"))
+          .when(m === 6, concat(lit("site"), (col("doc_id") % 9).cast("string"),
+            lit(".zz")))
+          .otherwise(lit("sub.city.kawasaki.jp")),
+        lit("/p"))
+      operators.UrlOps.registrableDomainsPsl(
+        d.select(col("doc_id"), url.as("url")), "url")
     }),
 
     // Stateless NB scoring (model serving): weights as a dense array
@@ -1805,6 +1841,24 @@ object DataOpsQueries {
         |  FROM documents)
         |SELECT doc_id, source, rank FROM ranked WHERE rank <= 10""".stripMargin,
 
+    // running token sum in the same md5 draw order; crossing doc kept
+    // (cum_before < budget), zero-token docs ride along while the
+    // group is unfilled
+    "s_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) END::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY lang
+        |      ORDER BY md5('budget:7:' || doc_id::VARCHAR) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, lang, n_toks, cum_tokens
+        |FROM c WHERE cum_tokens - n_toks < 2000""".stripMargin,
+
     // entity replaces applied in the same order as the operator's fold;
     // horizontal whitespace collapses to ' ', and ANY run containing a
     // newline — including "\n \n" blank-line shapes — collapses to one \n
@@ -2255,6 +2309,61 @@ object DataOpsQueries {
         |  len(list_filter(string_split(
         |    regexp_extract(url, '\?([^#]*)', 1), '&'), s -> s <> '')) AS n_params
         |FROM d0""".stripMargin,
+
+    // rule VALUES interpolated from the operator's own PslSnapshot Seq —
+    // one source of truth for both engines
+    "t_url_psl" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, 'https://' || CASE (doc_id % 8)
+        |    WHEN 0 THEN 'www.ck'
+        |    WHEN 1 THEN 'a.b.github.io'
+        |    WHEN 2 THEN 'x' || (doc_id % 5) || '.bbc.co.uk'
+        |    WHEN 3 THEN 'example' || doc_id || '.com'
+        |    WHEN 4 THEN 'bar.foo.ck'
+        |    WHEN 5 THEN 'deep.a.b.c.com'
+        |    WHEN 6 THEN 'site' || (doc_id % 9) || '.zz'
+        |    ELSE 'sub.city.kawasaki.jp' END || '/p' AS url
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(
+        |      regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+        |      '^[^@]*@', ''), ':[0-9]*$$', '') AS host
+        |  FROM u),
+        |hs AS MATERIALIZED (
+        |  SELECT doc_id, host, string_split(host, '.') AS l,
+        |         len(string_split(host, '.')) AS n
+        |  FROM h0 WHERE host <> ''),
+        |cand AS (
+        |  SELECT doc_id, u.k, u.wild, u.key FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'k': k, 'wild': false,
+        |        'key': array_to_string(l[n-k+1:n], '.')} FOR k IN range(1, n+1)] ||
+        |      [{'k': k, 'wild': true,
+        |        'key': '*.' || array_to_string(l[n-k+2:n], '.')} FOR k IN range(2, n+1)]) AS u
+        |    FROM hs)),
+        |pr AS (
+        |  SELECT CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END AS rkey,
+        |         CASE WHEN rule LIKE '!%' THEN 'exc'
+        |              WHEN rule LIKE '*.%' THEN 'wild'
+        |              ELSE 'exact' END AS rtyp
+        |  FROM (VALUES ${graft.operators.UrlOps.PslSnapshot
+             .map(r => s"('$r')").mkString(", ")}) t(rule)),
+        |m AS (
+        |  SELECT c.doc_id, c.k, p.rtyp
+        |  FROM cand c JOIN pr p ON c.key = p.rkey AND ((p.rtyp = 'wild') = c.wild)),
+        |w AS (
+        |  SELECT doc_id, max(CASE WHEN rtyp = 'exc' THEN k END) AS exck,
+        |         max(CASE WHEN rtyp <> 'exc' THEN k END) AS pubk
+        |  FROM m GROUP BY doc_id),
+        |fin AS (
+        |  SELECT hs.doc_id, hs.host, hs.l, hs.n,
+        |    CASE WHEN w.exck IS NOT NULL THEN w.exck - 1
+        |         ELSE coalesce(w.pubk, 1) END AS ps
+        |  FROM hs LEFT JOIN w USING (doc_id))
+        |SELECT doc_id, host,
+        |  CASE WHEN n > ps THEN array_to_string(l[n-ps:n], '.') ELSE '' END AS domain,
+        |  ps::BIGINT AS ps_labels
+        |FROM fin""".stripMargin,
 
     "t_nb_stateless" ->
       s"""WITH $nbScoreSql

@@ -122,6 +122,49 @@ object HashSplit {
       .where(col("rank") <= maxPerGroup)
   }
 
+  /** Per-group TOKEN-budget fill — "sample each domain/language down to
+    * N tokens", the curation step that turns mixture WEIGHTS into an
+    * actual corpus: rows are taken in the deterministic md5 draw order
+    * (same family as [[capPerGroup]]) until the group's running token
+    * sum reaches the budget. The row that crosses the line is INCLUDED
+    * — budgets are targets, not ceilings, so a budget smaller than any
+    * single document still yields one document; callers needing a hard
+    * ceiling filter `cum_tokens <= budget` afterwards. Output adds
+    * `cum_tokens`, the inclusive running sum in draw order, so a later
+    * tightening of the budget is a filter, not a re-rank.
+    *
+    * Scale: a running sum is a per-group window; one hot domain makes a
+    * straggler partition. `saltBuckets > 0` prunes first inside
+    * (group, hash-salt bucket): a row's bucket-local prefix sum is a
+    * LOWER bound on its global prefix sum (the bucket rows preceding it
+    * are a subsequence of its global predecessors), so any row whose
+    * local pre-sum already meets the budget is globally excluded and
+    * can be dropped before the exact window — survivors per bucket are
+    * bounded by budget tokens. Results are IDENTICAL with or without
+    * salt (pinned by unit test); only the physical shape changes.
+    */
+  def takeToTokenBudget(df: DataFrame, group: Column, tokens: Column,
+                        budget: Long, id: Column, seed: Long = 0L,
+                        saltBuckets: Int = 0): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(lit(s"budget:$seed:"), id.cast("string")))
+    val pre =
+      if (saltBuckets <= 0) df
+      else {
+        val bucket = pmod(xxhash64(id), lit(saltBuckets))
+        val wLocal = Window.partitionBy(group, bucket)
+          .orderBy(draw.asc, id.asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("_lc", sum(tokens).over(wLocal))
+          .where(col("_lc") - tokens < budget).drop("_lc")
+      }
+    val w = Window.partitionBy(group).orderBy(draw.asc, id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre.withColumn("cum_tokens", sum(tokens).over(w))
+      .where(col("cum_tokens") - tokens < budget)
+  }
+
   /** Assign each row to one named split with the given weights
     * (normalized to 1). Splits are disjoint, exhaustive, and stable
     * under any re-run or repartitioning.

@@ -412,6 +412,30 @@ class DataOpsSpec extends SparkSpec {
     assert(plain.forall(_._3 <= 10))
   }
 
+  test("token budget: salted ≡ unsalted, crossing doc included, budget hit") {
+    // 60 docs per group, 100 tokens each → budget 1000 keeps exactly 10
+    // (the 10th crosses at exactly 1000); uneven sizes exercise the
+    // crossing-doc rule
+    val df = spark.range(0, 120).select(
+      when($"id" % 2 === 0, "a").otherwise("b").as("grp"),
+      $"id".as("doc_id"), lit(100L).as("n_toks"))
+    def rows(salt: Int) =
+      HashSplit.takeToTokenBudget(df, $"grp", $"n_toks", budget = 1000L,
+          id = $"doc_id", seed = 1L, saltBuckets = salt)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(0)
+    assert(rows(8) == plain, "salt must not change the selected set")
+    assert(plain.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("a" -> 10, "b" -> 10))
+    // crossing-doc inclusion: budget 950 still keeps 10 docs (the 10th
+    // crosses the line), budget 1001 keeps 11
+    def n(b: Long) = HashSplit.takeToTokenBudget(df, $"grp", $"n_toks",
+      budget = b, id = $"doc_id").where($"grp" === "a").count()
+    assert(n(950L) == 10L && n(1001L) == 11L)
+    // a budget smaller than any doc still yields one doc per group
+    assert(n(5L) == 1L)
+  }
+
   test("stratified hash sample: per-stratum rates, deterministic membership") {
     val df = spark.range(0, 3000)
       .select($"id".as("doc_id"),

@@ -51,4 +51,30 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(1L) == (("", "", 0, 0)))
     assert(got(2L) == (("", "", 0, 0)))
   }
+
+  test("registrableDomainsPsl: wildcard, exception, longest-match, default") {
+    import spark.implicits._
+    val urls = Seq(
+      1L -> "https://www.ck/x",               // exception rule !www.ck
+      2L -> "https://bar.foo.ck/",            // wildcard *.ck → foo.ck is PS
+      3L -> "https://foo.ck",                 // host IS a public suffix
+      4L -> "https://a.b.github.io",          // multi-label exact github.io
+      5L -> "https://x.bbc.co.uk/p?q=1",      // co.uk beats uk
+      6L -> "https://deep.a.b.c.com",         // plain com
+      7L -> "https://site.zz",                // unlisted TLD → default *
+      8L -> "https://sub.city.kawasaki.jp",   // exception beats wildcard
+      9L -> "https://zz"                      // bare TLD → ""
+    ).toDF("doc_id", "url")
+    val got = UrlOps.registrableDomainsPsl(urls, "url")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(1L) == (("www.ck", 1L)))
+    assert(got(2L) == (("bar.foo.ck", 2L)))
+    assert(got(3L) == (("", 2L)))
+    assert(got(4L) == (("b.github.io", 2L)))
+    assert(got(5L) == (("bbc.co.uk", 2L)))
+    assert(got(6L) == (("c.com", 1L)))
+    assert(got(7L) == (("site.zz", 1L)))
+    assert(got(8L) == (("city.kawasaki.jp", 2L)))
+    assert(got(9L) == (("", 1L)))
+  }
 }
