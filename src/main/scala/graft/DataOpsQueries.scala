@@ -204,7 +204,8 @@ object DataOpsQueries {
     * runs, unrolled into CTEs. Ends with `s$n` (final symbolization)
     * and `b1..b$n` (the per-round winning pairs).
     */
-  private def bpeChainSql(n: Int): String = {
+  private def bpeChainSql(n: Int, where: String = ""): String = {
+    val whereClause = if (where.isEmpty) "" else s" WHERE $where"
     val rounds = (1 to n).map { i =>
       s"""p$i AS (
         |  SELECT g, sum(freq)::BIGINT AS cnt FROM (
@@ -222,7 +223,7 @@ object DataOpsQueries {
     s"""norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-      |  FROM documents),
+      |  FROM documents$whereClause),
       |tok AS (
       |  SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
       |       ELSE regexp_split_to_array(norm, '\\s+') END) AS word
@@ -1257,6 +1258,18 @@ object DataOpsQueries {
     "t_bpe_encode" -> ((s, dir) =>
       operators.Bpe.subwordCensus(
         operators.Bpe.train(Tables.documents(s, dir), nMerges = 20))),
+
+    // Tokenizer SERVING: train on the even docs, encode the UNSEEN odd
+    // docs — merges become plan literals, unseen words fall back to
+    // characters; per-doc segmentation digest pins the whole token
+    // stream (oracle replays training on evens, then the 20-round
+    // encode fold on the odd docs' vocabulary).
+    "t_bpe_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val r = operators.Bpe.train(d.where(col("doc_id") % 2 === 0),
+        nMerges = 20)
+      operators.Bpe.encode(r.merges, d.where(col("doc_id") % 2 === 1))
+    }),
 
     // PQ encode (m=8 subspaces × 16 seed centroids from the fixed-
     // centroid idiom): per-subspace argmin reuses the e_kmeans_assign
@@ -3161,6 +3174,37 @@ object DataOpsQueries {
         |SELECT subword, sum(freq)::BIGINT AS freq FROM (
         |  SELECT freq, unnest(str_split(syms, ' ')) AS subword FROM s20)
         |GROUP BY subword""".stripMargin,
+
+    "t_bpe_apply" ->
+      s"""WITH ${bpeChainSql(20, "doc_id % 2 = 0")},
+        |onorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ostream AS MATERIALIZED (
+        |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS word FROM (
+        |    SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\\s+') END AS a
+        |    FROM onorm)),
+        |e0 AS MATERIALIZED (
+        |  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS syms
+        |  FROM (SELECT DISTINCT word FROM ostream WHERE word <> '')),
+        |${(1 to 20).map(i =>
+            s"""e$i AS MATERIALIZED (
+              |  SELECT word, trim(replace(' ' || syms || ' ',
+              |    ' ' || (SELECT g FROM b$i) || ' ',
+              |    ' ' || replace((SELECT g FROM b$i), ' ', '') || ' ')) AS syms
+              |  FROM e${i - 1})""".stripMargin).mkString(",\n")},
+        |agg AS (
+        |  SELECT s.doc_id, count(*) AS n_words,
+        |    string_agg(e.syms, ' ' ORDER BY s.pos) AS seg
+        |  FROM ostream s JOIN e20 e USING (word)
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+        |  coalesce(len(str_split(a.seg, ' ')), 0)::BIGINT AS n_subwords,
+        |  md5(a.seg) AS seg_md5
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "e_pq_encode" ->
       s"""WITH ${pqCodesSql()}

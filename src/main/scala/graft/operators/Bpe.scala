@@ -116,4 +116,56 @@ object Bpe {
     result.words
       .select(col("freq"), explode(split(col("syms"), " ")).as("subword"))
       .groupBy("subword").agg(sum(col("freq")).as("freq"))
+
+  /** Segment a (word) frame with an already-trained merge list:
+    * (word, syms). The merges become LITERALS in one projection — the
+    * fold builds rank-order chained replaces, so applying a tokenizer
+    * is a shuffle-free scan over the distinct-word frame, no join
+    * against a merge table and no per-round driver loop (the
+    * [[graft.operators.Classifier.scoreStateless]] serving trick,
+    * applied to tokenization). Replace semantics are identical to
+    * training's ([[train]] scaladoc: non-overlapping left-to-right,
+    * sentinel-space padded), so re-encoding the training words
+    * reproduces the training segmentation exactly (pinned by unit
+    * test). Unseen words segment down to characters wherever no merge
+    * applies — the defining property of BPE serving.
+    */
+  def encodeWords(merges: Seq[(String, String, Long)],
+                  words: DataFrame): DataFrame =
+    merges.foldLeft(
+      words.select(col("word"), initSyms(col("word")).as("syms"))) {
+      case (df, (l, r, _)) => df.withColumn("syms",
+        trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $l $r "), lit(s" ${l + r} "))))
+    }
+
+  /** Tokenize NEW documents with a trained merge list (the serving
+    * path): per doc, the word count, subword count, and an md5 digest
+    * of the full in-order segmentation (word-boundary `</w>` markers
+    * included), so a gate can pin the entire token stream without
+    * materializing it. Cost at scale: one distinct-word projection
+    * (vocabulary grain — sublinear in corpus size), one equi-join of
+    * the positional word stream onto it, one per-doc regroup. Docs
+    * with no words (empty/null text) keep a row with zero counts.
+    */
+  def encode(merges: Seq[(String, String, Long)], docs: DataFrame,
+             textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val stream = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .where(col("word") =!= "")
+    val encoded = encodeWords(merges, stream.select("word").distinct())
+    val agg = stream.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        TextAnalysis.joinInOrder(col("pos"), col("syms"), " ").as("_seg"))
+      .select(col("doc_id"), col("n_words"),
+        size(split(col("_seg"), " ")).cast("long").as("n_subwords"),
+        md5(col("_seg")).as("seg_md5"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        col("seg_md5"))
+  }
 }

@@ -41,6 +41,42 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("encodeWords reproduces the training segmentation exactly") {
+    val corpus = Seq((1L, "low low low lower lower newest newest newest"),
+      (2L, "widest widest low newest")).toDF("doc_id", "text")
+    val r = Bpe.train(corpus, nMerges = 6)
+    val trained = r.words.select("word", "syms").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    val applied = Bpe.encodeWords(r.merges,
+        r.words.select("word")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(applied == trained,
+      "serving-path segmentation must equal the training segmentation")
+  }
+
+  test("encode: unseen words fall back through the same replace fold") {
+    val corpus = Seq((1L, "low low low lower lower newest newest newest"),
+      (2L, "widest widest low newest")).toDF("doc_id", "text")
+    val r = Bpe.train(corpus, nMerges = 6)
+    // plain-Scala replica of the fold on an UNSEEN word
+    def refSyms(word: String): String = {
+      // initSyms puts a space after EVERY char, so </w> is its own symbol
+      val init = word.toCharArray.map(_.toString).mkString("", " ", " </w>")
+      r.merges.foldLeft(init) { case (s, (l, r2, _)) =>
+        (" " + s + " ").replace(s" $l $r2 ", s" ${l + r2} ").trim }
+    }
+    val unseen = Seq((10L, "lowest"), (11L, ""), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(r.merges, unseen).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getString(3))).toMap
+    val want = refSyms("lowest")
+    assert(got(10L)._1 == 1L)
+    assert(got(10L)._2 == want.split(" ").length.toLong)
+    // zero-word docs keep a row with zero counts, null digest
+    assert(got(11L) == ((0L, 0L, null)) && got(12L) == ((0L, 0L, null)))
+  }
+
   test("multilingual words symbolize per character") {
     val zh = Seq((1L, "中文 中文")).toDF("doc_id", "text")
     val r = Bpe.train(zh, nMerges = 1)
