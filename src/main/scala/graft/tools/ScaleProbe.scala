@@ -73,8 +73,18 @@ object ScaleProbe {
       "r_bm25_capped", "e_rand_proj", "r_rrf_hybrid", "e_pq_encode",
       "e_pq_topk", "t_bpe_train", "g_pagerank", "j11_range_join",
       "s5_warc_source", "e_ivfpq_topk", "t_bigram_kn", "t_url_parse",
-      "a15_sessionize", "s7_zorder", "a14_card_merge", "t_nb_stateless")
-    for (dir <- Seq(src, dst); q <- probes) {
+      "a15_sessionize", "s7_zorder", "a14_card_merge", "t_nb_stateless",
+      // round-4c surface
+      "t_trigram_kn", "k_theta_overlap", "t_url_psl", "s_token_budget",
+      "t_bpe_apply",
+      // same duplicate-saturated caveat as d_span_dedup: on the K-fold
+      // corpus every window repeats, so the island merge sees the
+      // worst-case covered frame
+      "d_span_maximal")
+    // optional 2nd+ args: probe only the named queries (local iteration)
+    val only = args.drop(1).toSet
+    for (dir <- Seq(src, dst);
+         q <- probes if only.isEmpty || only(q)) {
       // warm codegen/JIT on the small dir pass; report second-run time
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()

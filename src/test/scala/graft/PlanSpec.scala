@@ -407,4 +407,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "postings census must partial-aggregate map-side")
   }
+
+  test("k_theta_overlap: sketch agg partial-aggregates; matrix join broadcasts") {
+    val p = executed("k_theta_overlap")
+    assert(p.contains("partial_theta_sketch_agg"),
+      s"theta union gadget must combine map-side, not ship raw values:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the k-row pairwise matrix must broadcast, never shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_url_psl: rule table broadcasts onto the bounded candidate explode") {
+    val p = executed("t_url_psl")
+    assert(p.contains("BroadcastHashJoin"), s"PSL rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s_token_budget: salted pre-prune bounds the hot-group window") {
+    val p = executed("s_token_budget")
+    // two window nodes: bucket-local prefix sum, then the exact window
+    // over survivors — the same two-phase shape as s_source_cap
+    assert("RunningWindowFunction|Window".r.findAllIn(p).size >= 2 ||
+      p.split("Window").length - 1 >= 2, s"expected two window phases:\n$p")
+  }
+
+  test("t_bpe_apply: merge fold is literal replaces, no merge-table join") {
+    val q = SparkEntry.queries("t_bpe_apply")(spark, dir)
+    val analyzed = q.queryExecution.analyzed.toString
+    // 20 chained literal replaces on the word frame; the only joins are
+    // the word-stream equi-join and the final left_outer doc join
+    assert(analyzed.contains("replace("), "encode fold must be inline replaces")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+  }
 }
