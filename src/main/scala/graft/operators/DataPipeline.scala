@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *  6. repeated-span removal ([[SpanDedup.removeRepeatedSpans]])
   *  7. benchmark decontamination ([[Decontaminate.contaminatedTrainIds]]
   *     → left_anti; skipped when no benchmark frame is supplied)
+  *  7b. per-group token-budget fill ([[HashSplit.takeToTokenBudget]];
+  *     skipped unless `cfg.tokenBudget > 0` and a (doc_id, grp) frame
+  *     is supplied) — mixture weights become an actual corpus here,
+  *     after decontamination so leaked docs never consume budget,
+  *     before chunking so budgets count document tokens once
   *  8. context-window chunking ([[SpanDedup.chunk]])
   *
   * Stage ORDER is deliberate, and the dedup-before-span-removal part is
@@ -46,6 +51,10 @@ object DataPipeline {
     *                       benchmark drop set
     * @param chunkTokens    context-window size; 0 disables chunking
     * @param chunkOverlap   tokens shared between consecutive chunks
+    * @param tokenBudget    stage 7b per-group token budget
+    *                       ([[HashSplit.takeToTokenBudget]]); 0 disables.
+    *                       Needs a `budgetGroups` frame at the call site.
+    * @param budgetSeed     draw seed for the budget fill order
     */
   final case class Config(
       quality: QualityFilter.Rules = QualityFilter.Rules(),
@@ -54,7 +63,9 @@ object DataPipeline {
       contaminationThreshold: Double = 0.8,
       chunkTokens: Int = 2048,
       chunkOverlap: Int = 0,
-      classifierMargin: Double = 0.0)
+      classifierMargin: Double = 0.0,
+      tokenBudget: Long = 0L,
+      budgetSeed: Long = 0L)
 
   /** Shared per-document cleaning head (stages 1-3): markup strip →
     * quality filter → boilerplate removal. removeBoilerplate coalesces
@@ -80,10 +91,15 @@ object DataPipeline {
   }
 
   /** Shared tail (stages 6-8): span removal → decontamination →
-    * chunking, over an already-deduplicated doc frame.
+    * token-budget mixture fill → chunking, over an already-deduplicated
+    * doc frame. The budget stage (7b) runs AFTER decontamination (a
+    * budget filled with leaked docs under-represents the group once
+    * they're dropped) and BEFORE chunking (budgets count document
+    * tokens once, not once per chunk).
     */
   private def finishTail(deduped: DataFrame, benchmarks: Option[DataFrame],
-                         cfg: Config): DataFrame = {
+                         cfg: Config,
+                         budgetGroups: Option[DataFrame]): DataFrame = {
     val deSpan =
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
@@ -97,8 +113,23 @@ object DataPipeline {
             threshold = cfg.contaminationThreshold),
           Seq("doc_id"), "left_anti")
     }
-    if (cfg.chunkTokens <= 0) decontaminated
-    else SpanDedup.chunk(decontaminated, cfg.chunkTokens, cfg.chunkOverlap)
+    val budgeted = budgetGroups match {
+      case Some(groups) if cfg.tokenBudget > 0 =>
+        // group membership joins back from the caller's frame (cleaning
+        // stages deliberately carry only (doc_id, text)); docs absent
+        // from it pool under "" so nothing silently bypasses the budget
+        val withGrp = decontaminated
+          .join(groups.select(col("doc_id"), col("grp")),
+            Seq("doc_id"), "left_outer")
+          .withColumn("_grp", coalesce(col("grp"), lit("")))
+        HashSplit.takeToTokenBudget(withGrp, col("_grp"),
+            size(TextAnalysis.kernelTokens(col("text"))).cast("long"),
+            cfg.tokenBudget, col("doc_id"), cfg.budgetSeed)
+          .drop("_grp", "grp", "cum_tokens")
+      case _ => decontaminated
+    }
+    if (cfg.chunkTokens <= 0) budgeted
+    else SpanDedup.chunk(budgeted, cfg.chunkTokens, cfg.chunkOverlap)
   }
 
   /** Run the full chain. Returns chunk-grain rows when chunking is on
@@ -107,12 +138,13 @@ object DataPipeline {
     */
   def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
               cfg: Config = Config(),
-              seeds: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+              seeds: Option[(DataFrame, DataFrame)] = None,
+              budgetGroups: Option[DataFrame] = None): DataFrame = {
     val exact = Dedup.exactDeduped(cleanHead(docs, cfg, seeds))
     val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
       .where(col("is_survivor")).select("doc_id")
     val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
-    finishTail(deduped, benchmarks, cfg)
+    finishTail(deduped, benchmarks, cfg, budgetGroups)
   }
 
   /** The daily-loop (incremental) variant: prepare an ARRIVING increment
@@ -142,7 +174,8 @@ object DataPipeline {
                        corpusFps: DataFrame,
                        benchmarks: Option[DataFrame] = None,
                        cfg: Config = Config(),
-                       seeds: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                       seeds: Option[(DataFrame, DataFrame)] = None,
+                       budgetGroups: Option[DataFrame] = None): DataFrame = {
     // exact: drop docs whose content already exists in the corpus, then
     // collapse in-batch exact duplicates. The stage boundary is
     // MATERIALIZED (localCheckpoint): the downstream near-dup chain
@@ -168,6 +201,6 @@ object DataPipeline {
     val survivors = Dedup.dedupClusters(freshNear, threshold = cfg.nearDupThreshold)
       .where(col("is_survivor")).select("doc_id")
     val deduped = freshNear.join(survivors, Seq("doc_id"), "left_semi")
-    finishTail(deduped, benchmarks, cfg)
+    finishTail(deduped, benchmarks, cfg, budgetGroups)
   }
 }

@@ -80,6 +80,36 @@ class DataPipelineSpec extends SparkSpec {
     assert(out(1L).contains("w1_0") && out(3L).contains("w3_0"))
   }
 
+  test("stage 7b: token budget caps each group after decontamination") {
+    // groups: odd doc_ids "a", even "b"; budget 30 tokens per group.
+    // Survivor bodies are 12-13 tokens post-cleaning, so each group
+    // keeps 3 docs (the third crosses the 30-token line and is kept).
+    val groups = corpus.select($"doc_id",
+      when($"doc_id" % 2 === 1, "a").otherwise("b").as("grp"))
+    val out = DataPipeline.prepare(corpus, Some(benchmarks),
+      cfg.copy(tokenBudget = 30L), budgetGroups = Some(groups)).cache()
+    val withG = out.join(groups, Seq("doc_id"))
+    val toks = withG.select($"grp",
+      size(TextAnalysis.kernelTokens($"text")).cast("long").as("n"))
+      .groupBy("grp").agg(sum($"n").as("total"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each group's pre-crossing sum is < 30 and the crossing doc is
+    // included, so totals land in [30, 30 + max_doc_tokens)
+    for ((g, (total, docs)) <- toks) {
+      assert(total >= 30L && total < 30L + 14L, s"group $g total $total")
+      assert(docs >= 2L, s"group $g must keep multiple docs, got $docs")
+    }
+    // without the budget, the same run keeps every survivor
+    val full = DataPipeline.prepare(corpus, Some(benchmarks), cfg)
+    assert(out.count() < full.count())
+    // chunk-grain composition: budget before chunking, chunks inherit it
+    val chunked = DataPipeline.prepare(corpus, Some(benchmarks),
+      cfg.copy(tokenBudget = 30L, chunkTokens = 8),
+      budgetGroups = Some(groups))
+    assert(chunked.columns.contains("chunk_text"))
+    assert(chunked.select("doc_id").distinct().count() == out.count())
+  }
+
   test("stage 3b: classifier seeds drop off-domain docs before dedup") {
     val docs = Seq(
       (1L, "cat kitten purr feline whiskers nap"),
