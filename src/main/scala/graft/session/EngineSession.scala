@@ -22,6 +22,11 @@ object EngineSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet `timestamp[us]` with no timezone must read as TIMESTAMP
+      // (LTZ), not TIMESTAMP_NTZ: the session tz is pinned UTC so the
+      // wall-clock values match a naive reader (the DuckDB oracle), and
+      // unix_micros()/window() accept the column without casts.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // reference default: spark-uri local[*] (application.conf:1); under
     // spark-submit the launcher-provided master wins over this default
     val master = masterUri.orElse(sys.props.get("spark.master")).getOrElse("local[*]")

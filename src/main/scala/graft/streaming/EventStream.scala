@@ -16,22 +16,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** On-disk shape: ts is TIMESTAMP(NANOS), readable by Spark only as
-    * long (spark.sql.legacy.parquet.nanosAsLong=true).
+  /** FileStreamSource needs an explicit schema; rather than hard-coding
+    * one, peek at the batch-resolved schema of the same directory so both
+    * on-disk shapes of the events table work: TIMESTAMP(NANOS) stored as
+    * int64 (readable only as long under
+    * spark.sql.legacy.parquet.nanosAsLong=true — normalized to a µs
+    * timestamp here, mirroring [[graft.Tables.events]]) and native
+    * TIMESTAMP(MICROS)/INT96 (passed through untouched).
     */
-  val eventSchemaRaw: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchemaRaw)
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val s = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (batchSchema("ts").dataType == LongType)
+      s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else s
+  }
 
   private def watermarked(events: DataFrame, watermark: String): DataFrame =
     if (events.isStreaming) events.withWatermark("ts", watermark) else events

@@ -17,6 +17,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same as EngineSession: naive parquet timestamps read as LTZ (UTC)
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     // managed tables (bucketing specs) land in tmp, not the repo tree
     .config("spark.sql.warehouse.dir",
