@@ -1443,6 +1443,30 @@ object DataOpsQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_payload"))).as("total_bytes"))),
 
+    // Perceptual average hash over REAL decoded PPM bytes: 8x8 grid
+    // sample, all-integer mean test, row-major 64-bit pack. Generation is
+    // deterministic, so the oracle replays every grid sample, the total,
+    // and every bit (bit 63's 2^63 weight enters as the two's-complement
+    // negative term so the packed value is engine-portable BIGINT).
+    "m_phash" -> ((s, dir) =>
+      Multimodal.averageHash(
+        Multimodal.syntheticPpmMedia(Tables.documents(s, dir)))),
+
+    // Media near-dedup: corpus = original PPMs + perturbed copies (first
+    // 3 raster bytes inverted, id offset 1e6) → averageHash → pigeonhole
+    // Hamming banding (4 bands over 64 bits) + popcount verify. The
+    // oracle replays both generators, both hash chains, the band values
+    // (rebuilt from the bit lists — no unsigned-shift semantics to
+    // match), the candidate self-join, and the |bit-a − bit-b| Hamming
+    // sum.
+    "m_phash_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Multimodal.phashNearDuplicates(
+        Multimodal.syntheticPpmMedia(docs).unionByName(
+          Multimodal.syntheticPpmMediaPerturbed(docs, idOffset = 1000000L)),
+        maxHamming = 3)
+    }),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
@@ -2812,6 +2836,78 @@ object DataOpsQueries {
         |    list_avg([(7 * media_id + i) % 256 FOR i IN range(0, n, 16)]) / 255.0
         |  AS REAL) AS DOUBLE), 6) AS f0
         |FROM m""".stripMargin,
+
+    // average hash replay: grid cell p of an 8x8 grid samples source
+    // pixel (sy, sx) = ((p//8)*h//8, (p%8)*w//8); the cell sum is the
+    // three cycled raster bytes at 3*(sy*w+sx); bit p = 64*s_p >= total;
+    // bit 63 packs as the two's-complement negative weight so the result
+    // is a plain BIGINT in both engines (list_sum accumulates in
+    // hugeint, the final value fits by construction)
+    "m_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (length(coalesce(text, '')) % 61) + 4 AS w,
+        |    (length(coalesce(text, '')) % 43) + 4 AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, w, h,
+        |    [ ((media_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8))) % 256)
+        |    + ((media_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8)) + 1) % 256)
+        |    + ((media_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8)) + 2) % 256)
+        |      FOR p IN range(0, 64)] AS sums
+        |  FROM m),
+        |t AS (SELECT media_id, w, h, sums, list_sum(sums) AS total FROM s)
+        |SELECT media_id, w AS width, h AS height,
+        |  CAST(list_sum([CASE WHEN 64*sums[p+1] >= total
+        |      THEN CASE WHEN p = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << p) END
+        |      ELSE 0 END FOR p IN range(0, 64)]) AS BIGINT) AS phash
+        |FROM t""".stripMargin,
+
+    // phash near-dup replay: both generators (copies invert raster bytes
+    // 0..2, i.e. exactly the cell sampling source pixel 0), the full
+    // hash chain, 4x16-bit banding — mask-after-shift extracts the same
+    // bits whether the engine's >> is arithmetic or logical — candidate
+    // self-join, popcount verify
+    "m_phash_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (length(coalesce(text, '')) % 61) + 4 AS w,
+        |    (length(coalesce(text, '')) % 43) + 4 AS h
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, h, 0 AS pert, doc_id AS media_id FROM m
+        |  UNION ALL
+        |  SELECT doc_id, w, h, 1 AS pert, doc_id + 1000000 AS media_id FROM m),
+        |s AS (
+        |  SELECT media_id,
+        |    [ CASE WHEN pert = 1 AND ((((p//8)*h)//8)*w + (((p%8)*w)//8)) = 0
+        |        THEN (255 - (doc_id % 256)) + (255 - ((doc_id + 1) % 256))
+        |           + (255 - ((doc_id + 2) % 256))
+        |        ELSE ((doc_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8))) % 256)
+        |           + ((doc_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8)) + 1) % 256)
+        |           + ((doc_id + 3*((((p//8)*h)//8)*w + (((p%8)*w)//8)) + 2) % 256)
+        |      END FOR p IN range(0, 64)] AS sums
+        |  FROM base),
+        |t AS (SELECT media_id, sums, list_sum(sums) AS total FROM s),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(list_sum([CASE WHEN 64*sums[p+1] >= total
+        |        THEN CASE WHEN p = 63 THEN -9223372036854775807 - 1
+        |             ELSE (1::BIGINT << p) END
+        |        ELSE 0 END FOR p IN range(0, 64)]) AS BIGINT) AS phash
+        |  FROM t),
+        |banded AS (
+        |  SELECT media_id, phash, r.b AS band,
+        |    (phash >> (r.b * 16)) & 65535 AS v
+        |  FROM ph CROSS JOIN range(4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |    a.phash AS pa, b.phash AS pb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id)
+        |SELECT media_a, media_b, bit_count(xor(pa, pb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin,
 
     // hyperplane-LSH top-k: bucket assignment replayed from interpolated
     // plane literals, then cosine ranking within the shared bucket

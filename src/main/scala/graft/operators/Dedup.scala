@@ -607,33 +607,50 @@ object Dedup {
     */
   def simhashNearDuplicates(docs: DataFrame, textCol: String = "text",
                             maxHamming: Int = 3,
-                            scheme: HashScheme = HashScheme.Fast): DataFrame = {
+                            scheme: HashScheme = HashScheme.Fast): DataFrame =
+    bandedHammingPairs(
+      simhash(docs, textCol, scheme).select(col("doc_id"), col("simhash").as("fp")),
+      scheme.simhashBits, maxHamming)
+
+  /** Pigeonhole-banded Hamming-distance self-join over ANY 64-bit-or-less
+    * fingerprint frame `(doc_id, fp)` — the candidate/verify kernel
+    * shared by [[simhashNearDuplicates]] and the perceptual-hash media
+    * dedup ([[Multimodal.phashNearDuplicates]]). Fingerprints within
+    * Hamming distance ≤ `maxHamming` must agree EXACTLY on at least one
+    * of `maxHamming + 1` bit bands (≤ maxHamming flipped bits cannot
+    * touch every band), so candidates come from a self-equi-join on
+    * (band index, band bits) — one digest-keyed shuffle, never
+    * all-pairs — and verification is one popcount(xor) ≤ maxHamming per
+    * candidate. Output: (doc_a < doc_b, hamming). Exact-duplicate
+    * fingerprints share all bands — collapse them first on dup-heavy
+    * corpora (the [[nearDuplicateClusters]] composition contract).
+    */
+  def bandedHammingPairs(fp: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val bits = scheme.simhashBits
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val bands = maxHamming + 1
     require(bands <= bits, s"maxHamming + 1 ($bands) bands need <= $bits bits")
     val width = bits / bands
-    val fp = simhash(docs, textCol, scheme)
-    // unsigned shift: the Fast scheme's xxhash64 fingerprints use the
-    // sign bit as payload
+    // unsigned shift: 64-bit fingerprint families (xxhash64 simhash,
+    // 8x8 average hash) use the sign bit as payload
     val slices = (0 until bands).map { b =>
       val w = if (b == bands - 1) bits - b * width else width
-      // w = 64 (maxHamming = 0, Fast scheme): (1L << 64) wraps to 1 and
-      // the mask would be 0, collapsing EVERY fingerprint into one
+      // w = 64 (maxHamming = 0, 64-bit family): (1L << 64) wraps to 1
+      // and the mask would be 0, collapsing EVERY fingerprint into one
       // bucket — an accidental all-pairs join; -1L is the identity mask
       val mask = if (w >= 64) -1L else (1L << w) - 1
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * width)
+        shiftrightunsigned(col("fp"), b * width)
           .bitwiseAND(lit(mask)).as("v"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val banded = fp.select(col("doc_id"), col("fp"),
       explode(array(slices: _*)).as("_s"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("fp"),
         col("_s.band").as("band"), col("_s.v").as("v"))
     val a = banded.select(col("band"), col("v"),
-      col("doc_id").as("doc_a"), col("simhash").as("_sa"))
+      col("doc_id").as("doc_a"), col("fp").as("_sa"))
     val b = banded.select(col("band"), col("v"),
-      col("doc_id").as("doc_b"), col("simhash").as("_sb"))
+      col("doc_id").as("doc_b"), col("fp").as("_sb"))
     a.join(b, Seq("band", "v"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "_sa", "_sb").distinct()

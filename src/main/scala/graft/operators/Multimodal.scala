@@ -274,6 +274,119 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perturbed twin of [[syntheticPpmMedia]]: same dimensions and raster
+    * formula keyed on the ORIGINAL doc_id, but the first `flipBytes`
+    * raster bytes are inverted (255 − v) and the media_id is offset — each
+    * output is a near-duplicate copy of the corresponding original image
+    * differing in a handful of pixels. Deterministic like the original
+    * generator, so an oracle can replay both corpora; feeds the
+    * perceptual-hash near-dup gate with planted almost-copies.
+    */
+  def syntheticPpmMediaPerturbed(docs: DataFrame, idOffset: Long,
+                                 flipBytes: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = r.getInt(1)
+          val w = n % 61 + 4
+          val h = n % 43 + 4
+          val header = s"P6\n$w $h\n255\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val raster = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < raster.length) {
+            val v = ((id + i) % 256).toInt
+            raster(i) = (if (i < flipBytes) 255 - v else v).toByte
+            i += 1
+          }
+          Row(id + idOffset, header ++ raster, Row("image", "ppm", null, null, null))
+        }
+      }(enc)
+  }
+
+  /** Perceptual average hash (aHash) over PPM payloads: nearest-neighbor
+    * sample the raster on a `gridW × gridH` grid (the [[resizePpm]]
+    * source-index arithmetic), sum each cell's RGB bytes, and set bit p
+    * iff cell p's sum is ≥ the grid mean — packed row-major into one
+    * long. All-integer arithmetic (the mean test is the cross-multiplied
+    * `cells · s_p ≥ Σ s`, never a division), so an external engine
+    * replays every bit exactly; visually near-identical images land
+    * within a few bits of each other, which makes the hash the media
+    * analog of [[TextAnalysis.fingerprint]] for exact dedup and of
+    * simhash for near-dedup ([[phashNearDuplicates]]).
+    *
+    * Output: (media_id, width, height, phash). Malformed payloads yield
+    * null phash (never throw — one bad file must not kill a partition).
+    * Scale: shuffle-free partition-local scan like [[decodeFeatures]];
+    * the hash is 8 bytes/image regardless of image size, so every
+    * downstream dedup step shuffles hashes, never pixels.
+    */
+  def averageHash(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      s"grid must fit a 64-bit hash, got $gridW x $gridH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val cells = gridW * gridH
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val parsed =
+            if (payload == null) None else PpmDecoder.parseRaster(payload)
+          parsed match {
+            case Some((w, h, off)) =>
+              val sums = new Array[Long](cells)
+              var total = 0L
+              var p = 0
+              while (p < cells) {
+                val sy = (p / gridW) * h / gridH
+                val sx = (p % gridW) * w / gridW
+                val src = off + 3 * (sy * w + sx)
+                val s = (payload(src) & 0xff) + (payload(src + 1) & 0xff) +
+                  (payload(src + 2) & 0xff)
+                sums(p) = s
+                total += s
+                p += 1
+              }
+              var hash = 0L
+              p = 0
+              while (p < cells) {
+                if (cells * sums(p) >= total) hash |= 1L << p
+                p += 1
+              }
+              Row(id, w, h, hash)
+            case None => Row(id, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Media near-duplicate pairs: [[averageHash]] fingerprints fed through
+    * the pigeonhole Hamming banding shared with simhash
+    * ([[Dedup.bandedHammingPairs]]) — candidate generation is a
+    * band-keyed self-equi-join on 8-byte hashes (pixels never shuffle),
+    * verification one popcount per candidate. Undecodable payloads (null
+    * phash) are excluded: a null fingerprint matches nothing.
+    * Output: (media_a < media_b, hamming).
+    */
+  def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3,
+                          gridW: Int = 8, gridH: Int = 8): DataFrame =
+    Dedup.bandedHammingPairs(
+      averageHash(media, gridW, gridH)
+        .where(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("fp")),
+      gridW * gridH, maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   /** Partition-batched decode → (media_id, width, height, feature vector).
     * The decoder is instantiated once per partition (amortized init), rows
     * stream through without collecting the partition. Dimensions decoded

@@ -798,6 +798,48 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).head == want)
   }
 
+  test("averageHash: hand-computed bits, uniform image packs all 64, bad input → null") {
+    def ppm(w: Int, h: Int, raster: Array[Byte]) =
+      s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ raster
+    // 2×1 image, 2×1 grid: cell sums 6 and 603; only cell 1 ≥ mean → hash 2
+    val tiny = ppm(2, 1, Array[Byte](1, 2, 3, -56, -55, -54))
+    val uniform = ppm(3, 2, Array.fill[Byte](18)(17))
+    val media = Seq((1L, tiny), (2L, uniform), (3L, "JFIF**".getBytes))
+      .toDF("media_id", "payload")
+    val small = Multimodal.averageHash(media.where(col("media_id") === 1),
+      gridW = 2, gridH = 1).collect().head
+    assert(small.getLong(3) == 2L &&
+      small.getInt(1) == 2 && small.getInt(2) == 1)
+    val full = Multimodal.averageHash(media).orderBy("media_id").collect()
+    // uniform color: every cell sum equals the mean → all 64 bits set = -1L
+    assert(full(1).getLong(3) == -1L)
+    assert(full(2).isNullAt(3), "malformed payload must hash to null, not throw")
+  }
+
+  test("phashNearDuplicates ≡ brute-force popcount filter; perturbed copies pair close") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(80)
+    val media = Multimodal.syntheticPpmMedia(docs).unionByName(
+      Multimodal.syntheticPpmMediaPerturbed(docs, idOffset = 1000000L))
+    val banded = Multimodal.phashNearDuplicates(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded.nonEmpty, "planted perturbed copies must produce pairs")
+    // brute force over all hash pairs — pigeonhole banding must lose nothing
+    val h = Multimodal.averageHash(media).where(col("phash").isNotNull)
+    val a = h.select(col("media_id").as("media_a"), col("phash").as("pa"))
+    val b = h.select(col("media_id").as("media_b"), col("phash").as("pb"))
+    val brute = a.join(b, col("media_a") < col("media_b"))
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .where(col("hamming") <= 3)
+      .select("media_a", "media_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    // a 3-byte flip perturbs exactly one sampled cell: most copies stay
+    // within Hamming 3 of their original
+    val selfPairs = banded.count { case (x, y, _) => y == x + 1000000L }
+    assert(selfPairs >= 40, s"only $selfPairs of 80 copies paired with their original")
+  }
+
   test("removeRepeatedSpans(keepFirst = true): one copy of each span survives") {
     val df = Seq(
       (1L, "alpha beta gamma delta unique1 tail1"),
