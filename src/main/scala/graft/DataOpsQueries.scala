@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, Packing, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -514,6 +514,18 @@ object DataOpsQueries {
           array_join(split(col("text"), " table ", -1), ".\n").as("text")),
         lineSep = "\n", minWords = 4, requireTerminalPunct = true,
         blocklist = Seq("spark"))),
+
+    // Multi-pattern blocklist tagging: ONE Aho-Corasick automaton pass
+    // per document regardless of pattern count — the sample list plants
+    // nested patterns ("scan" inside "slow scan", "tab" inside "table")
+    // so fail-link output propagation is exercised, not just trie walks.
+    // hits ships as a csv scalar (the e_quantize_int8 array-gate
+    // lesson); the oracle replays the declarative contains() twin, which
+    // the spec pins automaton-equal.
+    "t_blocklist" -> ((s, dir) =>
+      MultiPattern.tagMatches(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_hits"),
+          array_join(col("hits"), ",").as("hits_csv"))),
 
     // Per-source frequency cap: at most 10 docs per source, picked by
     // the deterministic md5 draw — run SALTED (4 buckets) to exercise
@@ -1869,6 +1881,20 @@ object DataOpsQueries {
         |  len(lines)::INT AS n_lines, len(kept)::INT AS n_lines_kept,
         |  (len(lines) - len(kept))::INT AS n_lines_removed
         |FROM k""".stripMargin,
+
+    // blocklist tagging replay: the declarative contains() form over the
+    // operator's own sample list (interpolated) — per-pattern substring
+    // containment on the lowercased text, sorted hit list
+    "t_blocklist" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    list_sort([p FOR p IN ${
+          MultiPattern.sampleBlocklist.map(p => s"'$p'").mkString("[", ", ", "]")
+        } IF contains(lower(coalesce(text, '')), p)]) AS hits
+        |  FROM documents)
+        |SELECT doc_id, len(hits)::INT AS n_hits,
+        |  coalesce(array_to_string(hits, ','), '') AS hits_csv
+        |FROM h""".stripMargin,
 
     "s_source_cap" ->
       """WITH ranked AS (

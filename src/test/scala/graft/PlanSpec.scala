@@ -394,6 +394,13 @@ class PlanSpec extends SparkSpec {
       "training censuses and per-doc sums must partial-aggregate map-side")
   }
 
+  test("t_blocklist: automaton tagging is a shuffle-free, join-free scan") {
+    val p = executed("t_blocklist")
+    assert(!p.contains("Exchange"),
+      s"blocklist tagging must not shuffle (the automaton ships in the closure):\n$p")
+    assert(!p.contains("Join"), s"blocklist tagging must not join:\n$p")
+  }
+
   test("t_nb_stateless: model serving is one shuffle-free projection") {
     val p = executed("t_nb_stateless")
     assert(!p.contains("Exchange"),
