@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1407,6 +1407,49 @@ object DataOpsQueries {
       val m = out.agg(avg("recall_proj")).head().getDouble(0)
       require(m >= 0.8,
         f"JL-projection recall regression: mean recall_proj=$m%.3f (floor 0.8)")
+      out
+    }),
+
+    // PCA moment census: the distributed half of Pca.fit — one
+    // partial-agg shuffle to d(d+1)/2 integer rows (micro-fixed, so
+    // every cell is an exact association-order-free sum the oracle
+    // replays bit for bit). The driver-side Jacobi eigen consumes
+    // exactly this frame.
+    "e_pca_cov" -> ((s, dir) =>
+      Pca.momentsMicro(Tables.embeddings(s, dir).select("vec_id", "embedding"))),
+
+    // PCA serving, self-asserting (eigenvectors have no SQL replay):
+    // top-8 PCs must capture at least the variance of the best 8 raw
+    // coordinates (PCA optimality — a deterministic floor, not a
+    // tuning), whitened outputs must come out ~unit-variance and
+    // decorrelated. Output: per-component eigenvalue + whitened moment
+    // summary.
+    "e_pca_project" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val k = 8
+      val model = Pca.fit(embs, k)
+      val momentRows = Pca.momentsMicro(embs).where(col("i") === col("j")).collect()
+      val n = momentRows.head.getLong(2).toDouble
+      val coordVar = momentRows.map { r =>
+        (r.getLong(5) / n - math.pow(r.getLong(3) / n, 2)) / 1e12
+      }.sorted.reverse.take(k).sum
+      val captured = model.eigenvalues.sum
+      require(captured >= coordVar - 1e-9,
+        f"PCA optimality violated: top-$k PCs capture $captured%.6f < " +
+          f"best-$k coordinates $coordVar%.6f")
+      val out = Pca.project(embs, model, whiten = true)
+        .select(posexplode(col("projected")).as(Seq("component", "x")))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n"),
+          round(avg("x"), 6).as("mean"),
+          round(avg(col("x") * col("x")) - avg("x") * avg("x"), 4).as("variance"))
+        .withColumn("eigenvalue",
+          round(element_at(
+            array(model.eigenvalues.map(lit): _*), col("component") + 1), 9))
+        .cache()
+      val vars = out.select("variance").collect().map(_.getDouble(0))
+      require(vars.length == k && vars.forall(v => math.abs(v - 1.0) < 0.05),
+        s"whitened variances must be ~1, got ${vars.toSeq}")
       out
     }),
 
@@ -3406,6 +3449,23 @@ object DataOpsQueries {
     // every coordinate is an integer sum of ±micro-fixed inputs — the
     // group-by association order cannot matter, so the two engines agree
     // exactly despite computing the sums in different orders
+    // PCA moment census replay: micro-fix each coordinate (float→double
+    // widening is exact, round HALF_UP in both engines), then exact
+    // integer sums per upper-triangle (i, j) cell — sum() accumulates in
+    // hugeint, final casts land in bigint by construction
+    "e_pca_cov" ->
+      """WITH e AS (
+        |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS mv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT i.r AS i, j.r AS j, mv[i.r + 1] AS vi, mv[j.r + 1] AS vj
+        |  FROM e CROSS JOIN range(64) i(r) CROSS JOIN range(64) j(r)
+        |  WHERE j.r >= i.r)
+        |SELECT i, j, count(*) AS n,
+        |  CAST(sum(vi) AS BIGINT) AS s_i, CAST(sum(vj) AS BIGINT) AS s_j,
+        |  CAST(sum(vi * vj) AS BIGINT) AS s_ij
+        |FROM p GROUP BY i, j""".stripMargin,
+
     "e_rand_proj" ->
       s"""WITH ev AS (
         |  SELECT vec_id, i, CAST(round(x::DOUBLE * 1e6) AS BIGINT) AS vq

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the dimensionality-reduction /
+  * whitening step embedding pipelines run before clustering or ANN
+  * indexing (decorrelated, variance-ordered axes make fixed-radius
+  * thresholds meaningful and let a k-dim prefix carry most of the
+  * signal).
+  *
+  * Split exactly like [[Clustering]]: the DISTRIBUTED part is one
+  * partial-agg moment census ([[momentsMicro]] — d(d+1)/2 integer rows
+  * regardless of corpus size), the DRIVER part is an eigen-decomposition
+  * of the tiny d×d matrix ([[fit]] — cyclic Jacobi, deterministic), and
+  * serving ([[project]]) is a shuffle-free projection against the
+  * broadcast component literals. Driver traffic is d² longs up,
+  * k·d doubles down — never corpus-sized.
+  *
+  * Portability: moments are micro-fixed (×10⁶, rounded, summed as
+  * integers) so the census is exact and association-order-free — the
+  * oracle replays every (i, j) cell bit for bit. At 100 TB corpus sizes
+  * the long path can overflow (|micro|² ≈ 10¹² per row ⇒ ~10⁶ rows per
+  * partial before 2⁶³); the operator then switches the product sums to
+  * DECIMAL(38,0) via `exact = false`… kept long here because the gate
+  * pins exactness and the synthetic scales stay far below the bound.
+  */
+object Pca {
+
+  /** Upper-triangle second-moment census: for every dim pair j ≥ i,
+    * (i, j, n, s_i = Σ micro(v_i), s_j = Σ micro(v_j),
+    * s_ij = Σ micro(v_i)·micro(v_j)) — everything needed for mean and
+    * covariance in ONE partial-agg shuffle of ≤ d(d+1)/2 rows per task.
+    * micro(x) = round(double(x)·10⁶) as long: float→double widening is
+    * exact and round is HALF_UP in both engines, so the census is
+    * engine-exact.
+    */
+  def momentsMicro(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val mv = transform(col(vecCol), x =>
+      round(x.cast("double") * lit(1e6)).cast("long"))
+    embs.select(mv.as("mv"))
+      .select(col("mv"), posexplode(col("mv")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("mv")).as(Seq("j", "vj")))
+      .where(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("vi").as("s_i"),
+        sum("vj").as("s_j"), sum(col("vi") * col("vj")).as("s_ij"))
+  }
+
+  /** Fitted model: mean (original units), orthonormal components ordered
+    * by descending eigenvalue, eigenvalues (covariance units).
+    */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double]) {
+    def dim: Int = mean.length
+    def k: Int = components.length
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix — O(d³) per
+    * sweep on the DRIVER (d is an embedding width, ≤ a few thousand;
+    * never corpus-sized). Deterministic: fixed sweep order, fixed
+    * convergence threshold. Returns (eigenvalues, eigenvectors as rows)
+    * sorted by descending eigenvalue with a deterministic sign
+    * convention (largest-|coordinate| positive).
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]]):
+      (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(r => v(r)(i))
+      // sign convention: the largest-|x| coordinate is positive — makes
+      // the decomposition deterministic across runs/platforms
+      val m = col.indices.maxBy(r => (math.abs(col(r)), -r))
+      if (col(m) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Fit top-`k` principal components: run the distributed census,
+    * collect the d(d+1)/2 moment rows, assemble the (population)
+    * covariance in doubles, Jacobi-decompose.
+    */
+  def fit(embs: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
+    val rows = momentsMicro(embs, vecCol).collect()
+    require(rows.nonEmpty, "empty corpus")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val n = rows.head.getLong(2).toDouble
+    val sum = new Array[Double](d)
+    val prod = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      sum(i) = r.getLong(3).toDouble
+      sum(j) = r.getLong(4).toDouble
+      prod(i)(j) = r.getLong(5).toDouble
+      prod(j)(i) = r.getLong(5).toDouble
+    }
+    val mean = sum.map(_ / n / 1e6)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      (prod(i)(j) / n - (sum(i) / n) * (sum(j) / n)) / 1e12)
+    val (vals, vecs) = jacobiEigen(cov)
+    PcaModel(mean, vecs.take(k), vals.take(k))
+  }
+
+  /** Serve the model: center on the mean, dot with each component —
+    * `whiten = true` additionally scales component c by
+    * 1/√(λ_c + eps) so output coordinates are decorrelated AND
+    * unit-variance. One shuffle-free projection over broadcast literals
+    * (zip_with + aggregate higher-order functions — codegen'd, k·d
+    * multiplies per row); output (id, projected array<double>).
+    */
+  def project(embs: DataFrame, model: PcaModel, whiten: Boolean = false,
+              eps: Double = 1e-9, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val meanLit = array(model.mean.map(lit): _*)
+    val centered = zip_with(col(vecCol), meanLit,
+      (x, m) => x.cast("double") - m)
+    val comps: Seq[Column] = model.components.zipWithIndex.map { case (comp, c) =>
+      val scale =
+        if (whiten) 1.0 / math.sqrt(math.max(model.eigenvalues(c), 0.0) + eps)
+        else 1.0
+      val compLit = array(comp.map(w => lit(w * scale)): _*)
+      aggregate(zip_with(col("_c"), compLit, _ * _),
+        lit(0.0d), _ + _)
+    }
+    embs.select(col(idCol), centered.as("_c"))
+      .select(col(idCol), array(comps: _*).as("projected"))
+  }
+}

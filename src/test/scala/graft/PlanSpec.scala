@@ -394,6 +394,14 @@ class PlanSpec extends SparkSpec {
       "training censuses and per-doc sums must partial-aggregate map-side")
   }
 
+  test("e_pca_cov: moment census partial-aggregates to one d²-bounded shuffle") {
+    val p = executed("e_pca_cov")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"moment census must shuffle exactly once:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "moment sums must partial-aggregate map-side")
+  }
+
   test("t_blocklist: automaton tagging is a shuffle-free, join-free scan") {
     val p = executed("t_blocklist")
     assert(!p.contains("Exchange"),
