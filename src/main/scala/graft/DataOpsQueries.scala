@@ -515,6 +515,33 @@ object DataOpsQueries {
         lineSep = "\n", minWords = 4, requireTerminalPunct = true,
         blocklist = Seq("spark"))),
 
+    // Compression-ratio quality signal, self-asserting (deflate byte
+    // counts are zlib-version-determined, not an engine-portable
+    // contract): three engineered corpora — the raw docs, 50x-repeated
+    // prefixes, and md5-hex noise — must order rep < natural < noise on
+    // mean ratio, the signal's whole point; raw_len stays externally
+    // exact.
+    "t_compress_ratio" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val rep = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          array_repeat(substring(col("text"), 1, 40), 50)).as("text"))
+      val noise = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat((0 until 8).map(i =>
+          md5(concat_ws("|", col("text"), lit(i)))): _*).as("text"))
+      val out = TextAnalysis.compressionRatio(
+        docs.unionByName(rep).unionByName(noise)).cache()
+      val cls = out
+        .withColumn("cls",
+          when(col("doc_id") >= 2000000L, "noise")
+            .when(col("doc_id") >= 1000000L, "rep").otherwise("nat"))
+        .groupBy("cls").agg(avg("compression_ratio").as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      require(cls("rep") < cls("nat") && cls("nat") < cls("noise"),
+        s"compression signal must order rep < natural < noise, got $cls")
+      out
+    }),
+
     // Multi-pattern blocklist tagging: ONE Aho-Corasick automaton pass
     // per document regardless of pattern count — the sample list plants
     // nested patterns ("scan" inside "slow scan", "tab" inside "table")

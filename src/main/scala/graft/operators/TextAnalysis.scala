@@ -141,6 +141,57 @@ object TextAnalysis {
       dupFrac(3).as("dup_3gram_frac"))
   }
 
+  /** Compression-ratio quality signal: deflate(text) length / raw
+    * length — the RefinedWeb/CCNet-family heuristic that catches BOTH
+    * tails the n-gram fractions can miss (a ratio near 0 means machine
+    * repetition at any period, including ones longer than 3 tokens; a
+    * ratio near 1 means high-entropy noise — neither is natural text).
+    *
+    * One Deflater per PARTITION, reset per row (the object allocates
+    * native zlib state; per-row construction would dominate), so this
+    * is a shuffle-free partition-local scan like the media decoders.
+    * The byte counts are deterministic for a fixed (zlib version,
+    * level) pair but NOT an engine-portable contract — the gate is
+    * self-asserting (ordering invariants on engineered corpora), not
+    * oracle-replayed; raw_len IS exact and externally checkable.
+    * Null/empty text → ratio null (no information, not "0").
+    */
+  def compressionRatio(docs: DataFrame, textCol: String = "text",
+                       level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("raw_len", IntegerType),
+      StructField("compressed_len", IntegerType),
+      StructField("compression_ratio", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id"), col(textCol))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level, /* nowrap = */ true)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { r =>
+          val text = if (r.isNullAt(1)) null else r.getString(1)
+          if (text == null || text.isEmpty)
+            org.apache.spark.sql.Row(r.getLong(0),
+              if (text == null) null else 0, null, null)
+          else {
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var n = 0
+            while (!deflater.finished()) {
+              val produced = deflater.deflate(buf)
+              n += produced
+              // oversized outputs only need counting, not keeping
+            }
+            org.apache.spark.sql.Row(r.getLong(0), bytes.length, n,
+              math.rint(n.toDouble / bytes.length * 1e6) / 1e6)
+          }
+        }
+      }(enc)
+  }
+
   /** PII redaction: emails, IPv4 addresses, and xxx-xxx-xxxx phone
     * numbers replaced with typed placeholders. Patterns stay inside the
     * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so

@@ -798,6 +798,23 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).head == want)
   }
 
+  test("compressionRatio: repetition compresses, noise doesn't; null/empty → null") {
+    val docs = Seq(
+      (1L, "word " * 400),                                   // one token repeated
+      (2L, (1 to 400).map(i => s"tok${i * 7919 % 997}").mkString(" ")), // varied
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(docs).orderBy("doc_id").collect()
+    val r1 = got(0).getDouble(3)
+    val r2 = got(1).getDouble(3)
+    assert(r1 < 0.05, s"pure repetition should compress hard, ratio $r1")
+    assert(r2 > 2 * r1, s"varied text must compress worse than repetition ($r2 vs $r1)")
+    assert(got(2).isNullAt(1) && got(2).isNullAt(3))
+    assert(got(3).getInt(1) == 0 && got(3).isNullAt(3))
+    // raw_len is the exact utf-8 byte count — the externally checkable half
+    assert(got(0).getInt(1) == 2000)
+  }
+
   test("averageHash: hand-computed bits, uniform image packs all 64, bad input → null") {
     def ppm(w: Int, h: Int, raster: Array[Byte]) =
       s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ raster
