@@ -1549,6 +1549,40 @@ object DataOpsQueries {
         maxHamming = 3)
     }),
 
+    // REAL-codec decode via the JDK's javax.imageio: payloads are genuine
+    // PNGs (zlib-deflated, scanline-filtered) carrying the same pixel
+    // formulas as the PPM gates; ImageIoDecoder must run the actual PNG
+    // codec to recover them. Lossless round trip → the identical oracle
+    // replays width/height/f0 — this retires the FakeDecoder stub for
+    // the formats a crawl actually contains (png/jpeg/bmp/gif).
+    "m_decode_png" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+          decoder = Multimodal.ImageIoDecoder)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
+
+    // Real resample fed from a real codec raster: PNG → javax.imageio
+    // decode → nearest-neighbor 8×6 → PPM re-emit → re-decode. Same
+    // source-index arithmetic as m_resize, so the same oracle replays it.
+    "m_resize_png" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.resizeImage(
+            Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+            outW = 8, outH = 6, decoder = Multimodal.ImageIoDecoder),
+          dim = 1, decoder = Multimodal.PpmDecoder)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
+
+    // Perceptual hash fed from a real codec raster (PNG via ImageIO):
+    // identical grid/mean/pack arithmetic as m_phash, replayed by the
+    // same oracle — proves aHash works on codec output, not just the
+    // uncompressed in-band format.
+    "m_phash_png" -> ((s, dir) =>
+      Multimodal.averageHash(
+        Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+        decoder = Multimodal.ImageIoDecoder)),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
@@ -1621,7 +1655,7 @@ object DataOpsQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "f_sql_nfc" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(coalesce(text, '') || ' e' || chr(769) || 'A' || chr(778))) AS h
@@ -3539,4 +3573,14 @@ object DataOpsQueries {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin
   )
+
+  /** The PNG gates carry the same deterministic pixel formulas as their
+    * PPM twins and PNG is lossless, so the decoded rasters — and hence
+    * the oracle replays — are identical; only the Spark side differs
+    * (javax.imageio codec decode instead of the in-band header walk).
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "m_decode_png" -> oraclesBase("m_decode_features"),
+    "m_resize_png" -> oraclesBase("m_resize"),
+    "m_phash_png" -> oraclesBase("m_phash"))
 }

@@ -59,6 +59,12 @@ object Multimodal {
       */
     def decode(payload: Array[Byte], dim: Int): Decoded =
       Decoded(null, null, features(payload, dim))
+    /** Raster access for image decoders: (width, height, rgb bytes,
+      * offset into the byte array) with pixels row-major, 3 bytes each —
+      * the shared contract [[averageHash]] and [[resizeImage]] consume.
+      * Non-image decoders report None (as does any malformed payload).
+      */
+    def raster(payload: Array[Byte]): Option[(Int, Int, Array[Byte], Int)] = None
   }
 
   /** Shared feature kernel for the real decoders: round-robin bucket
@@ -131,6 +137,65 @@ object Multimodal {
       parseRaster(payload) match {
         case Some((w, h, off)) =>
           Decoded(w, h, bucketMeans(payload, off, w * h * 3, dim))
+        case None => Decoded(null, null, Array.empty[Float])
+      }
+
+    override def raster(payload: Array[Byte]): Option[(Int, Int, Array[Byte], Int)] =
+      parseRaster(payload).map { case (w, h, off) => (w, h, payload, off) }
+  }
+
+  /** REAL decoder for the formats a crawl actually contains — PNG, JPEG,
+    * BMP, GIF — via the JDK's own `javax.imageio` (ships in every JRE,
+    * zero external deps, works headless). Pixels are read back through
+    * `BufferedImage.getRGB` row-major into the same 3-bytes-per-pixel
+    * raster layout [[PpmDecoder]] produces, so every raster consumer
+    * ([[bucketMeans]] features, [[averageHash]], [[resizeImage]]) works
+    * unchanged on real codec output. For lossless formats (PNG/BMP/GIF)
+    * the decoded raster equals the encoded one byte-for-byte, which is
+    * what lets the `m_decode_png` gate predict features from the
+    * generator formulas; JPEG decodes are codec-defined and are covered
+    * by round-trip unit tests rather than value-pinned oracles.
+    * Malformed/unrecognized payloads decode to nulls, never throw.
+    */
+  object ImageIoDecoder extends Decoder {
+    // ImageIO's default stream cache writes temp FILES per decode — a
+    // disk hazard at a million images per executor; decode in memory
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] =
+      decode(payload, dim).features
+
+    override def raster(payload: Array[Byte]): Option[(Int, Int, Array[Byte], Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None  // no registered reader recognized the bytes
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // sRGB regardless of storage model
+              out(i) = ((rgb >> 16) & 0xff).toByte
+              out(i + 1) = ((rgb >> 8) & 0xff).toByte
+              out(i + 2) = (rgb & 0xff).toByte
+              i += 3
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, out, 0))
+        }
+      } catch { case _: Throwable => None }
+
+    override def decode(payload: Array[Byte], dim: Int): Decoded =
+      raster(payload) match {
+        case Some((w, h, bytes, off)) =>
+          Decoded(w, h, bucketMeans(bytes, off, w * h * 3, dim))
         case None => Decoded(null, null, Array.empty[Float])
       }
   }
@@ -274,6 +339,50 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic REAL-PNG media frame: the same deterministic pixel
+    * formulas as [[syntheticPpmMedia]] (w = n%61+4, h = n%43+4, raster
+    * byte i = (id+i)%256 in row-major RGB order), but the payload is a
+    * genuine PNG encoded by `javax.imageio` — so [[ImageIoDecoder]] must
+    * run a real codec (zlib inflate, scanline unfiltering, color-model
+    * conversion) to get the raster back. PNG is lossless, so the decoded
+    * pixels equal the generated ones and the SAME oracle formulas that
+    * replay the PPM gates replay this one; the gate therefore proves a
+    * true encode → real-codec-decode round trip, not plumbing.
+    */
+  def syntheticPngMedia(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").as("media_id"),
+        length(coalesce(col("text"), lit(""))).as("n"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory encode, no temp files
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = r.getInt(1)
+          val w = n % 61 + 4
+          val h = n % 43 + 4
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          var i = 0L
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rr = ((id + i) % 256).toInt
+              val g = ((id + i + 1) % 256).toInt
+              val b = ((id + i + 2) % 256).toInt
+              img.setRGB(x, y, (rr << 16) | (g << 8) | b)
+              i += 3
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image", "png", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Perturbed twin of [[syntheticPpmMedia]]: same dimensions and raster
     * formula keyed on the ORIGINAL doc_id, but the first `flipBytes`
     * raster bytes are inverted (255 − v) and the media_id is offset — each
@@ -324,7 +433,8 @@ object Multimodal {
     * the hash is 8 bytes/image regardless of image size, so every
     * downstream dedup step shuffles hashes, never pixels.
     */
-  def averageHash(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+  def averageHash(media: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                  decoder: Decoder = PpmDecoder): DataFrame = {
     require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
       s"grid must fit a 64-bit hash, got $gridW x $gridH")
     val outSchema = StructType(Seq(
@@ -340,9 +450,9 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val parsed =
-            if (payload == null) None else PpmDecoder.parseRaster(payload)
+            if (payload == null) None else decoder.raster(payload)
           parsed match {
-            case Some((w, h, off)) =>
+            case Some((w, h, bytes, off)) =>
               val sums = new Array[Long](cells)
               var total = 0L
               var p = 0
@@ -350,8 +460,8 @@ object Multimodal {
                 val sy = (p / gridW) * h / gridH
                 val sx = (p % gridW) * w / gridW
                 val src = off + 3 * (sy * w + sx)
-                val s = (payload(src) & 0xff) + (payload(src + 1) & 0xff) +
-                  (payload(src + 2) & 0xff)
+                val s = (bytes(src) & 0xff) + (bytes(src + 1) & 0xff) +
+                  (bytes(src + 2) & 0xff)
                 sums(p) = s
                 total += s
                 p += 1
@@ -378,9 +488,10 @@ object Multimodal {
     * Output: (media_a < media_b, hamming).
     */
   def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3,
-                          gridW: Int = 8, gridH: Int = 8): DataFrame =
+                          gridW: Int = 8, gridH: Int = 8,
+                          decoder: Decoder = PpmDecoder): DataFrame =
     Dedup.bandedHammingPairs(
-      averageHash(media, gridW, gridH)
+      averageHash(media, gridW, gridH, decoder)
         .where(col("phash").isNotNull)
         .select(col("media_id").as("doc_id"), col("phash").as("fp")),
       gridW * gridH, maxHamming)
@@ -438,7 +549,17 @@ object Multimodal {
     * schema — including [[decodeFeatures]], which is how the gate
     * verifies the resample arithmetic end to end.
     */
-  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame =
+    resizeImage(media, outW, outH, PpmDecoder)
+
+  /** Format-generic twin of [[resizePpm]]: the source raster comes from
+    * any [[Decoder]] with raster access (PPM header walk, `javax.imageio`
+    * codec decode, ...), the resample arithmetic is the same deterministic
+    * nearest-neighbor loop, and the output is always re-emitted as PPM so
+    * downstream consumers need only the one uncompressed reader.
+    */
+  def resizeImage(media: DataFrame, outW: Int, outH: Int,
+                  decoder: Decoder): DataFrame = {
     require(outW >= 1 && outH >= 1, s"output dims must be >= 1, got $outW x $outH")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select("media_id", "payload")
@@ -447,12 +568,12 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val parsed =
-            if (payload == null) None else PpmDecoder.parseRaster(payload)
-          // same never-throw contract as decode: parseRaster rejects
+            if (payload == null) None else decoder.raster(payload)
+          // same never-throw contract as decode: raster() rejects
           // degenerate/overflowing headers, and the belt-and-braces catch
           // maps any residual surprise to a null payload, not a dead task
           try parsed match {
-            case Some((w, h, off)) =>
+            case Some((w, h, bytes, off)) =>
               val out = new Array[Byte](outW * outH * 3)
               var i = 0
               var y = 0
@@ -461,8 +582,8 @@ object Multimodal {
                 var x = 0
                 while (x < outW) {
                   val src = off + 3 * (sy * w + x * w / outW)
-                  out(i) = payload(src); out(i + 1) = payload(src + 1)
-                  out(i + 2) = payload(src + 2)
+                  out(i) = bytes(src); out(i + 1) = bytes(src + 1)
+                  out(i + 2) = bytes(src + 2)
                   i += 3; x += 1
                 }
                 y += 1

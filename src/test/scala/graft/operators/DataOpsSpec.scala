@@ -798,6 +798,56 @@ class DataOpsSpec extends SparkSpec {
     assert(out(1).getSeq[Float](3).head == want)
   }
 
+  test("ImageIoDecoder: real PNG/JPEG codec decode; lossless ≡ PpmDecoder; bad input → null") {
+    // PNG round trip: encode known pixels, decode must return them exactly
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (1 << 16) | (2 << 8) | 3)
+    img.setRGB(1, 0, (200 << 16) | (201 << 8) | 202)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val d = Multimodal.ImageIoDecoder.decode(png, 2)
+    assert(d.width == 2 && d.height == 1)
+    // identical raster through the PPM path → identical features
+    val ppm = "P6\n2 1\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 2, 3, -56, -55, -54)
+    assert(d.features.toSeq == Multimodal.PpmDecoder.decode(ppm, 2).features.toSeq)
+    // raster() feeds averageHash/resizeImage: same bytes, offset 0
+    val Some((w, h, bytes, off)) = Multimodal.ImageIoDecoder.raster(png)
+    assert(w == 2 && h == 1 && off == 0 &&
+      bytes.sameElements(Array[Byte](1, 2, 3, -56, -55, -54)))
+    // JPEG: lossy, so just prove the codec actually runs (dims recovered)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val jd = Multimodal.ImageIoDecoder.decode(jbos.toByteArray, 2)
+    assert(jd.width == 2 && jd.height == 1 && jd.features.length == 2)
+    // malformed / non-image payloads decode to nulls, never throw
+    assert(Multimodal.ImageIoDecoder.decode("not an image".getBytes, 2).width == null)
+    assert(Multimodal.ImageIoDecoder.decode(Array.empty[Byte], 2).width == null)
+  }
+
+  test("syntheticPngMedia → ImageIoDecoder ≡ syntheticPpmMedia → PpmDecoder") {
+    val docs = Seq((7L, "abcdefghij"), (8L, ""), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val viaPng = Multimodal.decodeFeatures(
+        Multimodal.syntheticPngMedia(docs), decoder = Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    val viaPpm = Multimodal.decodeFeatures(
+        Multimodal.syntheticPpmMedia(docs), decoder = Multimodal.PpmDecoder)
+      .orderBy("media_id").collect()
+    // PNG is lossless: codec decode must reproduce the PPM path exactly —
+    // dimensions AND every feature value
+    assert(viaPng.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toSeq ==
+      viaPpm.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toSeq)
+    // and the hash chain sees the same rasters too
+    val hPng = Multimodal.averageHash(Multimodal.syntheticPngMedia(docs),
+      decoder = Multimodal.ImageIoDecoder).orderBy("media_id").collect()
+    val hPpm = Multimodal.averageHash(Multimodal.syntheticPpmMedia(docs))
+      .orderBy("media_id").collect()
+    assert(hPng.map(_.getLong(3)).toSeq == hPpm.map(_.getLong(3)).toSeq)
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't; null/empty → null") {
     val docs = Seq(
       (1L, "word " * 400),                                   // one token repeated
