@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * integers) so the census is exact and association-order-free — the
   * oracle replays every (i, j) cell bit for bit. At 100 TB corpus sizes
   * the long path can overflow (|micro|² ≈ 10¹² per row ⇒ ~10⁶ rows per
-  * partial before 2⁶³); the operator then switches the product sums to
-  * DECIMAL(38,0) via `exact = false`… kept long here because the gate
-  * pins exactness and the synthetic scales stay far below the bound.
+  * partial before 2⁶³); `momentsMicro(…, exact = false)` switches every
+  * census sum to DECIMAL(38,0) — still integer-exact (micro values are
+  * whole numbers; 38 digits ≈ 10²⁶ rows of 10¹² products before
+  * saturation) and still one partial-agg shuffle, just wider
+  * accumulators. [[fit]] accepts either schema; the gate pins the long
+  * path and [[PcaSpec]] pins long ≡ decimal cell for cell.
   */
 object Pca {
 
@@ -34,17 +37,32 @@ object Pca {
     * micro(x) = round(double(x)·10⁶) as long: float→double widening is
     * exact and round is HALF_UP in both engines, so the census is
     * engine-exact.
+    *
+    * `exact = true` (default, gate-pinned) accumulates in BIGINT — exact
+    * up to ~10⁶ rows per partial at |micro| ≈ 10⁶. `exact = false` is
+    * the 100 TB path: the same census with every sum in DECIMAL(38,0) —
+    * still integer-exact (the inputs are whole micro units), headroom
+    * ~10²⁶ rows, at the cost of wider (non-codegen-primitive) decimal
+    * accumulators.
     */
-  def momentsMicro(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+  def momentsMicro(embs: DataFrame, vecCol: String = "embedding",
+                   exact: Boolean = true): DataFrame = {
     val mv = transform(col(vecCol), x =>
       round(x.cast("double") * lit(1e6)).cast("long"))
-    embs.select(mv.as("mv"))
+    val dec = "decimal(38,0)"
+    val exploded = embs.select(mv.as("mv"))
       .select(col("mv"), posexplode(col("mv")).as(Seq("i", "vi")))
       .select(col("i"), col("vi"), posexplode(col("mv")).as(Seq("j", "vj")))
       .where(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum("vi").as("s_i"),
+    if (exact)
+      exploded.agg(count(lit(1)).as("n"), sum("vi").as("s_i"),
         sum("vj").as("s_j"), sum(col("vi") * col("vj")).as("s_ij"))
+    else
+      exploded.agg(count(lit(1)).as("n"),
+        sum(col("vi").cast(dec)).as("s_i"),
+        sum(col("vj").cast(dec)).as("s_j"),
+        sum(col("vi").cast(dec) * col("vj").cast(dec)).as("s_ij"))
   }
 
   /** Fitted model: mean (original units), orthonormal components ordered
@@ -115,22 +133,35 @@ object Pca {
 
   /** Fit top-`k` principal components: run the distributed census,
     * collect the d(d+1)/2 moment rows, assemble the (population)
-    * covariance in doubles, Jacobi-decompose.
+    * covariance in doubles, Jacobi-decompose. `exact = false` fits from
+    * the DECIMAL(38,0) census — the overflow-proof path for corpora past
+    * ~10⁶ rows per partial.
     */
-  def fit(embs: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
-    val rows = momentsMicro(embs, vecCol).collect()
+  def fit(embs: DataFrame, k: Int, vecCol: String = "embedding",
+          exact: Boolean = true): PcaModel = {
+    val rows = momentsMicro(embs, vecCol, exact).collect()
     require(rows.nonEmpty, "empty corpus")
+    // every (i, j) cell must see every row: a ragged/null embedding would
+    // drop from some cells only and silently skew the covariance
+    require(rows.forall(_.getLong(2) == rows.head.getLong(2)),
+      "ragged or null embeddings: moment cells disagree on row count")
     val d = rows.iterator.map(_.getInt(1)).max + 1
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val n = rows.head.getLong(2).toDouble
+    // long census and decimal census collect as different JVM types
+    def num(r: org.apache.spark.sql.Row, idx: Int): Double = r.get(idx) match {
+      case l: java.lang.Long => l.toDouble
+      case b: java.math.BigDecimal => b.doubleValue()
+      case o => throw new IllegalStateException(s"unexpected census cell $o")
+    }
     val sum = new Array[Double](d)
     val prod = Array.ofDim[Double](d, d)
     rows.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
-      sum(i) = r.getLong(3).toDouble
-      sum(j) = r.getLong(4).toDouble
-      prod(i)(j) = r.getLong(5).toDouble
-      prod(j)(i) = r.getLong(5).toDouble
+      sum(i) = num(r, 3)
+      sum(j) = num(r, 4)
+      prod(i)(j) = num(r, 5)
+      prod(j)(i) = num(r, 5)
     }
     val mean = sum.map(_ / n / 1e6)
     val cov = Array.tabulate(d, d)((i, j) =>

@@ -57,6 +57,34 @@ class PcaSpec extends SparkSpec {
       (1, 1, 3L, s(1), s(1), sp(1, 1))))
   }
 
+  test("exact=false decimal census ≡ long census cell for cell; fit accepts both") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val asLong = Pca.momentsMicro(embs).orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val asDec = Pca.momentsMicro(embs, exact = false).orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact(),
+        r.getDecimal(5).longValueExact()))
+    assert(asLong.toSeq == asDec.toSeq,
+      "DECIMAL(38,0) census must be integer-identical to the BIGINT census")
+    // and the fitted models agree (identical census → identical Jacobi input)
+    val mL = Pca.fit(embs, k = 4)
+    val mD = Pca.fit(embs, k = 4, exact = false)
+    assert(mL.eigenvalues.toSeq == mD.eigenvalues.toSeq)
+    assert(mL.components.map(_.toSeq).toSeq == mD.components.map(_.toSeq).toSeq)
+    assert(mL.mean.toSeq == mD.mean.toSeq)
+  }
+
+  test("fit refuses ragged embeddings instead of silently skewing the covariance") {
+    val ragged = Seq(
+      (1L, Array(0.25f, -0.5f)),
+      (2L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Pca.fit(ragged, k = 1))
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("project: PCA reconstruction beats coordinate truncation; whitening normalizes") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
