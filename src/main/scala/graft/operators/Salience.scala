@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,23 +62,51 @@ object Salience {
     * terms with ≥ `minCount` occurrences, id-assigned in deterministic
     * rank order (frequency desc, term asc — the conventional "most
     * frequent gets the smallest id" layout), optionally truncated to
-    * `maxSize`. One partial-aggregated shuffle builds the census; the
-    * ranking windows over the VOCABULARY (sublinear in corpus size),
-    * not the token stream. Output: (token_id starting at 0, term, freq,
-    * doc_freq).
+    * `maxSize`. One partial-aggregated shuffle builds the census.
+    * Output: (token_id starting at 0, term, freq, doc_freq).
+    *
+    * The global rank is TWO-PHASE, never a single-partition window (a
+    * web-scale vocabulary is 10⁸+ terms — one task must not sort it):
+    * range-partition the census into `shards` CONTIGUOUS slices of the
+    * (freq desc, term asc) order, rank within each shard in parallel,
+    * then add per-shard offsets from a driver-collected ≤`shards`-row
+    * count table (the [[Shuffle.permutation]] shape with the offset
+    * join collapsed to a broadcast map-literal lookup). Contiguity of
+    * the range slices makes shard-local rank + offset ≡ the global
+    * row_number, and the census term key is unique so the order is
+    * strict — no boundary ties to split.
     */
   def vocabulary(docs: DataFrame, minCount: Long = 2, maxSize: Int = 0,
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text", shards: Int = 32): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val census = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("term"))
       .where(col("term") =!= "")
       .groupBy("term")
       .agg(count(lit(1)).as("freq"), count_distinct(col("doc_id")).as("doc_freq"))
       .where(col("freq") >= minCount)
-    val w = Window.orderBy(col("freq").desc, col("term").asc)
-    val ranked = census
-      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+    // contiguous slices of the global order; cached so the count pass and
+    // the rank pass see the SAME sampled range bounds (eager fill, same
+    // rationale as tfidfTopK)
+    val sharded = census
+      .repartitionByRange(shards, col("freq").desc, col("term").asc)
+      .withColumn("_shard", spark_partition_id())
+      .cache()
+    val counts = sharded.groupBy("_shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offLookup: Column =
+      if (offsets.isEmpty) lit(0L) // empty census: no rows to rank anyway
+      else element_at(
+        map(offsets.flatMap { case (s, off) => Seq(lit(s), lit(off)) }: _*),
+        col("_shard"))
+    val w = Window.partitionBy("_shard")
+      .orderBy(col("freq").desc, col("term").asc)
+    val ranked = sharded
+      .withColumn("token_id",
+        offLookup + (row_number().over(w) - 1).cast("long"))
       .select("token_id", "term", "freq", "doc_freq")
     if (maxSize > 0) ranked.where(col("token_id") < maxSize) else ranked
   }

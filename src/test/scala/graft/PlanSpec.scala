@@ -260,6 +260,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t_vocab: rank is per-shard — no single-partition window anywhere") {
+    val df = SparkEntry.queries("t_vocab")(spark, dir)
+    df.collect() // AQE: executedPlan is final only after execution
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected the per-shard rank window:\n$p")
+    windows.foreach(w => assert(w.contains("_shard"),
+      s"vocabulary rank must partition by _shard, found global window:\n$w"))
+  }
+
   test("t_dsir_scores: ratio table broadcasts onto the token stream, no cartesian") {
     val p = executed("t_dsir_scores")
     assert(p.contains("BroadcastHashJoin"),
