@@ -102,13 +102,24 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson,"flaky":$flakyJson}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson,"flaky":$flakyJson}"""
+    println(fullJson)
+    // Persist the complete per-query map too (round-4 verdict #3): the
+    // driver's tail capture truncates the big stdout line, so
+    // round-over-round per-query diffs need a file that survives intact.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, fullJson + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     // Truncation-proof trailer (round-3 verdict #2): the driver keeps the
     // TAIL of the output, and the full line above can exceed its capture —
     // BENCH_r03 lost its own total that way. This short LAST line always
     // survives, so the headline numbers are readable even when "parsed"
     // is null on the big line.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter}""")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"full":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -123,6 +123,12 @@ object MultiPattern {
     "merge batch", "customer query", "qqzz never occurs", "windowless")
 
   private def validated(patterns: Seq[String]): Seq[String] = {
+    // patterns fold via Java toLowerCase but document text folds via SQL
+    // lower() — for non-ASCII the two case mappings can disagree (even on
+    // length: İ, ẞ), silently breaking automaton ≡ scan ≡ oracle. ASCII
+    // is the documented contract; enforce it rather than half-support it.
+    patterns.foreach(p => require(p.forall(_ < 0x80),
+      s"blocklist patterns must be ASCII (fold parity with SQL lower()): '$p'"))
     val folded = patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(folded.forall(_.nonEmpty), "empty-string pattern in blocklist")
     folded

@@ -168,6 +168,11 @@ object TextAnalysis {
     docs.select(col("doc_id"), col(textCol))
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level, /* nowrap = */ true)
+        // native zlib state is only reclaimed at GC unless end()ed — on a
+        // long-lived executor running thousands of tasks that's an
+        // off-heap leak, so release it when the task completes
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         rows.map { r =>
           val text = if (r.isNullAt(1)) null else r.getString(1)

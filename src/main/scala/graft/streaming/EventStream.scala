@@ -16,16 +16,34 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** The events table's raw on-disk shape when ts is TIMESTAMP(NANOS):
+    * int64, readable by Spark only as long under
+    * spark.sql.legacy.parquet.nanosAsLong=true. The schema-inference
+    * fallback for empty source directories.
+    */
+  val eventSchemaRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** FileStreamSource needs an explicit schema; rather than hard-coding
     * one, peek at the batch-resolved schema of the same directory so both
     * on-disk shapes of the events table work: TIMESTAMP(NANOS) stored as
     * int64 (readable only as long under
     * spark.sql.legacy.parquet.nanosAsLong=true — normalized to a µs
     * timestamp here, mirroring [[graft.Tables.events]]) and native
-    * TIMESTAMP(MICROS)/INT96 (passed through untouched).
+    * TIMESTAMP(MICROS)/INT96 (passed through untouched). A stream started
+    * against a not-yet-populated directory (the usual streaming deploy
+    * order: consumer first, producer second) has nothing to peek at —
+    * fall back to [[eventSchemaRaw]] instead of failing schema inference.
     */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(dir).schema
+    val batchSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchemaRaw }
     val s = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)

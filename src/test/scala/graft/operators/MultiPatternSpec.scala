@@ -29,6 +29,14 @@ class MultiPatternSpec extends SparkSpec {
     intercept[IllegalArgumentException](MultiPattern.AhoCorasick.build(Seq("a", "")))
   }
 
+  test("tagMatches rejects non-ASCII patterns (Java vs SQL case-fold parity)") {
+    // İ lowercases to i̇ (length 2) in Java but not in SQL lower() — the
+    // automaton and the declarative twin would silently disagree
+    val e = intercept[IllegalArgumentException](
+      MultiPattern.tagMatches(Seq((1L, "x")).toDF("doc_id", "text"), Seq("İstanbul")))
+    assert(e.getMessage.contains("ASCII"))
+  }
+
   test("tagMatches: hand-checked hits, null text → zero hits, case folded") {
     val docs = Seq(
       (1L, "The SLOW scan hit a Table"),      // slow scan, scan, tab, table

@@ -23,6 +23,20 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.move(part.toPath, dir.resolve(name))
   }
 
+  test("readStream starts against an empty directory (explicit-schema fallback)") {
+    // the usual streaming deploy order is consumer-before-producer: an
+    // empty source dir must fall back to eventSchemaRaw, not fail inference
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty-stream")
+    val stream = EventStream.readStream(spark, emptyDir.toString)
+    assert(stream.isStreaming)
+    // raw long ts is normalized to a µs timestamp exactly like the
+    // populated-directory path
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(stream.schema.fieldNames.toSeq ==
+      EventStream.eventSchemaRaw.fieldNames.toSeq)
+  }
+
   test("incremental windowedCounts equals the batch result (memory sink)") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
     val expected = EventStream.windowedCounts(batchEvents)
