@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -282,37 +282,37 @@ object DataOpsQueries {
       |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
       |  FROM fb LEFT JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
-  private def portableLshSql(src: String): String =
-    s"""norm AS (
+  private def portableLshSql(src: String, p: String = ""): String =
+    s"""${p}norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
       |  FROM $src),
-      |tok AS (
+      |${p}tok AS (
       |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-      |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM norm),
-      |sh_of AS (
+      |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks FROM ${p}norm),
+      |${p}sh_of AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |       ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS sh
-      |  FROM tok),
-      |shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM sh_of)),
-      |xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM shr),
-      |mins AS (
+      |  FROM ${p}tok),
+      |${p}shr AS (SELECT doc_id, md5(g0) AS g FROM (SELECT doc_id, unnest(sh) AS g0 FROM ${p}sh_of)),
+      |${p}xs AS (SELECT doc_id, ('0x' || substr(g, 1, 15))::BIGINT % 2147483647 AS x FROM ${p}shr),
+      |${p}mins AS (
       |  SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
-      |  FROM xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
+      |  FROM ${p}xs CROSS JOIN (VALUES $portableSeedRows) seeds(i, a, b)
       |  GROUP BY 1, 2),
-      |bands AS (
+      |${p}bands AS (
       |  SELECT doc_id, i // 4 AS band,
       |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
-      |  FROM mins GROUP BY doc_id, i // 4),
-      |cand AS (
+      |  FROM ${p}mins GROUP BY doc_id, i // 4),
+      |${p}cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+      |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.band_hash = b.band_hash
       |  WHERE a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
-      |ix AS (
+      |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}shr GROUP BY 1),
+      |${p}ix AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-      |  FROM cand c JOIN shr x ON x.doc_id = c.doc_a
-      |  JOIN shr y ON y.doc_id = c.doc_b AND y.g = x.g
+      |  FROM ${p}cand c JOIN ${p}shr x ON x.doc_id = c.doc_a
+      |  JOIN ${p}shr y ON y.doc_id = c.doc_b AND y.g = x.g
       |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB expression for the hyperplane-LSH bucket of `vExpr` (a
@@ -1583,6 +1583,65 @@ object DataOpsQueries {
         Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
         decoder = Multimodal.ImageIoDecoder)),
 
+    // END-TO-END composed DataPipeline gate (round-4 verdict #5): ONE
+    // external run of DataPipeline.prepareStaged — strip → quality →
+    // boilerplate → NB filter → exact dedup → MinHash near-dedup (CC
+    // closure, Portable scheme) → span removal → decontamination →
+    // chunking — over an engineered corpus (originals + exact copies at
+    // +1e6 + ' zzqx' near copies at +2e6 + 24-token-prefix remixes at
+    // +3e6, benchmarks = 12-token prefixes of every 10th doc, NB seeds =
+    // lang splits of the raw table). Gated on survivor doc ids + per-doc
+    // chunk counts + per-stage corpus counts (constant columns), all
+    // replayed stage for stage by one chained-CTE oracle. Pins the
+    // composition ORDER externally — e.g. dedup-before-span is visible in
+    // n_despan, and decon running after span is visible in which %10==0
+    // survivors drop.
+    "pipe_full" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+      val d = raw.select("doc_id", "text")
+      val kt = TextAnalysis.kernelTokens(col("text"))
+      val corpus = d
+        .unionByName(d.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("text")))
+        .unionByName(d.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" zzqx")).as("text")))
+        .unionByName(d.where(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), kt.as("toks"))
+          .where(size(col("toks")) >= 30)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            concat(array_join(slice(col("toks"), 1, 24), " "),
+              lit(" uniqmark"), col("doc_id").cast("string")).as("text")))
+      val bench = d.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 12), " ").as("text"))
+      val cfg = DataPipeline.Config(
+        quality = QualityFilter.Rules(
+          minTokens = 25, maxTokens = 90,
+          minMeanTokenLen = 3.8, maxMeanTokenLen = 5.1,
+          minStopwordFrac = 0.02,
+          maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.05),
+        spanK = 8, nearDupThreshold = 0.8,
+        contaminationThreshold = 0.99, contaminationMaxDf = 0L,
+        chunkTokens = 64, chunkOverlap = 16,
+        boilerplateSep = " table ", boilerplateMinDocs = 20L,
+        classifierMargin = 0.0, classifierBuckets = 1024,
+        scheme = graft.operators.HashScheme.Portable)
+      val stages = DataPipeline.prepareStaged(corpus, Some(bench), cfg,
+        seeds = Some((raw.where(col("lang") === "en"),
+          raw.where(col("lang") =!= "en"))))
+      val counts = stages.map { case (n, df) => n -> df.count() }.toMap
+      stages.last._2
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_tokens").as("n_chunk_tokens"))
+        .withColumn("n_cleaned", lit(counts("cleaned")))
+        .withColumn("n_exact", lit(counts("exact")))
+        .withColumn("n_deduped", lit(counts("deduped")))
+        .withColumn("n_despan", lit(counts("despan")))
+        .withColumn("n_decontaminated", lit(counts("decontaminated")))
+    }),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
@@ -2604,6 +2663,218 @@ object DataOpsQueries {
         |    CASE WHEN g.used + d.n > 256 THEN d.n ELSE g.used + d.n END
         |  FROM t d JOIN g ON d.rn = g.rn + 1)
         |SELECT doc_id, n::BIGINT AS n_tokens, pack_id FROM g""".stripMargin,
+
+    // The composed-pipeline replay: every stage of pipe_full chained as
+    // CTEs — corpus build, markup strip, Gopher quality (3-valued WHERE,
+    // matching QualityFilter.apply's null semantics), ' table '
+    // boilerplate census, NB filter (training censuses over the raw
+    // table via nbScoreSql, scoring over the cleaned text), exact-dedup
+    // min-id survivors, portable MinHash LSH + jaccard edges + recursive
+    // min-label connected components, k=8 span removal, 3-shingle
+    // containment decontamination vs the 12-token-prefix benchmarks, and
+    // 64/16 chunking. Stage counts ride as scalar subqueries.
+    "pipe_full" ->
+      s"""WITH RECURSIVE pcorp AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, coalesce(text, '') || ' zzqx' FROM documents
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    array_to_string(ktoks[1:24], ' ') || ' uniqmark' || doc_id::VARCHAR
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |               ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS ktoks
+        |        FROM documents WHERE doc_id % 10 = 3)
+        |  WHERE len(ktoks) >= 30),
+        |pstrip AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |      '[^\\S\\n]+', ' ', 'g'), '[ \\n]*\\n[ \\n]*', chr(10), 'g'), ' ' || chr(10)) AS text
+        |  FROM pcorp),
+        |pq_base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS qtoks,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS qnorm
+        |  FROM pstrip),
+        |pq_ntok AS (
+        |  SELECT doc_id, text, qtoks,
+        |    CASE WHEN qnorm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(qnorm, '\\s+') END AS ntoks
+        |  FROM pq_base),
+        |pq_sh AS (
+        |  SELECT doc_id, text, qtoks,
+        |    CASE WHEN len(ntoks) < 2 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+1], ' ') FOR i IN range(1, len(ntoks))]
+        |    END AS sh2,
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
+        |    END AS sh3
+        |  FROM pq_ntok),
+        |pq_sig AS (
+        |  SELECT doc_id, text,
+        |    len(qtoks) AS n_tokens,
+        |    round((length(text) - (len(qtoks) - 1))::DOUBLE / greatest(len(qtoks), 1), 6) AS mtl,
+        |    round(len(list_filter(qtoks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for')))::DOUBLE
+        |          / greatest(len(qtoks), 1), 6) AS swf,
+        |    round(1 - len(list_distinct(sh2))::DOUBLE / greatest(len(sh2), 1), 6) AS d2,
+        |    round(1 - len(list_distinct(sh3))::DOUBLE / greatest(len(sh3), 1), 6) AS d3
+        |  FROM pq_sh),
+        |pq AS MATERIALIZED (
+        |  SELECT doc_id, text FROM pq_sig
+        |  WHERE NOT (n_tokens < 25 OR n_tokens > 90 OR mtl < 3.8 OR mtl > 5.1
+        |             OR swf < 0.02 OR d2 > 0.08 OR d3 > 0.05)),
+        |pbl AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM pq)),
+        |pbp AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS n_docs FROM pbl GROUP BY 1)
+        |  WHERE n_docs >= 20),
+        |pbk AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), ' table ') AS text
+        |  FROM pbl WHERE line NOT IN (SELECT line FROM pbp) GROUP BY 1),
+        |pclean3 AS MATERIALIZED (
+        |  SELECT q.doc_id, coalesce(k.text, '') AS text
+        |  FROM pq q LEFT JOIN pbk k USING (doc_id)
+        |  WHERE length(coalesce(k.text, '')) > 0),
+        |$nbScoreSql,
+        |pnb_norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM pclean3),
+        |pnb_toks AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks
+        |  FROM pnb_norm),
+        |pnb_feats AS (
+        |  SELECT doc_id, t FROM
+        |    (SELECT doc_id, unnest(toks) AS t FROM pnb_toks) WHERE t <> ''
+        |  UNION ALL
+        |  SELECT doc_id, g AS t FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |    FROM pnb_toks WHERE len(toks) >= 2)),
+        |pnb_fb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b FROM pnb_feats),
+        |pnb_agg AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
+        |  FROM pnb_fb LEFT JOIN w USING (b) GROUP BY doc_id),
+        |pclean AS MATERIALIZED (
+        |  SELECT c.doc_id, c.text FROM pclean3 c JOIN pnb_agg a USING (doc_id)
+        |  WHERE a.n_feats > 0 AND round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) >= 0.0),
+        |pfp AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM pclean),
+        |pex AS MATERIALIZED (SELECT doc_id, text FROM pfp WHERE rn = 1),
+        |${portableLshSql("pex", "nd_")},
+        |nd_edge AS MATERIALIZED (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM nd_cand c LEFT JOIN nd_ix i USING (doc_a, doc_b)
+        |  JOIN nd_sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN nd_sizes sb ON sb.doc_id = c.doc_b
+        |  WHERE round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) >= 0.8),
+        |nd_und AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM nd_edge
+        |  UNION SELECT doc_b, doc_a FROM nd_edge),
+        |nd_reach(node, lbl) AS (
+        |  SELECT a, a FROM nd_und UNION SELECT a, b FROM nd_und
+        |  UNION
+        |  SELECT r.node, e.b FROM nd_reach r JOIN nd_und e ON e.a = r.lbl),
+        |nd_comp AS (SELECT node, min(lbl) AS comp FROM nd_reach GROUP BY 1),
+        |pdedup AS MATERIALIZED (
+        |  SELECT x.doc_id, x.text FROM pex x LEFT JOIN nd_comp c ON c.node = x.doc_id
+        |  WHERE c.node IS NULL OR c.comp = x.doc_id),
+        |sp_arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS arr
+        |  FROM pdedup),
+        |sp_wins AS (
+        |  SELECT doc_id, u.wpos, u.dig FROM (
+        |    SELECT doc_id,
+        |      unnest([{'wpos': i, 'dig': md5(array_to_string(arr[i+1:i+8], ' '))}
+        |              FOR i IN range(0, len(arr) - 7)]) AS u
+        |    FROM sp_arrs WHERE len(arr) >= 8)),
+        |sp_rep AS (SELECT dig FROM sp_wins GROUP BY dig HAVING count(*) > 1),
+        |sp_cov AS MATERIALIZED (
+        |  SELECT DISTINCT w.doc_id, t.pos
+        |  FROM sp_wins w JOIN sp_rep USING (dig),
+        |       unnest(range(w.wpos, w.wpos + 8)) AS t(pos)),
+        |sp_toks AS (
+        |  SELECT doc_id, u.pos, u.tok FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i, 'tok': arr[i+1]} FOR i IN range(len(arr))]) AS u
+        |    FROM sp_arrs)),
+        |sp_reb AS (
+        |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
+        |  FROM sp_toks t
+        |  LEFT JOIN sp_cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.doc_id IS NULL
+        |  GROUP BY t.doc_id),
+        |pspan AS MATERIALIZED (
+        |  SELECT a.doc_id, coalesce(r.text, '') AS text
+        |  FROM sp_arrs a LEFT JOIN sp_reb r USING (doc_id)
+        |  WHERE length(coalesce(r.text, '')) > 0),
+        |dc_trn AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM pspan),
+        |dc_tr AS MATERIALIZED (
+        |  SELECT doc_id AS train_id, unnest(sh) AS g FROM (
+        |    SELECT doc_id,
+        |      list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      END) AS sh
+        |    FROM (SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |               ELSE regexp_split_to_array(norm, '\\s+') END AS toks
+        |          FROM dc_trn))),
+        |dc_ttok AS (SELECT doc_id, toks[1:12] AS toks FROM toks WHERE doc_id % 10 = 0),
+        |dc_tsh AS (
+        |  SELECT test_id, unnest(sh) AS g FROM (
+        |    SELECT doc_id AS test_id,
+        |      list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |      END) AS sh
+        |    FROM dc_ttok)),
+        |dc_size AS (SELECT test_id, count(*) AS n FROM dc_tsh GROUP BY 1),
+        |dc_m AS (
+        |  SELECT test_id, train_id, count(*) AS mc
+        |  FROM dc_tsh JOIN dc_tr USING (g) GROUP BY 1, 2),
+        |dc_bad AS MATERIALIZED (
+        |  SELECT DISTINCT train_id FROM dc_m JOIN dc_size USING (test_id)
+        |  WHERE round(mc::DOUBLE / n, 6) >= 0.99),
+        |pdecon AS MATERIALIZED (
+        |  SELECT doc_id, text FROM pspan
+        |  WHERE doc_id NOT IN (SELECT train_id FROM dc_bad)),
+        |ck_arrs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS arr
+        |  FROM pdecon),
+        |ck_starts AS (
+        |  SELECT doc_id, len(arr) AS n, t.s
+        |  FROM (SELECT doc_id, arr FROM ck_arrs WHERE len(arr) >= 1) a,
+        |       unnest(range(0,
+        |         greatest(CAST(ceil((len(arr) - 64)::DOUBLE / 48) AS INT), 0) * 48 + 1,
+        |         48)) AS t(s))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(least(n - s, 64)) AS BIGINT) AS n_chunk_tokens,
+        |  (SELECT count(*) FROM pclean) AS n_cleaned,
+        |  (SELECT count(*) FROM pex) AS n_exact,
+        |  (SELECT count(*) FROM pdedup) AS n_deduped,
+        |  (SELECT count(*) FROM pspan) AS n_despan,
+        |  (SELECT count(*) FROM pdecon) AS n_decontaminated
+        |FROM ck_starts GROUP BY doc_id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH norm AS (

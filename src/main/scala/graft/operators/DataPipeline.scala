@@ -65,7 +65,12 @@ object DataPipeline {
       chunkOverlap: Int = 0,
       classifierMargin: Double = 0.0,
       tokenBudget: Long = 0L,
-      budgetSeed: Long = 0L)
+      budgetSeed: Long = 0L,
+      boilerplateSep: String = "\n",
+      boilerplateMinDocs: Long = 10L,
+      classifierBuckets: Int = 4096,
+      contaminationMaxDf: Long = Decontaminate.DefaultMaxDf,
+      scheme: HashScheme = HashScheme.Fast)
 
   /** Shared per-document cleaning head (stages 1-3): markup strip →
     * quality filter → boilerplate removal. removeBoilerplate coalesces
@@ -78,7 +83,8 @@ object DataPipeline {
                         seeds: Option[(DataFrame, DataFrame)]): DataFrame = {
     val stripped = docs.withColumn("text",
       TextAnalysis.stripMarkup(col("text")))
-    val cleaned = Boilerplate.removeBoilerplate(QualityFilter(stripped, cfg.quality))
+    val cleaned = Boilerplate.removeBoilerplate(QualityFilter(stripped, cfg.quality),
+        cfg.boilerplateSep, cfg.boilerplateMinDocs)
       .select(col("doc_id"), col("clean_text").as("text"))
       .where(length(col("text")) > 0)
     // stage 3b: model-based filter — trains per run for convenience; at
@@ -86,7 +92,8 @@ object DataPipeline {
     seeds match {
       case None => cleaned
       case Some((pos, neg)) =>
-        Classifier.filterByClassifier(cleaned, pos, neg, cfg.classifierMargin)
+        Classifier.filterByClassifier(cleaned, pos, neg, cfg.classifierMargin,
+          cfg.classifierBuckets)
     }
   }
 
@@ -97,9 +104,9 @@ object DataPipeline {
     * they're dropped) and BEFORE chunking (budgets count document
     * tokens once, not once per chunk).
     */
-  private def finishTail(deduped: DataFrame, benchmarks: Option[DataFrame],
-                         cfg: Config,
-                         budgetGroups: Option[DataFrame]): DataFrame = {
+  private def finishTailStaged(deduped: DataFrame, benchmarks: Option[DataFrame],
+                               cfg: Config,
+                               budgetGroups: Option[DataFrame]): Seq[(String, DataFrame)] = {
     val deSpan =
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
@@ -110,7 +117,8 @@ object DataPipeline {
       case Some(bench) =>
         deSpan.join(
           Decontaminate.contaminatedTrainIds(bench, deSpan,
-            threshold = cfg.contaminationThreshold),
+            threshold = cfg.contaminationThreshold,
+            maxDf = cfg.contaminationMaxDf),
           Seq("doc_id"), "left_anti")
     }
     val budgeted = budgetGroups match {
@@ -128,9 +136,17 @@ object DataPipeline {
           .drop("_grp", "grp", "cum_tokens")
       case _ => decontaminated
     }
-    if (cfg.chunkTokens <= 0) budgeted
-    else SpanDedup.chunk(budgeted, cfg.chunkTokens, cfg.chunkOverlap)
+    val chunks =
+      if (cfg.chunkTokens <= 0) budgeted
+      else SpanDedup.chunk(budgeted, cfg.chunkTokens, cfg.chunkOverlap)
+    Seq("despan" -> deSpan, "decontaminated" -> decontaminated,
+      "budgeted" -> budgeted, "chunks" -> chunks)
   }
+
+  private def finishTail(deduped: DataFrame, benchmarks: Option[DataFrame],
+                         cfg: Config,
+                         budgetGroups: Option[DataFrame]): DataFrame =
+    finishTailStaged(deduped, benchmarks, cfg, budgetGroups).last._2
 
   /** Run the full chain. Returns chunk-grain rows when chunking is on
     * ((doc_id, chunk_id, chunk_text, chunk_start, chunk_tokens)),
@@ -139,12 +155,31 @@ object DataPipeline {
   def prepare(docs: DataFrame, benchmarks: Option[DataFrame] = None,
               cfg: Config = Config(),
               seeds: Option[(DataFrame, DataFrame)] = None,
-              budgetGroups: Option[DataFrame] = None): DataFrame = {
-    val exact = Dedup.exactDeduped(cleanHead(docs, cfg, seeds))
-    val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold)
+              budgetGroups: Option[DataFrame] = None): DataFrame =
+    prepareStaged(docs, benchmarks, cfg, seeds, budgetGroups).last._2
+
+  /** [[prepare]] with per-stage observability: the SAME composition
+    * (shared code path, so the stages can never drift from prepare), but
+    * every stage boundary is returned alongside its name so callers (the
+    * end-to-end gate, ops dashboards, sample-and-inspect tooling) can
+    * count or audit what each stage dropped. Last frame == prepare's
+    * output. Stage names, in order: cleaned (strip → quality →
+    * boilerplate → empty-drop → optional NB filter), exact, deduped,
+    * despan, decontaminated, budgeted, chunks — stages configured off
+    * collapse into their input frame (same composition [[prepare]] uses).
+    */
+  def prepareStaged(docs: DataFrame, benchmarks: Option[DataFrame] = None,
+                    cfg: Config = Config(),
+                    seeds: Option[(DataFrame, DataFrame)] = None,
+                    budgetGroups: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
+    val cleaned = cleanHead(docs, cfg, seeds)
+    val exact = Dedup.exactDeduped(cleaned)
+    val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold,
+        scheme = cfg.scheme)
       .where(col("is_survivor")).select("doc_id")
     val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
-    finishTail(deduped, benchmarks, cfg, budgetGroups)
+    Seq("cleaned" -> cleaned, "exact" -> exact, "deduped" -> deduped) ++
+      finishTailStaged(deduped, benchmarks, cfg, budgetGroups)
   }
 
   /** The daily-loop (incremental) variant: prepare an ARRIVING increment

@@ -529,9 +529,10 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, textCol: String = "text",
                     threshold: Double = 0.8, shingleSize: Int = 3,
-                    numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                    numHashes: Int = 32, bands: Int = 8,
+                    scheme: HashScheme = HashScheme.Fast): DataFrame = {
     val edges = nearDuplicateClusters(docs, textCol, threshold, shingleSize,
-      numHashes, bands)
+      numHashes, bands, scheme)
     val comp = ConnectedComponents.assign(edges, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
     docs.select(col("doc_id"))
