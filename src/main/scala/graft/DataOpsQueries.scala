@@ -29,7 +29,17 @@ object DataOpsQueries {
     * engines) is bit-reproducible. k·dim doubles — driver-trivial.
     */
   private def fixedCentroids(s: SparkSession, dir: String, k: Int): Array[Array[Double]] =
-    Tables.embeddings(s, dir).where(col("vec_id") < k)
+    fixedCentroidRange(s, dir, 0, k)
+
+  /** Id-range variant of [[fixedCentroids]]: vectors lo ≤ vec_id < hi in
+    * id order — used where the seed pool must not overlap another fixed
+    * set (e.g. residual-PQ seeds vs the coarse centroids themselves,
+    * whose residuals are degenerate zeros).
+    */
+  private def fixedCentroidRange(s: SparkSession, dir: String, lo: Int,
+                                 hi: Int): Array[Array[Double]] =
+    Tables.embeddings(s, dir)
+      .where(col("vec_id") >= lo && col("vec_id") < hi)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[AnyRef](0).map(_.asInstanceOf[Number].doubleValue()).toArray)
 
@@ -1334,17 +1344,24 @@ object DataOpsQueries {
         emb.where(col("vec_id") % 83 === 0), model, k = 10)
     }),
 
-    // IVF-PQ (the FAISS composition): coarse lists from the 8 fixed
-    // centroids, nProbe=3 multi-probe, ADC only over probed candidates —
-    // the bounded-candidate answer to exhaustive ADC. Oracle replays
-    // assignment, probes, codes, LUT, and ranking.
+    // IVF-PQ with RESIDUAL encoding (the faithful FAISS composition):
+    // coarse lists from the 8 fixed centroids, PQ codebooks seeded from
+    // RESIDUAL vectors (seed − its nearest coarse centroid — codebooks
+    // centered where residuals live), corpus codes quantize v − c_list,
+    // each query builds one LUT per probed list from q − c_list, and the
+    // ADC join keys on (list, j, code). Oracle replays assignment,
+    // residuals, residual codebook, probes, per-list LUTs, and ranking.
     "e_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val cents8 = fixedCentroids(s, dir, 8)
+      // seed pool 8..23: the coarse centroids' own residuals are zero
+      // vectors, so seeding from vec_id < 16 would waste half the codebook
       val model = operators.ProductQuantizer.seedModel(
-        fixedCentroids(s, dir, 16), m = 8)
-      operators.ProductQuantizer.ivfPqTopK(emb,
+        operators.ProductQuantizer.residualSeeds(
+          fixedCentroidRange(s, dir, 8, 24), cents8), m = 8)
+      operators.ProductQuantizer.ivfPqResidualTopK(emb,
         emb.where(col("vec_id") % 83 === 0),
-        fixedCentroids(s, dir, 8), model, k = 10, nProbe = 3)
+        cents8, model, k = 10, nProbe = 3)
     }),
 
     // PQ quality harness on the planted corpus (cf. e_proj_recall):
@@ -1378,8 +1395,61 @@ object DataOpsQueries {
         .na.fill(0.0, Seq("recall_pq"))
         .cache()
       val m = out.agg(avg("recall_pq")).head().getDouble(0)
-      require(m >= 0.8,
-        f"PQ-ADC recall regression: mean recall_pq=$m%.3f (floor 0.8)")
+      require(m >= 0.9,
+        f"PQ-ADC recall regression: mean recall_pq=$m%.3f (floor 0.9)")
+      out
+    }),
+
+    // Residual-IVF-PQ quality harness on the same planted corpus: top-10
+    // recall of the full FAISS composition (coarse probe + residual
+    // codes + per-list full-distance LUTs) vs float brute force, with
+    // raw-codebook IVF-PQ recall reported alongside for the A/B read.
+    // Only the absolute floor is asserted: with SEEDED (untrained)
+    // codebooks on a corpus whose raw seeds are themselves corpus
+    // points, the raw codebook is unusually favorable (measured 1.0),
+    // so a residual≥raw require would pin an accident of the synthetic
+    // data, not the operator (residual's edge appears with TRAINED
+    // codebooks at real scale). Self-asserting, rows-only by design.
+    "e_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 20)
+      val planted = q
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(10))).as("j"))
+        .select(
+          (lit(3000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id") * 7 + col("j") * 13 + i) * lit(0.02))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      val cents8 = fixedCentroids(s, dir, 8)
+      val resModel = operators.ProductQuantizer.seedModel(
+        operators.ProductQuantizer.residualSeeds(
+          fixedCentroidRange(s, dir, 8, 24), cents8), m = 8)
+      val rawModel = operators.ProductQuantizer.seedModel(
+        fixedCentroidRange(s, dir, 8, 24), m = 8)
+      def recallOf(topk: DataFrame): DataFrame =
+        q.select(col("vec_id").as("query_id"))
+          .join(brute.join(topk.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id")
+            .agg((count(lit(1)) / 10.0).as("recall")),
+            Seq("query_id"), "left_outer")
+          .na.fill(0.0, Seq("recall"))
+      val res = recallOf(operators.ProductQuantizer.ivfPqResidualTopK(
+        corpus, q, cents8, resModel, k = 10, nProbe = 3))
+        .withColumnRenamed("recall", "recall_residual")
+      val raw = recallOf(operators.ProductQuantizer.ivfPqTopK(
+        corpus, q, cents8, rawModel, k = 10, nProbe = 3))
+        .withColumnRenamed("recall", "recall_raw")
+      val out = res.join(raw, Seq("query_id")).cache()
+      val mRes = out.agg(avg("recall_residual")).head().getDouble(0)
+      require(mRes >= 0.85,
+        f"residual IVF-PQ recall regression: $mRes%.3f (floor 0.85)")
       out
     }),
 
@@ -3735,40 +3805,65 @@ object DataOpsQueries {
         |  round(adc_micro::DOUBLE / 1e6, 6) AS adc, rank
         |FROM rk WHERE rank <= 10""".stripMargin,
 
+    // residual IVF-PQ: coarse assignment + probes over the 8 fixed
+    // centroids, residual vectors v − c_list, the PQ codebook seeded
+    // from the first 16 RESIDUALS, per-(vec, subspace) argmin codes,
+    // one LUT per (query, probed list) from q − c_list, ADC keyed on
+    // (list, j, code)
     "e_ivfpq_topk" ->
-      s"""WITH ${pqCodesSql()},
-        |c8 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv8
-        |       FROM embeddings WHERE vec_id < 8),
+      """WITH c8 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv8
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 8)) AS j),
         |sc8 AS (
         |  SELECT v.vec_id, c8.cid,
         |    list_dot_product(cv8, cv8) - 2 * list_dot_product(ev, cv8) AS sc
         |  FROM v CROSS JOIN c8),
-        |asg AS (
+        |asg AS MATERIALIZED (
         |  SELECT vec_id, cid AS list_id FROM (
         |    SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
         |    FROM sc8) WHERE rn = 1),
-        |probes AS (
+        |probes AS MATERIALIZED (
         |  SELECT vec_id AS query_id, cid AS list_id FROM (
         |    SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
         |    FROM sc8 WHERE vec_id % 83 = 0) WHERE rn <= 3),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probes p JOIN asg a USING (list_id)
-        |  WHERE a.vec_id <> p.query_id),
-        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |      FROM embeddings WHERE vec_id % 83 = 0),
-        |lut AS (
-        |  SELECT q.query_id, sub.j, c.cid AS code,
-        |    CAST(round((list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
-        |      - 2 * list_dot_product(qv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])) * 1e6) AS BIGINT) AS lm
-        |  FROM q CROSS JOIN sub CROSS JOIN c),
+        |rv AS MATERIALIZED (
+        |  SELECT v.vec_id, a.list_id,
+        |    [v.ev[i] - c8.cv8[i] FOR i IN range(1, 65)] AS rv
+        |  FROM v JOIN asg a USING (vec_id) JOIN c8 ON c8.cid = a.list_id),
+        |rc AS MATERIALIZED (
+        |  SELECT (vec_id - 8)::INT AS cid, rv AS cv
+        |  FROM rv WHERE vec_id >= 8 AND vec_id < 24),
+        |rcs AS (
+        |  SELECT rv.vec_id, rv.list_id, sub.j, rc.cid,
+        |    list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
+        |      - 2 * list_dot_product(rv.rv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8]) AS sc
+        |  FROM rv CROSS JOIN sub CROSS JOIN rc),
+        |rcodes AS MATERIALIZED (
+        |  SELECT vec_id, list_id, j, cid AS code FROM (
+        |    SELECT vec_id, list_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM rcs) WHERE rn = 1),
+        |qrv AS MATERIALIZED (
+        |  SELECT p.query_id, p.list_id,
+        |    [v.ev[i] - c8.cv8[i] FOR i IN range(1, 65)] AS rq
+        |  FROM probes p JOIN v ON v.vec_id = p.query_id
+        |  JOIN c8 ON c8.cid = p.list_id),
+        |rlut AS (
+        |  SELECT qrv.query_id, qrv.list_id, sub.j, rc.cid AS code,
+        |    CAST(round((list_dot_product(rq[sub.j*8+1:sub.j*8+8], rq[sub.j*8+1:sub.j*8+8])
+        |      + (list_dot_product(cv[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8])
+        |         - 2 * list_dot_product(rq[sub.j*8+1:sub.j*8+8], cv[sub.j*8+1:sub.j*8+8]))) * 1e6) AS BIGINT) AS lm
+        |  FROM qrv CROSS JOIN sub CROSS JOIN rc),
         |adc AS (
-        |  SELECT cand.query_id, cand.neighbor_id, sum(lm)::BIGINT AS adc_micro
-        |  FROM cand JOIN codes ON codes.vec_id = cand.neighbor_id
-        |  JOIN lut ON lut.query_id = cand.query_id
-        |    AND lut.j = codes.j AND lut.code = codes.code
+        |  SELECT rlut.query_id, rcodes.vec_id AS neighbor_id,
+        |    sum(lm)::BIGINT AS adc_micro
+        |  FROM rcodes JOIN rlut ON rlut.list_id = rcodes.list_id
+        |    AND rlut.j = rcodes.j AND rlut.code = rcodes.code
+        |  WHERE rcodes.vec_id <> rlut.query_id
         |  GROUP BY 1, 2),
         |rk AS (
         |  SELECT *, row_number() OVER (

@@ -214,4 +214,120 @@ object ProductQuantizer {
       codes.join(candPairs, Seq("neighbor_id"))
         .join(broadcast(lut), Seq("query_id", "j", "code")), k)
   }
+
+  // ---- residual encoding (the FAISS IVF-PQ composition proper) ----
+
+  /** The coarse-centroid table as one array-of-arrays literal column. */
+  private def centroidLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit): _*)): _*)
+
+  /** Driver-side sequential dot — the same left-to-right double sum the
+    * engine's VectorOps.dot and DuckDB's list_dot_product produce, so
+    * seeds derived with it are engine-replayable.
+    */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Residual seed vectors: each seed minus its nearest coarse centroid
+    * (the ‖c‖²−2·v·c argmin kernel, ties to the lowest index — the exact
+    * arithmetic [[Clustering.assignColumn]] runs, so an external oracle
+    * replays the same assignment). FAISS trains PQ codebooks on
+    * RESIDUALS, not raw vectors — a codebook of raw-vector slices is
+    * mis-centered for residual encoding (residuals live near the
+    * origin), which is where IVF-PQ's recall at small m comes from.
+    */
+  def residualSeeds(seeds: Array[Array[Double]],
+                    centroids: Array[Array[Double]]): Array[Array[Double]] =
+    seeds.map { v =>
+      val best = centroids.zipWithIndex
+        .map { case (c, i) => (seqDot(c, c) - 2.0 * seqDot(v, c), i) }
+        .minBy { case (s, i) => (s, i) }._2
+      v.zip(centroids(best)).map { case (x, c) => x - c }
+    }
+
+  /** Coarse assignment + residual vector per row: (idCol, _list, _resid). */
+  private def residualFrame(df: DataFrame, centroids: Array[Array[Double]],
+                            idCol: String, vecCol: String): DataFrame =
+    df.withColumn("_list", Clustering.assignColumn(col(vecCol), centroids))
+      .withColumn("_resid", zip_with(col(vecCol),
+        element_at(centroidLit(centroids), col("_list") + 1),
+        (x, c) => x.cast("double") - c))
+      .select(col(idCol), col("_list"), col("_resid"))
+
+  /** Per-subspace codes of the RESIDUAL vectors: (idCol, _list, j, code).
+    * Same explode + broadcast-codebook + struct-min argmin plan as
+    * [[codeRows]] — the residual subtraction is one extra shuffle-free
+    * zip_with on the scan.
+    */
+  def residualCodeRows(corpus: DataFrame, centroids: Array[Array[Double]],
+                       model: PqModel, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    residualFrame(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("_list"),
+        posexplode(array((0 until model.m).map(j =>
+          slice(col("_resid"), j * model.dsub + 1, model.dsub)): _*))
+          .as(Seq("j", "sub")))
+      .join(broadcast(codebookFrame(corpus, model)), Seq("j"))
+      .groupBy(col(idCol), col("_list"), col("j"))
+      .agg(min(struct(scoreCol.as("s"), col("code").as("c")))
+        .getField("c").as("code"))
+
+  /** (idCol, list_id, codes): the residual-encoded corpus — the coarse
+    * list id plus m residual code bytes per vector, the complete IVF-PQ
+    * index entry.
+    */
+  def encodeResidual(corpus: DataFrame, centroids: Array[Array[Double]],
+                     model: PqModel, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    residualCodeRows(corpus, centroids, model, idCol, vecCol)
+      .groupBy(col(idCol), col("_list").as("list_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** IVF-PQ with residual encoding — the faithful FAISS composition:
+    * corpus codes quantize v − centroid(list(v)); each query builds a
+    * SEPARATE LUT per probed list from its residual against THAT list's
+    * centroid (q − c_list), because corpus codes in different lists are
+    * expressed in different frames. The ADC join keys on
+    * (_list, j, code), which both bounds candidates to probed lists
+    * (the IVF part — no separate candidate-pair join needed) and selects
+    * the right LUT frame per candidate. LUT rows: nProbe·m·ksub per
+    * query — still broadcast-sized.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        centroids: Array[Array[Double]], model: PqModel,
+                        k: Int, nProbe: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad params k=$k nProbe=$nProbe")
+    val codes = residualCodeRows(corpus, centroids, model, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val probes = queries
+      .withColumn("_list", explode(Clustering.probesColumn(col(vecCol), centroids, nProbe)))
+      .withColumn("_rq", zip_with(col(vecCol),
+        element_at(centroidLit(centroids), col("_list") + 1),
+        (x, c) => x.cast("double") - c))
+      .select(col(idCol).as("query_id"), col("_list"), col("_rq"))
+    // UNLIKE the shared lutFrame, the per-query constant ‖rq_j‖² must be
+    // INCLUDED here: it differs per probed list (rq = q − c_list), and
+    // ADC compares candidates ACROSS lists — dropping it would rank
+    // lists against each other on incomparable scores. With it, the
+    // entry is the full ‖rq_j − c‖², so the m-term sum is the true
+    // squared residual distance, list-comparable by construction.
+    val lut = probes
+      .select(col("query_id"), col("_list"),
+        posexplode(array((0 until model.m).map(j =>
+          slice(col("_rq"), j * model.dsub + 1, model.dsub)): _*))
+          .as(Seq("j", "sub")))
+      .join(broadcast(codebookFrame(queries, model)), Seq("j"))
+      .select(col("query_id"), col("_list"), col("j"), col("code"),
+        round((graft.functions.VectorOps.dot(col("sub"), col("sub")) + scoreCol) * 1e6)
+          .cast("long").as("lut_micro"))
+    rankAdc(
+      codes.join(broadcast(lut), Seq("_list", "j", "code"))
+        .where(col("neighbor_id") =!= col("query_id")), k)
+  }
 }

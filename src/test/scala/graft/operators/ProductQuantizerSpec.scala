@@ -88,6 +88,68 @@ class ProductQuantizerSpec extends SparkSpec {
       "nProbe=1 results must come from the query's own list")
   }
 
+  test("residualSeeds subtracts each seed's nearest centroid; zero for centroids themselves") {
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0))
+    val rs = ProductQuantizer.residualSeeds(
+      Array(centroids(0), Array(0.0, 1.0, 0.0, 0.0, 4.0, 0.0, 0.0, 0.0)),
+      centroids)
+    // a seed equal to a centroid has zero residual
+    assert(rs(0).forall(_ == 0.0))
+    // the second seed is nearer centroid 1 (distance² 2 vs 18) → v − c1
+    assert(rs(1).toSeq == Seq(0.0, 1.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0))
+  }
+
+  test("encodeResidual: exact duplicate of a corpus vector gets its list and codes") {
+    val corpus = corpusOf((1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val twin = corpus.where($"vec_id" === 7L)
+      .select(lit(777L).as("vec_id"), $"embedding")
+    val enc = ProductQuantizer.encodeResidual(
+        corpus.unionByName(twin), centroids, model)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(enc(777L) == enc(7L),
+      "identical vectors must land in the same list with the same residual codes")
+    assert(enc.values.forall { case (l, cs) =>
+      l >= 0 && l < 2 && cs.length == 2 && cs.forall(c => c >= 0 && c < 4) })
+  }
+
+  test("ivfPqResidualTopK ranks an exact duplicate first; candidates honor probed lists") {
+    val corpus = corpusOf((1L to 30L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
+    val centroids = Array(
+      Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0))
+    val model = ProductQuantizer.seedModel(seeds, m = 2)
+    val twin = corpus.where($"vec_id" === 5L)
+      .select(lit(555L).as("vec_id"), $"embedding")
+    val all = corpus.unionByName(twin)
+    val q = all.where($"vec_id" === 555L)
+    val out = ProductQuantizer.ivfPqResidualTopK(all, q, centroids, model,
+      k = 30, nProbe = 2).collect()
+    // the twin shares the query's own argmin codes, so its ADC is the
+    // achievable minimum (other vectors may TIE on the coarse ksub=4
+    // codebook — rank order among ties is id-ascending, so assert on the
+    // score, not the position)
+    val byId = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byId(5L) == out.map(_.getLong(2)).min,
+      "the twin's source must sit at the minimum ADC distance")
+    assert(!byId.contains(555L), "self must be excluded")
+    // nProbe = 1: neighbors restricted to the query's own coarse list
+    val one = ProductQuantizer.ivfPqResidualTopK(all, q, centroids, model,
+      k = 30, nProbe = 1)
+    val lists = all
+      .select($"vec_id", Clustering.assignColumn($"embedding", centroids).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = one.select("neighbor_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(n => lists(n) == lists(555L)))
+  }
+
   test("train fits per-subspace codebooks of the requested shape") {
     val corpus = corpusOf((1L to 40L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 2.0 + d).toFloat))): _*)
