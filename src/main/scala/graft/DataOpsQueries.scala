@@ -352,6 +352,17 @@ object DataOpsQueries {
     "t_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir))),
 
+    // TRAINED language ID (fastText-style): multi-class hashed-NB fit on
+    // the corpus's own lang labels, served as one stateless projection
+    // (per-class dense weight arrays, integer micro sums, struct-min
+    // argmax). The oracle retrains from the same censuses and replays
+    // every per-doc class score and the (score desc, lang asc) argmax.
+    "t_langid_nb" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Classifier.classifyLanguage(docs,
+        operators.Classifier.trainLanguageNB(docs, buckets = 1024))
+    }),
+
     // Repetition quality signal: duplicate 2-/3-gram fractions (oracle —
     // same construction over DuckDB list comprehensions).
     "t_repetition" -> ((s, dir) =>
@@ -1845,6 +1856,55 @@ object DataOpsQueries {
         |    WHEN s_es THEN 'es' ELSE 'zh' END AS lang_pred,
         |  greatest(s_en, s_de, s_fr, s_es, s_zh, 0) AS lang_score
         |FROM s""".stripMargin,
+
+    // trained-langid replay: retrain the per-class censuses from the
+    // same hashed features, rebuild micro weights / smoothing floors /
+    // priors with the identical round(log10(·)·1e6) ops, score every
+    // (doc, class) pair as an exact integer sum, argmax (score desc,
+    // lang asc) — the struct-min tie rule the stateless server uses
+    "t_langid_nb" ->
+      s"""WITH $hashedFeatureSql,
+        |cls AS (
+        |  SELECT coalesce(lang, 'und') AS cls, count(*)::BIGINT AS nd
+        |  FROM documents GROUP BY 1),
+        |ctot AS (
+        |  SELECT (SELECT count(*) FROM documents)::BIGINT AS nn,
+        |         (SELECT count(*) FROM cls)::BIGINT AS nl),
+        |lcen AS (
+        |  SELECT coalesce(lang, 'und') AS cls, b, count(*)::BIGINT AS c
+        |  FROM fb GROUP BY 1, 2),
+        |ltot AS (SELECT cls, sum(c)::BIGINT AS ct FROM lcen GROUP BY 1),
+        |lw AS (
+        |  SELECT cls, b,
+        |    CAST(round(log10((c + 1.0) / (ct + 1024.0)) * 1e6) AS BIGINT) AS w
+        |  FROM lcen JOIN ltot USING (cls)),
+        |ldef AS (
+        |  SELECT cls, CAST(round(log10(1.0 / (ct + 1024.0)) * 1e6) AS BIGINT) AS d
+        |  FROM ltot),
+        |lpr AS (
+        |  SELECT cls.cls,
+        |    CAST(round(log10((nd + 1.0) / (nn + nl)) * 1e6) AS BIGINT) AS p
+        |  FROM cls CROSS JOIN ctot),
+        |dsc AS (
+        |  SELECT f.doc_id, l.cls,
+        |    sum(coalesce(w.w, dd.d, 0))::BIGINT AS fsum, count(*)::BIGINT AS nf
+        |  FROM fb f CROSS JOIN cls l
+        |  LEFT JOIN lw w ON w.cls = l.cls AND w.b = f.b
+        |  LEFT JOIN ldef dd ON dd.cls = l.cls
+        |  GROUP BY 1, 2),
+        |alls AS (
+        |  SELECT d.doc_id, c.cls,
+        |    coalesce(s.fsum, 0) + p.p AS total, coalesce(s.nf, 0) AS nf
+        |  FROM documents d CROSS JOIN cls c
+        |  JOIN lpr p ON p.cls = c.cls
+        |  LEFT JOIN dsc s ON s.doc_id = d.doc_id AND s.cls = c.cls),
+        |lrk AS (
+        |  SELECT doc_id, cls, total, nf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, cls ASC) AS rn
+        |  FROM alls)
+        |SELECT doc_id, nf::BIGINT AS n_feats, cls AS pred_lang,
+        |  total::BIGINT AS score_micro
+        |FROM lrk WHERE rn = 1""".stripMargin,
 
     "t_repetition" ->
       """WITH norm AS (

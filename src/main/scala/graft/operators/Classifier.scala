@@ -161,6 +161,95 @@ object Classifier {
         (col("_w") + lit(priorMicro) > 0L).as("pred_positive"))
   }
 
+  /** Trained multi-class language-ID model (fastText-style): per-class
+    * dense micro-log10 feature weights (unseen buckets pre-filled with
+    * the class's smoothing floor log10(1/(C_ℓ+B)) — a zero there would
+    * bias classes with different feature masses) plus micro priors
+    * log10((n_ℓ+1)/(N+L)). Driver-bounded by construction: L·B longs.
+    */
+  final case class LangIdModel(buckets: Int, classes: Seq[String],
+                               priorsMicro: Map[String, Long],
+                               weights: Map[String, Array[Long]])
+
+  /** Train the multi-class hashed-NB language identifier from a frame
+    * with a label column (null labels pool under "und"). All weight
+    * arithmetic runs IN the engine (the same round(log10(·)·1e6) ops the
+    * gate-proven binary path uses), then collects the ≤ L·B-row model —
+    * so an external oracle replays the exact same doubles. The trained
+    * langid replaces the char-frequency heuristic where a labeled seed
+    * corpus exists; [[classifyLanguage]] serves it statelessly.
+    */
+  def trainLanguageNB(labeled: DataFrame, buckets: Int = 1024,
+                      textCol: String = "text",
+                      classCol: String = "lang"): LangIdModel = {
+    val labels = labeled.select(col("doc_id"),
+      coalesce(col(classCol), lit("und")).as("_cls"))
+    val census = Dsir.featureRows(labeled, textCol)
+      .select(col("doc_id"), Dsir.featureBucket(col("t"), buckets).as("b"))
+      .join(labels, Seq("doc_id"))
+      .groupBy("_cls", "b").agg(count(lit(1)).as("c"))
+    val totals = census.groupBy("_cls").agg(sum("c").as("ct")).cache()
+    val clsCounts = labels.groupBy("_cls").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nDocs = clsCounts.map(_._2).sum
+    val nCls = clsCounts.length
+    val defaults = totals
+      .select(col("_cls"),
+        round(log10(lit(1.0d) / (col("ct").cast("double") + buckets.toDouble)) * 1e6)
+          .cast("long").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dense = clsCounts.map { case (cls, _) =>
+      cls -> Array.fill(buckets)(defaults.getOrElse(cls, 0L))
+    }.toMap
+    census.join(totals, Seq("_cls"))
+      .select(col("_cls"), col("b"),
+        round(log10((col("c").cast("double") + 1.0d)
+          / (col("ct").cast("double") + buckets.toDouble)) * 1e6)
+          .cast("long").as("w"))
+      .collect()
+      .foreach(r => dense(r.getString(0))(r.getLong(1).toInt) = r.getLong(2))
+    // priors through the same engine round(log10(·)·1e6) path as the
+    // weights — driver Math.log10/rint could differ in ulp or tie rule
+    val priors = labels.groupBy("_cls").agg(count(lit(1)).as("nd"))
+      .select(col("_cls"),
+        round(log10((col("nd").cast("double") + 1.0d)
+          / lit((nDocs + nCls).toDouble)) * 1e6).cast("long").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    LangIdModel(buckets, clsCounts.map(_._1).toSeq, priors, dense)
+  }
+
+  /** STATELESS multi-class serving: one pure projection — tokenize,
+    * bucket, per-class O(1) dense-array lookups, integer sums, argmax
+    * (ties to the lexicographically first class via struct-min on
+    * (−score, class)). No join, no shuffle — readStream-compatible like
+    * [[scoreStateless]]. Zero-feature docs score bare priors, so they
+    * predict the majority class deterministically. Output: (doc_id,
+    * n_feats, pred_lang, score_micro).
+    */
+  def classifyLanguage(candidates: DataFrame, model: LangIdModel,
+                       textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val unis = filter(TextAnalysis.tokens(TextAnalysis.normalized(text)),
+      t => t =!= "")
+    val bis = filter(Dedup.shingles(text, 2), g => size(split(g, " ")) === 2)
+    val feats = when(text.isNull, array().cast("array<string>"))
+      .otherwise(concat(unis, bis))
+    val scored = model.classes.map { cls =>
+      val warr = typedLit(model.weights(cls).toSeq)
+      val s = aggregate(
+        transform(col("_feats"), f =>
+          element_at(warr, (Dsir.featureBucket(f, model.buckets) + 1L).cast("int"))),
+        lit(0L), _ + _) + lit(model.priorsMicro(cls))
+      struct((-s).as("neg"), lit(cls).as("cls"))
+    }
+    candidates.select(col("doc_id"), feats.as("_feats"))
+      .select(col("doc_id"), size(col("_feats")).cast("long").as("n_feats"),
+        array_min(array(scored: _*)).as("_best"))
+      .select(col("doc_id"), col("n_feats"),
+        col("_best.cls").as("pred_lang"),
+        (-col("_best.neg")).as("score_micro"))
+  }
+
   /** Hard quality filter: keep candidates whose per-feature average
     * log-odds clears `minWPerFeat` (per-feature, not the raw sum, so
     * document length does not swamp the decision — the same reasoning as

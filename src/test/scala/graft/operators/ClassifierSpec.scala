@@ -64,6 +64,42 @@ class ClassifierSpec extends SparkSpec {
       s"stateless != joined:\n$stateless\n$joined")
   }
 
+  test("trained language ID recovers separable vocabularies and beats majority on real labels") {
+    // three separable "languages"
+    val labeled = Seq(
+      (1L, "cat kitten purr whiskers feline fur", "aa"),
+      (2L, "kitten feline purr whiskers cat tail", "aa"),
+      (3L, "stock market index futures bond yield", "bb"),
+      (4L, "bond yield curve market trading futures", "bb"),
+      (5L, "spark shuffle partition executor task stage", "cc"),
+      (6L, "executor task stage shuffle partition codegen", "cc")
+    ).toDF("doc_id", "text", "lang")
+    val model = Classifier.trainLanguageNB(labeled, buckets = 256)
+    assert(model.classes == Seq("aa", "bb", "cc"))
+    val pred = Classifier.classifyLanguage(
+        Seq((21L, "purr kitten cat"), (22L, "market bond index"),
+          (23L, "partition shuffle executor"), (24L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(pred(21L)._2 == "aa" && pred(22L)._2 == "bb" && pred(23L)._2 == "cc")
+    // zero-feature doc: bare priors, all classes tie on count 2 → lowest class
+    assert(pred(24L) == (0L, "aa"))
+
+    // real labels on the shared-vocabulary corpus: self-train accuracy
+    // must beat the majority-class baseline (the labels ARE learnable)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m2 = Classifier.trainLanguageNB(docs, buckets = 1024)
+    val acc = Classifier.classifyLanguage(docs, m2)
+      .join(docs.select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("lang")), Seq("doc_id"))
+      .agg(avg(when(col("pred_lang") === col("lang"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    val majority = docs.groupBy("lang").count().agg(max("count")).head().getLong(0)
+      .toDouble / docs.count()
+    assert(acc > majority + 0.1,
+      f"trained langid must beat majority baseline: acc=$acc%.3f vs $majority%.3f")
+  }
+
   test("unbalanced classes shift the prior, not the per-feature weights") {
     val posBig = pos.unionByName(pos.select(($"doc_id" + 100).as("doc_id"), $"text"))
     val p = Classifier.classPrior(posBig, neg).head().getLong(0)
