@@ -1136,6 +1136,23 @@ object DataOpsQueries {
         operators.SketchOps.groupSketches(tagged, "grp"))
     }),
 
+    // Theta-sketch pairwise slice Jaccard — the day-vs-day novelty
+    // matrix: three overlapping "daily crawl" slices (doc_id%4 windows
+    // {0,1}/{1,2}/{2,3} — consecutive days share half their content),
+    // one sketch per day, every unordered pair's set-op estimates +
+    // Jaccard from sketch combines alone. Exact mode at this scale, so
+    // the oracle replays the matrix as exact distinct counts.
+    "k_theta_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      def day(name: String, r0: Int, r1: Int) =
+        d.where(pmod(col("doc_id"), lit(4)) === r0 ||
+            pmod(col("doc_id"), lit(4)) === r1)
+          .select(lit(name).as("grp"), col("text"))
+      operators.SketchOps.sliceJaccard(
+        day("day0", 0, 1).unionByName(day("day1", 1, 2))
+          .unionByName(day("day2", 2, 3)), "grp")
+    }),
+
     // URL decomposition over deterministically generated URLs (userinfo,
     // ports, public-suffix second levels, varying path depth and query
     // strings all exercised); the oracle generates the SAME urls and
@@ -2633,6 +2650,36 @@ object DataOpsQueries {
         |  card_union, card_a_not_b,
         |  round(card_intersect::DOUBLE / card_union, 6) AS jaccard_est
         |FROM m""".stripMargin,
+
+    // slice-Jaccard matrix replay: exact distinct fingerprint sets per
+    // day slice, pairwise intersection via self-join, identical rounding
+    "k_theta_jaccard" ->
+      """WITH fpm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |sl AS (
+        |  SELECT 'day0' AS g, fp FROM fpm WHERE doc_id % 4 IN (0, 1) AND fp IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'day1', fp FROM fpm WHERE doc_id % 4 IN (1, 2) AND fp IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'day2', fp FROM fpm WHERE doc_id % 4 IN (2, 3) AND fp IS NOT NULL),
+        |ds AS MATERIALIZED (SELECT DISTINCT g, fp FROM sl),
+        |cards AS MATERIALIZED (SELECT g, count(*)::BIGINT AS card FROM ds GROUP BY 1),
+        |ix AS (
+        |  SELECT x.g AS a, y.g AS b, count(*)::BIGINT AS inter
+        |  FROM ds x JOIN ds y ON x.fp = y.fp AND x.g < y.g
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, ca.card AS card_a, cb.card AS card_b,
+        |  coalesce(ix.inter, 0)::BIGINT AS card_intersect,
+        |  (ca.card + cb.card - coalesce(ix.inter, 0))::BIGINT AS card_union,
+        |  (ca.card - coalesce(ix.inter, 0))::BIGINT AS card_a_not_b,
+        |  round(coalesce(ix.inter, 0)::DOUBLE
+        |    / (ca.card + cb.card - coalesce(ix.inter, 0)), 6) AS jaccard_est
+        |FROM (SELECT a.g AS a, b.g AS b FROM cards a JOIN cards b ON a.g < b.g) p
+        |JOIN cards ca ON ca.g = p.a
+        |JOIN cards cb ON cb.g = p.b
+        |LEFT JOIN ix ON ix.a = p.a AND ix.b = p.b""".stripMargin,
 
     "t_url_parse" ->
       """WITH u AS (

@@ -57,4 +57,15 @@ object SketchOps {
       .withColumn("jaccard_est",
         round(col("card_intersect").cast("double") / col("card_union"), 6))
   }
+
+  /** Pairwise content Jaccard between corpus slices in ONE call — the
+    * train-vs-eval leakage matrix / day-vs-day novelty report:
+    * sketch each slice of `groupCol`, then every unordered slice pair's
+    * cardinalities, set-op estimates, and Jaccard. k slices cost k
+    * sketches + k(k−1)/2 O(sketch) combines — the corpora are scanned
+    * exactly once regardless of how many pairs are reported.
+    */
+  def sliceJaccard(docs: DataFrame, groupCol: String = "lang",
+                   textCol: String = "text", lgK: Int = 14): DataFrame =
+    overlapMatrix(groupSketches(docs, groupCol, textCol, lgK))
 }
