@@ -1727,7 +1727,8 @@ object DataOpsQueries {
         scheme = graft.operators.HashScheme.Portable)
       val stages = DataPipeline.prepareStaged(corpus, Some(bench), cfg,
         seeds = Some((raw.where(col("lang") === "en"),
-          raw.where(col("lang") =!= "en"))))
+          raw.where(col("lang") =!= "en"))),
+        materialize = true) // 7 stage counts over one pinned chain, not 7 re-runs
       val counts = stages.map { case (n, df) => n -> df.count() }.toMap
       stages.last._2
         .groupBy("doc_id")

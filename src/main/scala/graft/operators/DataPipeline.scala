@@ -106,13 +106,14 @@ object DataPipeline {
     */
   private def finishTailStaged(deduped: DataFrame, benchmarks: Option[DataFrame],
                                cfg: Config,
-                               budgetGroups: Option[DataFrame]): Seq[(String, DataFrame)] = {
-    val deSpan =
+                               budgetGroups: Option[DataFrame],
+                               pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
+    val deSpan = pin(
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .where(length(col("text")) > 0) // span-emptied docs carry no signal
-    val decontaminated = benchmarks match {
+        .where(length(col("text")) > 0)) // span-emptied docs carry no signal
+    val decontaminated = pin(benchmarks match {
       case None => deSpan
       case Some(bench) =>
         deSpan.join(
@@ -120,7 +121,7 @@ object DataPipeline {
             threshold = cfg.contaminationThreshold,
             maxDf = cfg.contaminationMaxDf),
           Seq("doc_id"), "left_anti")
-    }
+    })
     val budgeted = budgetGroups match {
       case Some(groups) if cfg.tokenBudget > 0 =>
         // group membership joins back from the caller's frame (cleaning
@@ -168,18 +169,30 @@ object DataPipeline {
     * despan, decontaminated, budgeted, chunks — stages configured off
     * collapse into their input frame (same composition [[prepare]] uses).
     */
+  /** @param materialize localCheckpoint each stage boundary (eager) and
+    *        build the next stage from the pinned frame. Without it every
+    *        returned stage frame re-derives the WHOLE upstream chain
+    *        (the lineage-multiplication hazard the scaladoc documents —
+    *        counting all 7 stages re-ran the pipeline 7×, measured ~7 min
+    *        vs tens of seconds at sf0.1). Costs executor-local block
+    *        storage of each boundary; prepareIncrement always pins (its
+    *        increments are small), batch callers opt in.
+    */
   def prepareStaged(docs: DataFrame, benchmarks: Option[DataFrame] = None,
                     cfg: Config = Config(),
                     seeds: Option[(DataFrame, DataFrame)] = None,
-                    budgetGroups: Option[DataFrame] = None): Seq[(String, DataFrame)] = {
-    val cleaned = cleanHead(docs, cfg, seeds)
-    val exact = Dedup.exactDeduped(cleaned)
+                    budgetGroups: Option[DataFrame] = None,
+                    materialize: Boolean = false): Seq[(String, DataFrame)] = {
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val cleaned = pin(cleanHead(docs, cfg, seeds))
+    val exact = pin(Dedup.exactDeduped(cleaned))
     val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold,
         scheme = cfg.scheme)
       .where(col("is_survivor")).select("doc_id")
-    val deduped = exact.join(survivors, Seq("doc_id"), "left_semi")
+    val deduped = pin(exact.join(survivors, Seq("doc_id"), "left_semi"))
     Seq("cleaned" -> cleaned, "exact" -> exact, "deduped" -> deduped) ++
-      finishTailStaged(deduped, benchmarks, cfg, budgetGroups)
+      finishTailStaged(deduped, benchmarks, cfg, budgetGroups, pin)
   }
 
   /** The daily-loop (incremental) variant: prepare an ARRIVING increment
