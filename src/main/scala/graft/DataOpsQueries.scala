@@ -563,6 +563,24 @@ object DataOpsQueries {
       out
     }),
 
+    // Character-entropy quality signal — the engine-portable twin of the
+    // compression ratio: per-char terms micro-fixed before the exact
+    // integer per-doc sum, one fixed-order bits conversion. Self-check
+    // rides inside the oracle contract (repetition < natural < noise is
+    // pinned in the spec); here the full per-doc values hash-match.
+    "t_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir))),
+
+    // n-gram novelty vs a reference slice (every 3rd doc): reference
+    // members score novelty 0, everything else the unseen-shingle
+    // fraction — Portable digests so the oracle replays the exact sets.
+    "t_novelty" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      operators.Decontaminate.noveltyScores(d,
+        d.where(col("doc_id") % 3 === 0),
+        scheme = graft.operators.HashScheme.Portable)
+    }),
+
     // Multi-pattern blocklist tagging: ONE Aho-Corasick automaton pass
     // per document regardless of pattern count — the sample list plants
     // nested patterns ("scan" inside "slow scan", "tab" inside "table")
@@ -1923,6 +1941,55 @@ object DataOpsQueries {
         |SELECT doc_id, nf::BIGINT AS n_feats, cls AS pred_lang,
         |  total::BIGINT AS score_micro
         |FROM lrk WHERE rn = 1""".stripMargin,
+
+    // char-entropy replay: per-(doc, char) census, micro-fixed ln terms,
+    // exact integer sum, identical fixed-order bits conversion
+    "t_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cen AS (
+        |  SELECT doc_id, c, count(*)::BIGINT AS n
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n)::BIGINT AS nc FROM cen GROUP BY 1),
+        |tm AS (
+        |  SELECT cen.doc_id,
+        |    cen.n * CAST(round(ln(tot.nc::DOUBLE / cen.n) * 1e6) AS BIGINT) AS t
+        |  FROM cen JOIN tot USING (doc_id)),
+        |ag AS (SELECT doc_id, sum(t)::BIGINT AS hsum FROM tm GROUP BY 1)
+        |SELECT d.doc_id, coalesce(tot.nc, 0)::BIGINT AS n_chars,
+        |  round(ag.hsum::DOUBLE / 1e6 / tot.nc / 0.6931471805599453, 6) AS char_entropy_bits
+        |FROM documents d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN ag USING (doc_id)""".stripMargin,
+
+    // novelty replay: distinct 3-shingle sets per doc, reference = the
+    // %3==0 slice's union set, unseen fraction with the same op order
+    "t_novelty" ->
+      """WITH nnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |ntok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM nnorm WHERE norm IS NOT NULL),
+        |nsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END)) AS g
+        |  FROM ntok),
+        |nref AS (SELECT DISTINCT g FROM nsh WHERE doc_id % 3 = 0),
+        |nsz AS (SELECT doc_id, count(*)::BIGINT AS n FROM nsh GROUP BY 1),
+        |nseen AS (
+        |  SELECT s.doc_id, count(*)::BIGINT AS m
+        |  FROM nsh s JOIN nref USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(nsz.n, 0)::BIGINT AS n_shingles,
+        |  coalesce(nseen.m, 0)::BIGINT AS n_seen,
+        |  CASE WHEN coalesce(nsz.n, 0) > 0
+        |    THEN round(1.0 - coalesce(nseen.m, 0)::DOUBLE / nsz.n, 6) END AS novelty
+        |FROM documents d
+        |LEFT JOIN nsz USING (doc_id) LEFT JOIN nseen USING (doc_id)""".stripMargin,
 
     "t_repetition" ->
       """WITH norm AS (

@@ -96,6 +96,40 @@ object Decontaminate {
     scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
       .select(col("train_id").as("doc_id")).distinct()
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * inverse reading of the contamination index: what fraction of the
+    * document's distinct shingles does the reference NOT already
+    * contain? Drives dedup-aware sampling ("prefer novel documents"),
+    * incremental-crawl triage (yesterday's corpus as reference), and
+    * synthetic-data filtering (reject regurgitation of the seed set).
+    *
+    * Scale shape: both sides collapse to distinct shingle-digest rows;
+    * the reference side further collapses to ONE row per distinct
+    * shingle, so the left-semi join fans out at most one match per doc
+    * shingle — no maxDf cap needed (there is no per-key fan-out to cap,
+    * unlike the containment join). Output: (doc_id, n_shingles, n_seen,
+    * novelty ∈ [0,1]); null-text docs carry 0 shingles and null novelty.
+    */
+  def noveltyScores(docs: DataFrame, reference: DataFrame,
+                    textCol: String = "text", shingleSize: Int = 3,
+                    scheme: HashScheme = HashScheme.Fast): DataFrame = {
+    val docSh = Dedup.shingleRows(docs, textCol, shingleSize, scheme)
+    val refSet = Dedup.shingleRows(reference, textCol, shingleSize, scheme)
+      .select("g").distinct()
+    val sizes = docSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val seen = docSh.join(refSet, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    docs.select("doc_id")
+      .join(sizes, Seq("doc_id"), "left_outer")
+      .join(seen, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          round(lit(1.0d) - coalesce(col("n_seen"), lit(0L)).cast("double")
+            / col("n_shingles"), 6)).as("novelty"))
+  }
+
   /** Embedding-space decontamination — the semantic sibling of [[report]]
     * for paraphrased/translated benchmark leakage that n-gram containment
     * misses entirely (zero shingle overlap, same meaning). Train vectors

@@ -197,6 +197,41 @@ object TextAnalysis {
       }(enc)
   }
 
+  /** Character-entropy quality signal — the ENGINE-PORTABLE twin of
+    * [[compressionRatio]]: H = −Σ p_c·log p_c over the document's
+    * character distribution catches the same two degenerate tails
+    * (machine repetition → low entropy, high-entropy noise → near the
+    * alphabet ceiling) but, unlike deflate byte counts, is an exact
+    * cross-engine contract: each per-character term is micro-fixed
+    * (n_c · round(ln(N/n_c)·1e6)) before the integer per-doc sum, and
+    * the bits conversion is one fixed-order double chain rounded to 6dp.
+    *
+    * 100 TB shape: the char census partial-aggregates map-side to ≤
+    * alphabet-size rows per (doc, partition) before the one (doc, char)
+    * shuffle — the [[Salience.termCounts]] pattern at character grain.
+    * Output: (doc_id, n_chars, char_entropy_bits); empty and null text
+    * carry n_chars 0 with a null entropy (no information, not "0").
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val census = docs
+      .select(col("doc_id"), explode(split(col(textCol), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    val totals = census.groupBy("doc_id").agg(sum("n").as("n_chars"))
+    val sums = census.join(totals, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n") * round(log(col("n_chars").cast("double") / col("n")) * 1e6)
+          .cast("long")).as("t_micro"))
+      .groupBy("doc_id").agg(sum("t_micro").as("h_sum_micro"))
+    docs.select("doc_id")
+      .join(totals.join(sums, Seq("doc_id")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        // exact integer sum → bits in ONE fixed-order double chain
+        round(col("h_sum_micro").cast("double") / 1e6 / col("n_chars")
+          / lit(0.6931471805599453d), 6).as("char_entropy_bits"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and xxx-xxx-xxxx phone
     * numbers replaced with typed placeholders. Patterns stay inside the
     * RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so

@@ -865,6 +865,41 @@ class DataOpsSpec extends SparkSpec {
     assert(got(0).getInt(1) == 2000)
   }
 
+  test("charEntropy: repetition < natural < noise ordering; hand-checked uniform case") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),                       // 1 symbol → H = 0
+      (2L, "abababababababab"),                       // 2 symbols uniform → 1 bit
+      (3L, "the quick brown fox jumps over the dog"), // natural
+      (4L, "q7#xZ!p9@wL2$vK8%mR4&nT6*bY1(cJ3)"),      // near-noise
+      (5L, null.asInstanceOf[String]), (6L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(got(1L)._2 == 0.0)
+    assert(math.abs(got(2L)._2 - 1.0) < 1e-5, s"two uniform symbols = 1 bit, got ${got(2L)}")
+    assert(got(2L)._2 < got(3L)._2 && got(3L)._2 < got(4L)._2,
+      s"entropy must order rep < natural < noise: $got")
+    assert(got(5L) == (0L, Double.NaN) || got(5L)._1 == 0L)
+    assert(got(6L)._1 == 0L && got(6L)._2.isNaN)
+  }
+
+  test("noveltyScores: reference members 0, disjoint docs 1, half-overlap in between") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),    // = reference → 0
+      (2L, "one two three four five six"),            // disjoint → 1
+      (3L, "alpha beta gamma delta x y"),             // shares a prefix
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Decontaminate.noveltyScores(docs, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(1L)._3 == 0.0)
+    assert(got(2L)._3 == 1.0)
+    // doc 3: 4 distinct 3-shingles, 2 seen ("alpha beta gamma", "beta gamma delta")
+    assert(got(3L) == (4L, 2L, 0.5))
+    assert(got(4L)._1 == 0L && got(4L)._3.isNaN)
+  }
+
   test("averageHash: hand-computed bits, uniform image packs all 64, bad input → null") {
     def ppm(w: Int, h: Int, raster: Array[Byte]) =
       s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ raster
