@@ -281,4 +281,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, "streamed scores must equal batch scores")
     assert(got.nonEmpty)
   }
+
+  test("trained language ID classifies a real stream identically to batch") {
+    // classifyLanguage is one pure projection (dense per-class weight
+    // arrays, struct-min argmax) — the multi-class twin of the stateless
+    // NB serving path, so it must drop into a readStream unchanged
+    val docs = graft.Tables.documents(spark, eventsDir)
+    val model = graft.operators.Classifier.trainLanguageNB(docs, buckets = 256)
+    val expected = graft.operators.Classifier.classifyLanguage(docs, model)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-lidstream")
+    stageParquet(docs.where(col("doc_id") % 2 === 0), streamDir, "a.parquet")
+    stageParquet(docs.where(col("doc_id") % 2 === 1), streamDir, "b.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = graft.operators.Classifier.classifyLanguage(stream, model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lidstream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("lidstream_out").collect().map(_.toSeq).toSet
+    assert(got == expected, "streamed predictions must equal batch predictions")
+    assert(got.nonEmpty)
+  }
 }
