@@ -184,10 +184,14 @@ object Classifier {
                       classCol: String = "lang"): LangIdModel = {
     val labels = labeled.select(col("doc_id"),
       coalesce(col(classCol), lit("und")).as("_cls"))
+    // ≤ L·B rows; cached — the totals fill, the weight collect, and the
+    // defaults all re-derive it, and each re-derivation is a full pass
+    // over the exploded feature stream
     val census = Dsir.featureRows(labeled, textCol)
       .select(col("doc_id"), Dsir.featureBucket(col("t"), buckets).as("b"))
       .join(labels, Seq("doc_id"))
       .groupBy("_cls", "b").agg(count(lit(1)).as("c"))
+      .cache()
     val totals = census.groupBy("_cls").agg(sum("c").as("ct")).cache()
     val clsCounts = labels.groupBy("_cls").agg(count(lit(1)).as("nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)

@@ -389,6 +389,28 @@ class PlanSpec extends SparkSpec {
       "per-(id, j) argmin / ADC sums must partial-aggregate map-side")
   }
 
+  test("e_ivfpq_topk: residual codes broadcast-join per-list LUTs; no cartesian") {
+    val p = executed("e_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook + per-list LUT must broadcast onto the corpus rows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in residual IVF-PQ:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join side here is broadcast-sized:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "argmin codes / ADC sums must partial-aggregate map-side")
+  }
+
+  test("t_langid_nb: stateless serving is join-free after training") {
+    // training collects the model; the SERVED projection (the returned
+    // frame) must contain no join and no aggregation — dense-array
+    // lookups and a struct-min only, the readStream-compatible shape
+    val df = SparkEntry.queries("t_langid_nb")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"langid serving must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"langid serving must not aggregate:\n$p")
+  }
+
   test("e_rand_proj: sign projection is a shuffle-free scan") {
     val p = executed("e_rand_proj")
     assert(!p.contains("Exchange"), s"JL projection plans a shuffle:\n$p")
