@@ -1742,11 +1742,15 @@ object DataOpsQueries {
         chunkTokens = 64, chunkOverlap = 16,
         boilerplateSep = " table ", boilerplateMinDocs = 20L,
         classifierMargin = 0.0, classifierBuckets = 1024,
+        tokenBudget = 3000L, budgetSeed = 7L,
         scheme = graft.operators.HashScheme.Portable)
       val stages = DataPipeline.prepareStaged(corpus, Some(bench), cfg,
         seeds = Some((raw.where(col("lang") === "en"),
           raw.where(col("lang") =!= "en"))),
-        materialize = true) // 7 stage counts over one pinned chain, not 7 re-runs
+        // stage 7b: per-lang 3000-token budgets; copies/remixes are absent
+        // from the groups frame and pool under "" by the operator contract
+        budgetGroups = Some(raw.select(col("doc_id"), col("lang").as("grp"))),
+        materialize = true) // 8 stage counts over one pinned chain, not 8 re-runs
       val counts = stages.map { case (n, df) => n -> df.count() }.toMap
       stages.last._2
         .groupBy("doc_id")
@@ -1757,6 +1761,7 @@ object DataOpsQueries {
         .withColumn("n_deduped", lit(counts("deduped")))
         .withColumn("n_despan", lit(counts("despan")))
         .withColumn("n_decontaminated", lit(counts("decontaminated")))
+        .withColumn("n_budgeted", lit(counts("budgeted")))
     }),
 
     // Greedy sequence packing under the oracle: single range partition →
@@ -3101,11 +3106,23 @@ object DataOpsQueries {
         |pdecon AS MATERIALIZED (
         |  SELECT doc_id, text FROM pspan
         |  WHERE doc_id NOT IN (SELECT train_id FROM dc_bad)),
+        |pbud AS MATERIALIZED (
+        |  SELECT doc_id, text FROM (
+        |    SELECT b.doc_id, b.text, b.ntk,
+        |      sum(b.ntk) OVER (PARTITION BY b.grp
+        |        ORDER BY md5('budget:7:' || b.doc_id::VARCHAR) ASC, b.doc_id ASC
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (
+        |      SELECT p.doc_id, p.text, coalesce(d.lang, '') AS grp,
+        |        (CASE WHEN trim(p.text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(p.text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+')) END)::BIGINT AS ntk
+        |      FROM pdecon p LEFT JOIN documents d USING (doc_id)) b)
+        |  WHERE cum - ntk < 3000),
         |ck_arrs AS (
         |  SELECT doc_id,
         |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS arr
-        |  FROM pdecon),
+        |  FROM pbud),
         |ck_starts AS (
         |  SELECT doc_id, len(arr) AS n, t.s
         |  FROM (SELECT doc_id, arr FROM ck_arrs WHERE len(arr) >= 1) a,
@@ -3118,7 +3135,8 @@ object DataOpsQueries {
         |  (SELECT count(*) FROM pex) AS n_exact,
         |  (SELECT count(*) FROM pdedup) AS n_deduped,
         |  (SELECT count(*) FROM pspan) AS n_despan,
-        |  (SELECT count(*) FROM pdecon) AS n_decontaminated
+        |  (SELECT count(*) FROM pdecon) AS n_decontaminated,
+        |  (SELECT count(*) FROM pbud) AS n_budgeted
         |FROM ck_starts GROUP BY doc_id""".stripMargin,
 
     "d_decontaminate" ->

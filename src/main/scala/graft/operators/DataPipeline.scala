@@ -131,11 +131,11 @@ object DataPipeline {
           .join(groups.select(col("doc_id"), col("grp")),
             Seq("doc_id"), "left_outer")
           .withColumn("_grp", coalesce(col("grp"), lit("")))
-        HashSplit.takeToTokenBudget(withGrp, col("_grp"),
+        pin(HashSplit.takeToTokenBudget(withGrp, col("_grp"),
             size(TextAnalysis.kernelTokens(col("text"))).cast("long"),
             cfg.tokenBudget, col("doc_id"), cfg.budgetSeed)
-          .drop("_grp", "grp", "cum_tokens")
-      case _ => decontaminated
+          .drop("_grp", "grp", "cum_tokens"))
+      case _ => decontaminated // already pinned; re-pinning would copy it
     }
     val chunks =
       if (cfg.chunkTokens <= 0) budgeted

@@ -80,7 +80,14 @@ object ScaleProbe {
       // same duplicate-saturated caveat as d_span_dedup: on the K-fold
       // corpus every window repeats, so the island merge sees the
       // worst-case covered frame
-      "d_span_maximal")
+      "d_span_maximal",
+      // round-5 surface
+      "m_decode_png", "m_phash_png", "t_langid_nb", "k_theta_jaccard",
+      "t_char_entropy", "t_novelty", "e_pca_cov",
+      // the composed pipeline: K-fold copies are collapsed by its own
+      // exact-dedup stage, so growth past that stage tracks distinct
+      // content, not K — the shape the daily loop relies on
+      "pipe_full")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
