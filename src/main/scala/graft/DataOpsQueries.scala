@@ -897,6 +897,20 @@ object DataOpsQueries {
       Dedup.embeddingNearDuplicates(both, dim = 64, threshold = 0.999)
     }),
 
+    // INCREMENTAL embedding near-dup — the daily-loop path for semantic
+    // duplicates: the corpus is bucketed ONCE into an EmbeddingIndex,
+    // and the increment (twins of every 3rd vector) probes stored
+    // buckets + exact-cosine verifies without touching corpus vectors
+    // outside matched buckets. Oracle replays the plane family, the
+    // bucket equi-join, and the cosine frontier.
+    "e_incremental_embdup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = Dedup.buildEmbeddingIndex(emb, dim = 64).cached()
+      val increment = emb.where(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDuplicatesAgainst(increment, idx, threshold = 0.999)
+    }),
+
     // Nearest-centroid assignment against FIXED centroids (first 8
     // vectors): the k-means E-step in isolation, shuffle-free argmin —
     // oracle replays the identical sequential-double-sum scores in SQL.
@@ -3604,6 +3618,21 @@ object DataOpsQueries {
         |    list_cosine_similarity(a.ev, bb.ev) AS cos
         |  FROM b a JOIN b bb USING (bucket) WHERE a.vec_id < bb.vec_id)
         |SELECT DISTINCT id_a, id_b, round(cos, 6) AS cosine
+        |FROM pairs WHERE cos >= 0.999""".stripMargin,
+
+    // incremental probe replay: same plane family, stored buckets =
+    // the whole corpus, probe = the +1e6 twins of every 3rd vector
+    "e_incremental_embdup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |b AS (SELECT vec_id, ev, ${lshBucketSql("ev", 64, 12, 42L)} AS bucket FROM e),
+        |probe AS (
+        |  SELECT vec_id + 1000000 AS id_new, ev, bucket
+        |  FROM b WHERE vec_id % 3 = 0),
+        |pairs AS (
+        |  SELECT p.id_new, s.vec_id AS id_indexed,
+        |    list_cosine_similarity(p.ev, s.ev) AS cos
+        |  FROM b s JOIN probe p USING (bucket))
+        |SELECT DISTINCT id_new, id_indexed, round(cos, 6) AS cosine
         |FROM pairs WHERE cos >= 0.999""".stripMargin,
 
     // IVF with fixed centroids (first 16 vectors): assignment + probe

@@ -80,13 +80,15 @@ object SignatureIndex {
     finally out.close()
   }
 
-  private def readText(spark: SparkSession, path: String): String = {
+  private[operators] def readTextFile(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
+  private def readText(spark: SparkSession, path: String): String =
+    readTextFile(spark, path)
 
   /** Persisted append: parquet-APPENDS only the increment's digest rows
     * into an existing on-storage index. read() first validates the params
@@ -560,6 +562,49 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
+  /** (bucket, idCol, vecCol) rows under the seeded hyperplane family —
+    * the working grain of [[EmbeddingIndex]] and the incremental probe.
+    */
+  def embeddingBucketRows(emb: DataFrame, dim: Int, planes: Int, seed: Long,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    Similarity.lshBuckets(emb, dim, planes, seed, vecCol)
+      .select(col("bucket"), col(idCol), col(vecCol))
+
+  /** Build the embedding index over a corpus — bucket every vector once;
+    * `cached()` or `write()` the result so each increment batch pays
+    * only its own bucketing.
+    */
+  def buildEmbeddingIndex(corpus: DataFrame, dim: Int, planes: Int = 12,
+                          seed: Long = 42L, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): EmbeddingIndex =
+    EmbeddingIndex(embeddingBucketRows(corpus, dim, planes, seed, idCol, vecCol),
+      dim, planes, seed, idCol, vecCol)
+
+  /** Incremental embedding near-dup: bucket the increment under the
+    * INDEX's plane family, equi-join stored buckets, verify by exact
+    * cosine — candidates are (new, indexed) pairs only, so the volume is
+    * driven by the increment, never the corpus (the embedding twin of
+    * the [[nearDuplicatesAgainst]] index overload). id spaces must be
+    * disjoint. Output: (id_new, id_indexed, cosine ≥ threshold, 6 dp).
+    */
+  def embeddingNearDuplicatesAgainst(newVecs: DataFrame, index: EmbeddingIndex,
+                                     threshold: Double = 0.95): DataFrame = {
+    val probe = embeddingBucketRows(newVecs, index.dim, index.planes,
+        index.seed, index.idCol, index.vecCol)
+      .select(col("bucket"), col(index.idCol).as("id_new"),
+        col(index.vecCol).as("_vn"))
+    val stored = index.buckets
+      .select(col("bucket"), col(index.idCol).as("id_indexed"),
+        col(index.vecCol).as("_vi"))
+    stored.join(probe, Seq("bucket"))
+      .withColumn("cosine", Similarity.cosine(col("_vn"), col("_vi")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_new"), col("id_indexed"),
+        round(col("cosine"), 6).as("cosine"))
       .distinct()
   }
 

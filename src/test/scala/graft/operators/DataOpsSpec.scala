@@ -865,6 +865,47 @@ class DataOpsSpec extends SparkSpec {
     assert(got(0).getInt(1) == 2000)
   }
 
+  test("EmbeddingIndex: probe ≡ full near-dup restricted; append ≡ rebuild; parquet round trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("vec_id") < 300).cache()
+    def shifted(m: Int, off: Long) = emb.where(pmod(col("vec_id"), lit(m)) === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    val inc1 = shifted(2, 1000000L)
+    val inc2 = shifted(3, 2000000L)
+
+    // probe against the index ≡ the batch near-dup on corpus ∪ increment,
+    // restricted to (corpus, increment) cross pairs
+    val idx = Dedup.buildEmbeddingIndex(emb, dim = 64).cached()
+    val got = Dedup.embeddingNearDuplicatesAgainst(inc1, idx, threshold = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val full = Dedup.embeddingNearDuplicates(emb.unionByName(inc1), dim = 64,
+        threshold = 0.999)
+      .where(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full && got.nonEmpty,
+      s"index probe must equal the restricted batch result (${got.size} vs ${full.size})")
+
+    // in-memory append ≡ full rebuild for the NEXT increment
+    val viaAppend = Dedup.embeddingNearDuplicatesAgainst(inc2,
+        idx.append(inc1), threshold = 0.999)
+      .collect().map(_.toSeq).toSet
+    val viaRebuild = Dedup.embeddingNearDuplicatesAgainst(inc2,
+        Dedup.buildEmbeddingIndex(emb.unionByName(inc1), dim = 64),
+        threshold = 0.999)
+      .collect().map(_.toSeq).toSet
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty)
+
+    // storage round trip: write, appendTo (increment-only IO), read, probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-embidx").toString
+    idx.write(dir)
+    val stored = EmbeddingIndex.appendTo(spark, dir, inc1)
+    assert(stored.dim == 64 && stored.planes == 12 && stored.seed == 42L)
+    val viaDisk = Dedup.embeddingNearDuplicatesAgainst(inc2, stored,
+        threshold = 0.999)
+      .collect().map(_.toSeq).toSet
+    assert(viaDisk == viaRebuild)
+  }
+
   test("charEntropy: repetition < natural < noise ordering; hand-checked uniform case") {
     val docs = Seq(
       (1L, "aaaaaaaaaaaaaaaa"),                       // 1 symbol → H = 0
