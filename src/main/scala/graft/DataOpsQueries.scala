@@ -563,6 +563,21 @@ object DataOpsQueries {
       out
     }),
 
+    // Mojibake repair: every doc gets a planted double-encoded suffix
+    // (the table's own garbles — driver constants shared with the
+    // oracle); the replace chain must restore the clean characters.
+    // Oracle interpolates the SAME generated chain in the same order.
+    "t_fix_mojibake" -> ((s, dir) => {
+      val cleanSuffix = "é à — € “q” … ™ ü ñ ©"
+      val badSuffix = new String(
+        cleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fixMojibake(
+          concat(coalesce(col("text"), lit("")), lit(" "), lit(badSuffix)))
+          .as("fixed_text"))
+    }),
+
     // Character-entropy quality signal — the engine-portable twin of the
     // compression ratio: per-char terms micro-fixed before the exact
     // integer per-doc sum, one fixed-order bits conversion. Self-check
@@ -1960,6 +1975,21 @@ object DataOpsQueries {
         |SELECT doc_id, nf::BIGINT AS n_feats, cls AS pred_lang,
         |  total::BIGINT AS score_micro
         |FROM lrk WHERE rn = 1""".stripMargin,
+
+    // mojibake replay: the identical generated replace chain, same
+    // order, same planted garbled suffix — one table, two engines
+    "t_fix_mojibake" -> {
+      val cleanSuffix = "é à — € “q” … ™ ü ñ ©"
+      val badSuffix = new String(
+        cleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252")
+      def esc(x: String) = x.replace("'", "''")
+      val chain = TextAnalysis.MojibakeTable.foldLeft(
+        s"coalesce(text, '') || ' ' || '${esc(badSuffix)}'") {
+        case (e, (bad, good)) => s"replace($e, '${esc(bad)}', '${esc(good)}')"
+      }
+      s"SELECT doc_id, $chain AS fixed_text FROM documents"
+    },
 
     // char-entropy replay: per-(doc, char) census, micro-fixed ln terms,
     // exact integer sum, identical fixed-order bits conversion

@@ -197,6 +197,41 @@ object TextAnalysis {
       }(enc)
   }
 
+  /** Mojibake (double-encoded UTF-8) repair table: for every character
+    * in the Latin-1 supplement plus the common Windows-1252 punctuation,
+    * the garbled sequence produced by UTF-8 bytes mis-decoded as
+    * Latin-1/cp1252 ("é" → "Ã©", "—" → "â€”"), paired with the true
+    * character. Generated from the JDK's OWN charsets at class-init —
+    * one source of truth that both the operator and the oracle
+    * interpolate, so the mapping can never half-change. Longest
+    * sequences first so 3-byte repairs ("â€”") never lose their tail to
+    * a 2-byte rule.
+    */
+  val MojibakeTable: Seq[(String, String)] = {
+    val latin1 = (0xA0 to 0xFF).map(_.toChar.toString)
+    val cp1252Punct = Seq("‘", "’", "“", "”", "–",
+      "—", "…", "€", "™", "•")
+    (latin1 ++ cp1252Punct).map { c =>
+      new String(c.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "windows-1252") -> c
+    }.filterNot { case (bad, good) => bad == good }
+      .sortBy { case (bad, _) => -bad.length }
+  }
+
+  /** Repair double-encoded UTF-8: apply the [[MojibakeTable]] as one
+    * chain of literal replaces — declarative, codegen'd, shuffle-free
+    * (Spark splits the ~100-replace chain across generated methods, the
+    * BPE-merge-fold precedent). Idempotent on clean text: repaired
+    * characters never re-match a garble sequence. The ftfy-lite subset —
+    * a FULL repair (mixed encodings, triple encoding) needs byte-level
+    * heuristics; this handles the dominant single-double-encoding case
+    * a crawl actually contains.
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   /** Character-entropy quality signal — the ENGINE-PORTABLE twin of
     * [[compressionRatio]]: H = −Σ p_c·log p_c over the document's
     * character distribution catches the same two degenerate tails

@@ -906,6 +906,29 @@ class DataOpsSpec extends SparkSpec {
     assert(viaDisk == viaRebuild)
   }
 
+  test("fixMojibake: double-encoded text restores; clean text untouched; idempotent") {
+    val clean = "café — naïve “quotes” … €5 ™ ©2024 señor"
+    val garbled = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    assert(garbled != clean && garbled.contains("Ã©"))
+    val df = Seq((1L, garbled), (2L, clean),
+      (3L, "plain ascii stays"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.fixMojibake(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == clean, s"repair failed: ${got(1L)}")
+    assert(got(2L) == clean, "already-clean text must pass through")
+    assert(got(3L) == "plain ascii stays")
+    assert(got(4L) == null)
+    // idempotent: repairing repaired text changes nothing
+    val twice = df.select(TextAnalysis.fixMojibake(
+      TextAnalysis.fixMojibake(col("text"))).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+    assert(twice == got.values.toSet)
+  }
+
   test("charEntropy: repetition < natural < noise ordering; hand-checked uniform case") {
     val docs = Seq(
       (1L, "aaaaaaaaaaaaaaaa"),                       // 1 symbol → H = 0
