@@ -1835,6 +1835,26 @@ object DataOpsQueries {
       Decontaminate.report(test, docs, threshold = 0.5, maxDf = 3L)
     }),
 
+    // Span-level leak audit: engineered test docs = 12-token prefix of
+    // every 10th doc + 6 unique novel tokens + that doc's tokens 13..20
+    // → exactly two leaked islands per test doc ((0,12) and (18,8) when
+    // nothing else matches); leakedSpans must recover start/len/text of
+    // each, which the oracle replays window for window.
+    "d_leaked_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextAnalysis.kernelTokens(col("text"))
+      val test = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), toks.as("t"))
+        .where(size(col("t")) >= 21)
+        .select(col("doc_id"), array_join(concat(
+          slice(col("t"), 1, 12),
+          array((0 until 6).map(i =>
+            concat(lit("novel"), col("doc_id").cast("string"), lit(s"x$i"))): _*),
+          slice(col("t"), 13, 8)), " ").as("text"))
+      operators.Decontaminate.leakedSpans(test, docs.select("doc_id", "text"),
+        k = 8, maxDf = 0L)
+    }),
+
     // SQL surface: the session-extension-registered native functions
     // resolving inside spark.sql text (GraftExtensions / GraftFunctions).
     // Unicode NFC through the SQL surface: a decomposed combining
@@ -1975,6 +1995,42 @@ object DataOpsQueries {
         |SELECT doc_id, nf::BIGINT AS n_feats, cls AS pred_lang,
         |  total::BIGINT AS score_micro
         |FROM lrk WHERE rn = 1""".stripMargin,
+
+    // leaked-span replay: same engineered test docs from token arrays,
+    // train window-digest set, matched-window coverage, gaps-and-islands
+    "d_leaked_spans" ->
+      """WITH karr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+') END AS arr
+        |  FROM documents),
+        |test AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    arr[1:12]
+        |      || ['novel' || doc_id::VARCHAR || 'x' || i FOR i IN range(0, 6)]
+        |      || arr[13:20] AS tarr
+        |  FROM karr WHERE doc_id % 10 = 0 AND len(arr) >= 21),
+        |trainw AS MATERIALIZED (
+        |  SELECT DISTINCT md5(array_to_string(arr[i+1:i+8], ' ')) AS dig
+        |  FROM karr, unnest(range(0, greatest(len(arr) - 7, 0))) AS t(i)),
+        |testw AS (
+        |  SELECT doc_id, i AS wpos,
+        |    md5(array_to_string(tarr[i+1:i+8], ' ')) AS dig
+        |  FROM test, unnest(range(0, greatest(len(tarr) - 7, 0))) AS t(i)),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, p.pos
+        |  FROM testw w JOIN trainw USING (dig),
+        |       unnest(range(w.wpos, w.wpos + 8)) AS p(pos)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, min(pos)::BIGINT AS span_start, count(*)::BIGINT AS span_len
+        |  FROM isl GROUP BY doc_id, g)
+        |SELECT sp.doc_id, sp.span_start, sp.span_len,
+        |  array_to_string(t.tarr[sp.span_start+1:sp.span_start+sp.span_len], ' ') AS span_text
+        |FROM sp JOIN test t USING (doc_id)""".stripMargin,
 
     // mojibake replay: the identical generated replace chain, same
     // order, same planted garbled suffix — one table, two engines

@@ -96,6 +96,66 @@ object Decontaminate {
     scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
       .select(col("train_id").as("doc_id")).distinct()
 
+  /** SPAN-LEVEL leak report: for each test/benchmark document, the
+    * maximal contiguous token runs that appear verbatim (≥ k tokens)
+    * anywhere in the training corpus — the audit artifact a containment
+    * SCORE can't give ("0.71 contaminated" vs "tokens 0-11 and 18-25
+    * leaked, here is the text"). Same exactness argument as
+    * [[SpanDedup.maximalRepeatedSpans]]: a leaked span of length L ≥ k
+    * is precisely a maximal island of positions covered by test
+    * k-windows whose digests exist in the train window set.
+    *
+    * Scale shape: both sides reduce to 16-byte window digests; the train
+    * side collapses to one row per distinct digest (after the optional
+    * `maxDf` stop-window cap — windows in more than maxDf train DOCS
+    * drop, the [[contaminatedTrainIds]] hot-key answer); coverage is a
+    * ×k explode of MATCHED test windows only; the island merge windows
+    * per test doc over covered positions. Nothing is corpus×test.
+    *
+    * Output: (doc_id [test], span_start, span_len, span_text),
+    * span_start 0-based in kernel tokens.
+    */
+  def leakedSpans(test: DataFrame, train: DataFrame, k: Int = 8,
+                  textCol: String = "text",
+                  maxDf: Long = DefaultMaxDf): DataFrame = {
+    require(k >= 2, s"span window must be at least 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def winRows(df: DataFrame) = {
+      val toksCol = TextAnalysis.kernelTokens(col(textCol))
+      df.select(col("doc_id"),
+          when(size(toksCol) >= k,
+            graft.functions.NGramShingles.shingles(col(textCol), k))
+            .otherwise(array().cast("array<string>")).as("wins"))
+        .select(col("doc_id"), posexplode(col("wins")).as(Seq("wpos", "w")))
+        .select(col("doc_id"), col("wpos"), md5(col("w")).as("dig"))
+    }
+    val trainW = winRows(train)
+    val trainSet = (
+      if (maxDf <= 0L) trainW
+      else trainW.join(
+        trainW.groupBy("dig").agg(count_distinct(col("doc_id")).as("_df"))
+          .where(col("_df") <= maxDf).select("dig"),
+        Seq("dig"), "left_semi")
+    ).select("dig").distinct()
+    val covered = winRows(test).join(trainSet, Seq("dig"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("wpos"), col("wpos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val isl = covered.withColumn("_g",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val spans = isl.groupBy(col("doc_id"), col("_g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+    val affectedToks = test
+      .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextAnalysis.kernelTokens(col(textCol)).as("_toks"))
+    spans.join(affectedToks, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        array_join(slice(col("_toks"), (col("span_start") + 1).cast("int"),
+          col("span_len").cast("int")), " ").as("span_text"))
+  }
+
   /** Per-document n-gram NOVELTY against a reference corpus — the
     * inverse reading of the contamination index: what fraction of the
     * document's distinct shingles does the reference NOT already

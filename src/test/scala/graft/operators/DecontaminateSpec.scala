@@ -92,4 +92,23 @@ class DecontaminateSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(ids == Set(1L, 3L), s"both benchmark vecs flag 1 and 3 once: $ids")
   }
+
+  test("leakedSpans: recovers planted islands with exact start/len/text; clean docs absent") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j k l"),   // 12 tokens
+      (2L, "p q r s t u v w")            // 8 tokens
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      // leak of train-1's first 10 tokens, 4 novel, then train-2 verbatim
+      (100L, "a b c d e f g h i j n1 n2 n3 n4 p q r s t u v w"),
+      (101L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")  // fully novel
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.leakedSpans(test, train, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (100L, 0L, 10L, "a b c d e f g h i j"),
+      (100L, 14L, 8L, "p q r s t u v w")),
+      s"unexpected spans: $got")
+  }
 }
