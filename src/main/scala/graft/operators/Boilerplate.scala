@@ -85,6 +85,30 @@ object Boilerplate {
       (size(lines) - size(kept)).as("n_lines_removed"))
   }
 
+  /** Boilerplate removal against a PRECOMPUTED digest set as ONE pure
+    * projection — the stream-compatible form of [[removeBoilerplate]]:
+    * filter the split line array by digest membership, rejoin in place.
+    * Equivalent to the census path's anti-join + ordered reassembly for
+    * the same digest set (filter preserves line order), but with no
+    * explode, no join, no aggregation — so it drops into a readStream
+    * micro-batch. `digests` is a driver-side artifact (md5 hex from a
+    * batch [[boilerplateLines]] census) because a streaming projection
+    * cannot collect a frame per batch; boilerplate sets are
+    * broadcast-literal-sized by construction (lines in ≥ minDocs docs).
+    * Null text propagates null (callers filter on length like the
+    * batch head).
+    */
+  def removeKnownBoilerplate(docs: DataFrame, digests: Seq[String],
+                             lineSep: String = "\n",
+                             textCol: String = "text"): DataFrame = {
+    val digestLit = typedLit(digests)
+    docs.withColumn(textCol,
+      array_join(
+        filter(splitLines(col(textCol), lineSep),
+          l => !array_contains(digestLit, md5(l))),
+        lineSep))
+  }
+
   /** Documents with boilerplate lines removed (grain preserved — a doc
     * whose every line is boilerplate survives with empty text), plus
     * kept/removed line counts.

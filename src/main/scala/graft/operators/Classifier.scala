@@ -136,7 +136,18 @@ object Classifier {
     */
   def scoreStateless(candidates: DataFrame, model: DataFrame, prior: DataFrame,
                      buckets: Int = 4096,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    statelessScored(candidates, model, prior, buckets, textCol)
+      .select("doc_id", "n_feats", "score_micro", "w_per_feat", "pred_positive")
+
+  /** [[scoreStateless]] keeping the input columns — the score columns
+    * APPEND to the candidate frame, so a streaming pipeline can filter
+    * on the score and keep flowing the document text without a
+    * stream-stream join back.
+    */
+  def statelessScored(candidates: DataFrame, model: DataFrame, prior: DataFrame,
+                      buckets: Int = 4096,
+                      textCol: String = "text"): DataFrame = {
     val weights = new Array[Long](buckets)
     model.collect().foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
     val priorMicro = prior.head().getLong(0)
@@ -151,14 +162,16 @@ object Classifier {
       transform(feats, f =>
         element_at(warr, (Dsir.featureBucket(f, buckets) + 1L).cast("int"))),
       lit(0L), _ + _)
-    candidates.select(col("doc_id"),
-        size(feats).as("n_feats"), wSum.as("_w"))
-      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
-        (col("_w") + lit(priorMicro)).as("score_micro"),
-        when(col("n_feats") > 0,
-          round(col("_w").cast("double") / col("n_feats") / 1e6, 6))
-          .as("w_per_feat"),
-        (col("_w") + lit(priorMicro) > 0L).as("pred_positive"))
+    candidates
+      .withColumn("_nf", size(feats))
+      .withColumn("_w", wSum)
+      .withColumn("n_feats", col("_nf").cast("long"))
+      .withColumn("score_micro", col("_w") + lit(priorMicro))
+      .withColumn("w_per_feat",
+        when(col("_nf") > 0,
+          round(col("_w").cast("double") / col("_nf") / 1e6, 6)))
+      .withColumn("pred_positive", col("_w") + lit(priorMicro) > 0L)
+      .drop("_nf", "_w")
   }
 
   /** Trained multi-class language-ID model (fastText-style): per-class
@@ -231,7 +244,16 @@ object Classifier {
     * n_feats, pred_lang, score_micro).
     */
   def classifyLanguage(candidates: DataFrame, model: LangIdModel,
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    classifyLanguageTagged(candidates, model, textCol)
+      .select("doc_id", "n_feats", "pred_lang", "score_micro")
+
+  /** [[classifyLanguage]] keeping the input columns — the prediction
+    * APPENDS to the candidate frame (streaming pipelines tag and keep
+    * flowing; no join back).
+    */
+  def classifyLanguageTagged(candidates: DataFrame, model: LangIdModel,
+                             textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val unis = filter(TextAnalysis.tokens(TextAnalysis.normalized(text)),
       t => t =!= "")
@@ -246,12 +268,13 @@ object Classifier {
         lit(0L), _ + _) + lit(model.priorsMicro(cls))
       struct((-s).as("neg"), lit(cls).as("cls"))
     }
-    candidates.select(col("doc_id"), feats.as("_feats"))
-      .select(col("doc_id"), size(col("_feats")).cast("long").as("n_feats"),
-        array_min(array(scored: _*)).as("_best"))
-      .select(col("doc_id"), col("n_feats"),
-        col("_best.cls").as("pred_lang"),
-        (-col("_best.neg")).as("score_micro"))
+    candidates
+      .withColumn("_feats", feats)
+      .withColumn("_best", array_min(array(scored: _*)))
+      .withColumn("n_feats", size(col("_feats")).cast("long"))
+      .withColumn("pred_lang", col("_best.cls"))
+      .withColumn("score_micro", -col("_best.neg"))
+      .drop("_feats", "_best")
   }
 
   /** Hard quality filter: keep candidates whose per-feature average

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Dedup, SignatureIndex, TextAnalysis}
+import graft.operators.{Boilerplate, Classifier, Dedup, QualityFilter, SignatureIndex, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,56 @@ object DocStream {
       fresh.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("fp"))
     else fresh.dropDuplicates(Seq("fp"))
+  }
+
+  /** The STREAMING cleaning head — DataPipeline's stages 1–3b composed
+    * for a document stream: markup strip → Gopher quality filter →
+    * boilerplate-line removal → stateless NB quality filter → trained
+    * langid tag. Every stage is a pure projection, a filter, or a
+    * stream-static join, so the whole composition runs in append mode
+    * with NO state store and identically in batch (the spec pins
+    * streamed ≡ batch).
+    *
+    * The corpus-census stages that CANNOT be derived from a stream
+    * arrive as precomputed artifacts, the same way the dedup stages take
+    * the fingerprint set / signature index:
+    *  - `boilerplateDigests`: the md5 line digests from a batch
+    *    [[Boilerplate.boilerplateLines]] census over the ingested corpus
+    *    (driver-side, broadcast-literal-sized by construction — restart
+    *    the query to pick up a nightly census refresh);
+    *  - `nbModel`/`nbPrior` and `langid`: batch-trained models served
+    *    through their stateless paths.
+    *
+    * Near-/exact-dedup intentionally stay SEPARATE streaming steps
+    * ([[newUniqueDocs]], [[nearDupCandidates]]) — they need watermark
+    * state or candidate logs, which would drag the stateless head into
+    * stateful semantics.
+    *
+    * Output: (doc_id, text [cleaned], pred_lang) for surviving docs.
+    */
+  def cleanStream(docs: DataFrame, boilerplateDigests: Seq[String],
+                  nbModel: DataFrame, nbPrior: DataFrame,
+                  langid: Classifier.LangIdModel,
+                  rules: QualityFilter.Rules = QualityFilter.Rules(),
+                  lineSep: String = "\n", nbBuckets: Int = 4096,
+                  minWPerFeat: Double = 0.0,
+                  textCol: String = "text"): DataFrame = {
+    val stripped = docs.withColumn(textCol,
+      TextAnalysis.stripMarkup(col(textCol)))
+    val quality = QualityFilter(stripped, rules, textCol)
+    val deBoiler = Boilerplate
+      .removeKnownBoilerplate(quality, boilerplateDigests, lineSep, textCol)
+      .where(length(col(textCol)) > 0)
+    // both model stages APPEND their columns (statelessScored /
+    // classifyLanguageTagged) — a select back via join would be a
+    // stream-stream join needing watermarks; appending keeps the whole
+    // head one stateless projection chain
+    val nbKept = Classifier
+      .statelessScored(deBoiler, nbModel, nbPrior, nbBuckets, textCol)
+      .where(col("n_feats") > 0 && col("w_per_feat") >= minWPerFeat)
+      .drop("n_feats", "score_micro", "w_per_feat", "pred_positive")
+    Classifier.classifyLanguageTagged(nbKept, langid, textCol)
+      .select(col("doc_id"), col(textCol), col("pred_lang"))
   }
 
   /** Streaming NEAR-duplicate candidates against a persisted corpus

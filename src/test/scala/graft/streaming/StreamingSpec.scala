@@ -282,6 +282,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("composed cleaning head streams identically to batch (strip→quality→boilerplate→NB→langid)") {
+    val docs = graft.Tables.documents(spark, eventsDir)
+    val rules = graft.operators.QualityFilter.Rules(
+      minTokens = 25, maxTokens = 90, minMeanTokenLen = 3.8,
+      maxMeanTokenLen = 5.1, minStopwordFrac = 0.02,
+      maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.05)
+    // batch-side artifacts: boilerplate census, NB model, langid model
+    val digests = graft.operators.Boilerplate
+      .boilerplateLines(docs, lineSep = " table ", minDocs = 3)
+      .select("line_digest").collect().map(_.getString(0)).toSeq
+    assert(digests.nonEmpty, "census must find boilerplate on this corpus")
+    val pos = docs.where(col("lang") === "en")
+    val neg = docs.where(col("lang") =!= "en")
+    val nbModel = graft.operators.Classifier.trainNaiveBayes(pos, neg, buckets = 256)
+    val nbPrior = graft.operators.Classifier.classPrior(pos, neg)
+    val langid = graft.operators.Classifier.trainLanguageNB(docs, buckets = 256)
+
+    def clean(in: org.apache.spark.sql.DataFrame) =
+      DocStream.cleanStream(in, digests, nbModel, nbPrior, langid,
+        rules, lineSep = " table ", nbBuckets = 256)
+    val expected = clean(docs).collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "some docs must survive the head")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cleanstream")
+    stageParquet(docs.where(col("doc_id") % 2 === 0), streamDir, "a.parquet")
+    stageParquet(docs.where(col("doc_id") % 2 === 1), streamDir, "b.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = clean(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clean_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("clean_out").collect().map(_.toSeq).toSet
+    assert(got == expected, "streamed cleaning head must equal batch")
+  }
+
   test("trained language ID classifies a real stream identically to batch") {
     // classifyLanguage is one pure projection (dense per-class weight
     // arrays, struct-min argmax) — the multi-class twin of the stateless
