@@ -629,6 +629,19 @@ object DataOpsQueries {
         budget = 2000L, id = col("doc_id"), seed = 7L, saltBuckets = 4)
     }),
 
+    // Temperature-scaled mixture resampling (α = 0.5, 20k-token target):
+    // per-lang α-weights from the exact token census, whole-token
+    // budgets, then the per-group budget-column fill in the md5 draw
+    // order — the oracle replays weights, budgets, and the running sum.
+    "s_temperature_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        coalesce(col("lang"), lit("und")).as("g"),
+        size(TextAnalysis.kernelTokens(col("text"))).cast("long").as("ntk"))
+      HashSplit.temperatureResample(d, col("g"), col("ntk"),
+          alpha = 0.5, totalTokens = 20000L, id = col("doc_id"), seed = 7L)
+        .select("doc_id", "grp", "n_toks", "cum_tokens", "budget")
+    }),
+
     // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
     // engine-specific → rows-only; identity semantics vs md5 are asserted
     // in DataOpsSpec.
@@ -2386,6 +2399,31 @@ object DataOpsQueries {
         |      ORDER BY md5('cap:7:' || doc_id::VARCHAR) ASC, doc_id ASC))::INT AS rank
         |  FROM documents)
         |SELECT doc_id, source, rank FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // temperature-mix replay: α-power census in the same fixed op order
+    // (weight rounded 6dp BEFORE the budget multiply), whole-token
+    // budgets floored at 1, per-group running sum in the draw order
+    "s_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(lang, 'und') AS grp,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) END::BIGINT AS n_toks
+        |  FROM documents),
+        |c AS (SELECT grp, sum(n_toks)::BIGINT AS n_tokens FROM d GROUP BY 1),
+        |p AS (SELECT grp, pow(n_tokens::DOUBLE, 0.5) AS pa FROM c),
+        |t AS (SELECT sum(pa) AS tot FROM p),
+        |b AS (SELECT grp, round(pa / tot, 6) AS weight FROM p CROSS JOIN t),
+        |b2 AS (SELECT grp, weight,
+        |         greatest(CAST(round(weight * 20000) AS BIGINT), 1) AS budget
+        |       FROM b),
+        |f AS (
+        |  SELECT d.doc_id, d.grp, d.n_toks, b2.budget,
+        |    sum(d.n_toks) OVER (PARTITION BY d.grp
+        |      ORDER BY md5('budget:7:' || d.doc_id::VARCHAR) ASC, d.doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM d JOIN b2 USING (grp))
+        |SELECT doc_id, grp, n_toks, cum_tokens, budget
+        |FROM f WHERE cum_tokens - n_toks < budget""".stripMargin,
 
     // running token sum in the same md5 draw order; crossing doc kept
     // (cum_before < budget), zero-token docs ride along while the

@@ -147,6 +147,18 @@ object HashSplit {
                         budget: Long, id: Column, seed: Long = 0L,
                         saltBuckets: Int = 0): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
+    takeToTokenBudgetCol(df, group, tokens, lit(budget), id, seed, saltBuckets)
+  }
+
+  /** [[takeToTokenBudget]] with a PER-ROW budget column — the form
+    * mixture reweighting needs (each group fills to ITS OWN budget,
+    * e.g. temperature-scaled targets joined in per group). The budget
+    * expression must be constant within a group; all draw-order and
+    * crossing-row semantics are identical to the literal form.
+    */
+  def takeToTokenBudgetCol(df: DataFrame, group: Column, tokens: Column,
+                           budget: Column, id: Column, seed: Long = 0L,
+                           saltBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val draw = md5(concat(lit(s"budget:$seed:"), id.cast("string")))
     val pre =
@@ -163,6 +175,65 @@ object HashSplit {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pre.withColumn("cum_tokens", sum(tokens).over(w))
       .where(col("cum_tokens") - tokens < budget)
+  }
+
+  /** Temperature-scaled mixture budgets — the α-sampling recipe
+    * multilingual/multi-source training mixes use (XLM-R, mT5):
+    * p_g = tokens_g / Σ tokens, w_g = p_g^α / Σ p^α, budget_g =
+    * round(w_g · totalTokens). α = 1 keeps natural proportions, α → 0
+    * flattens toward uniform — low-resource groups get upsampled
+    * relative to their share without any group ever being pinned to an
+    * absolute count by hand.
+    *
+    * Engine portability: the power/ratio chain runs in a FIXED operation
+    * order on exact integer token censuses, the weight is rounded to
+    * 6 dp BEFORE the budget multiply, and the budget rounds to a whole
+    * token — the same discipline as every log-based gate. One census
+    * shuffle; the output is group-grain (tiny).
+    *
+    * Output: (grp, n_tokens, weight, budget).
+    */
+  def temperatureBudgets(docs: DataFrame, group: Column, tokens: Column,
+                         alpha: Double, totalTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(totalTokens >= 1, s"totalTokens must be >= 1, got $totalTokens")
+    val census = docs.groupBy(group.as("grp"))
+      .agg(sum(tokens).as("n_tokens"))
+    val powed = census.withColumn("_pa",
+      pow(col("n_tokens").cast("double"), lit(alpha)))
+    val tot = powed.agg(sum(col("_pa")).as("_tot"))
+    powed.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("_pa") / col("_tot"), 6))
+      .withColumn("budget",
+        greatest(round(col("weight") * totalTokens).cast("long"), lit(1L)))
+      .select("grp", "n_tokens", "weight", "budget")
+  }
+
+  /** Materialize a temperature mix: per-group budgets from
+    * [[temperatureBudgets]] broadcast-joined back, then the per-group
+    * budget fill ([[takeToTokenBudgetCol]]) in the deterministic draw
+    * order. Output: the kept docs with (grp, n_toks, cum_tokens,
+    * budget) — tightening α later is a recompute of the tiny budget
+    * table plus a filter, never a re-shuffle of the corpus.
+    */
+  def temperatureResample(docs: DataFrame, group: Column, tokens: Column,
+                          alpha: Double, totalTokens: Long, id: Column,
+                          seed: Long = 0L, saltBuckets: Int = 0): DataFrame = {
+    // internal names only: the caller's frame may itself carry a "grp"
+    val budgets = temperatureBudgets(docs, group, tokens, alpha, totalTokens)
+      .select(col("grp").as("_bgrp"), col("budget"))
+    val tagged = docs
+      .withColumn("_grp", group)
+      .withColumn("_ntk", tokens)
+      .join(broadcast(budgets), col("_grp") === col("_bgrp"))
+      .drop("_bgrp")
+    // output columns (grp, n_toks) REPLACE same-named caller columns —
+    // they carry the same values by construction
+    takeToTokenBudgetCol(tagged, col("_grp"), col("_ntk"), col("budget"),
+        id, seed, saltBuckets)
+      .drop("grp").drop("n_toks")
+      .withColumnRenamed("_grp", "grp")
+      .withColumnRenamed("_ntk", "n_toks")
   }
 
   /** Assign each row to one named split with the given weights

@@ -436,6 +436,40 @@ class DataOpsSpec extends SparkSpec {
     assert(n(5L) == 1L)
   }
 
+  test("temperature mixture: α flattens toward uniform, α=1 keeps proportions, fill honors per-group budgets") {
+    // one rich group (90k tokens) and one poor group (10k)
+    val df = spark.range(0, 1000).select(
+      when($"id" % 10 === 0, "poor").otherwise("rich").as("grp"),
+      $"id".as("doc_id"), lit(100L).as("n_toks"))
+    def weights(alpha: Double) =
+      HashSplit.temperatureBudgets(df, $"grp", $"n_toks", alpha, 10000L)
+        .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    val w1 = weights(1.0)
+    // α = 1: natural proportions (0.9 / 0.1)
+    assert(math.abs(w1("rich")._1 - 0.9) < 1e-6 && math.abs(w1("poor")._1 - 0.1) < 1e-6)
+    val w3 = weights(0.3)
+    // α < 1 flattens: the poor group's share rises, the rich one's falls
+    assert(w3("poor")._1 > 0.1 && w3("rich")._1 < 0.9)
+    assert(math.abs(w3("poor")._1 + w3("rich")._1 - 1.0) < 1e-5)
+    // materialized fill: each group's kept tokens land at its own budget
+    // (crossing doc included → within one doc of the target)
+    val got = HashSplit.temperatureResample(df, $"grp", $"n_toks",
+        alpha = 0.3, totalTokens = 10000L, id = $"doc_id", seed = 1L)
+      .groupBy("grp").agg(sum("n_toks").as("tok"), first("budget").as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (g, (tok, b)) =>
+      assert(tok >= b && tok < b + 100, s"$g filled $tok vs budget $b") }
+    // salted ≡ unsalted for the per-group budget-column path
+    val plain = HashSplit.temperatureResample(df, $"grp", $"n_toks",
+      alpha = 0.3, totalTokens = 10000L, id = $"doc_id", seed = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val salted = HashSplit.temperatureResample(df, $"grp", $"n_toks",
+      alpha = 0.3, totalTokens = 10000L, id = $"doc_id", seed = 1L,
+      saltBuckets = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == salted)
+  }
+
   test("stratified hash sample: per-stratum rates, deterministic membership") {
     val df = spark.range(0, 3000)
       .select($"id".as("doc_id"),
