@@ -721,6 +721,22 @@ object DataOpsQueries {
       Dedup.dedupAgainstExact(batch, d.select("doc_id", "text")).select("doc_id")
     }),
 
+    // Bloom-prefiltered incremental exact dedup: identical corpus/batch
+    // construction and — by contract — IDENTICAL RESULT to
+    // d_incremental_exact (the filter only routes rows around the
+    // shuffle; the join still decides). The oracle is therefore the
+    // same anti-join SQL, which is exactly the claim being gated.
+    "d_incremental_exact_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+      Dedup.dedupAgainstExactBloom(batch, d.select("doc_id", "text"))
+        .select("doc_id")
+    }),
+
     // Incremental near-dup: batch of exact copies vs the corpus at
     // threshold 0.999 — identical content shares every LSH band, so
     // each copy deterministically pairs with every corpus doc of the
@@ -4294,5 +4310,8 @@ object DataOpsQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "m_decode_png" -> oraclesBase("m_decode_features"),
     "m_resize_png" -> oraclesBase("m_resize"),
-    "m_phash_png" -> oraclesBase("m_phash"))
+    "m_phash_png" -> oraclesBase("m_phash"),
+    // the bloom tier's whole contract is result-identity with the plain
+    // anti-join — same oracle, different physical route
+    "d_incremental_exact_bloom" -> oraclesBase("d_incremental_exact"))
 }

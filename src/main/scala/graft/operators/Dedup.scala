@@ -719,6 +719,39 @@ object Dedup {
       TextAnalysis.fingerprint(newDocs(textCol)) === idx("fp"), "left_anti")
   }
 
+  /** [[dedupAgainstExact]] with a Bloom pre-filter — the scale tier the
+    * DocStream scaladoc promised: a driver-built filter over the corpus
+    * fingerprints routes the increment BEFORE the join. Bloom-negative
+    * docs are DEFINITELY novel (no false negatives) and skip the
+    * anti-join shuffle entirely; only might-contain docs — true dups
+    * plus the fpp false positives — pay the join, which still makes the
+    * final call, so the RESULT is identical to the plain anti-join (the
+    * oracle checks exactly that). On a daily loop where most arriving
+    * content is novel, the shuffled volume drops from the whole
+    * increment to ~(dup rate + fpp) of it.
+    *
+    * @param expectedItems sizing for the filter (distinct corpus
+    *        fingerprints); pass the known index cardinality to avoid the
+    *        counting job. ~1.2 MB per million items at fpp 0.01 — the
+    *        bloom tier applies while the filter broadcasts (≲10⁹ fps);
+    *        beyond, use [[dedupAgainstExact]]'s partitioned join alone.
+    */
+  def dedupAgainstExactBloom(newDocs: DataFrame, corpus: DataFrame,
+                             textCol: String = "text",
+                             expectedItems: Long = 0L,
+                             fpp: Double = 0.01): DataFrame = {
+    val fpCorpus = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val n = if (expectedItems > 0L) expectedItems else math.max(fpCorpus.count(), 1L)
+    val bloom = graft.functions.BloomOps.buildFilter(fpCorpus, "fp", n, fpp)
+    val probe = graft.functions.BloomOps.mightContain(
+      TextAnalysis.fingerprint(newDocs(textCol)), bloom)
+    val definitelyNew = newDocs.where(!probe)
+    val verified = newDocs.where(probe).join(fpCorpus,
+      TextAnalysis.fingerprint(newDocs(textCol)) === fpCorpus("fp"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /** Corpus-side MinHash artifacts, computed once: shingle rows plus the
     * banded LSH rows derived from them. Combine with [[SignatureIndex
     * .cached]] (bands then read the cached shingles, so corpus text is

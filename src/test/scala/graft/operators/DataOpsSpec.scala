@@ -899,6 +899,30 @@ class DataOpsSpec extends SparkSpec {
     assert(got(0).getInt(1) == 2000)
   }
 
+  test("bloom-prefiltered exact dedup ≡ plain anti-join; filter admits every corpus fp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))       // dups
+      .unionByName(docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit(" fresh")).as("text"))) // novel
+    val plain = Dedup.dedupAgainstExact(batch, docs)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.dedupAgainstExactBloom(batch, docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == plain && plain.nonEmpty,
+      "the bloom tier must be result-identical to the anti-join")
+
+    // no false negatives: every known corpus fingerprint must probe true
+    val fps = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .where(col("fp").isNotNull).distinct()
+    val bloom = graft.functions.BloomOps.buildFilter(fps, "fp", 1000L)
+    val misses = fps.where(!graft.functions.BloomOps.mightContain(col("fp"), bloom))
+      .count()
+    assert(misses == 0L, "a Bloom filter can never false-negative its own inserts")
+  }
+
   test("EmbeddingIndex: probe ≡ full near-dup restricted; append ≡ rebuild; parquet round trip") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding").where(col("vec_id") < 300).cache()
