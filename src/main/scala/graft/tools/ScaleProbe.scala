@@ -87,7 +87,10 @@ object ScaleProbe {
       // the composed pipeline: K-fold copies are collapsed by its own
       // exact-dedup stage, so growth past that stage tracks distinct
       // content, not K — the shape the daily loop relies on
-      "pipe_full")
+      "pipe_full",
+      // round-5b surface
+      "d_leaked_spans", "t_fix_mojibake", "s_temperature_mix",
+      "e_incremental_embdup", "d_incremental_exact_bloom")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
