@@ -1822,6 +1822,63 @@ object DataOpsQueries {
         .withColumn("n_budgeted", lit(counts("budgeted")))
     }),
 
+    // DAILY-LOOP external gate: one prepareIncrement run — an increment
+    // of planted corpus dups (+1e6), near dups (+2e6, ' zzqx'), novel
+    // reversed-token docs (+3e6) and their in-batch twins (+4e6) against
+    // the raw corpus's fingerprint set + portable signature index.
+    // Self-asserting (rows-only by design — the RNG-free invariants ARE
+    // the loop's contracts, checked exactly): survivors' fingerprints
+    // are disjoint from the corpus set (the anti-join contract — spanK
+    // and chunking are off here so no later stage edits fps), re-probing
+    // survivors against the index finds NO near-match at the threshold,
+    // and survivors carry no duplicate fingerprints (in-batch collapse).
+    // Stage-level value replay lives in the per-stage oracles and
+    // pipe_full; this gate pins the cross-day composition.
+    "pipe_increment" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+      val corpus = raw.select("doc_id", "text")
+      val fps = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct().cache()
+      val idx = Dedup.buildSignatureIndex(corpus,
+        scheme = graft.operators.HashScheme.Portable).cached()
+      val toks = TextAnalysis.kernelTokens(col("text"))
+      val novel = corpus.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), array_join(reverse(toks), " ").as("text"))
+      val inc = corpus.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+        .unionByName(corpus.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            concat(coalesce(col("text"), lit("")), lit(" zzqx")).as("text")))
+        .unionByName(novel
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+        .unionByName(novel
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text")))
+      val cfg = DataPipeline.Config(
+        quality = QualityFilter.Rules(
+          minTokens = 25, maxTokens = 90,
+          minMeanTokenLen = 3.8, maxMeanTokenLen = 5.1,
+          minStopwordFrac = 0.02,
+          maxDup2gramFrac = 0.08, maxDup3gramFrac = 0.05),
+        spanK = 0, chunkTokens = 0, nearDupThreshold = 0.8,
+        boilerplateSep = " table ", boilerplateMinDocs = 20L,
+        classifierMargin = 0.0, classifierBuckets = 1024,
+        scheme = graft.operators.HashScheme.Portable)
+      val out = DataPipeline.prepareIncrement(inc, idx, fps, None, cfg,
+          seeds = Some((raw.where(col("lang") === "en"),
+            raw.where(col("lang") =!= "en"))))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .cache()
+      require(out.count() > 0, "daily loop kept nothing — gate corpus broken")
+      require(out.join(fps, Seq("fp"), "left_semi").count() == 0,
+        "a survivor's fingerprint already exists in the corpus set")
+      require(Dedup.nearDuplicatesAgainst(out, idx, "text", 0.8).count() == 0,
+        "a survivor still near-matches the corpus index at the threshold")
+      val Array(n, nFp) = out.agg(count(lit(1)), count_distinct(col("fp")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == nFp, s"in-batch exact dups survived: $n rows, $nFp fps")
+      out.select("doc_id", "fp")
+    }),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
