@@ -90,7 +90,10 @@ object ScaleProbe {
       "pipe_full",
       // round-5b surface
       "d_leaked_spans", "t_fix_mojibake", "s_temperature_mix",
-      "e_incremental_embdup", "d_incremental_exact_bloom")
+      "e_incremental_embdup", "d_incremental_exact_bloom",
+      // daily loop: at K× BOTH the corpus (index build) and the
+      // increment scale — the probe measures the whole day's cost
+      "pipe_increment")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
