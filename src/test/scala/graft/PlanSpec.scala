@@ -411,6 +411,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"langid serving must not aggregate:\n$p")
   }
 
+  test("round-5b shapes: entropy/novelty partial-aggregate, temperature broadcasts, mojibake scans") {
+    val ent = executed("t_char_entropy")
+    assert(ent.contains("partial_count") || ent.contains("partial_sum"),
+      s"char census must partial-aggregate map-side:\n$ent")
+    val nov = executed("t_novelty")
+    assert(!nov.contains("CartesianProduct") && !nov.contains("BroadcastNestedLoopJoin"),
+      s"novelty join must stay an equi-join:\n$nov")
+    val tmp = executed("s_temperature_mix")
+    assert(tmp.contains("BroadcastHashJoin"),
+      s"the group-grain budget table must broadcast back:\n$tmp")
+    assert(!tmp.contains("CartesianProduct"))
+    val moj = executed("t_fix_mojibake")
+    assert(!moj.contains("Exchange") && !moj.contains("Join"),
+      s"mojibake repair must be one shuffle-free scan:\n$moj")
+  }
+
+  test("e_incremental_embdup: stored buckets equi-join the probe, no cartesian") {
+    val p = executed("e_incremental_embdup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket probe must be an equi-join:\n$p")
+  }
+
   test("e_rand_proj: sign projection is a shuffle-free scan") {
     val p = executed("e_rand_proj")
     assert(!p.contains("Exchange"), s"JL projection plans a shuffle:\n$p")
