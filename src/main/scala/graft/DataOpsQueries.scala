@@ -1086,6 +1086,13 @@ object DataOpsQueries {
       TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "avg_logp10", "bucket")),
 
+    // Curriculum ordering: perplexity bucket (easy→hard) + the
+    // deterministic md5 draw within each bucket, packed into ONE
+    // sortable key — no global rank anywhere. Oracle wraps the
+    // perplexity-bucket replay and rebuilds the same key.
+    "s_curriculum" -> ((s, dir) =>
+      operators.Shuffle.curriculumOrder(Tables.documents(s, dir), seed = 42L)),
+
     // Deterministic corpus shuffle: md5(seed,key) order, 8 contiguous
     // hash-range shards, per-shard rank + prefix-sum offsets → a total
     // permutation 1..N the oracle replays exactly.
@@ -4363,8 +4370,16 @@ object DataOpsQueries {
     * PPM twins and PNG is lossless, so the decoded rasters — and hence
     * the oracle replays — are identical; only the Spark side differs
     * (javax.imageio codec decode instead of the in-band header walk).
+    * s_curriculum wraps the gate-proven perplexity-bucket replay as a
+    * subquery and rebuilds the (bucket ordinal ‖ ':' ‖ draw) key.
     */
   val oracles: Map[String, String] = oraclesBase ++ Map(
+    "s_curriculum" ->
+      s"""SELECT doc_id, bucket,
+        |  (CASE bucket WHEN 'head' THEN '0' WHEN 'middle' THEN '1'
+        |        WHEN 'tail' THEN '2' ELSE '3' END)
+        |  || ':' || md5('shuffle:42:' || doc_id::VARCHAR) AS curriculum_key
+        |FROM (${oraclesBase("t_perplexity_buckets")}) pb""".stripMargin,
     "m_decode_png" -> oraclesBase("m_decode_features"),
     "m_resize_png" -> oraclesBase("m_resize"),
     "m_phash_png" -> oraclesBase("m_phash"),

@@ -72,6 +72,33 @@ object Shuffle {
       .drop("_hx", "_off")
   }
 
+  /** Curriculum ordering — quality-staged training order with a
+    * REPRODUCIBLE shuffle inside each stage: documents sort by
+    * perplexity bucket (head = most-natural text first, the
+    * easy-to-hard curriculum) and within a bucket by the same
+    * md5(seed, key) draw [[permutation]] uses, so the order is
+    * engine/partition-layout independent end to end. The key is one
+    * sortable string (bucket ordinal ‖ ':' ‖ 32-hex draw): consumers
+    * range-partition + sort on it ([[materialized]]'s shape) to stream
+    * examples in curriculum order without any global rank.
+    * Token-less docs carry no perplexity and are absent (the bucket
+    * stage scores only n_tokens > 0 — route them separately if they
+    * should train at all).
+    *
+    * Output: (doc_id, bucket, curriculum_key).
+    */
+  def curriculumOrder(docs: DataFrame, seed: Long = 42L,
+                      textCol: String = "text",
+                      exact: Boolean = true): DataFrame =
+    TextAnalysis.perplexityBuckets(docs, textCol = textCol, exact = exact)
+      .select(col("doc_id"), col("bucket"),
+        concat(
+          when(col("bucket") === "head", "0")
+            .when(col("bucket") === "middle", "1")
+            .when(col("bucket") === "tail", "2")
+            .otherwise("3"),
+          lit(":"), orderHash(col("doc_id"), seed)).as("curriculum_key"))
+
   /** The physically shuffled corpus: rows range-partitioned into `shards`
     * output partitions and sorted by the permutation within each — ready
     * for a partition-per-file write that streams training examples in

@@ -60,4 +60,27 @@ class ShuffleSpec extends SparkSpec {
     assert(sizes.length == 4 && sizes.max <= 3 * sizes.min,
       s"300 uniform draws over 4 shards should be roughly even: ${sizes.toSeq}")
   }
+
+  test("curriculumOrder: buckets stage the order, the draw shuffles within") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Shuffle.curriculumOrder(real, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // the sortable key puts every head doc before every middle before
+    // every tail — string order IS curriculum order
+    val sorted = out.sortBy(_._3).map(_._2)
+    val firstMiddle = sorted.indexOf("middle")
+    val firstTail = sorted.indexOf("tail")
+    assert(sorted.lastIndexOf("head") < firstMiddle,
+      "every head doc must precede every middle doc")
+    assert(sorted.lastIndexOf("middle") < firstTail)
+    // within a bucket the order is the seed's permutation — a different
+    // seed reorders inside buckets but never across them
+    val other = Shuffle.curriculumOrder(real, seed = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._2).map(_._1)
+    val ours = out.sortBy(_._3).map(_._1)
+    assert(other.toSeq != ours.toSeq, "different seeds must reorder")
+    assert(other.toSet == ours.toSet)
+  }
 }
