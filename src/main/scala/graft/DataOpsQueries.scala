@@ -524,6 +524,14 @@ object DataOpsQueries {
       Boilerplate.removeBoilerplate(Tables.documents(s, dir),
         lineSep = " table ", minDocs = 20)),
 
+    // Paragraph-level corpus dedup (the Dolma recipe's paragraph stage):
+    // a ' table '-separated segment repeated anywhere keeps only its
+    // corpus-first (doc_id, pos) occurrence; the raw corpus repeats
+    // segments naturally, so the stage binds without planting. Oracle
+    // replays census, canonical rank, and ordered reassembly.
+    "t_dedup_paragraphs" -> ((s, dir) =>
+      Boilerplate.dedupLines(Tables.documents(s, dir), lineSep = " table ")),
+
     // C4-style line-level heuristic filter: lines derived in-query
     // (split on " table ", re-joined with ".\n" so interior lines end
     // in terminal punctuation and the last does not) — ≥4 words,
@@ -2432,6 +2440,35 @@ object DataOpsQueries {
         |  coalesce(k.clean_text, '') AS clean_text,
         |  coalesce(k.n_lines_kept, 0) AS n_lines_kept,
         |  len(string_split(d.text, ' table ')) - coalesce(k.n_lines_kept, 0) AS n_lines_removed
+        |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+
+    // paragraph-dedup replay: duplicated-line census, row_number over
+    // (doc_id, pos) per digest (rn = 1 is the surviving canonical
+    // occurrence), ordered reassembly — d_span_dedup_keepfirst at line
+    // grain
+    "t_dedup_paragraphs" ->
+      """WITH pl AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM documents)),
+        |rep AS (
+        |  SELECT md5(line) AS dig FROM pl GROUP BY 1 HAVING count(*) > 1),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM pl WHERE md5(line) IN (SELECT dig FROM rep)),
+        |dropped AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+        |kept AS (
+        |  SELECT p.doc_id,
+        |    array_to_string(list(p.line ORDER BY p.pos), ' table ') AS clean_text,
+        |    count(*) AS k
+        |  FROM pl p LEFT JOIN dropped d ON d.doc_id = p.doc_id AND d.pos = p.pos
+        |  WHERE d.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  (CASE WHEN d.text IS NULL THEN 0
+        |        ELSE len(string_split(d.text, ' table ')) END)::BIGINT AS n_lines,
+        |  ((CASE WHEN d.text IS NULL THEN 0
+        |         ELSE len(string_split(d.text, ' table ')) END)
+        |   - coalesce(k.k, 0))::BIGINT AS n_lines_removed
         |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     "t_fingerprint" ->

@@ -85,6 +85,51 @@ object Boilerplate {
       (size(lines) - size(kept)).as("n_lines_removed"))
   }
 
+  /** Corpus-wide PARAGRAPH dedup (the Dolma recipe's paragraph stage):
+    * a line/paragraph occurring more than once ANYWHERE in the corpus
+    * keeps only its corpus-first occurrence (minimum (doc_id, pos) —
+    * deterministic, partial-aggregated min(struct), no per-digest sort);
+    * every later occurrence is dropped and documents reassemble in
+    * order. Differs from [[removeBoilerplate]] (threshold census, ALL
+    * occurrences dropped) exactly the way span keepFirst differs from
+    * span removal — here one copy of duplicated content survives, which
+    * is the dedup policy rather than the boilerplate policy.
+    *
+    * Scale shape: line census on 16-byte digests (one partial-agg
+    * shuffle), duplicated-digest join-back, reassembly grouped per doc;
+    * docs whose every line is a later duplicate survive with empty text
+    * (callers filter, as with the other cleaning heads).
+    *
+    * Output: (doc_id, clean_text, n_lines, n_lines_removed).
+    */
+  def dedupLines(docs: DataFrame, lineSep: String = "\n",
+                 textCol: String = "text"): DataFrame = {
+    val lines = lineFrame(docs, lineSep, textCol)
+      .withColumn("_dig", md5(col("line")))
+    val repeated = lines.groupBy("_dig").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select("_dig")
+    val canon = lines.join(repeated, Seq("_dig"))
+      .groupBy("_dig")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+    val dropped = lines.join(canon, Seq("_dig"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("_first"))
+      .select("doc_id", "pos")
+    val kept = lines.join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(TextAnalysis.joinInOrder(col("pos"), col("line"), lineSep)
+          .as("clean_text"),
+        count(lit(1)).as("_kept"))
+    docs.select(col("doc_id"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(splitLines(col(textCol), lineSep)).cast("long"))
+          .as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_kept"), lit(0L))).as("n_lines_removed"))
+  }
+
   /** Boilerplate removal against a PRECOMPUTED digest set as ONE pure
     * projection — the stream-compatible form of [[removeBoilerplate]]:
     * filter the split line array by digest membership, rejoin in place.

@@ -899,6 +899,23 @@ class DataOpsSpec extends SparkSpec {
     assert(got(0).getInt(1) == 2000)
   }
 
+  test("dedupLines: corpus-first paragraph survives, later copies drop, within-doc repeats too") {
+    val docs = Seq(
+      (1L, "shared para\nunique one"),
+      (2L, "unique two\nshared para"),          // cross-doc dup: doc 1 wins
+      (3L, "rep\nrep\nunique three"),           // within-doc dup: pos 0 wins
+      (4L, "shared para"),                      // whole doc a later dup → empties
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ("shared para\nunique one", 2L, 0L))
+    assert(got(2L) == ("unique two", 2L, 1L))
+    assert(got(3L) == ("rep\nunique three", 3L, 1L))
+    assert(got(4L) == ("", 1L, 1L))
+    assert(got(5L) == ("", 0L, 0L))
+  }
+
   test("bloom-prefiltered exact dedup ≡ plain anti-join; filter admits every corpus fp") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
