@@ -246,6 +246,13 @@ object TextAnalysis {
     * shuffle — the [[Salience.termCounts]] pattern at character grain.
     * Output: (doc_id, n_chars, char_entropy_bits); empty and null text
     * carry n_chars 0 with a null entropy (no information, not "0").
+    *
+    * Character contract: BMP code points. Spark's split("") walks UTF-16
+    * units while external engines walk code points, so ASTRAL characters
+    * (emoji, rare CJK extensions) count as two units here and one there
+    * — identical on every BMP alphabet, divergent past it. A
+    * code-point-exact variant needs a custom expression; the signal's
+    * discriminative power is unaffected either way.
     */
   def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val census = docs

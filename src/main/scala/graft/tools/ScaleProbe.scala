@@ -93,7 +93,8 @@ object ScaleProbe {
       "e_incremental_embdup", "d_incremental_exact_bloom",
       // daily loop: at K× BOTH the corpus (index build) and the
       // increment scale — the probe measures the whole day's cost
-      "pipe_increment")
+      "pipe_increment",
+      "s_curriculum", "t_dedup_paragraphs")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
