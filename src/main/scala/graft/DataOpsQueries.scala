@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1185,6 +1185,25 @@ object DataOpsQueries {
     "a15_sessionize" -> ((s, dir) =>
       operators.Sessionize.sessions(Tables.events(s, dir))),
 
+    // Cohort retention: first-active-day cohorts × day offsets, distinct
+    // active users per cell. Every frame after the first distinct is
+    // user- or cohort-grain; the oracle replays day arithmetic on µs
+    // integers and the 6dp retention division.
+    "x_cohort_retention" -> ((s, dir) =>
+      operators.EventAnalytics.cohortRetention(Tables.events(s, dir))),
+
+    // First-touch ordered funnel signup→view→click→purchase: step k's
+    // conditional min only sees events strictly after step k−1's
+    // timestamp — the oracle replays the chained conditional mins.
+    "x_funnel" -> ((s, dir) =>
+      operators.EventAnalytics.funnel(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"))),
+
+    // Step-grain funnel census from the same per-user frame.
+    "x_funnel_counts" -> ((s, dir) =>
+      operators.EventAnalytics.funnelCounts(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"))),
+
     // Mergeable dataset card: three disjoint shards sketched separately,
     // merged without re-scan; integer counters must EQUAL the direct
     // exact card, HLL distinct estimates must land within 5% per group.
@@ -1242,6 +1261,25 @@ object DataOpsQueries {
       operators.SketchOps.sliceJaccard(
         day("day0", 0, 1).unionByName(day("day1", 1, 2))
           .unionByName(day("day2", 2, 3)), "grp")
+    }),
+
+    // Mergeable equi-width histogram census over l_extendedprice: one
+    // map-side-combined partial agg to ≤64 rows, counts add across days.
+    // The oracle replays the bucket formula (identical IEEE doubles:
+    // w = 104100/64 is exactly representable) and the group count.
+    "k_histogram" -> ((s, dir) =>
+      HistQuantile.histogram(Tables.lineitem(s, dir), col("l_extendedprice"),
+        lo = 900.0, hi = 105000.0, buckets = 64)),
+
+    // Interpolated quantiles from that census: target rank ceil(q·N),
+    // linear interpolation inside the containing bucket, 6dp-rounded
+    // division. The running-sum window is over ≤64 census rows — bounded
+    // by construction, not corpus-sized.
+    "k_hist_quantile" -> ((s, dir) => {
+      val h = HistQuantile.histogram(Tables.lineitem(s, dir),
+        col("l_extendedprice"), lo = 900.0, hi = 105000.0, buckets = 64)
+      HistQuantile.quantiles(h, lo = 900.0, hi = 105000.0, buckets = 64,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
     // URL decomposition over deterministically generated URLs (userinfo,
@@ -1894,6 +1932,50 @@ object DataOpsQueries {
       out.select("doc_id", "fp")
     }),
 
+    // CDC merge: a deterministic 3-day change history over orders — day 2
+    // re-prices every 3rd key (+100), day 3 tombstones every 7th — applied
+    // to the day-1 snapshot with latest-per-key + anti-join semantics.
+    // Keys divisible by 21 carry BOTH a day-2 upsert and a day-3 delete,
+    // so the gate pins last-writer-wins. Increment-proportional: only the
+    // changeset is windowed; the snapshot sees one equi-join.
+    "i_apply_changes" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val up = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(2L))
+      val del = o.where(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(3L))
+      ApplyChanges(o, up.unionByName(del), "o_orderkey", "seq")
+    }),
+
+    // SCD2 validity history from the same change log (day-1 full upsert
+    // prepended): each version valid [seq, next seq), open-ended for the
+    // current one. One lead window on the key — log-proportional.
+    "i_scd2_history" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val log = o.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(3L)))
+      ApplyChanges.history(log, "o_orderkey", "seq")
+    }),
+
+    // Time travel: the snapshot the change log implies AS OF day 2 —
+    // day-3 tombstones invisible, day-2 re-prices visible. Same
+    // latest-per-key kernel bounded by seq ≤ 2.
+    "i_time_travel" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val log = o.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(3L)))
+      ApplyChanges.snapshotOf(log, "o_orderkey", "seq", Some(lit(2L)))
+    }),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
@@ -1987,6 +2069,77 @@ object DataOpsQueries {
   )
 
   private val oraclesBase: Map[String, String] = Map(
+    // CDC family: the change log is rebuilt verbatim in SQL (day-1 full
+    // upsert, day-2 +100 re-price on keys %3, day-3 tombstone on keys
+    // %7), then the merge / lead-window / as-of kernels are replayed.
+    "i_apply_changes" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_totalprice + 100 AS o_totalprice,
+        |         'upsert' AS op, 2::BIGINT AS seq FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3::BIGINT FROM o WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT chg.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM chg) WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_totalprice FROM o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM latest WHERE op = 'upsert'""".stripMargin,
+
+    "i_scd2_history" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |chlog AS (
+        |  SELECT o_orderkey, o_totalprice, 'upsert' AS op, 1::BIGINT AS seq FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100, 'upsert', 2::BIGINT FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3::BIGINT FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_totalprice, op, seq,
+        |  seq AS valid_from,
+        |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to,
+        |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL AS is_current
+        |FROM chlog""".stripMargin,
+
+    "i_time_travel" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |chlog AS (
+        |  SELECT o_orderkey, o_totalprice, 'upsert' AS op, 1::BIGINT AS seq FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100, 'upsert', 2::BIGINT FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3::BIGINT FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_totalprice, seq FROM (
+        |  SELECT chlog.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM chlog WHERE seq <= 2)
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    // Histogram family: w = (105000−900)/64 = 1626.5625 exactly in IEEE
+    // double, so the bucket formula replays bit-for-bit.
+    "k_histogram" ->
+      """SELECT least(greatest(floor((l_extendedprice - 900.0) / 1626.5625), 0), 63)::BIGINT AS bucket,
+        |  count(*) AS cnt
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "k_hist_quantile" ->
+      """WITH h AS (
+        |  SELECT least(greatest(floor((l_extendedprice - 900.0) / 1626.5625), 0), 63)::BIGINT AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM h),
+        |probes AS (SELECT unnest([0.25, 0.5, 0.9, 0.99])::DOUBLE AS q)
+        |SELECT q,
+        |  round(900.0 + bucket * 1626.5625 +
+        |        1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
+        |FROM c CROSS JOIN probes
+        |WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)""".stripMargin,
+
     "f_sql_nfc" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(coalesce(text, '') || ' e' || chr(769) || 'A' || chr(778))) AS h
@@ -2955,6 +3108,59 @@ object DataOpsQueries {
         |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  max(ts_us) - min(ts_us) AS duration_us
         |FROM asgn GROUP BY user_id, session_id""".stripMargin,
+
+    "x_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM coh GROUP BY 1)
+        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT ud.user_id) AS n_active, s.cohort_users,
+        |  round(count(DISTINCT ud.user_id)::DOUBLE / s.cohort_users, 6) AS retention
+        |FROM ud JOIN coh c USING (user_id) JOIN sizes s USING (cohort_day)
+        |GROUP BY c.cohort_day, ud.day - c.cohort_day, s.cohort_users""".stripMargin,
+
+    "x_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t0_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts_us) AS t1_us FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts_us > s0.t0_us
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1_us
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2_us
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s0.user_id, t0_us, t1_us, t2_us, t3_us,
+        |  (1 + (t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT
+        |     + (t3_us IS NOT NULL)::INT)::BIGINT AS stage
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "x_funnel_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t0_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts_us) AS t1_us FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts_us > s0.t0_us
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1_us
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2_us
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT step, step_name, n_users FROM (
+        |  SELECT 0::BIGINT AS step, 'signup' AS step_name,
+        |         (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))""".stripMargin,
 
     // exact-mode theta estimates ≡ exact distinct counts: the oracle
     // computes the same overlapping fingerprint sets directly

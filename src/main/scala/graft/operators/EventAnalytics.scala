@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cohort-retention and funnel analytics over the event log — the
+  * product-analytics twins of [[Sessionize]] (beyond-reference surface,
+  * SURVEY §2.13). Both stay in day/step grain censuses: nothing
+  * event-grain survives past the first aggregate.
+  *
+  * 100 TB shape: [[cohortRetention]] is distinct (user, day) — one
+  * shuffle on user_id — then user-grain cohort assignment reusing the
+  * SAME partitioning (cohort agg, size census, and the activity join
+  * are all user- or cohort-keyed, so Catalyst reuses the exchange), and
+  * a final cohort×offset-grain agg whose cardinality is days², not
+  * rows. [[funnel]] is K conditional min-aggregates chained on
+  * user_id — each step joins user-grain frames co-partitioned on the
+  * same key; events are scanned once per step with the step predicate
+  * pushed to the scan. K is the funnel length (small constant), the
+  * standard warehouse recipe for order-dependent first-touch funnels.
+  */
+object EventAnalytics {
+
+  /** Integer day index since the epoch, µs-derived: exact for any
+    * timestamp this side of year 287396 (|µs| < 2⁵³).
+    */
+  private def dayOf(ts: Column): Column =
+    floor(unix_micros(ts) / lit(86400000000L)).cast("bigint")
+
+  /** (cohort_day, day_offset, n_active, cohort_users, retention):
+    * cohort = a user's first active day; a (cohort, offset) cell counts
+    * the cohort's users active that many days later. retention is the
+    * 6dp-rounded fraction of the cohort (division → libm rule).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), dayOf(col("ts")).as("day")).distinct()
+    val cohorts = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    ud.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort_day")
+      .withColumn("retention", round(col("n_active") / col("cohort_users"), 6))
+  }
+
+  /** First-touch ordered funnel: step k counts only events strictly
+    * after the user's step-(k−1) timestamp, so out-of-order histories
+    * don't skip ahead. Returns one row per user who entered the funnel:
+    * (user_id, t0_us..t{K−1}_us nullable, stage = furthest step reached,
+    * 1-based).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val entered = base.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("t0_us"))
+    val chained = steps.zipWithIndex.tail.foldLeft(entered) {
+      case (acc, (step, i)) =>
+        val prev = s"t${i - 1}_us"
+        val next = base.where(col("event_type") === step)
+          .join(acc.select(col("user_id"), col(prev)), "user_id")
+          .where(col("ts_us") > col(prev))
+          .groupBy("user_id").agg(min("ts_us").as(s"t${i}_us"))
+        acc.join(next, Seq("user_id"), "left_outer")
+    }
+    val stage = steps.indices.map(i =>
+      when(col(s"t${i}_us").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    chained.withColumn("stage", stage)
+  }
+
+  /** Step-grain funnel census from [[funnel]]'s per-user frame:
+    * (step, step_name, n_users reaching it) — K rows.
+    */
+  def funnelCounts(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val perUser = funnel(events, steps)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val names = steps.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("step", "step_name")
+    val counts = steps.indices.map(i =>
+      sum(when(col(s"t${i}_us").isNotNull, 1L).otherwise(0L)).as(s"c$i"))
+    val wide = perUser.agg(counts.head, counts.tail: _*)
+    val long = steps.indices.map(i =>
+      wide.select(lit(i.toLong).as("step"), col(s"c$i").as("n_users")))
+      .reduce(_ unionByName _)
+    names.join(long, "step")
+  }
+}

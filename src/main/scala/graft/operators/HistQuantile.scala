@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable equi-width histogram quantiles — the deterministic,
+  * SQL-replayable member of the sketch family (HLL cards, CMS heavy
+  * hitters, theta set algebra live in [[CorpusStats]] /
+  * [[graft.functions.ThetaSketch]]). Beyond-reference surface
+  * (SURVEY §2.13).
+  *
+  * Unlike KLL/t-digest the equi-width census is rank-exact only to a
+  * bucket width, but it is: (a) deterministic — no RNG, so the oracle
+  * replays it bit-for-bit; (b) trivially mergeable — counts add, so
+  * per-day histograms roll up into monthly cards without re-scanning
+  * (the same property the HLL cards exploit); (c) bounded — `buckets`
+  * rows of state regardless of corpus size. The estimate error is
+  * ≤ one bucket width, which the caller sizes.
+  *
+  * 100 TB shape: [[histogram]] is one map-side-combined partial agg to
+  * ≤ `buckets` rows. [[quantiles]] runs on that census: the one
+  * unpartitioned running-sum window is over ≤ `buckets` rows by
+  * construction (same justification as the numShards offset table in
+  * [[Shuffle]]), and the quantile probe is a cross join of |qs| ×
+  * buckets census rows. Nothing corpus-sized leaves the partial agg.
+  */
+object HistQuantile {
+
+  /** (bucket, cnt) census: equi-width buckets over [lo, hi), out-of-range
+    * values clamped into the edge buckets so mass is never dropped
+    * (clamping, not error: at merge time different days may overshoot a
+    * range fixed once). Null values are excluded. Empty buckets are
+    * absent (sparse census).
+    */
+  def histogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((value - lit(lo)) / lit(w)), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("bigint")
+    df.where(value.isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge any number of same-parameter censuses: counts add. */
+  def merge(hists: Seq[DataFrame]): DataFrame =
+    hists.reduce(_ unionByName _).groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Interpolated quantile estimates from a census. For each q the
+    * target rank is ceil(q·N); the estimate interpolates linearly inside
+    * the bucket containing that rank:
+    * lo + bucket·w + w·(target − cumBefore)/cnt, rounded to 6dp (division
+    * goes through libm — the standard oracle-hash rule). qs must lie in
+    * (0, 1].
+    */
+  def quantiles(hist: DataFrame, lo: Double, hi: Double, buckets: Int,
+                qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / buckets
+    // running sum over the ≤buckets-row census — bounded, not corpus-sized
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val probes = qs.toDF("q")
+    cum.crossJoin(broadcast(probes))
+      .withColumn("target", ceil(col("q") * col("n")))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(col("q"),
+        round(lit(lo) + col("bucket") * lit(w) +
+          lit(w) * (col("target") - (col("cum") - col("cnt"))) / col("cnt"),
+          6).as("qtile"))
+  }
+}

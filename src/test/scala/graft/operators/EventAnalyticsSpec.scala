@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val day0 = 1700000000000000L - (1700000000000000L % 86400000000L)
+
+  private def ev(user: Long, dayOffset: Long, usWithinDay: Long, typ: String) =
+    (user, day0 + dayOffset * 86400000000L + usWithinDay, typ)
+
+  private def toDf(rows: Seq[(Long, Long, String)]) =
+    rows.zipWithIndex
+      .map { case ((u, us, t), i) => (i.toLong, u, us, t) }
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+
+  test("cohortRetention: cohorts by first day, offsets count distinct users") {
+    val df = toDf(Seq(
+      ev(1, 0, 10, "view"), ev(1, 1, 10, "view"), ev(1, 1, 20, "click"),
+      ev(2, 0, 30, "view"), // cohort day0, never returns
+      ev(3, 1, 10, "view"), ev(3, 3, 10, "view"))) // cohort day1, back at +2
+    val out = EventAnalytics.cohortRetention(df)
+      .select("cohort_day", "day_offset", "n_active", "cohort_users", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1 - day0 / 86400000000L, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)), "both day-0 users active at offset 0")
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)), "only user 1 returns next day")
+    assert(out((1L, 2L)) == ((1L, 1L, 1.0)), "user 3 returns two days later")
+    assert(!out.contains((0L, 2L)), "no day-0 user active at offset 2")
+  }
+
+  test("funnel: steps must advance strictly in time") {
+    val df = toDf(Seq(
+      // u1 completes in order
+      ev(1, 0, 10, "signup"), ev(1, 0, 20, "view"), ev(1, 0, 30, "click"),
+      // u2's click PRECEDES its view — click must not count
+      ev(2, 0, 10, "signup"), ev(2, 0, 15, "click"), ev(2, 0, 20, "view"),
+      // u3 never signed up — not in the funnel at all
+      ev(3, 0, 10, "view"), ev(3, 0, 20, "click")))
+    val out = EventAnalytics.funnel(df, Seq("signup", "view", "click"))
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L), s"unexpected stages: $out")
+  }
+
+  test("funnel picks the FIRST qualifying event per step") {
+    val df = toDf(Seq(
+      ev(1, 0, 10, "signup"), ev(1, 0, 5, "view"), // too early
+      ev(1, 0, 40, "view"), ev(1, 0, 20, "view"))) // 20 is first after signup
+    val row = EventAnalytics.funnel(df, Seq("signup", "view"))
+      .select("t0_us", "t1_us").as[(Long, Long)].head()
+    assert(row == ((day0 + 10, day0 + 20)))
+  }
+
+  test("funnelCounts: census matches per-user stages") {
+    val df = toDf(Seq(
+      ev(1, 0, 10, "signup"), ev(1, 0, 20, "view"),
+      ev(2, 0, 10, "signup"),
+      ev(3, 0, 10, "signup"), ev(3, 0, 20, "view"), ev(3, 0, 30, "click")))
+    val out = EventAnalytics.funnelCounts(df, Seq("signup", "view", "click"))
+      .select("step", "step_name", "n_users")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, "signup", 3L), (1L, "view", 2L), (2L, "click", 1L)))
+  }
+
+  test("funnel rejects repeated steps") {
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(toDf(Seq(ev(1, 0, 1, "a"))), Seq("a", "a"))
+    }
+  }
+}
