@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object DataOpsQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Floor for the IVF semi-hard-negative recall harness: measured
+    * 0.890 at sf0.01 (deterministic — no RNG anywhere in the chain)
+    * with nProbe=6 of 16 fixed-centroid lists; the floor leaves margin
+    * for corpus-size shifts while failing loudly on a banding or
+    * assignment regression. Semi-hard recall trails plain top-k recall
+    * (e_ann_recall ≈ 1.0 at the same probe ratio) because band-edge
+    * negatives sit farther from the anchor than its own list
+    * neighborhood — more probes or trained centroids buy it back.
+    */
+  private val RECALL_FLOOR_HARD_NEG = 0.8
 
   /** documents ∪ shifted-id copy — duplicate-by-construction corpus so
     * dedup operators always have work to do on the synthetic data (which
@@ -862,6 +873,50 @@ object DataOpsQueries {
     // The builder itself asserts the mean-recall floors, so a recall
     // regression fails the gate loudly instead of shipping quieter rows.
     // No SQL oracle (hyperplane/quantizer internals are engine-specific).
+    // Hard-negative mining (exact path): anchors = every 10th vector,
+    // positive = the next id; top-5 semi-hard negatives rank strictly
+    // below the positive's 6dp cosine. The oracle replays the whole
+    // band-and-rank chain brute-force.
+    "e_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = emb.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("anchor_id"),
+          (col("vec_id") + 1).as("pos_id"))
+      NegativeMining.semiHard(emb, pairs, k = 5)
+    }),
+
+    // IVF-bucketed semi-hard mining vs the exact band, on the workload
+    // IVF is FOR: planted positives = perturbed anchor copies (the
+    // contrastive-training shape — pos_cos6 ≈ 0.999), so the semi-hard
+    // band is the anchor's nearest real neighbors and probing nearby
+    // lists must recover them. Neighbor-set recall@5 must clear the
+    // floor. Rows-only by design (the contract IS the self-asserted
+    // recall; the exact twin has the oracle above).
+    "e_hard_neg_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val anchors = emb.where(col("vec_id") < 20)
+      val planted = anchors.select(
+        (lit(2000000L) + col("vec_id")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + sin(col("vec_id") * 7 + i) * lit(0.02)).cast("float"))
+          .as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val pairs = anchors.select(col("vec_id").as("anchor_id"),
+        (lit(2000000L) + col("vec_id")).as("pos_id"))
+      val exact = NegativeMining.semiHard(corpus, pairs, k = 5)
+        .select("query_id", "neighbor_id").cache()
+      val nQ = exact.select("query_id").distinct().count().toDouble
+      val ivf = NegativeMining.semiHardIvf(corpus, pairs,
+        fixedCentroids(s, dir, 16), k = 5, nProbe = 6)
+      val hit = exact.join(ivf.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble
+      val recall = hit / (5.0 * nQ)
+      require(recall >= RECALL_FLOOR_HARD_NEG,
+        f"IVF semi-hard recall@5 $recall%.3f < $RECALL_FLOOR_HARD_NEG")
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_negatives"))
+    }),
+
     "e_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val q = emb.where(col("vec_id") < 20)
@@ -3108,6 +3163,26 @@ object DataOpsQueries {
         |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
         |  max(ts_us) - min(ts_us) AS duration_us
         |FROM asgn GROUP BY user_id, session_id""".stripMargin,
+
+    "e_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT a.vec_id AS query_id, a.vec_id + 1 AS pos_id,
+        |    a.embedding::DOUBLE[] AS qv,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6) AS pos_cos6
+        |  FROM embeddings a JOIN embeddings p ON p.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT q.query_id, q.pos_id, c.vec_id AS neighbor_id, q.pos_cos6,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS cos6
+        |  FROM embeddings c CROSS JOIN q
+        |  WHERE c.vec_id <> q.query_id AND c.vec_id <> q.pos_id),
+        |ranked AS (
+        |  SELECT query_id, pos_id, neighbor_id, pos_cos6, cos6,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+        |  FROM scored WHERE cos6 < pos_cos6 AND cos6 >= -1.0)
+        |SELECT query_id, pos_id, neighbor_id, cos6 AS cosine, pos_cos6, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "x_cohort_retention" ->
       """WITH ud AS (
