@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis}
+import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1532,6 +1532,34 @@ object DataOpsQueries {
       operators.Bpe.encode(r.merges, d.where(col("doc_id") % 2 === 1))
     }),
 
+    // WordPiece greedy longest-match serving: vocabulary = substring
+    // census of the EVEN docs (init vs ## continuation pieces, chars
+    // always kept), served on the distinct words of the UNSEEN odd
+    // docs. The oracle rebuilds the census and replays the greedy walk
+    // as a recursive CTE over precomputed per-(word,pos) longest
+    // matches; words with characters the train corpus never saw
+    // collapse to [UNK] on both engines.
+    "t_wordpiece" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = WordPiece.model(
+        WordPiece.vocabulary(d.where(col("doc_id") % 2 === 0)))
+      val serveWords = d.where(col("doc_id") % 2 === 1)
+        .select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalized(col("text")))).as("word"))
+        .where(col("word") =!= "").distinct()
+      WordPiece.encodeWords(serveWords, m)
+    }),
+
+    // Doc-grain WordPiece rollup on the same split: the greedy walk
+    // runs once per distinct word; the token-grain join back only
+    // carries (word -> n_pieces, unk) pairs.
+    "t_wordpiece_encode" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = WordPiece.model(
+        WordPiece.vocabulary(d.where(col("doc_id") % 2 === 0)))
+      WordPiece.encode(d.where(col("doc_id") % 2 === 1), m)
+    }),
+
     // PQ encode (m=8 subspaces × 16 seed centroids from the fixed-
     // centroid idiom): per-subspace argmin reuses the e_kmeans_assign
     // kernel, so every code replays bit-identically; portable scalars.
@@ -2123,7 +2151,84 @@ object DataOpsQueries {
     })
   )
 
+  /** WordPiece oracle chain (CTE-list fragment for a WITH RECURSIVE
+    * prelude): rebuild the substring-census vocabulary from the even
+    * docs, precompute the longest vocabulary match per (serving word,
+    * position), then replay the greedy walk as a recursive CTE
+    * following those steps — [UNK] collapse included. Shared by
+    * `t_wordpiece` (word grain) and `t_wordpiece_encode` (doc grain).
+    */
+  private val wordPieceChainSql: String =
+    """tnorm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |twords AS (
+      |  SELECT word, count(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+      |                       ELSE regexp_split_to_array(norm, '\s+') END) AS word
+      |    FROM tnorm WHERE doc_id % 2 = 0)
+      |  WHERE word <> '' GROUP BY word),
+      |tpos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS pos FROM twords),
+      |tcand AS (SELECT word, freq, pos, unnest(range(1, 5)) AS l FROM tpos),
+      |wpvocab AS (
+      |  SELECT is_cont, piece, len(piece) AS pl FROM (
+      |    SELECT (pos > 1) AS is_cont, substr(word, pos, l) AS piece,
+      |      sum(freq) AS cnt
+      |    FROM tcand WHERE pos + l - 1 <= len(word)
+      |    GROUP BY 1, 2)
+      |  WHERE cnt >= 5 OR len(piece) = 1),
+      |swords AS (
+      |  SELECT DISTINCT word FROM (
+      |    SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+      |                       ELSE regexp_split_to_array(norm, '\s+') END) AS word
+      |    FROM tnorm WHERE doc_id % 2 = 1)
+      |  WHERE word <> ''),
+      |spos AS (SELECT word, unnest(range(1, len(word) + 1)) AS pos FROM swords),
+      |wpbest AS (
+      |  SELECT s.word, s.pos, max(v.pl) AS l
+      |  FROM spos s JOIN wpvocab v
+      |    ON v.is_cont = (s.pos > 1) AND v.piece = substr(s.word, s.pos, v.pl)
+      |  GROUP BY s.word, s.pos),
+      |walk AS (
+      |  SELECT word, 1::BIGINT AS pos, CAST(NULL AS VARCHAR) AS piece,
+      |    0::BIGINT AS ord, false AS unk
+      |  FROM swords
+      |  UNION ALL
+      |  SELECT w.word,
+      |    CASE WHEN b.l IS NULL THEN len(w.word) + 1 ELSE w.pos + b.l END,
+      |    CASE WHEN b.l IS NULL THEN '[UNK]'
+      |         WHEN w.pos > 1 THEN '##' || substr(w.word, w.pos, b.l)
+      |         ELSE substr(w.word, w.pos, b.l) END,
+      |    w.ord + 1,
+      |    b.l IS NULL
+      |  FROM walk w LEFT JOIN wpbest b ON b.word = w.word AND b.pos = w.pos
+      |  WHERE w.pos <= len(w.word) AND NOT w.unk),
+      |wpenc AS (
+      |  SELECT word,
+      |    CASE WHEN bool_or(unk) THEN '[UNK]'
+      |         ELSE string_agg(piece, ' ' ORDER BY ord) END AS encoded,
+      |    (CASE WHEN bool_or(unk) THEN 1 ELSE count(piece) END)::BIGINT AS n_pieces
+      |  FROM walk WHERE ord > 0 GROUP BY word)""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
+    "t_wordpiece" ->
+      s"""WITH RECURSIVE $wordPieceChainSql
+        |SELECT word, encoded, n_pieces FROM wpenc""".stripMargin,
+
+    "t_wordpiece_encode" ->
+      s"""WITH RECURSIVE $wordPieceChainSql,
+        |stoks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |                       ELSE regexp_split_to_array(norm, '\\s+') END) AS word
+        |    FROM tnorm WHERE doc_id % 2 = 1)
+        |  WHERE word <> '')
+        |SELECT t.doc_id, sum(e.n_pieces)::BIGINT AS total_pieces,
+        |  count(*)::BIGINT AS n_words,
+        |  sum(CASE WHEN e.encoded = '[UNK]' THEN 1 ELSE 0 END)::BIGINT AS n_unk
+        |FROM stoks t JOIN wpenc e USING (word)
+        |GROUP BY t.doc_id""".stripMargin,
     // CDC family: the change log is rebuilt verbatim in SQL (day-1 full
     // upsert, day-2 +100 re-price on keys %3, day-3 tombstone on keys
     // %7), then the merge / lead-window / as-of kernels are replayed.
