@@ -1461,6 +1461,25 @@ object DataOpsQueries {
     // link graph (doc → 7·doc+3 mod 409, doc → its decade root): every
     // per-edge term is one rounded double op, so the oracle replays the
     // whole iteration as unrolled CTEs (the BPE trick).
+    // Anchor-text aggregation: the g_pagerank graph, each edge carrying
+    // the src doc's first-3-token anchor; per-target top-3 terms by
+    // PageRank-weighted inlink mass. Integer micro weights end-to-end,
+    // so the oracle replays the full chain (all 10 rank rounds + the
+    // explode/census/top-k) exactly.
+    "g_anchor_text" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges0 = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val anchors = d.select(col("doc_id").as("src"),
+        array_join(slice(TextAnalysis.tokens(
+          TextAnalysis.normalized(col("text"))), 1, 3), " ").as("anchor"))
+      val ranks = operators.PageRank.pageRank(edges0, iterations = 10)
+        .select("node", "pr_micro")
+      operators.AnchorText.topTerms(edges0.join(anchors, "src"), ranks, k = 3)
+    }),
+
     "g_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val edges = d.select(col("doc_id").as("src"),
@@ -4545,6 +4564,34 @@ object DataOpsQueries {
         |  list_min(qvec) AS qmin,
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
+
+    "g_anchor_text" ->
+      s"""WITH ${pageRankChainSql(10)},
+        |anorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |anch AS (
+        |  SELECT doc_id AS src,
+        |    (CASE WHEN norm = '' THEN []::VARCHAR[]
+        |          ELSE regexp_split_to_array(norm, '\\s+') END)[1:3] AS toks
+        |  FROM anorm),
+        |aterm AS (
+        |  SELECT e.src, e.dst, unnest(a.toks) AS term
+        |  FROM e JOIN anch a ON a.src = e.src),
+        |acensus AS (
+        |  SELECT t.dst, t.term, count(*)::BIGINT AS n_links,
+        |    sum(p.pr)::BIGINT AS weight_micro
+        |  FROM aterm t JOIN pr10 p ON p.node = t.src
+        |  WHERE t.term <> ''
+        |  GROUP BY 1, 2),
+        |aranked AS (
+        |  SELECT dst, term, n_links, weight_micro,
+        |    row_number() OVER (PARTITION BY dst
+        |                       ORDER BY weight_micro DESC, term ASC) AS rank
+        |  FROM acensus)
+        |SELECT dst, term, n_links, weight_micro, rank
+        |FROM aranked WHERE rank <= 3""".stripMargin,
 
     "g_pagerank" ->
       s"""WITH ${pageRankChainSql(10)}
