@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis, WordPiece}
+import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,128 @@ object DataOpsQueries {
     * table, out-degrees, and `n` unrolled MATERIALIZED update rounds —
     * float constants interpolated from the operator's own doubles.
     */
+  /** Unigram-LM tokenizer oracle chain (goes under a WITH RECURSIVE
+    * prelude): word census (len ≤ K), seed substring census + micro-log10
+    * scores, then per round a Viterbi forward pass UNROLLED as one CTE
+    * per position (candidates = UNION ALL over piece lengths joining the
+    * previous cells, argmax by (total desc, l desc) — the operator's
+    * exact tie rule) + a recursive backpointer walk reconstructing the
+    * segmentation, then the add-one-smoothed M-step census and new
+    * scores. Ends with ufinal$r / useg$r for r = `rounds`.
+    */
+  private def unigramChainSql(rounds: Int, k: Int): String = {
+    def viterbiSql(r: Int, sc: String): String = {
+      val cells = (1 to k).map { p =>
+        val cands = (1 to math.min(4, p)).map { l =>
+          s"""SELECT prev.word, prev.wl, prev.total + s.logp AS total, $l AS l
+            |      FROM vb${r}p${p - l} prev
+            |      JOIN $sc s ON s.piece = substr(prev.word, ${p - l + 1}, $l)
+            |      WHERE prev.wl >= $p""".stripMargin
+        }.mkString("\n      UNION ALL ")
+        s"""vb${r}p$p AS MATERIALIZED (
+          |  SELECT word, wl, total, bp FROM (
+          |    SELECT word, wl, total, l AS bp,
+          |      row_number() OVER (PARTITION BY word ORDER BY total DESC, l DESC) AS rn
+          |    FROM (
+          |      $cands))
+          |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""vb${r}p0 AS MATERIALIZED (
+        |  SELECT word, len(word) AS wl, 0::BIGINT AS total, 0::BIGINT AS bp
+        |  FROM uwords),
+        |$cells,
+        |usteps$r AS MATERIALIZED (
+        |  ${(1 to k).map(p => s"SELECT word, wl, $p AS p, total, bp FROM vb${r}p$p")
+              .mkString("\n  UNION ALL ")}),
+        |ufinal$r AS MATERIALIZED (
+        |  SELECT word, wl, total AS logp_micro FROM usteps$r WHERE p = wl),
+        |uback$r AS (
+        |  SELECT word, wl AS pos, CAST(NULL AS VARCHAR) AS piece, 0::BIGINT AS ord
+        |  FROM ufinal$r
+        |  UNION ALL
+        |  SELECT b.word, b.pos - st.bp,
+        |    substr(b.word, (b.pos - st.bp + 1)::INT, st.bp::INT), b.ord + 1
+        |  FROM uback$r b JOIN usteps$r st ON st.word = b.word AND st.p = b.pos
+        |  WHERE b.pos > 0),
+        |useg$r AS MATERIALIZED (
+        |  SELECT word, string_agg(piece, ' ' ORDER BY pos) AS encoded,
+        |    count(piece)::BIGINT AS n_pieces
+        |  FROM uback$r WHERE piece IS NOT NULL GROUP BY word)""".stripMargin
+    }
+    val emRounds = (0 until rounds).map { r =>
+      s"""${viterbiSql(r, s"sc$r")},
+        |ucen${r + 1} AS MATERIALIZED (
+        |  SELECT sp.piece, (coalesce(u.used, 0) + 1)::BIGINT AS cnt
+        |  FROM (SELECT piece FROM ucen0) sp LEFT JOIN (
+        |    SELECT piece, sum(freq)::BIGINT AS used FROM (
+        |      SELECT w.freq, unnest(str_split(sg.encoded, ' ')) AS piece
+        |      FROM useg$r sg JOIN uwords w ON w.word = sg.word) GROUP BY piece) u
+        |  ON u.piece = sp.piece),
+        |sc${r + 1} AS MATERIALIZED (
+        |  SELECT piece, CAST(round(log10(cnt::DOUBLE / (SELECT sum(cnt) FROM ucen${r + 1})) * 1e6) AS BIGINT) AS logp
+        |  FROM ucen${r + 1})""".stripMargin
+    }.mkString(",\n")
+    val tail = if (rounds == 0) "" else s",\n$emRounds"
+    s"""unorm AS (
+      |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |uwords AS MATERIALIZED (
+      |  SELECT word, count(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+      |                       ELSE regexp_split_to_array(norm, '\\s+') END) AS word
+      |    FROM unorm)
+      |  WHERE word <> '' AND len(word) <= $k GROUP BY word),
+      |upos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS pos FROM uwords),
+      |ucand AS (SELECT word, freq, pos, unnest(range(1, 5)) AS l FROM upos),
+      |ucen0 AS MATERIALIZED (
+      |  SELECT piece, cnt FROM (
+      |    SELECT substr(word, pos, l) AS piece, sum(freq) AS cnt
+      |    FROM ucand WHERE pos + l - 1 <= len(word) GROUP BY 1)
+      |  WHERE cnt >= 5 OR len(piece) = 1),
+      |sc0 AS MATERIALIZED (
+      |  SELECT piece, CAST(round(log10(cnt::DOUBLE / (SELECT sum(cnt) FROM ucen0)) * 1e6) AS BIGINT) AS logp
+      |  FROM ucen0)$tail,
+      |${viterbiSql(rounds, s"sc$rounds")}""".stripMargin
+  }
+
+  /** HITS oracle chain: the g_pagerank graph, h0 = uniform 1e6 micro
+    * hubs, then n rounds of (auth raw sum → max → normalize, hub raw
+    * sum → max → normalize) as MATERIALIZED CTEs — ends with a$n / h$n.
+    */
+  private def hitsChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        |  SELECT nn.node, coalesce(c.s, 0) AS raw
+        |  FROM n nn LEFT JOIN (
+        |    SELECT e.dst AS node, sum(h.hub)::BIGINT AS s
+        |    FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst) c
+        |    ON c.node = nn.node),
+        |am$i AS MATERIALIZED (SELECT max(raw) AS m FROM ar$i),
+        |a$i AS MATERIALIZED (
+        |  SELECT node, CASE WHEN (SELECT m FROM am$i) = 0 THEN 0
+        |    ELSE CAST(round(raw::DOUBLE / (SELECT m FROM am$i) * 1e6) AS BIGINT) END AS auth
+        |  FROM ar$i),
+        |hr$i AS MATERIALIZED (
+        |  SELECT nn.node, coalesce(c.s, 0) AS raw
+        |  FROM n nn LEFT JOIN (
+        |    SELECT e.src AS node, sum(a.auth)::BIGINT AS s
+        |    FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src) c
+        |    ON c.node = nn.node),
+        |hm$i AS MATERIALIZED (SELECT max(raw) AS m FROM hr$i),
+        |h$i AS MATERIALIZED (
+        |  SELECT node, CASE WHEN (SELECT m FROM hm$i) = 0 THEN 0
+        |    ELSE CAST(round(raw::DOUBLE / (SELECT m FROM hm$i) * 1e6) AS BIGINT) END AS hub
+        |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS hub FROM n),
+      |$rounds""".stripMargin
+  }
+
   private def pageRankChainSql(n: Int): String = {
     val rounds = (1 to n).map { i =>
       s"""pr$i AS MATERIALIZED (
@@ -1480,6 +1602,18 @@ object DataOpsQueries {
       operators.AnchorText.topTerms(edges0.join(anchors, "src"), ranks, k = 3)
     }),
 
+    // HITS hubs/authorities on the same graph: 5 rounds, each an exact
+    // integer edge-sum + ONE max-normalizing double op rounded back to
+    // micro units — the oracle replays all 10 half-rounds as CTEs.
+    "g_hits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.Hits.hits(edges, iterations = 5)
+    }),
+
     "g_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val edges = d.select(col("doc_id").as("src"),
@@ -1567,6 +1701,21 @@ object DataOpsQueries {
           TextAnalysis.normalized(col("text")))).as("word"))
         .where(col("word") =!= "").distinct()
       WordPiece.encodeWords(serveWords, m)
+    }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer: ONE deterministic EM
+    // round from the seed substring census, then Viterbi-best serving
+    // under the re-estimated micro-log scores. The oracle replays the
+    // censuses, BOTH Viterbi passes (forward DP unrolled per position,
+    // argmax tie rule total-desc/length-desc), the backpointer walks,
+    // and the add-one M-step. maxWordLen=12 bounds the DP unroll — the
+    // SentencePiece max-length guard, applied identically on both sides.
+    "t_unigram_lm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = UnigramLm.train(d, rounds = 1, maxWordLen = 12)
+      val words = operators.Bpe.wordCensus(d)
+        .where(length(col("word")) <= 12).select("word")
+      UnigramLm.segmentWords(words, m)
     }),
 
     // Doc-grain WordPiece rollup on the same split: the greedy walk
@@ -2234,6 +2383,11 @@ object DataOpsQueries {
     "t_wordpiece" ->
       s"""WITH RECURSIVE $wordPieceChainSql
         |SELECT word, encoded, n_pieces FROM wpenc""".stripMargin,
+
+    "t_unigram_lm" ->
+      s"""WITH RECURSIVE ${unigramChainSql(1, 12)}
+        |SELECT f.word, sg.encoded, sg.n_pieces, f.logp_micro
+        |FROM ufinal1 f JOIN useg1 sg USING (word)""".stripMargin,
 
     "t_wordpiece_encode" ->
       s"""WITH RECURSIVE $wordPieceChainSql,
@@ -4592,6 +4746,11 @@ object DataOpsQueries {
         |  FROM acensus)
         |SELECT dst, term, n_links, weight_micro, rank
         |FROM aranked WHERE rank <= 3""".stripMargin,
+
+    "g_hits" ->
+      s"""WITH ${hitsChainSql(5)}
+        |SELECT h.node, h.hub AS hub_micro, a.auth AS auth_micro
+        |FROM h5 h JOIN a5 a ON a.node = h.node""".stripMargin,
 
     "g_pagerank" ->
       s"""WITH ${pageRankChainSql(10)}

@@ -28,9 +28,17 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // copies written by an NTZ-inferring session (e.g. a cached
+      // ScaleProbe multiple) read back as TIMESTAMP_NTZ, which
+      // unix_micros rejects; sessions here run UTC, so the cast is
+      // value-preserving and matches DuckDB's naive reading
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -19,6 +19,10 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // regenerated events.parquet would otherwise infer TIMESTAMP_NTZ,
+      // which unix_micros rejects — same setting as Verify/Bench
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
@@ -94,7 +98,21 @@ object ScaleProbe {
       // daily loop: at K× BOTH the corpus (index build) and the
       // increment scale — the probe measures the whole day's cost
       "pipe_increment",
-      "s_curriculum", "t_dedup_paragraphs")
+      "s_curriculum", "t_dedup_paragraphs",
+      // round-5c surface
+      "i_apply_changes", "i_scd2_history", "k_histogram",
+      "k_hist_quantile", "x_cohort_retention", "x_funnel",
+      // anchors scale with the corpus (vec_id % 10), so the brute-force
+      // candidate set grows K² — the bounded composition is semiHardIvf
+      // (measured by e_hard_neg_recall); this probes the exact baseline
+      "e_hard_negatives",
+      // K-fold copies repeat the same words, so the distinct-word
+      // serving frame is FLAT at K× — the property the tokenizer
+      // serving path relies on (same argument as t_bpe_apply)
+      "t_wordpiece", "t_wordpiece_encode",
+      "g_anchor_text", "g_hits",
+      // same flat-distinct-word-frame property as t_wordpiece
+      "t_unigram_lm")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

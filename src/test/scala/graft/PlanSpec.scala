@@ -510,4 +510,68 @@ class PlanSpec extends SparkSpec {
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("i_apply_changes: only the changeset is windowed, with rank-limit pushdown") {
+    val p = executed("i_apply_changes")
+    // the latest-per-key window exists once per consumer branch (anti
+    // key list + upsert payloads) and ONLY over the changeset — every
+    // Window node must order by seq DESC, a column the snapshot lacks
+    val wins = "Window \\[".r.findAllIn(p).toSeq
+    assert(wins.size <= 2, s"unexpected extra Window nodes:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("seq#")),
+      s"every window must order by the changeset seq:\n${specs.mkString("\n")}")
+    // Spark's rank-limit pushdown prunes to 1 row/key BEFORE the
+    // shuffle — the property that keeps latest-per-key cheap at scale
+    assert(p.contains("WindowGroupLimit"),
+      s"expected partial rank-limit pushdown on the changeset window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("k_histogram: census partial-aggregates map-side to bucket grain") {
+    val p = executed("k_histogram")
+    assert(p.contains("partial_count"),
+      s"bucket census must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"histogram is a single-pass census:\n$p")
+  }
+
+  test("x_cohort_retention: user-keyed chain, no cartesian, partial aggs") {
+    val p = executed("x_cohort_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort chain must stay equi-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"cohort censuses must map-side combine:\n$p")
+  }
+
+  test("x_funnel: chained step joins stay equi-joins") {
+    val p = executed("x_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel steps must join on user_id, never nested-loop:\n$p")
+    assert(p.contains("partial_min"),
+      s"per-step conditional mins must partial-aggregate:\n$p")
+  }
+
+  test("e_hard_negatives: anchor batch broadcasts onto the corpus scan") {
+    val p = executed("e_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the anchor batch must broadcast; the corpus is never shuffled pre-rank:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_wordpiece: serving is join-free (model ships in the closure)") {
+    val p = executed("t_wordpiece")
+    assert(!p.contains("Join"),
+      s"the greedy walk must run off a broadcast model, not a vocab join:\n$p")
+  }
+
+  test("g_anchor_text: rank join equi-keyed on src; census partial-aggregates") {
+    val p = executed("g_anchor_text")
+    // PageRank's 1-row node-count frame broadcasts via a documented
+    // BroadcastNestedLoopJoin (k-bounded); a CartesianProduct anywhere
+    // would be corpus-sized and is the thing this pin forbids
+    assert(!p.contains("CartesianProduct"),
+      s"anchor aggregation must stay equi-keyed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"(dst, term) census must map-side combine:\n$p")
+  }
 }
