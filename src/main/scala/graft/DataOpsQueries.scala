@@ -1459,6 +1459,17 @@ object DataOpsQueries {
         qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // Per-group quantiles from the grouped census: every window
+    // partitioned by l_returnflag (≤64 census rows per partition —
+    // group-parallel, never global).
+    "k_hist_quantile_grouped" -> ((s, dir) => {
+      val h = HistQuantile.histogramBy(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), col("l_extendedprice"),
+        lo = 900.0, hi = 105000.0, buckets = 64)
+      HistQuantile.quantilesBy(h, Seq("l_returnflag"),
+        lo = 900.0, hi = 105000.0, buckets = 64, qs = Seq(0.5, 0.95))
+    }),
+
     // URL decomposition over deterministically generated URLs (userinfo,
     // ports, public-suffix second levels, varying path depth and query
     // strings all exercised); the oracle generates the SAME urls and
@@ -2468,6 +2479,24 @@ object DataOpsQueries {
         |  FROM h),
         |probes AS (SELECT unnest([0.25, 0.5, 0.9, 0.99])::DOUBLE AS q)
         |SELECT q,
+        |  round(900.0 + bucket * 1626.5625 +
+        |        1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
+        |FROM c CROSS JOIN probes
+        |WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)""".stripMargin,
+
+    "k_hist_quantile_grouped" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    least(greatest(floor((l_extendedprice - 900.0) / 1626.5625), 0), 63)::BIGINT AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h),
+        |probes AS (SELECT unnest([0.5, 0.95])::DOUBLE AS q)
+        |SELECT l_returnflag, q,
         |  round(900.0 + bucket * 1626.5625 +
         |        1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
         |FROM c CROSS JOIN probes

@@ -49,6 +49,53 @@ object HistQuantile {
   def merge(hists: Seq[DataFrame]): DataFrame =
     hists.reduce(_ unionByName _).groupBy("bucket").agg(sum("cnt").as("cnt"))
 
+  /** Per-group census: (groupCols..., bucket, cnt) — the grouped twin of
+    * [[histogram]], ≤ buckets rows per group, same clamping contract.
+    */
+  def histogramBy(df: DataFrame, groups: Seq[String], value: Column,
+                  lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(groups.nonEmpty, "use histogram() for the ungrouped census")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((value - lit(lo)) / lit(w)), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("bigint")
+    df.where(value.isNotNull)
+      .groupBy(groups.map(col) :+ b.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantiles from a grouped census: the [[quantiles]]
+    * interpolation with every window PARTITIONED by the group — each
+    * partition holds ≤ buckets census rows, so the running sum is
+    * group-parallel and bounded, never global.
+    */
+  def quantilesBy(hist: DataFrame, groups: Seq[String], lo: Double,
+                  hi: Double, buckets: Int, qs: Seq[Double]): DataFrame = {
+    require(groups.nonEmpty, "use quantiles() for the ungrouped census")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / buckets
+    val byGroup = Window.partitionBy(groups.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        byGroup.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(
+        byGroup.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val probes = qs.toDF("q")
+    cum.crossJoin(broadcast(probes))
+      .withColumn("target", ceil(col("q") * col("n")))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+      .select(groups.map(col) :+ col("q") :+
+        round(lit(lo) + col("bucket") * lit(w) +
+          lit(w) * (col("target") - (col("cum") - col("cnt"))) / col("cnt"),
+          6).as("qtile"): _*)
+  }
+
   /** Interpolated quantile estimates from a census. For each q the
     * target rank is ceil(q·N); the estimate interpolates linearly inside
     * the bucket containing that rank:

@@ -41,6 +41,22 @@ class HistQuantileSpec extends SparkSpec {
     assert(est.size == 5, "every probe answered exactly once")
   }
 
+  test("grouped quantiles match per-group ungrouped runs") {
+    val tagged = vals.withColumn("g",
+      when($"v" <= 500, "lo").otherwise("hi"))
+    val grouped = HistQuantile.quantilesBy(
+      HistQuantile.histogramBy(tagged, Seq("g"), $"v", 0.0, 1000.0, 100),
+      Seq("g"), 0.0, 1000.0, 100, Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (g <- Seq("lo", "hi"); q <- Seq(0.5, 0.9)) {
+      val single = HistQuantile.quantiles(
+        HistQuantile.histogram(tagged.where($"g" === g), $"v", 0.0, 1000.0, 100),
+        0.0, 1000.0, 100, Seq(q)).as[(Double, Double)].head()._2
+      assert(grouped((g, q)) == single, s"group $g q=$q")
+    }
+  }
+
   test("quantiles reject probes outside (0, 1]") {
     val h = HistQuantile.histogram(vals, $"v", 0.0, 1000.0, 10)
     intercept[IllegalArgumentException] {
