@@ -1459,6 +1459,33 @@ object DataOpsQueries {
         qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // Exact phrase search over positional postings: queries are 3-token
+    // mid-document slices of every 20th doc, so each query is guaranteed
+    // at least one hit in its source; the (query, doc, pos − offset)
+    // grouping makes a phrase occurrence a full-offset-count group. The
+    // oracle replays postings, offsets, and the group algebra.
+    "r_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+      val test = docs.where(col("doc_id") % 20 === 0 && size(toks) >= 5)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(toks, 3, 3), " ").as("text"))
+      operators.Retrieval.phraseSearch(test, docs, topK = 10)
+    }),
+
+    // Training-shard assignment: corpus laid out in the deterministic
+    // shuffle draw order and cut into ~2000-token shards (a doc belongs
+    // to the shard its FIRST token lands in). The operator runs the
+    // two-phase prefix sum (range buckets + broadcast offset table);
+    // the oracle replays the same values with one global window.
+    "s_shard_assign" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenStats(Tables.documents(s, dir))
+        .where(col("n_tokens") > 0).select("doc_id", "n_tokens")
+      operators.Sharding.assign(toks, col("doc_id"), col("n_tokens"),
+          shardTokens = 2000L)
+        .select("doc_id", "n_tokens", "cum_tokens", "shard", "shard_pos")
+    }),
+
     // Per-group quantiles from the grouped census: every window
     // partitioned by l_returnflag (≤64 census rows per partition —
     // group-parallel, never global).
@@ -2483,6 +2510,58 @@ object DataOpsQueries {
         |        1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
         |FROM c CROSS JOIN probes
         |WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)""".stripMargin,
+
+    "r_phrase_search" ->
+      """WITH pnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |parr AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |                      ELSE regexp_split_to_array(norm, '\s+') END AS a
+        |  FROM pnorm),
+        |ptoks AS (
+        |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS term FROM parr),
+        |pq AS (
+        |  SELECT doc_id AS query_id, a[3:5] AS qa FROM parr
+        |  WHERE doc_id % 20 = 0 AND len(a) >= 5),
+        |pqterms AS (
+        |  SELECT query_id, generate_subscripts(qa, 1) AS off, unnest(qa) AS term FROM pq),
+        |pql AS (SELECT query_id, count(*)::BIGINT AS qlen FROM pqterms GROUP BY 1),
+        |pocc AS (
+        |  SELECT t.query_id, p.doc_id, p.pos - t.off AS base, count(*) AS matched
+        |  FROM pqterms t JOIN ptoks p USING (term)
+        |  GROUP BY 1, 2, 3),
+        |phits AS (
+        |  SELECT o.query_id, o.doc_id, count(*)::BIGINT AS n_hits
+        |  FROM pocc o JOIN pql USING (query_id)
+        |  WHERE o.matched = pql.qlen AND o.base >= 0
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_hits, rank FROM (
+        |  SELECT query_id, doc_id, n_hits,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY n_hits DESC, doc_id ASC) AS rank
+        |  FROM phits)
+        |WHERE rank <= 10""".stripMargin,
+
+    "s_shard_assign" ->
+      """WITH ts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens, md5('shuffle:42:' || doc_id::VARCHAR) AS hx
+        |  FROM ts WHERE n_tokens > 0),
+        |c AS (
+        |  SELECT doc_id, n_tokens, hx,
+        |    sum(n_tokens) OVER (ORDER BY hx, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM o)
+        |SELECT doc_id, n_tokens, cum::BIGINT AS cum_tokens,
+        |  ((cum - n_tokens) // 2000)::BIGINT AS shard,
+        |  row_number() OVER (PARTITION BY (cum - n_tokens) // 2000
+        |                     ORDER BY hx, doc_id)::BIGINT AS shard_pos
+        |FROM c""".stripMargin,
 
     "k_hist_quantile_grouped" ->
       """WITH h AS (

@@ -122,4 +122,47 @@ object Retrieval {
         round(col("rrf_micro").cast("double") / 1e6, 6).as("rrf_score"),
         col("rank"))
   }
+
+  /** Exact phrase search over a POSITIONAL inverted index — the
+    * "quoted query" feature BM25's bag-of-words scoring cannot express:
+    * a doc matches where its terms appear CONSECUTIVELY in query
+    * order. Classic positional-postings algebra: each query term
+    * carries its offset; joining postings on the term and grouping on
+    * (query, doc, pos − offset) makes a phrase occurrence exactly a
+    * group whose distinct-offset count equals the query length — pure
+    * integer arithmetic, no string re-scan of any document.
+    *
+    * Output: (query_id, doc_id, n_hits — phrase occurrence count,
+    * rank ≤ topK by (n_hits desc, doc_id asc)).
+    *
+    * 100 TB shape: the positional postings census is corpus-token-grain
+    * built with one partial-agg-free explode (positions ARE the data);
+    * query terms equi-join onto it, fan-out bounded by each term's df
+    * like [[bm25TopK]] — the rarest term of a phrase prunes the
+    * candidate set at the (q, d, base) group stage, and the same
+    * `maxDfFrac`-style cap composes if phrase terms are ubiquitous.
+    */
+  def phraseSearch(queries: DataFrame, docs: DataFrame, topK: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val postings = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+        .as(Seq("pos", "term")))
+    val qterms = queries.select(col("query_id"),
+      posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+        .as(Seq("off", "term")))
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    val occurrences = qterms.join(postings, "term")
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("base"))
+      .agg(count(lit(1)).as("matched"))
+      .join(qlen, "query_id")
+      .where(col("matched") === col("qlen") && col("base") >= 0)
+    val hits = occurrences.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
 }

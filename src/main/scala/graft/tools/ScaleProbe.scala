@@ -112,7 +112,9 @@ object ScaleProbe {
       "t_wordpiece", "t_wordpiece_encode",
       "g_anchor_text", "g_hits",
       // same flat-distinct-word-frame property as t_wordpiece
-      "t_unigram_lm")
+      "t_unigram_lm",
+      // queries scale with the corpus (doc_id % 20) like e_hard_negatives
+      "r_phrase_search", "s_shard_assign", "k_hist_quantile_grouped")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

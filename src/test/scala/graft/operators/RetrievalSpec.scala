@@ -76,4 +76,34 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) == 104L), "only the apple query matches")
     assert(rows.length == 2, "k=2 must bound the per-query output")
   }
+
+  test("phraseSearch: order matters, occurrences counted, bag-of-words rejected") {
+    val queries = Seq(
+      (201L, "apple banana"),   // docs 1, 2 consecutively; doc 4 has both but NOT adjacent
+      (202L, "banana cherry apple"), // only doc 4 has this exact run
+      (203L, "fig grape"),      // twice in doc 5
+      (204L, "apple apple")     // repeated term: doc 2 has three adjacent pairs
+    ).toDF("query_id", "text")
+    val out = Retrieval.phraseSearch(queries, docs, topK = 10)
+      .select("query_id", "doc_id", "n_hits")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((201L, 1L, 1L)) && out.contains((201L, 2L, 1L)),
+      s"adjacent apple-banana in docs 1 and 2: $out")
+    assert(!out.exists(r => r._1 == 201L && r._2 == 4L),
+      "doc 4 has both terms but not adjacent — bag-of-words must not match")
+    assert(out.filter(_._1 == 202L) == Set((202L, 4L, 1L)),
+      "a 3-term run matches exactly its source doc")
+    assert(out.contains((203L, 5L, 2L)), "fig-grape occurs twice in doc 5")
+    assert(out.contains((204L, 2L, 3L)),
+      s"apple apple: three adjacent pairs in doc 2: $out")
+  }
+
+  test("phraseSearch ranks by occurrence count with doc tiebreak") {
+    val queries = Seq((301L, "fig grape")).toDF("query_id", "text")
+    val extra = docs.unionByName(Seq((6L, "fig grape")).toDF("doc_id", "text"))
+    val ranked = Retrieval.phraseSearch(queries, extra, topK = 10)
+      .orderBy("rank").select("doc_id", "n_hits")
+      .as[(Long, Long)].collect().toSeq
+    assert(ranked == Seq((5L, 2L), (6L, 1L)))
+  }
 }
