@@ -564,6 +564,33 @@ class PlanSpec extends SparkSpec {
       s"the greedy walk must run off a broadcast model, not a vocab join:\n$p")
   }
 
+  test("s_shard_assign: every window is partitioned — no global prefix sum") {
+    val p = executed("s_shard_assign")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    // windowspecdefinition(part1, part2, ..., orderSpec, frame): an
+    // UNPARTITIONED window starts directly with the order spec — every
+    // window here must name a partition column first (_rb or shard)
+    assert(specs.forall(s => s.contains("_rb#") || s.contains("shard#")),
+      s"found a window without a range-bucket/shard partition:\n${specs.mkString("\n")}")
+    // ...except the ≤rangeShards-row offset-table rank, which is the
+    // documented bounded exception (same as Shuffle's offset table)
+  }
+
+  test("r_phrase_search: postings join stays an equi-join on the term") {
+    val p = executed("r_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase search must join on term, never nested-loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"(q, d, base) groups must partial-aggregate map-side:\n$p")
+  }
+
+  test("t_unigram_lm: serving is join-free (model ships in the closure)") {
+    val p = executed("t_unigram_lm")
+    assert(!p.contains("Join"),
+      s"the Viterbi walk must run off a broadcast model, not a score join:\n$p")
+  }
+
   test("g_anchor_text: rank join equi-keyed on src; census partial-aggregates") {
     val p = executed("g_anchor_text")
     // PageRank's 1-row node-count frame broadcasts via a documented
