@@ -66,10 +66,23 @@ object StreamingQueries {
         graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
       graft.streaming.DocStream.newUniqueDocs(batch, corpusFps)
         .select("fp")
-    })
+    }),
+
+    // Continuously-maintained dataset card (batch analog): per-language
+    // counter + theta distinct-fp estimate in ONE aggregation — the
+    // sketch runs exact at this scale, so the oracle replays it as
+    // COUNT(DISTINCT md5(norm)). StreamingSpec drives the same
+    // transform as a 2-trigger complete-mode stream.
+    "st_running_cards" -> ((s, dir) =>
+      graft.streaming.DocStream.runningCards(Tables.documents(s, dir)))
   )
 
   val oracles: Map[String, String] = Map(
+    "st_running_cards" ->
+      """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS distinct_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "st_event_windows" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

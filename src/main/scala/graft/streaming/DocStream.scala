@@ -140,4 +140,28 @@ object DocStream {
       .select("doc_id", "corpus_id")
     if (docs.isStreaming) joined else joined.distinct()
   }
+
+  /** Continuously-maintained per-language dataset card: row counter +
+    * theta-sketch distinct-fingerprint estimate, as ONE streaming
+    * aggregation. The sketch is a mergeable [[graft.functions.ThetaSketch]]
+    * `TypedImperativeAggregate`, so Structured Streaming's state store
+    * holds the compact sketch bytes per group and each micro-batch
+    * merges in place — the "dataset card that is always current"
+    * ingestion dashboards want, without any batch re-scan. Run with
+    * `outputMode("complete")` (group-grain state, languages-bounded).
+    *
+    * Exact below 2^lgK distinct fps per group (the gate's regime), so
+    * the batch-mode gate oracle replays it as COUNT(DISTINCT fp).
+    */
+  def runningCards(docs: DataFrame, textCol: String = "text",
+                   lgK: Int = 14): DataFrame = {
+    import graft.functions.ThetaSketch
+    docs
+      .select(coalesce(col("lang"), lit("unknown")).as("lang"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(ThetaSketch.estimate(ThetaSketch.thetaAgg(col("fp"), lgK)))
+          .cast("long").as("distinct_fp"))
+  }
 }

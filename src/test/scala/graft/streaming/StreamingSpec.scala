@@ -344,4 +344,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, "streamed predictions must equal batch predictions")
     assert(got.nonEmpty)
   }
+
+  test("running cards maintain the theta sketch across micro-batches") {
+    // the sketch state must MERGE across triggers, not reset: two
+    // disjoint files, complete mode — the final card equals the batch
+    // card over the whole corpus (sketch exact at this scale)
+    val docs = graft.Tables.documents(spark, eventsDir).cache()
+    val expected = graft.streaming.DocStream.runningCards(docs)
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cards")
+    stageParquet(docs.where(col("doc_id") % 2 === 0), streamDir, "a.parquet")
+    stageParquet(docs.where(col("doc_id") % 2 === 1), streamDir, "b.parquet")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.DocStream.runningCards(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cards_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("cards_out").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      "2-trigger streamed card must equal the whole-corpus batch card")
+    assert(got.nonEmpty)
+  }
 }
