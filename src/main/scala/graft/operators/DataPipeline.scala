@@ -251,4 +251,20 @@ object DataPipeline {
     val deduped = freshNear.join(survivors, Seq("doc_id"), "left_semi")
     finishTail(deduped, benchmarks, cfg, budgetGroups)
   }
+
+  /** Final emit stage: lay the pipeline's chunk-grain output into
+    * ~`shardTokens`-token training shards ([[Sharding.assign]] keyed on
+    * (doc_id, chunk_id)) — the frame a writer range-partitions by
+    * (shard, shard_pos) and writes `partitionBy("shard")`, closing the
+    * prepare → shards loop. Requires chunking on (`chunk_tokens` is the
+    * weight column).
+    */
+  def emitShards(chunks: DataFrame, shardTokens: Long,
+                 seed: Long = 42L): DataFrame = {
+    val keyed = chunks.withColumn("_sid",
+      concat(col("doc_id").cast("string"), lit(":"),
+        col("chunk_id").cast("string")))
+    Sharding.assign(keyed, col("_sid"), col("chunk_tokens"), shardTokens, seed)
+      .drop("_sid")
+  }
 }

@@ -155,6 +155,22 @@ class DataPipelineSpec extends SparkSpec {
     assert(d5.forall(_.getLong(4) <= 8L))
   }
 
+  test("emitShards lays the chunk grain into token-budget shards, losslessly") {
+    val chunks = DataPipeline.prepare(corpus, None,
+      cfg.copy(chunkTokens = 8, chunkOverlap = 2)).cache()
+    val sharded = DataPipeline.emitShards(chunks, shardTokens = 20L).cache()
+    assert(sharded.count() == chunks.count(), "every chunk lands in a shard")
+    assert(!sharded.columns.contains("_sid"), "internal key dropped")
+    val byShard = sharded.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.sum("chunk_tokens").as("t"),
+        org.apache.spark.sql.functions.max("cum_tokens").as("hi"))
+      .orderBy("shard").collect()
+    for (r <- byShard.init)
+      assert(r.getLong(2) >= (r.getLong(0) + 1) * 20L,
+        s"shard ${r.getLong(0)} ended before its token boundary")
+    assert(byShard.length > 1, "corpus spans multiple shards")
+  }
+
   test("prepareIncrement: corpus artifacts drive dedup; the loop folds forward") {
     val loopCfg = cfg.copy(spanK = 0) // tiny fixture: no span censuses
     val day1 = Seq(
