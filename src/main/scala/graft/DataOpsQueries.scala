@@ -1459,6 +1459,47 @@ object DataOpsQueries {
         qs = Seq(0.25, 0.5, 0.9, 0.99))
     }),
 
+    // Levenshtein edit-ratio verification of candidate pairs: planted
+    // suffix-edit twins (' zq' appended) pass the 0.9 ratio floor;
+    // adjacent-id control pairs (different documents) are filtered by
+    // it. Both engines implement classic unit-cost Levenshtein.
+    "d_edit_verify" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+        .where(col("text").isNotNull)
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text")))
+      val pairs = d.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000L).as("doc_b"))
+        .unionByName(d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")))
+      Dedup.editVerify(pairs, corpus, threshold = 0.9)
+    }),
+
+    // One-pass column profiler: every column's null/distinct/min/max
+    // aggregates in a single wide partial agg, stack-unpivoted to long
+    // form (the unpivot runs over ONE row). Typed min/max (numeric
+    // order), rendered 6dp for the shared string schema.
+    "k_profile" -> ((s, dir) =>
+      operators.Profile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"))),
+
+    // Robust MAD outliers: median and MAD both from histogram censuses
+    // (bounded, no sort); planted +500 spikes on every 997th order key
+    // are the only values beyond 5·MAD. The oracle replays both census
+    // quantiles and the flagging filter.
+    "k_outliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity") +
+          when(col("l_orderkey") % 997 === 0, 500.0).otherwise(0.0)).as("v"))
+      operators.Profile.madOutliers(li, "v", lo = 0.0, hi = 600.0,
+          buckets = 600, k = 5.0)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "v", "median_est", "mad_est")
+    }),
+
     // Exact phrase search over positional postings: queries are 3-token
     // mid-document slices of every 20th doc, so each query is guaranteed
     // at least one hit in its source; the (query, doc, pos − offset)
@@ -2510,6 +2551,85 @@ object DataOpsQueries {
         |        1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
         |FROM c CROSS JOIN probes
         |WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)""".stripMargin,
+
+    "d_edit_verify" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |ecorpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zq' FROM base),
+        |epairs AS (
+        |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM base WHERE doc_id % 5 = 0)
+        |SELECT doc_a, doc_b, lev, ratio FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |    levenshtein(a.text, b.text) AS lev,
+        |    round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+        |          / greatest(length(a.text), length(b.text), 1), 6) AS ratio
+        |  FROM epairs p
+        |  JOIN ecorpus a ON a.doc_id = p.doc_a
+        |  JOIN ecorpus b ON b.doc_id = p.doc_b)
+        |WHERE ratio >= 0.9""".stripMargin,
+
+    "k_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  round(min(l_orderkey)::DOUBLE, 6)::VARCHAR AS min_str,
+        |  round(max(l_orderkey)::DOUBLE, 6)::VARCHAR AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*),
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_quantity),
+        |  round(min(l_quantity)::DOUBLE, 6)::VARCHAR,
+        |  round(max(l_quantity)::DOUBLE, 6)::VARCHAR
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*),
+        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT l_extendedprice),
+        |  round(min(l_extendedprice)::DOUBLE, 6)::VARCHAR,
+        |  round(max(l_extendedprice)::DOUBLE, 6)::VARCHAR
+        |FROM lineitem""".stripMargin,
+
+    "k_outliers" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_quantity + CASE WHEN l_orderkey % 997 = 0 THEN 500.0 ELSE 0.0 END AS v
+        |  FROM lineitem),
+        |h1 AS (
+        |  SELECT least(greatest(floor((v - 0.0) / 1.0), 0), 599)::BIGINT AS bucket, count(*) AS cnt
+        |  FROM src WHERE v IS NOT NULL GROUP BY 1),
+        |c1 AS (
+        |  SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM h1),
+        |med AS (
+        |  SELECT round(0.0 + bucket * 1.0 +
+        |    1.0 * (ceil(0.5 * n) - (cum - cnt)) / cnt, 6) AS m
+        |  FROM c1 WHERE cum >= ceil(0.5 * n) AND (cum - cnt) < ceil(0.5 * n)),
+        |dev AS (SELECT abs(v - (SELECT m FROM med)) AS d FROM src),
+        |h2 AS (
+        |  SELECT least(greatest(floor((d - 0.0) / 1.0), 0), 599)::BIGINT AS bucket, count(*) AS cnt
+        |  FROM dev WHERE d IS NOT NULL GROUP BY 1),
+        |c2 AS (
+        |  SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM h2),
+        |mad AS (
+        |  SELECT round(0.0 + bucket * 1.0 +
+        |    1.0 * (ceil(0.5 * n) - (cum - cnt)) / cnt, 6) AS m
+        |  FROM c2 WHERE cum >= ceil(0.5 * n) AND (cum - cnt) < ceil(0.5 * n))
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, v,
+        |  (SELECT m FROM med) AS median_est, (SELECT m FROM mad) AS mad_est
+        |FROM src
+        |WHERE abs(v - (SELECT m FROM med)) > 5.0 * (SELECT m FROM mad)""".stripMargin,
 
     "r_phrase_search" ->
       """WITH pnorm AS (

@@ -809,4 +809,30 @@ object Dedup {
     ngramJaccardFromRows(cand, shNew.unionByName(index.shingles))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Character-level verification of candidate pairs: Levenshtein edit
+    * ratio 1 − lev/max(len) — the strictest confirm tier, below the
+    * shingle-Jaccard verify (token-insensitive: catches single-char
+    * edits Jaccard's shingle grain smooths over). O(len²) per PAIR, so
+    * it runs on CANDIDATES (LSH/SimHash output — bounded), never
+    * corpus×corpus; the join is id-keyed, the ratio a shuffle-free
+    * projection.
+    *
+    * Output: pairs with (lev, ratio — 6dp) where ratio ≥ threshold.
+    */
+  def editVerify(pairs: DataFrame, docs: DataFrame, threshold: Double,
+                 textCol: String = "text"): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0, 1], got $threshold")
+    val t = docs.select(col("doc_id"), coalesce(col(textCol), lit("")).as("_t"))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("_t").as("_ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("_t").as("_tb")), "doc_b")
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")))
+      .withColumn("ratio",
+        round(lit(1.0) - col("lev") /
+          greatest(length(col("_ta")), length(col("_tb")), lit(1)), 6))
+      .where(col("ratio") >= threshold)
+      .select("doc_a", "doc_b", "lev", "ratio")
+  }
 }

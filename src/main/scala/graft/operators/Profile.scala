@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Column profiling + robust outlier flagging — the data-ops
+  * introspection layer (beyond-reference surface, SURVEY §2.13): what a
+  * warehouse runs over every new table before trusting it.
+  *
+  * [[profile]] is ONE pass: every column's stats are parallel aggregate
+  * expressions in a single partial-agg plan (no per-column jobs, no
+  * driver loop over columns — the column list is schema-derived at plan
+  * time, which is plan construction, not a data path). Output is
+  * long-form (one row per column) so downstream checks join on
+  * column name.
+  *
+  * [[madOutliers]] composes [[HistQuantile]]: median and MAD both come
+  * from histogram censuses (two bounded census passes, no sort), and
+  * the flagging pass is a shuffle-free scan against two broadcast
+  * scalars — the robust z-score |x − median| > k·MAD with the
+  * bucket-width-bounded estimate error the census documents.
+  */
+object Profile {
+
+  /** One row per profiled column: (column, n_rows, n_nulls, n_distinct,
+    * min_str / max_str — values rendered to strings so heterogeneous
+    * column types share one output schema; 6dp for doubles). All
+    * columns' aggregates run in ONE job (a single wide partial agg),
+    * then `stack` unpivots the 1-row result to long form — the unpivot
+    * is over one row, not data.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    def rendered(c: String) = df.schema(c).dataType match {
+      case _: NumericType => round(col(c).cast("double"), 6).cast("string")
+      case StringType     => col(c)
+      case _              => col(c).cast("string")
+    }
+    // min/max aggregate on the TYPED column (numeric order, not
+    // lexicographic); rendering to the shared string schema happens on
+    // the 1-row wide result
+    val aggs = columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    } :+ count(lit(1)).as("__n")
+    def render(c: String, suffix: String) = {
+      val v = col(s"${c}__$suffix")
+      (df.schema(c).dataType match {
+        case _: NumericType => round(v.cast("double"), 6).cast("string")
+        case StringType     => v
+        case _              => v.cast("string")
+      }).as(s"${c}__$suffix")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n") +: columns.flatMap(c =>
+        Seq(col(s"${c}__nulls"), col(s"${c}__distinct"),
+          render(c, "min"), render(c, "max"))): _*)
+    val stackArgs = columns.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    wide.select(col("__n").as("n_rows"),
+        expr(s"stack(${columns.length}, $stackArgs) AS " +
+          "(column, n_nulls, n_distinct, min_str, max_str)"))
+      .select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+  }
+
+  /** Rows whose value is a robust outlier: |x − median| > k · MAD, with
+    * median and MAD estimated from equi-width histogram censuses over
+    * [lo, hi) (error ≤ one bucket width each — size `buckets`
+    * accordingly). Returns the flagged rows plus the (median, mad)
+    * estimates as literal columns, 6dp.
+    */
+  def madOutliers(df: DataFrame, value: String, lo: Double, hi: Double,
+                  buckets: Int, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val med = HistQuantile.quantiles(
+      HistQuantile.histogram(df, col(value), lo, hi, buckets),
+      lo, hi, buckets, Seq(0.5))
+      .select(col("qtile")).head().getDouble(0)
+    val dev = df.select(abs(col(value) - med).as("_d"))
+    val mad = HistQuantile.quantiles(
+      HistQuantile.histogram(dev, col("_d"), 0.0, hi - lo, buckets),
+      0.0, hi - lo, buckets, Seq(0.5))
+      .select(col("qtile")).head().getDouble(0)
+    df.where(abs(col(value) - med) > k * mad)
+      .withColumn("median_est", lit(med))
+      .withColumn("mad_est", lit(mad))
+  }
+}
