@@ -1485,6 +1485,13 @@ object DataOpsQueries {
       operators.Profile.profile(Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"))),
 
+    // Pairwise Pearson correlations: all 6 pairs in one wide partial
+    // agg, stack-unpivoted. 6dp both sides (streaming co-moment vs
+    // DuckDB's accumulation can differ in the last ulps).
+    "k_corr" -> ((s, dir) =>
+      operators.Profile.correlations(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Robust MAD outliers: median and MAD both from histogram censuses
     // (bounded, no sort); planted +500 spikes on every 997th order key
     // are the only values beyond 5·MAD. The oracle replays both census
@@ -2597,6 +2604,36 @@ object DataOpsQueries {
         |  round(min(l_extendedprice)::DOUBLE, 6)::VARCHAR,
         |  round(max(l_extendedprice)::DOUBLE, 6)::VARCHAR
         |FROM lineitem""".stripMargin,
+
+    "k_corr" ->
+      """WITH m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(l_quantity::DOUBLE) AS sq, sum(l_quantity::DOUBLE * l_quantity) AS sqq,
+        |    sum(l_extendedprice::DOUBLE) AS se, sum(l_extendedprice::DOUBLE * l_extendedprice) AS see,
+        |    sum(l_discount::DOUBLE) AS sd, sum(l_discount::DOUBLE * l_discount) AS sdd,
+        |    sum(l_tax::DOUBLE) AS st, sum(l_tax::DOUBLE * l_tax) AS stt,
+        |    sum(l_quantity::DOUBLE * l_extendedprice) AS sqe,
+        |    sum(l_quantity::DOUBLE * l_discount) AS sqd,
+        |    sum(l_quantity::DOUBLE * l_tax) AS sqt,
+        |    sum(l_extendedprice::DOUBLE * l_discount) AS sed,
+        |    sum(l_extendedprice::DOUBLE * l_tax) AS set_,
+        |    sum(l_discount::DOUBLE * l_tax) AS sdt
+        |  FROM lineitem)
+        |SELECT col_a, col_b,
+        |  round(CASE WHEN vx > 0 AND vy > 0 THEN cov / sqrt(vx * vy) END, 6) AS corr
+        |FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    sqe - sq * se / n AS cov, sqq - sq * sq / n AS vx, see - se * se / n AS vy FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    sqd - sq * sd / n, sqq - sq * sq / n, sdd - sd * sd / n FROM m
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    sqt - sq * st / n, sqq - sq * sq / n, stt - st * st / n FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    sed - se * sd / n, see - se * se / n, sdd - sd * sd / n FROM m
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    set_ - se * st / n, see - se * se / n, stt - st * st / n FROM m
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    sdt - sd * st / n, sdd - sd * sd / n, stt - st * st / n FROM m)""".stripMargin,
 
     "k_outliers" ->
       """WITH src AS (

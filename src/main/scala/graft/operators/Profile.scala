@@ -68,6 +68,41 @@ object Profile {
       .select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
   }
 
+  /** Pairwise Pearson correlations of numeric columns — ONE pass: the
+    * raw moments (Σx, Σx², Σxy per pair, n) ride a single wide partial
+    * agg; the division happens on the 1-row result GUARDED by the
+    * variance terms, so constant columns yield null instead of the
+    * ANSI divide-by-zero `corr` itself raises. 6dp-rounded (the libm
+    * rule), and the identical raw-moment arithmetic replays in SQL.
+    * Raw moments lose precision when mean² · n ≫ variance (values like
+    * 10⁹ ± 1) — center such columns first; profiling-grade data is far
+    * from that regime.
+    */
+  def correlations(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    def d(c: String) = col(c).cast("double")
+    val aggs =
+      columns.flatMap(c => Seq(
+        sum(d(c)).as(s"${c}__s"), sum(d(c) * d(c)).as(s"${c}__ss"))) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"${a}__${b}__sp") } :+
+      count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def vvar(c: String) =
+      col(s"${c}__ss") - col(s"${c}__s") * col(s"${c}__s") / col("__n")
+    val rendered = wide.select(col("__n") +: pairs.map { case (a, b) =>
+      val cov = col(s"${a}__${b}__sp") - col(s"${a}__s") * col(s"${b}__s") / col("__n")
+      round(when(vvar(a) > 0 && vvar(b) > 0,
+        cov / sqrt(vvar(a) * vvar(b))), 6).as(s"${a}__${b}")
+    }: _*)
+    val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }
+      .mkString(", ")
+    rendered.select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+  }
+
   /** Rows whose value is a robust outlier: |x − median| > k · MAD, with
     * median and MAD estimated from equi-width histogram censuses over
     * [lo, hi) (error ≤ one bucket width each — size `buckets`
