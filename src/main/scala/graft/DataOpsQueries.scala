@@ -1362,6 +1362,40 @@ object DataOpsQueries {
     "a15_sessionize" -> ((s, dir) =>
       operators.Sessionize.sessions(Tables.events(s, dir))),
 
+    // Relational pivot: event_type rows → columns, one partial-agg
+    // shuffle; Spark's pivot plans a regular aggregate with one
+    // conditional agg per pivoted value (the oracle replays exactly
+    // that shape).
+    "a16_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
+
+    // Unpivot/melt: the inverse — wide per-user counts back to long
+    // (user_id, event_type, n) via stack; zero-count cells dropped like
+    // a sparse long form would be.
+    "a17_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+      wide.select(col("user_id"), expr(
+        "stack(5, 'click', click, 'view', view, 'purchase', purchase, " +
+          "'signup', signup, 'error', error) AS (event_type, n)"))
+        .where(col("n") > 0)
+    }),
+
+    // Time-series resample: per-user 6-hour grid from the user's first
+    // to last event, each grid point carrying the last observed value
+    // at-or-before it (carry-forward as-of semantics, composed from
+    // sequence() + the AsOf union-and-carry kernel's window shape).
+    "x_resample" -> ((s, dir) =>
+      operators.EventAnalytics.resample(Tables.events(s, dir),
+        stepUs = 21600000000L)),
+
     // Cohort retention: first-active-day cohorts × day offsets, distinct
     // active users per cell. Every frame after the first distinct is
     // user- or cohort-grain; the oracle replays day arithmetic on µs
@@ -3726,6 +3760,40 @@ object DataOpsQueries {
         |  FROM scored WHERE cos6 < pos_cos6 AND cos6 >= -1.0)
         |SELECT query_id, pos_id, neighbor_id, cos6 AS cosine, pos_cos6, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "a16_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "a17_unpivot" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x_resample" ->
+      """WITH rev AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, value, event_id FROM events),
+        |rbounds AS (
+        |  SELECT user_id, min(ts_us) AS lo, max(ts_us) AS hi FROM rev GROUP BY 1),
+        |rgrid AS (
+        |  SELECT user_id,
+        |    lo + 21600000000 * unnest(range(0, ((hi - lo) // 21600000000) + 1)) AS g_us
+        |  FROM rbounds),
+        |ru AS (
+        |  SELECT user_id, ts_us, value, 0 AS is_grid, event_id FROM rev
+        |  UNION ALL
+        |  SELECT user_id, g_us, NULL, 1, NULL FROM rgrid),
+        |rc AS (
+        |  SELECT user_id, ts_us, is_grid,
+        |    last_value(value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, is_grid, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS value
+        |  FROM ru)
+        |SELECT user_id, ts_us AS g_us, value FROM rc WHERE is_grid = 1""".stripMargin,
 
     "x_cohort_retention" ->
       """WITH ud AS (

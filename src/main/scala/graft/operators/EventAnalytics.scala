@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort-retention and funnel analytics over the event log — the
@@ -68,6 +69,43 @@ object EventAnalytics {
     val stage = steps.indices.map(i =>
       when(col(s"t${i}_us").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
     chained.withColumn("stage", stage)
+  }
+
+  /** Time-series resample with carry-forward: a fixed `stepUs` grid per
+    * user from their first to last event, each grid point holding the
+    * value of the last event at-or-before it (as-of semantics — the
+    * union-and-carry window trick from [[AsOf]], no range join). Grid
+    * rows sort AFTER events at the same instant, so a grid point lying
+    * exactly on an event observes it. Ties between same-instant events
+    * resolve by event_id (latest wins).
+    *
+    * 100 TB shape: bounds agg + grid explode are user-grain (grid size
+    * = span/step per user), then ONE window over the user partition —
+    * the same single-shuffle shape as [[Sessionize]].
+    *
+    * Output: (user_id, g_us, value).
+    */
+  def resample(events: DataFrame, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val ev = events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("value"), col("event_id"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+      .select(col("user_id"), col("lo"),
+        explode(sequence(lit(0L), expr(s"(hi - lo) div ${stepUs}L"))).as("k"))
+      .select(col("user_id"), (col("lo") + col("k") * stepUs).as("g_us"))
+    val u = ev
+      .select(col("user_id"), col("ts_us"), col("value"),
+        lit(0).as("is_grid"), col("event_id"))
+      .unionByName(grid.select(col("user_id"), col("g_us").as("ts_us"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid"),
+        lit(null).cast("long").as("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("v", last(col("value"), ignoreNulls = true).over(w))
+      .where(col("is_grid") === 1)
+      .select(col("user_id"), col("ts_us").as("g_us"), col("v").as("value"))
   }
 
   /** Step-grain funnel census from [[funnel]]'s per-user frame:

@@ -65,6 +65,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Seq((0L, "signup", 3L), (1L, "view", 2L), (2L, "click", 1L)))
   }
 
+  test("resample: carry-forward grid with as-of-inclusive boundaries") {
+    val step = 100L
+    val df = toDf(Seq(
+      ev(1, 0, 0, "view"),      // t=0, value row 0
+      ev(1, 0, 150, "view"),    // t=150
+      ev(1, 0, 310, "view")))   // t=310 -> grid 0,100,200,300
+      .withColumn("value", $"event_id".cast("double") * 10)
+    val out = EventAnalytics.resample(df, step)
+      .select("g_us", "value").as[(Long, Double)].collect()
+      .map { case (g, v) => (g - day0, v) }.toMap
+    assert(out == Map(0L -> 0.0, 100L -> 0.0, 200L -> 10.0, 300L -> 10.0),
+      s"got $out")
+  }
+
+  test("resample: grid point ON an event observes it; same-instant ties take the latest event") {
+    val df = toDf(Seq(
+      ev(1, 0, 0, "view"), ev(1, 0, 100, "view"), ev(1, 0, 100, "view")))
+      .withColumn("value", $"event_id".cast("double"))
+    val out = EventAnalytics.resample(df, 100L)
+      .select("g_us", "value").as[(Long, Double)].collect()
+      .map { case (g, v) => (g - day0, v) }.toMap
+    // two events at t=100 (event_ids 1, 2): the grid point at 100 sees
+    // the LATER event_id
+    assert(out == Map(0L -> 0.0, 100L -> 2.0), s"got $out")
+  }
+
+  test("resample: single-event user gets exactly one grid point") {
+    val df = toDf(Seq(ev(9, 0, 42, "view")))
+      .withColumn("value", lit(7.5))
+    val out = EventAnalytics.resample(df, 1000L)
+      .select("user_id", "g_us", "value").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((9L, day0 + 42, 7.5)))
+  }
+
   test("funnel rejects repeated steps") {
     intercept[IllegalArgumentException] {
       EventAnalytics.funnel(toDf(Seq(ev(1, 0, 1, "a"))), Seq("a", "a"))
