@@ -114,7 +114,13 @@ object ScaleProbe {
       // same flat-distinct-word-frame property as t_wordpiece
       "t_unigram_lm",
       // queries scale with the corpus (doc_id % 20) like e_hard_negatives
-      "r_phrase_search", "s_shard_assign", "k_hist_quantile_grouped")
+      "r_phrase_search", "s_shard_assign", "k_hist_quantile_grouped",
+      // round-5d surface
+      "st_running_cards", "k_profile", "k_corr", "k_outliers",
+      "a16_pivot", "x_resample",
+      // O(len^2) per planted PAIR — pairs scale with the corpus, so
+      // linear growth here means the per-pair kernel is flat
+      "d_edit_verify")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

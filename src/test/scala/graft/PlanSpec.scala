@@ -591,6 +591,34 @@ class PlanSpec extends SparkSpec {
       s"the Viterbi walk must run off a broadcast model, not a score join:\n$p")
   }
 
+  test("a16_pivot: explicit value list plans ONE aggregate, no discovery scan") {
+    val p = executed("a16_pivot")
+    assert(!p.contains("Join"), s"pivot with explicit values must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_pivotfirst") ||
+      p.contains("partial_first"),
+      s"pivot must map-side combine:\n$p")
+  }
+
+  test("k_profile and k_corr: single wide partial agg, no per-column jobs") {
+    for (g <- Seq("k_profile", "k_corr")) {
+      val p = executed(g)
+      assert(!p.contains("Union"), s"$g must not union per-column scans:\n$p")
+      assert(p.contains("partial_"), s"$g must map-side combine:\n$p")
+      // exactly one scan of lineitem
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"$g must read the table once:\n$p")
+    }
+  }
+
+  test("x_resample: one user-partition window, no range join") {
+    val p = executed("x_resample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"resample must not range-join the grid:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+      s"carry window must partition by user:\n${specs.mkString("\n")}")
+  }
+
   test("g_anchor_text: rank join equi-keyed on src; census partial-aggregates") {
     val p = executed("g_anchor_text")
     // PageRank's 1-row node-count frame broadcasts via a documented

@@ -369,5 +369,8 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       "2-trigger streamed card must equal the whole-corpus batch card")
     assert(got.nonEmpty)
+    // the session is shared across suites: a cached raw-table frame
+    // would hijack later plan-pruning pins via the cache manager
+    docs.unpersist()
   }
 }
