@@ -83,6 +83,23 @@ object TpchQueries {
       a.join(b, Seq("k"), "full_outer").distinct()
     }),
 
+    // 2.8+: set intersection (beyond ref — the reference's only set ops
+    // are union + distinct). Plans as a left-semi aggregate.
+    "u1_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    // 2.8+: multiset EXCEPT ALL — bag-count semantics (each part key
+    // survives count(li) − count(filtered parts) times).
+    "u2_except_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_partkey")
+      val p = Tables.part(s, dir).where(col("p_size") > 25)
+        .select(col("p_partkey").as("l_partkey"))
+      li.exceptAll(p)
+    }),
+
     // J8: left_semi by intent (StratifiedSampling.scala:37-39).
     "j8_semi_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -249,6 +266,16 @@ object TpchQueries {
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |WHERE o_orderpriority = '1-URGENT') GROUP BY 1""".stripMargin,
+
+    "u1_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "u2_except_all" ->
+      """SELECT l_partkey FROM lineitem
+        |EXCEPT ALL
+        |SELECT p_partkey FROM part WHERE p_size > 25""".stripMargin,
 
     "a4_dedup_subset" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM (
