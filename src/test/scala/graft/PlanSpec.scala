@@ -599,15 +599,26 @@ class PlanSpec extends SparkSpec {
       s"pivot must map-side combine:\n$p")
   }
 
-  test("k_profile and k_corr: single wide partial agg, no per-column jobs") {
-    for (g <- Seq("k_profile", "k_corr")) {
-      val p = executed(g)
-      assert(!p.contains("Union"), s"$g must not union per-column scans:\n$p")
-      assert(p.contains("partial_"), s"$g must map-side combine:\n$p")
-      // exactly one scan of lineitem
-      assert("Scan parquet".r.findAllIn(p).size == 1,
-        s"$g must read the table once:\n$p")
-    }
+  test("k_profile and k_corr: wide partial aggs, no per-column jobs, codegen kept") {
+    val corr = executed("k_corr")
+    assert(!corr.contains("Union"), s"k_corr must not union per-column scans:\n$corr")
+    assert(corr.contains("partial_"), s"k_corr must map-side combine:\n$corr")
+    assert("Scan parquet".r.findAllIn(corr).size == 1,
+      s"k_corr must read the table once:\n$corr")
+    val prof = executed("k_profile")
+    assert(!prof.contains("Union"), s"k_profile must not union per-column scans:\n$prof")
+    // two scans by design (moment pass + broadcast distinct pass — the
+    // second hides behind an AQE broadcast stage pre-finalization, so
+    // the count is not assertable here). A keyless SortAggregate is
+    // EXPECTED: min/max over a string column cannot use the mutable
+    // hash-agg buffer (and with no grouping key it sorts nothing). The
+    // pinned regression is the MIXED-distinct shape, whose
+    // first()-wrapped aggregates ran the 5×-expanded stream through
+    // that fallback and measured 7.8 s vs 2.5 s split.
+    // (the distinct pass's Expand is expected and stays in hash
+    // aggregation — only the count-distincts ride it)
+    assert(!prof.contains("first("),
+      s"no first()-wrapped aggregates (the mixed-distinct shape):\n$prof")
   }
 
   test("x_resample: one user-partition window, no range join") {
