@@ -213,6 +213,21 @@ object TpchQueries {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
           round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))),
 
+    // FORWARD as-of: each signup gets the user's NEXT purchase at or
+    // after it (conversion lookup) — mirrored union-and-carry window,
+    // DuckDB ASOF with the inequality flipped as the oracle.
+    "j12_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signups = ev.where(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      operators.AsOf.asOfJoinForward(signups, purchases, Seq("user_id"),
+          leftTime = "ts", rightTime = "p_ts", carry = Seq("p_value", "p_ts"))
+        .select(col("event_id"), col("user_id"), col("p_value"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_t"))
+    }),
+
     // As-of join (custom temporal operator; DuckDB ASOF JOIN is the
     // oracle): each purchase gets the user's most recent prior signup.
     "j10_asof_join" -> ((s, dir) => {
@@ -343,6 +358,13 @@ object TpchQueries {
         |  strftime(s.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS s_t
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-        |  ON e.user_id = s.user_id AND e.ts::TIMESTAMP >= s.ts::TIMESTAMP""".stripMargin
+        |  ON e.user_id = s.user_id AND e.ts::TIMESTAMP >= s.ts::TIMESTAMP""".stripMargin,
+
+    "j12_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.value AS p_value,
+        |  strftime(p.ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS p_t
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts::TIMESTAMP <= p.ts::TIMESTAMP""".stripMargin
   )
 }

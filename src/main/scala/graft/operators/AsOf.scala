@@ -77,4 +77,56 @@ object AsOf {
       }
       .drop("_t", "_side", "_carry")
   }
+
+  /** FORWARD as-of join: for every left row, the NEAREST right row with
+    * the same key and time ≥ the left row's time — the
+    * next-scheduled-maintenance / next-price-change lookup. Same
+    * union-and-window shape as [[asOfJoin]], mirrored: left rows sort
+    * BEFORE right rows at equal times (equality matches) and the
+    * carry is `first(_, ignoreNulls)` over the FOLLOWING frame. One
+    * shuffle on the key, no row amplification, same null-key/null-time
+    * contracts.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      carry: Seq[String]): DataFrame = {
+    require(carry.nonEmpty, "as-of join needs at least one carried column")
+    val leftCols = left.columns.toSeq
+    require(!carry.exists(leftCols.contains),
+      s"carried columns ${carry.filter(leftCols.contains)} collide with left side")
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_carry", lit(null).cast(
+        org.apache.spark.sql.types.StructType(carry.map(c => right.schema(c)))))
+      .select((leftCols.map(col) ++ Seq(col("_t"), col("_side"), col("_carry"))): _*)
+    val r = right
+      .where(col(rightTime).isNotNull)
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_carry", struct(carry.map(col): _*))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("_t"), col("_side"), col("_carry"))): _*)
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // a null LEFT time sorts first under asc ordering and the FOLLOWING
+    // frame would hand it the partition's first match — route such rows
+    // around the window (their carry stays null, as a null comparison
+    // matches nothing). The backward variant needs no such guard: nulls
+    // first + a PRECEDING frame yields null naturally.
+    val eligible = keyNotNull && col("_t").isNotNull
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.where(eligible).unionByName(r.where(keyNotNull))
+      .withColumn("_carry", first(col("_carry"), ignoreNulls = true).over(w))
+    val merged = carried.where(col("_side") === 0)
+      .unionByName(l.where(!eligible))
+    carry.foldLeft(merged) { (df, c) =>
+        df.withColumn(c, col("_carry").getField(c))
+      }
+      .drop("_t", "_side", "_carry")
+  }
 }

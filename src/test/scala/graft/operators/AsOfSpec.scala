@@ -23,6 +23,27 @@ class AsOfSpec extends SparkSpec {
     assert(r(("B", 10L)) === None)      // key missing on right
   }
 
+  test("forward as-of: nearest right row with time >= left time") {
+    val r = AsOf.asOfJoinForward(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+      .select("sym", "t", "bid")
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        Option(x.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(r(("A", 10L)) === Some(2.0)) // equal time matches
+    assert(r(("A", 5L)) === Some(1.0))  // nearest NEXT, not latest
+    assert(r(("A", 20L)) === None)      // nothing follows
+    assert(r(("B", 10L)) === None)      // key missing on right
+  }
+
+  test("forward as-of: null LEFT time matches nothing") {
+    val l = Seq(("A", Option.empty[Long], 1.0), ("A", Some(5L), 2.0))
+      .toDF("sym", "t", "px")
+    val r = AsOf.asOfJoinForward(l, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+      .select("t", "bid").collect()
+      .map(x => Option(x.get(0)) -> Option(x.get(1))).toMap
+    assert(r(None) === None, "a null probe time must not grab the first quote")
+    assert(r(Some(5L)) === Some(1.0))
+  }
+
   test("left row count is preserved (no amplification, no drops)") {
     val r = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
     assert(r.count() === trades.count())
