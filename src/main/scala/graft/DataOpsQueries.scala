@@ -1410,6 +1410,14 @@ object DataOpsQueries {
       operators.EventAnalytics.funnel(Tables.events(s, dir),
         Seq("signup", "view", "click", "purchase"))),
 
+    // Funnel with a 24h conversion window: later steps only count
+    // within a day of the user's signup — the "converted within N
+    // days" semantics; binding vs the unbounded funnel at this corpus.
+    "x_funnel_windowed" -> ((s, dir) =>
+      operators.EventAnalytics.funnelWithin(Tables.events(s, dir),
+        Seq("signup", "view", "click", "purchase"),
+        windowUs = 86400000000L)),
+
     // Step-grain funnel census from the same per-user frame.
     "x_funnel_counts" -> ((s, dir) =>
       operators.EventAnalytics.funnelCounts(Tables.events(s, dir),
@@ -3820,6 +3828,29 @@ object DataOpsQueries {
         |       WHERE e.event_type = 'click' GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2_us
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s0.user_id, t0_us, t1_us, t2_us, t3_us,
+        |  (1 + (t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT
+        |     + (t3_us IS NOT NULL)::INT)::BIGINT AS stage
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "x_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t0_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, s0.t0_us AS w0, min(e.ts_us) AS t1_us FROM e
+        |       JOIN s0 ON e.user_id = s0.user_id AND e.ts_us > s0.t0_us
+        |                AND e.ts_us <= s0.t0_us + 86400000000
+        |       WHERE e.event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT e.user_id, s1.w0, min(e.ts_us) AS t2_us FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_us > s1.t1_us
+        |                AND e.ts_us <= s1.w0 + 86400000000
+        |       WHERE e.event_type = 'click' GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_us > s2.t2_us
+        |                AND e.ts_us <= s2.w0 + 86400000000
         |       WHERE e.event_type = 'purchase' GROUP BY 1)
         |SELECT s0.user_id, t0_us, t1_us, t2_us, t3_us,
         |  (1 + (t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT

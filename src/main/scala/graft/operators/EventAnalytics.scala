@@ -50,9 +50,18 @@ object EventAnalytics {
     * (user_id, t0_us..t{K−1}_us nullable, stage = furthest step reached,
     * 1-based).
     */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    funnelWithin(events, steps, windowUs = 0L)
+
+  /** [[funnel]] with a CONVERSION WINDOW: when `windowUs` > 0, step k
+    * only counts events within that horizon of the user's step-0
+    * timestamp (the "converted within 7 days" semantics); 0 = unbounded.
+    */
+  def funnelWithin(events: DataFrame, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(windowUs >= 0, s"windowUs must be >= 0, got $windowUs")
     val base = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("ts_us"))
     val entered = base.where(col("event_type") === steps.head)
@@ -60,9 +69,15 @@ object EventAnalytics {
     val chained = steps.zipWithIndex.tail.foldLeft(entered) {
       case (acc, (step, i)) =>
         val prev = s"t${i - 1}_us"
+        val inWindow =
+          if (windowUs == 0L) lit(true)
+          else col("ts_us") <= col("t0_us") + windowUs
+        val probe =
+          if (prev == "t0_us") acc.select(col("user_id"), col("t0_us"))
+          else acc.select(col("user_id"), col("t0_us"), col(prev))
         val next = base.where(col("event_type") === step)
-          .join(acc.select(col("user_id"), col(prev)), "user_id")
-          .where(col("ts_us") > col(prev))
+          .join(probe, "user_id")
+          .where(col("ts_us") > col(prev) && inWindow)
           .groupBy("user_id").agg(min("ts_us").as(s"t${i}_us"))
         acc.join(next, Seq("user_id"), "left_outer")
     }

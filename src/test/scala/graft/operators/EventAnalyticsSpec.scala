@@ -65,6 +65,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Seq((0L, "signup", 3L), (1L, "view", 2L), (2L, "click", 1L)))
   }
 
+  test("funnelWithin: later steps only count inside the conversion window") {
+    val df = toDf(Seq(
+      ev(1, 0, 10, "signup"), ev(1, 0, 20, "view"),   // inside
+      ev(2, 0, 10, "signup"), ev(2, 0, 200, "view"))) // outside a 50us window
+    val bounded = EventAnalytics.funnelWithin(df, Seq("signup", "view"),
+      windowUs = 50L).select("user_id", "stage")
+      .as[(Long, Long)].collect().toMap
+    assert(bounded == Map(1L -> 2L, 2L -> 1L), s"got $bounded")
+    // windowUs = 0 is the unbounded funnel
+    val unbounded = EventAnalytics.funnelWithin(df, Seq("signup", "view"),
+      windowUs = 0L).select("user_id", "stage")
+      .as[(Long, Long)].collect().toMap
+    assert(unbounded == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("resample: carry-forward grid with as-of-inclusive boundaries") {
     val step = 100L
     val df = toDf(Seq(
