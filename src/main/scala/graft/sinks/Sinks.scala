@@ -82,4 +82,41 @@ object Sinks {
                     files: Int, bits: Int = 16): Unit =
     graft.operators.ZOrder.layout(df, aCol, bCol, files, bits)
       .write.mode("overwrite").parquet(path)
+
+  /** Small-files compaction — the daily-ingest hygiene pass: a
+    * directory accreting one parquet file per micro-batch/trigger soon
+    * has thousands of KB-sized files, and every later scan pays a task
+    * per file. Rewrite the directory into ceil(totalBytes/targetBytes)
+    * files (at least 1), sized from the ACTUAL on-disk footprint (file
+    * listing, not a data scan). Round-robin repartition — compaction is
+    * a layout fix; ordering/clustering belongs to [[writeZOrdered]].
+    *
+    * Writes to a temp sibling then swaps via rename, so a concurrent
+    * reader sees either the old layout or the new, never a half-written
+    * directory. Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val dir = new java.io.File(path)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    require(parts.nonEmpty, s"no parquet files under $path")
+    val total = parts.map(_.length()).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(dir.getParentFile, dir.getName + "._compact_tmp")
+    val bak = new java.io.File(dir.getParentFile, dir.getName + "._compact_old")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    if (bak.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(bak)
+    }
+    require(dir.renameTo(bak) && tmp.renameTo(dir),
+      s"compaction swap failed for $path")
+    log.info(s"compacted $path: ${parts.length} files ($total bytes) -> $n files")
+    n
+  }
 }
