@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Similarity, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{ApplyChanges, BinaryQuantize, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, SetSimJoin, Similarity, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -338,6 +338,38 @@ object DataOpsQueries {
       |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS out FROM e GROUP BY src),
       |pr0 AS MATERIALIZED (
       |  SELECT node, (SELECT CAST(round(1e6 / nn) AS BIGINT) FROM cnt) AS pr FROM n),
+      |$rounds""".stripMargin
+  }
+
+  /** Label-propagation oracle chain on the g_pagerank graph: symmetrized
+    * loop-free edges, labels seeded with node ids, then `n` synchronous
+    * rounds of (neighbor-label + self-vote census → argmax by (count
+    * desc, label asc) → adopt) — the exact loop
+    * [[graft.operators.LabelPropagation.propagate]] runs, unrolled.
+    * Ends at `l$n`.
+    */
+  private def lpaChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""l$i AS MATERIALIZED (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      row_number() OVER (PARTITION BY node
+        |        ORDER BY count(*) DESC, label ASC) AS rn
+        |    FROM (
+        |      SELECT s.src AS node, p.label
+        |      FROM sym s JOIN l${i - 1} p ON p.node = s.dst
+        |      UNION ALL SELECT node, label FROM l${i - 1})
+        |    GROUP BY node, label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM e0 WHERE src <> dst
+      |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+      |l0 AS MATERIALIZED (SELECT node, node AS label FROM (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0))),
       |$rounds""".stripMargin
   }
 
@@ -961,6 +993,22 @@ object DataOpsQueries {
       Dedup.ngramJaccard(pairs, docsWithCopies(s, dir))
     }),
 
+    // Exact threshold set-similarity self-join (AllPairs/PPJoin): every
+    // pair with word-token Jaccard ≥ 0.9, prefix+length+positional
+    // filtered, NO false negatives (vs LSH's probabilistic recall). The
+    // oracle replays the whole chain — df census, rarest-first prefix,
+    // integer-rational threshold tests — so a filter-soundness bug
+    // hash-fails rather than silently dropping pairs. Gate corpus is the
+    // doc_id % 5 stratum + copies: the synthetic corpus is so templated
+    // that 41% of ALL pairs clear J ≥ 0.7 (measured), which would make
+    // the gate quadratic in output at sf0.1 — a property of the data,
+    // not the operator; the subset keeps the gate output bounded while
+    // exercising every filter.
+    "d_setsim_join" -> ((s, dir) =>
+      SetSimJoin.selfJoin(
+        docsWithCopies(s, dir).where(col("doc_id") % 5 === 0),
+        tNum = 9, tDen = 10)),
+
     // Brute-force cosine top-k: exact ANN baseline (oracle via DuckDB list
     // functions).
     "e_cosine_topk" -> ((s, dir) => {
@@ -1114,6 +1162,66 @@ object DataOpsQueries {
       // leaves margin while still failing loudly on a real regression
       require(m >= 0.9,
         f"int8 quantized recall regression: mean recall_q8=$m%.3f (floor 0.9)")
+      out
+    }),
+
+    // Binary (1-bit) quantization, stage 1: Hamming top-k over sign-packed
+    // vectors (one long per dim-64 vector — 32× the float32 footprint).
+    // The oracle replays the sign rule per-coordinate (v > 0) instead of
+    // re-deriving two's-complement words — identical Hamming by
+    // construction, so a packing bug hash-fails.
+    "e_binary_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      BinaryQuantize.binaryTopK(emb, emb.where(col("vec_id") < 5),
+        k = 10, dim = 64)
+    }),
+
+    // Binary quantization, stage 2: Hamming top-50 candidates reranked by
+    // exact float cosine to top-10 — the two-stage retrieval shape where
+    // stage 1 never touches a float array. Oracle replays both stages.
+    "e_binary_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      BinaryQuantize.rerankTopK(emb, emb.where(col("vec_id") < 5),
+        k = 10, dim = 64, rerank = 50)
+    }),
+
+    // Binary-quantization quality harness: recall@10 of the
+    // Hamming+rerank path vs float brute force on the planted-neighbor
+    // corpus (same construction as e_ann_recall — recall on pure-random
+    // vectors measures noise). Self-asserting floor; rows-only by design
+    // (both compared paths are independently oracle-gated above).
+    "e_binary_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.where(col("vec_id") < 20)
+      val planted = q
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(10))).as("j"))
+        .select(
+          (lit(3000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id") * 7 + col("j") * 13 + i) * lit(0.02))
+              .cast("float")).as("embedding"))
+      val corpus = emb.unionByName(planted).cache()
+      corpus.count()
+      val brute = Similarity.bruteForceTopK(corpus, q, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      brute.count()
+      val bin = BinaryQuantize.rerankTopK(corpus, q, k = 10, dim = 64,
+        rerank = 50)
+      val out = q.select(col("vec_id").as("query_id"))
+        .join(
+          brute.join(bin.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id")
+            .agg((count(lit(1)) / 10.0).as("recall_bin")),
+          Seq("query_id"), "left_outer")
+        .na.fill(0.0, Seq("recall_bin"))
+        .cache()
+      val m = out.agg(avg("recall_bin")).head().getDouble(0)
+      // floor set from measured values at sf0.001-0.1 (see spec); a
+      // packing or rerank regression still fails loudly
+      require(m >= 0.8,
+        f"binary quantized recall regression: mean recall_bin=$m%.3f (floor 0.8)")
       out
     }),
 
@@ -1749,6 +1857,27 @@ object DataOpsQueries {
         .unionByName(d.select(col("doc_id").as("src"),
           expr("(doc_id div 10) * 10").as("dst")))
       operators.PageRank.pageRank(edges, iterations = 10)
+    }),
+
+    // Deterministic synchronous label propagation on the same graph: 5
+    // rounds, neighbor-label majority with a self-vote (kills the
+    // synchronous 2-cycle) and (count desc, label asc) tie-break — pure
+    // integer votes, so the oracle replays every round.
+    // Output at node grain plus the community roll-up joined back (size
+    // of each node's community — the grain a per-community sampling cap
+    // consumes).
+    "g_lpa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val labels = operators.LabelPropagation.propagate(edges, iterations = 5)
+      labels.join(
+        operators.LabelPropagation.communities(labels)
+          .select(col("label"), col("size").as("community_size")),
+        Seq("label"))
+        .select("node", "label", "community_size")
     }),
 
     // Bucketed range join: events against 30-minute per-user windows
@@ -4612,6 +4741,51 @@ object DataOpsQueries {
         |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |        FROM documents))))""".stripMargin,
 
+    // full AllPairs/PPJoin replay: df census → rarest-first prefix rank →
+    // length + positional filters (all integer-rational) → candidate-bounded
+    // intersection count → integer threshold test
+    "d_setsim_join" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |  WHERE doc_id % 5 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM docs),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(nt, '\s+')) AS t
+        |    FROM norm WHERE nt <> '')),
+        |dfc AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ord AS (
+        |  SELECT t.doc_id, t.tok, s.n,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |  FROM tok t JOIN dfc d USING (tok) JOIN sz s USING (doc_id)),
+        |pref AS (
+        |  SELECT * FROM ord
+        |  WHERE rn <= n - CAST(floor((n * 9 + 9) / 10) AS BIGINT) + 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    max(1 + least(a.n - a.rn, b.n - b.rn)) AS ubound
+        |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9
+        |  GROUP BY 1, 2, 3, 4),
+        |kept AS (
+        |  SELECT * FROM cand
+        |  WHERE ubound >= CAST(floor((greatest(n_a, n_b) * 9 + 9) / 10) AS BIGINT)),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS inter
+        |  FROM kept c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
+        |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard
+        |FROM ix WHERE inter * 10 >= (n_a + n_b - inter) * 9""".stripMargin,
+
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -5121,6 +5295,11 @@ object DataOpsQueries {
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
 
+    "g_lpa" ->
+      s"""WITH ${lpaChainSql(5)}
+        |SELECT node, label, count(*) OVER (PARTITION BY label) AS community_size
+        |FROM l5""".stripMargin,
+
     "j11_range_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS p_us FROM events),
@@ -5355,6 +5534,51 @@ object DataOpsQueries {
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
         |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // sign-bit Hamming replayed per-coordinate ((a>0) <> (b>0)) — the
+    // packed xor+popcount path agrees by construction, so a word-packing
+    // bug on the Spark side hash-fails here
+    "e_binary_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    len([i FOR i IN range(1, 65) IF (cv[i] > 0) <> (qv[i] > 0)])::INT AS hamming
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, hamming, rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // both stages replayed: Hamming top-50 candidate pool (id tie-break),
+    // then exact float cosine rerank to top-10 under the shared 6dp
+    // ranking contract
+    "e_binary_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    len([i FOR i IN range(1, 65) IF (cv[i] > 0) <> (qv[i] > 0)]) AS hamming
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |pool AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+        |  FROM scored),
+        |cand AS (SELECT query_id, neighbor_id FROM pool WHERE hrank <= 50),
+        |rescored AS (
+        |  SELECT p.query_id, p.neighbor_id,
+        |    list_cosine_similarity(cc.embedding::DOUBLE[], qq.embedding::DOUBLE[]) AS cos
+        |  FROM cand p
+        |  JOIN embeddings cc ON cc.vec_id = p.neighbor_id
+        |  JOIN embeddings qq ON qq.vec_id = p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id ASC) AS rank
+        |  FROM rescored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 10""".stripMargin
   )
