@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, BinaryQuantize, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, SetSimJoin, Similarity, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -317,7 +317,12 @@ object DataOpsQueries {
       |$rounds""".stripMargin
   }
 
-  private def pageRankChainSql(n: Int): String = {
+  /** The `n` micro-quantized PageRank update rounds as CTEs — graph-
+    * independent: callers supply `e` (src, dst) and the node/degree
+    * CTEs come from it. Shared by the doc-graph gate (g_pagerank,
+    * g_anchor_text) and the token-graph gate (t_textrank).
+    */
+  private def pageRankRoundsSql(n: Int): String = {
     val rounds = (1 to n).map { i =>
       s"""pr$i AS MATERIALIZED (
         |  SELECT n.node,
@@ -329,10 +334,7 @@ object DataOpsQueries {
         |    FROM e JOIN pr${i - 1} p ON p.node = e.src JOIN od ON od.src = e.src
         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (
-      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
-      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
-      |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+    s"""n AS MATERIALIZED (SELECT DISTINCT node FROM (
       |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
       |cnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM n),
       |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS out FROM e GROUP BY src),
@@ -340,6 +342,72 @@ object DataOpsQueries {
       |  SELECT node, (SELECT CAST(round(1e6 / nn) AS BIGINT) FROM cnt) AS pr FROM n),
       |$rounds""".stripMargin
   }
+
+  private def pageRankChainSql(n: Int): String =
+    s"""e AS MATERIALIZED (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |${pageRankRoundsSql(n)}""".stripMargin
+
+  /** Personalized-PageRank oracle chain on the same graph: teleport
+    * mass lands only on the seed nodes (node % 50 = 0), walk starts
+    * from the seeds. Ends at `pr$n`.
+    */
+  private def pprChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""pr$i AS MATERIALIZED (
+        |  SELECT f.node,
+        |    (CASE WHEN f.seed
+        |       THEN (SELECT CAST(round(${1.0 - 0.85} * 1e6 / ns) AS BIGINT) FROM nsq)
+        |       ELSE 0 END)
+        |      + coalesce(c.s, 0) AS pr
+        |  FROM f LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(${0.85} * p.pr / od.out) AS BIGINT))::BIGINT AS s
+        |    FROM e JOIN pr${i - 1} p ON p.node = e.src JOIN od ON od.src = e.src
+        |    GROUP BY e.dst) c ON c.node = f.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |sd AS MATERIALIZED (SELECT node FROM n WHERE node % 50 = 0),
+      |nsq AS MATERIALIZED (SELECT count(*)::BIGINT AS ns FROM sd),
+      |f AS MATERIALIZED (
+      |  SELECT n.node, s.node IS NOT NULL AS seed
+      |  FROM n LEFT JOIN sd s ON s.node = n.node),
+      |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS out FROM e GROUP BY src),
+      |pr0 AS MATERIALIZED (
+      |  SELECT node, CASE WHEN seed
+      |    THEN (SELECT CAST(round(1e6 / ns) AS BIGINT) FROM nsq)
+      |    ELSE 0 END AS pr FROM f),
+      |$rounds""".stripMargin
+  }
+
+  /** TextRank oracle chain: normalized tokens filtered to length ≥
+    * `minLen`, adjacent filtered tokens paired (window 2), symmetrized
+    * distinct edges, then the shared PageRank rounds. Ends at `pr$n`.
+    */
+  private def textRankChainSql(n: Int, minLen: Int): String =
+    s"""onorm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |seq AS MATERIALIZED (
+      |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS tok FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN nt = '' THEN []::VARCHAR[]
+      |           ELSE list_filter(regexp_split_to_array(nt, '\\s+'),
+      |                            t -> length(t) >= $minLen) END AS a
+      |    FROM onorm)),
+      |rawp AS (
+      |  SELECT a.tok AS src, b.tok AS dst
+      |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.tok <> b.tok),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM rawp UNION ALL SELECT dst, src FROM rawp)),
+      |${pageRankRoundsSql(n)}""".stripMargin
 
   /** Label-propagation oracle chain on the g_pagerank graph: symmetrized
     * loop-free edges, labels seeded with node ids, then `n` synchronous
@@ -370,6 +438,34 @@ object DataOpsQueries {
       |l0 AS MATERIALIZED (SELECT node, node AS label FROM (
       |  SELECT DISTINCT node FROM (
       |    SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0))),
+      |$rounds""".stripMargin
+  }
+
+  /** IPF-raking oracle chain: (lang, source) cell census, then `iters`
+    * full rounds of alternating proportional scaling (dim a, then dim
+    * b), weights in micro units with ONE rounded double chain per cell
+    * per half-round — the loop [[graft.operators.Raking.fit]] runs,
+    * unrolled. Ends at `wb$iters`.
+    */
+  private def ipfChainSql(iters: Int): String = {
+    def half(prev: String, out: String, dim: String, nd: String): String =
+      s"""$out AS MATERIALIZED (
+        |  SELECT w.a, w.b, w.cnt,
+        |    CAST(round(w.w * ((SELECT n FROM tot) * 1e6 / (SELECT $nd FROM tot)) / cur.cur) AS BIGINT) AS w
+        |  FROM $prev w JOIN (
+        |    SELECT $dim, sum(cnt * w)::BIGINT AS cur FROM $prev GROUP BY $dim
+        |  ) cur ON cur.$dim = w.$dim)""".stripMargin
+    val rounds = (1 to iters).flatMap { i =>
+      val prev = if (i == 1) "w0" else s"wb${i - 1}"
+      Seq(half(prev, s"wa$i", "a", "na"), half(s"wa$i", s"wb$i", "b", "nb"))
+    }.mkString(",\n")
+    s"""cells AS MATERIALIZED (
+      |  SELECT lang AS a, source AS b, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT sum(cnt)::BIGINT AS n, count(DISTINCT a)::BIGINT AS na,
+      |    count(DISTINCT b)::BIGINT AS nb FROM cells),
+      |w0 AS (SELECT a, b, cnt, 1000000::BIGINT AS w FROM cells),
       |$rounds""".stripMargin
   }
 
@@ -1009,6 +1105,16 @@ object DataOpsQueries {
         docsWithCopies(s, dir).where(col("doc_id") % 5 === 0),
         tNum = 9, tDen = 10)),
 
+    // Sorted-neighborhood dedup: sort by the normalized text itself,
+    // compare each doc to its 3 successors, verify at token-Jaccard
+    // ≥ 0.9. O(n·w) candidates by construction — no hot bucket can
+    // exist. Two-phase global rank on the Spark side; the oracle
+    // replays rank, window pairing, and verification.
+    "d_sorted_neighborhood" -> ((s, dir) =>
+      SortedNeighborhood.nearDuplicates(
+        docsWithCopies(s, dir).where(col("doc_id") % 3 === 0),
+        TextAnalysis.normalized(col("text")), w = 4, tNum = 9, tDen = 10)),
+
     // Brute-force cosine top-k: exact ANN baseline (oracle via DuckDB list
     // functions).
     "e_cosine_topk" -> ((s, dir) => {
@@ -1456,6 +1562,32 @@ object DataOpsQueries {
       out
     }),
 
+    // File-level Bloom skipping index: stage documents range-partitioned
+    // by doc_id into 8 files, build one Bloom filter per file in a
+    // single partial-agg pass, then serve a clustered IN-list lookup
+    // reading ONLY the candidate files. Sound by construction (no false
+    // negatives) — the gate hash-compares the pruned scan against the
+    // oracle's full-scan IN filter; the require pins that pruning
+    // actually skipped files (range layout puts the clustered ids in
+    // ≤4 of 8 files even with fpp false positives).
+    "s8_bloom_prune" -> ((s, dir) => {
+      val stage = PipelineQueries.scratchDir(s, "bloom_src", dir) + "/docs"
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val data = s.read.parquet(stage)
+      val index = BloomIndex.build(data, "doc_id", expectedPerFile = 4096)
+        .cache()
+      val nFiles = index.count()
+      // 5 clustered present ids + one absent (the empty-result path a
+      // point lookup usually takes)
+      val probes = Seq("7", "8", "9", "11", "13", "1000001")
+      val cand = BloomIndex.candidateFiles(index, probes)
+      require(cand.size <= 4 && cand.size < nFiles,
+        s"bloom index failed to prune: ${cand.size} of $nFiles files read")
+      BloomIndex.prunedScan(s, stage, index, "doc_id", probes)
+    }),
+
     // Morton z-values over (user_id, event_id) low bits: pure integer
     // bit interleave, replayed bit for bit by the oracle (the layout
     // effect itself — shrinking per-partition bounding boxes — is
@@ -1878,6 +2010,65 @@ object DataOpsQueries {
           .select(col("label"), col("size").as("community_size")),
         Seq("label"))
         .select("node", "label", "community_size")
+    }),
+
+    // Personalized PageRank from the node % 50 seed set: teleport mass
+    // lands only on seeds — rank relative to the seed neighborhood, the
+    // trusted-host crawl prioritizer. All 10 rounds replayed.
+    "g_ppr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val nodes = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+      operators.PageRank.personalized(edges,
+        nodes.where(col("node") % 50 === 0), iterations = 10)
+    }),
+
+    // Declarative constraint suite: 7 checks over documents in ONE
+    // aggregation pass (completeness, uniqueness, bounds, set/pattern
+    // membership), reported one row per check. The oracle recomputes
+    // every metric + pass verdict independently.
+    "v_constraints" -> ((s, dir) => {
+      import operators.Constraints._
+      validate(Tables.documents(s, dir), Seq(
+        Complete("text", 0.95),
+        Complete("lang", 1.0),
+        Unique("doc_id", 1.0),
+        MinValue("n_chars", 0.0),
+        MaxValue("n_chars", 10000.0),
+        InSet("lang", Seq("en", "de", "fr", "es", "zh"), 1.0),
+        Matches("source", "^src[0-9]+$", 1.0)))
+    }),
+
+    // IPF raking: reweight the (lang, source) cell census so BOTH
+    // marginals go uniform simultaneously — 3 alternating-scaling
+    // rounds, micro-unit weights, one rounded double chain per cell per
+    // half-round, so the oracle replays every half-round exactly.
+    "x_ipf_raking" -> ((s, dir) =>
+      operators.Raking.fit(
+        operators.Raking.cells(Tables.documents(s, dir), "lang", "source"),
+        iterations = 3)),
+
+    // TextRank corpus keywords: PageRank over the adjacent-token
+    // co-occurrence graph (length ≥ 4 content-word filter, window 2,
+    // symmetrized distinct edges). Same micro-quantized rounds as
+    // g_pagerank, so the oracle replays graph construction AND all 10
+    // rounds, then the top-20 TakeOrdered ranking.
+    "t_textrank" -> ((s, dir) =>
+      operators.TextRank.keywords(Tables.documents(s, dir), k = 20)),
+
+    // Skip-gram pairs + deterministic negative sampling (window 2, k=2
+    // negatives per pair drawn by md5-prefix hash over the vocabulary
+    // id space) — the word2vec data-prep stage, fully replayed: token
+    // positions, both pair directions, the vocabulary rank, and every
+    // negative draw.
+    "t_skipgram" -> ((s, dir) => {
+      val sub = Tables.documents(s, dir).where(col("doc_id") % 10 === 0)
+      val vocab = Salience.vocabulary(sub, minCount = 2)
+      operators.SkipGram.withNegatives(sub, vocab, window = 2, k = 2)
     }),
 
     // Bucketed range join: events against 30-minute per-user windows
@@ -3854,6 +4045,12 @@ object DataOpsQueries {
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
 
+    // the pruned scan must return EXACTLY the full-scan IN-list rows —
+    // file skipping is an IO optimization, never a semantics change
+    "s8_bloom_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (7, 8, 9, 11, 13, 1000001)""".stripMargin,
+
     "s7_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"((((user_id & 65535) >> $i) & 1) << ${2 * i}) | ((((event_id & 65535) >> $i) & 1) << ${2 * i + 1})")
@@ -5299,6 +5496,129 @@ object DataOpsQueries {
       s"""WITH ${lpaChainSql(5)}
         |SELECT node, label, count(*) OVER (PARTITION BY label) AS community_size
         |FROM l5""".stripMargin,
+
+    "v_constraints" ->
+      """SELECT 'complete' AS "check", 'text' AS "column",
+        |  round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS metric,
+        |  0.95::DOUBLE AS threshold,
+        |  coalesce(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 0.95, false) AS passed
+        |FROM documents
+        |UNION ALL
+        |SELECT 'complete', 'lang',
+        |  round(avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END), 6), 1.0::DOUBLE,
+        |  coalesce(avg(CASE WHEN lang IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 1.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'unique', 'doc_id',
+        |  round(count(DISTINCT doc_id)::DOUBLE / count(doc_id), 6), 1.0::DOUBLE,
+        |  coalesce(count(DISTINCT doc_id)::DOUBLE / count(doc_id) >= 1.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'min_value', 'n_chars', round(min(n_chars)::DOUBLE, 6), 0.0::DOUBLE,
+        |  coalesce(min(n_chars)::DOUBLE >= 0.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'max_value', 'n_chars', round(max(n_chars)::DOUBLE, 6), 10000.0::DOUBLE,
+        |  coalesce(max(n_chars)::DOUBLE <= 10000.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'in_set', 'lang',
+        |  round(avg(CASE WHEN lang IS NOT NULL THEN (CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END) END), 6), 1.0::DOUBLE,
+        |  coalesce(avg(CASE WHEN lang IS NOT NULL THEN (CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END) END) >= 1.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'matches', 'source',
+        |  round(avg(CASE WHEN source IS NOT NULL THEN (CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1.0 ELSE 0.0 END) END), 6), 1.0::DOUBLE,
+        |  coalesce(avg(CASE WHEN source IS NOT NULL THEN (CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1.0 ELSE 0.0 END) END) >= 1.0, false)
+        |FROM documents""".stripMargin,
+
+    "x_ipf_raking" ->
+      s"""WITH ${ipfChainSql(3)}
+        |SELECT a, b, cnt, w AS weight_micro,
+        |  round(w::DOUBLE / 1e6, 6) AS weight,
+        |  CAST(round(cnt * w / 1e6) AS BIGINT) AS adj_cnt
+        |FROM wb3""".stripMargin,
+
+    "t_textrank" ->
+      s"""WITH ${textRankChainSql(10, 4)}
+        |SELECT node AS term, pr AS pr_micro,
+        |  row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+        |FROM pr10 ORDER BY rank LIMIT 20""".stripMargin,
+
+    "g_ppr" ->
+      s"""WITH ${pprChainSql(10)}
+        |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
+        |FROM pr10""".stripMargin,
+
+    // rank (global window — oracle-side only), w=4 neighborhood pairing,
+    // token-Jaccard verification at the integer 9/10 threshold
+    "d_sorted_neighborhood" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |  WHERE doc_id % 3 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM docs),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, (row_number() OVER (ORDER BY nt, doc_id) - 1)::BIGINT AS seq
+        |  FROM norm),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM r a JOIN r b ON b.seq - a.seq >= 1 AND b.seq - a.seq < 4),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(nt, '\s+')) AS t
+        |    FROM norm WHERE nt <> '')),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni,
+        |  round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        |FROM ix JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE inter * 10 >= (sa.n + sb.n - inter) * 9""".stripMargin,
+
+    // token positions (0-based), both pair directions for offsets 1-2,
+    // the vocabulary global rank, and every md5-prefix negative draw
+    "t_skipgram" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM sub),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS tok FROM (
+        |    SELECT doc_id, CASE WHEN nt = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(nt, '\s+') END AS a
+        |    FROM norm)),
+        |adj AS (
+        |  SELECT a.doc_id, a.pos AS apos, a.tok AS atok, b.pos AS bpos, b.tok AS btok
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos - a.pos BETWEEN 1 AND 2),
+        |pairs AS (
+        |  SELECT doc_id, apos AS pos, atok AS center, btok AS context FROM adj
+        |  UNION ALL
+        |  SELECT doc_id, bpos, btok, atok FROM adj),
+        |census AS (
+        |  SELECT tok AS term, count(*) AS freq FROM t
+        |  WHERE tok <> '' GROUP BY tok HAVING count(*) >= 2),
+        |vocab AS MATERIALIZED (
+        |  SELECT (row_number() OVER (ORDER BY freq DESC, term ASC) - 1)::BIGINT AS token_id,
+        |    term FROM census),
+        |vq AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |negs AS (
+        |  SELECT p.doc_id, p.pos, p.center, p.context, j.j,
+        |    ('0x' || substr(md5(p.doc_id::VARCHAR || ':' || p.pos::VARCHAR || ':' || j.j::VARCHAR), 1, 15))::BIGINT
+        |      % (SELECT v FROM vq) AS neg_id
+        |  FROM pairs p CROSS JOIN (SELECT unnest([0, 1]) AS j) j)
+        |SELECT n.doc_id, n.pos, n.center, n.context, n.j, v.term AS neg_term
+        |FROM negs n JOIN vocab v ON v.token_id = n.neg_id""".stripMargin,
 
     "j11_range_join" ->
       """WITH ev AS (

@@ -18,7 +18,7 @@ object PipelineQueries {
     * one host never race on the same path (mode overwrite would corrupt
     * whichever run reads second). Best-effort deleted on JVM exit.
     */
-  private def scratchDir(s: SparkSession, kind: String, dir: String): String = {
+  private[graft] def scratchDir(s: SparkSession, kind: String, dir: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_${s.sparkContext.applicationId}"
     registerCleanup(root)
     s"$root/$kind/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -183,6 +183,43 @@ object PipelineQueries {
         .select("doc_id", "source", "n_chars", "lang")
     }),
 
+    // Malformed-record-tolerant JSON ingestion: stage a JSONL file where
+    // every 7th record is truncated mid-object, read it PERMISSIVE with
+    // an explicit schema + corrupt-record column (the 100 TB ingest
+    // contract: bad upstream bytes must land in a quarantine column, not
+    // kill the job or silently vanish). The staged bytes derive
+    // deterministically from documents, so the oracle recomputes the
+    // expected parse results without reading the file; the DROPMALFORMED
+    // twin count is require-pinned in-gate.
+    "s9_corrupt_json" -> ((s, dir) => {
+      val stage = scratchDir(s, "corrupt_src", dir) + "/data"
+      val id = col("doc_id").cast("string")
+      Tables.documents(s, dir).select(
+        when(col("doc_id") % 7 === 0,
+          concat(lit("{\"id\": "), id, lit(", \"v\":")))
+        .otherwise(concat(lit("{\"id\": "), id, lit(", \"v\": "),
+          col("n_chars").cast("string"), lit("}"))).as("value"))
+        .write.mode("overwrite").text(stage)
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", LongType),
+        StructField("corrupt", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt")
+        .json(stage)
+      val dropSchema = StructType(schema.fields.take(2))
+      val nKept = s.read.schema(dropSchema)
+        .option("mode", "DROPMALFORMED").json(stage).count()
+      val nDocs = Tables.documents(s, dir).count()
+      val nBad = Tables.documents(s, dir)
+        .where(col("doc_id") % 7 === 0).count()
+      require(nKept == nDocs - nBad,
+        s"DROPMALFORMED kept $nKept of $nDocs, expected ${nDocs - nBad}")
+      parsed
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -243,6 +280,16 @@ object PipelineQueries {
 
     "s4_partitioned_source" ->
       """SELECT doc_id, source, n_chars, lang
-        |FROM documents WHERE lang = 'en'""".stripMargin
+        |FROM documents WHERE lang = 'en'""".stripMargin,
+
+    // the staged bytes derive from documents, so the expected PERMISSIVE
+    // parse (nulls + quarantined raw line for every 7th record) is
+    // recomputable without reading the staged file
+    "s9_corrupt_json" ->
+      """SELECT
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v,
+        |  CASE WHEN doc_id % 7 = 0 THEN '{"id": ' || doc_id || ', "v":' END AS corrupt
+        |FROM documents""".stripMargin
   )
 }

@@ -2,10 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -78,4 +81,115 @@ object BloomOps {
     GraftBridge.column(
       BloomMightContain(GraftBridge.expression(value), out.toByteArray))
   }
+
+  /** Per-GROUP Bloom filter aggregate over a string column (binary
+    * result, standard Spark sketch wire format) — the builder for
+    * file/partition-grain skipping indexes ([[graft.operators
+    * .BloomIndex]]): one distributed pass, partial aggregation carries
+    * filter bytes (~1.2 MB per million expected items at fpp 0.01), and
+    * filters OR together losslessly so per-file rows merge up to any
+    * coarser grain without re-scanning data.
+    */
+  def bloomAgg(c: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    GraftBridge.column(
+      BloomAgg(GraftBridge.expression(c), expectedItems, fpp)
+        .toAggregateExpression())
+  }
+
+  /** Probe a Bloom filter stored as a BYTES COLUMN (one filter per row
+    * — the skipping-index shape, where the filter varies per row and
+    * the probed value is fixed per query). Deserializes the filter per
+    * evaluation: acceptable by contract because the input is an INDEX
+    * table (one row per file), never a data table — documented on
+    * [[graft.operators.BloomIndex]].
+    */
+  def bytesMightContain(filterBytes: Column, value: Column): Column =
+    GraftBridge.column(BloomBytesMightContain(
+      GraftBridge.expression(filterBytes), GraftBridge.expression(value)))
+}
+
+/** TypedImperativeAggregate building a Bloom filter of the child string
+  * column per group. Same putBinary hashing as [[BloomOps.buildFilter]]
+  * and [[BloomMightContain]] — the build/probe pair can never
+  * half-change hash schemes.
+  */
+case class BloomAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomFilter] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg requires a string argument, got ${dt.catalogString}")
+  }
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buffer.putBinary(v.asInstanceOf[UTF8String].getBytes)
+    buffer
+  }
+
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  private def toBytes(f: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    f.writeTo(out)
+    out.toByteArray
+  }
+
+  override def eval(buffer: BloomFilter): Any = toBytes(buffer)
+  override def serialize(buffer: BloomFilter): Array[Byte] = toBytes(buffer)
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** Row-wise probe: left = filter bytes (binary), right = value (string).
+  * CodegenFallback by design — it evaluates once per INDEX row (file
+  * grain), so interpreted eval with a per-row readFrom is not a hot
+  * path, and fallback keeps the filter deserialization out of codegen.
+  */
+case class BloomBytesMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_bytes_might_contain requires (binary, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(bytes: Any, value: Any): Any =
+    BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes.asInstanceOf[Array[Byte]]))
+      .mightContainBinary(value.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomBytesMightContain =
+    copy(left = newLeft, right = newRight)
 }

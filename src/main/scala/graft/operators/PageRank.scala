@@ -65,4 +65,60 @@ object PageRank {
     pr.select(col("node"), col("pr").as("pr_micro"),
       round(col("pr").cast("double") / 1e6, 6).as("pr"))
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands ONLY on `seeds` — rank becomes "importance AS SEEN FROM
+    * the seed set", the crawl-frontier prioritizer (seeds = trusted
+    * hosts) and related-item ranker (seeds = one item) that global
+    * PageRank cannot express. Same micro-quantization, same Pregel
+    * shape, same dangling-leak contract as [[pageRank]]; the only
+    * change is the base term: round((1−d)·1e6/|S|) for seed nodes, 0
+    * elsewhere, and the walk starts from the seeds
+    * (pr₀ = round(1e6/|S|) on seeds). Seeds ride along as a broadcast
+    * flag join (seed sets are small by definition); |S| is a 1-row
+    * broadcast like the node count.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                   damping: Double = 0.85,
+                   checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("_seed", lit(true)).localCheckpoint()
+    val flagged = nodes.join(broadcast(sd), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .localCheckpoint()
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    require(ns.head().getLong(0) >= 1, "personalized PageRank needs >= 1 seed")
+    val od = e.groupBy("src").agg(count(lit(1)).as("out"))
+    var pr = flagged.crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("_seed"), round(lit(1e6) / col("ns")).cast("long"))
+          .otherwise(lit(0L)).as("pr"))
+      .localCheckpoint()
+    var i = 1
+    while (i <= iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(od, Seq("src"))
+        .select(col("dst").as("node"),
+          round(lit(damping) * col("pr") / col("out")).cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = flagged.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          (when(col("_seed"),
+            round(lit(1.0 - damping) * lit(1e6) / col("ns")).cast("long"))
+            .otherwise(lit(0L))
+            + coalesce(col("s"), lit(0L))).as("pr"))
+      if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
+      i += 1
+    }
+    pr.select(col("node"), col("pr").as("pr_micro"),
+      round(col("pr").cast("double") / 1e6, 6).as("pr"))
+  }
 }

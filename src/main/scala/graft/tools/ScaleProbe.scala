@@ -120,7 +120,23 @@ object ScaleProbe {
       "a16_pivot", "x_resample",
       // O(len^2) per planted PAIR — pairs scale with the corpus, so
       // linear growth here means the per-pair kernel is flat
-      "d_edit_verify")
+      "d_edit_verify",
+      // round-5e surface
+      // the templated corpus makes near-pairs grow superlinearly with K
+      // (a data property — see the gate comment); the probe watches the
+      // prefix filter keep the candidate join bounded by true pairs
+      "d_setsim_join",
+      "e_binary_topk", "e_binary_rerank", "g_lpa", "t_textrank",
+      // cell census is (lang × source)-bounded — FLAT at K×
+      "x_ipf_raking",
+      // one scan, one agg — the probe pins the single-pass property
+      "v_constraints", "s8_bloom_prune", "s9_corrupt_json",
+      "g_ppr",
+      // O(n·w) candidates by construction — the probe watches the
+      // verify join track true pairs, never buckets
+      "d_sorted_neighborhood",
+      // pairs scale linearly with tokens (fanout 2·window·k fixed)
+      "t_skipgram")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

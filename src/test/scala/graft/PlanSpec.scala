@@ -640,4 +640,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"(dst, term) census must map-side combine:\n$p")
   }
+
+  test("d_setsim_join: candidate join stays an equi-join on the prefix token") {
+    val p = executed("d_setsim_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"set-sim join must never go all-pairs:\n$p")
+    // per-doc prefix ranking is a doc-partitioned window, never global
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
+      s"prefix rank window must partition by doc_id:\n${specs.mkString("\n")}")
+  }
+
+  test("e_binary_topk: stage 1 reads packed longs, queries broadcast") {
+    val p = executed("e_binary_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bounded query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join on the corpus:\n$p")
+  }
+
+  test("g_lpa: vote census partial-aggregates; argmax windows partition by node") {
+    val p = executed("g_lpa")
+    assert(p.contains("partial_count"),
+      s"neighbor-vote census must map-side combine:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("node#") || s.contains("label#")),
+      s"argmax windows must be node-partitioned:\n${specs.mkString("\n")}")
+  }
+
+  test("x_ipf_raking: cell-grain partial aggs, totals broadcast") {
+    val p = executed("x_ipf_raking")
+    assert(p.contains("partial_sum"),
+      s"marginal sums must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"totals frame must broadcast (1 row), not cartesian:\n$p")
+  }
+
+  test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
+    val p = executed("v_constraints")
+    // a per-check job would show N scans; the suite folds into a single
+    // scan of documents (Expand for the distinct aggregate is expected)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+  }
 }
