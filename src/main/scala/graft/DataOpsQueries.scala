@@ -2012,6 +2012,27 @@ object DataOpsQueries {
         .select("node", "label", "community_size")
     }),
 
+    // Triangle counting + local clustering coefficient via the
+    // degree-ordered node-iterator: oriented wedges from the
+    // lowest-degree corner only (hub never pivots), one closing-edge
+    // equi-join. Pure integer joins — full oracle replay.
+    "g_triangles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.Triangles.count(edges)
+    }),
+
+    // Session co-visitation matrix: gap-sessionized events, distinct
+    // (session, item), bounded within-session pairing (marathon
+    // sessions dropped before the self-join), top-5 co-items per item.
+    // The oracle replays sessionization, the cap, the census, and the
+    // ranking.
+    "x_covisitation" -> ((s, dir) =>
+      operators.Covisitation.topCovisited(Tables.events(s, dir), k = 5)),
+
     // Personalized PageRank from the node % 50 seed set: teleport mass
     // lands only on seeds — rank relative to the seed neighborhood, the
     // trusted-host crawl prioritizer. All 10 rounds replayed.
@@ -5549,6 +5570,65 @@ object DataOpsQueries {
       s"""WITH ${pprChainSql(10)}
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
+
+    // a<b<c triangle enumeration (each triangle once), credited to all
+    // three corners — equivalent by construction to the Spark side's
+    // degree-ordered pivot enumeration
+    "g_triangles" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+        |tris AS (
+        |  SELECT u1.a AS x, u1.b AS y, u2.b AS z
+        |  FROM und u1 JOIN und u2 ON u2.a = u1.b
+        |  JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b),
+        |pern AS (SELECT node, count(*)::BIGINT AS t FROM (
+        |  SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+        |  UNION ALL SELECT z FROM tris) GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(p.t, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN round(2.0 * coalesce(p.t, 0) / (d.degree * (d.degree - 1)), 6)
+        |  END AS coeff
+        |FROM deg d LEFT JOIN pern p ON p.node = d.node""".stripMargin,
+
+    // sessionization chain (the a15 window recipe) + item extraction +
+    // marathon cap + pair census + per-item ranking
+    "x_covisitation" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    json_extract_string(props, '$.k')::BIGINT AS item
+        |  FROM events),
+        |brk AS (
+        |  SELECT event_id, user_id, ts_us, item,
+        |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS b
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ses AS (
+        |  SELECT user_id, item,
+        |    sum(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM brk),
+        |si AS (SELECT DISTINCT user_id, session_id, item FROM ses
+        |  WHERE item IS NOT NULL),
+        |keep AS (SELECT user_id, session_id FROM si
+        |  GROUP BY 1, 2 HAVING count(*) <= 50),
+        |bi AS (SELECT si.* FROM si JOIN keep USING (user_id, session_id)),
+        |census AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS cnt
+        |  FROM bi a JOIN bi b ON a.user_id = b.user_id
+        |    AND a.session_id = b.session_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT item_a AS item, item_b AS co_item, cnt FROM census
+        |  UNION ALL SELECT item_b, item_a, cnt FROM census),
+        |ranked AS (
+        |  SELECT item, co_item, cnt,
+        |    row_number() OVER (PARTITION BY item ORDER BY cnt DESC, co_item ASC) AS rank
+        |  FROM directed)
+        |SELECT item, co_item, cnt, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // rank (global window — oracle-side only), w=4 neighborhood pairing,
     // token-Jaccard verification at the integer 9/10 threshold

@@ -136,7 +136,11 @@ object ScaleProbe {
       // verify join track true pairs, never buckets
       "d_sorted_neighborhood",
       // pairs scale linearly with tokens (fanout 2·window·k fixed)
-      "t_skipgram")
+      "t_skipgram",
+      // wedge fanout capped by oriented out-degree (≤ O(√m) any graph)
+      "g_triangles",
+      // session cap bounds per-session pair fanout by construction
+      "x_covisitation")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -675,6 +675,20 @@ class PlanSpec extends SparkSpec {
       s"totals frame must broadcast (1 row), not cartesian:\n$p")
   }
 
+  test("g_triangles: wedge and closing joins stay equi-joins") {
+    val p = executed("g_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must never go all-pairs:\n$p")
+  }
+
+  test("x_covisitation: session pairing equi-keyed, census partial-aggregates") {
+    val p = executed("x_covisitation")
+    assert(!p.contains("CartesianProduct"),
+      s"covisitation pairing must stay session-keyed:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair census must map-side combine:\n$p")
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single
