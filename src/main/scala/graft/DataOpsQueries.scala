@@ -469,6 +469,31 @@ object DataOpsQueries {
       |$rounds""".stripMargin
   }
 
+  /** k-core oracle chain on the g_pagerank graph: symmetrized loop-free
+    * edges, then `rounds` unrolled peel rounds (degree census → keep ≥ k
+    * → edge filter). The k-core is canonical, so the oracle only needs
+    * ENOUGH rounds to reach the fixed point (the Spark side `require`s
+    * convergence independently); 20 covers the ≤18 observed at any SF.
+    * Ends at `e$rounds`.
+    */
+  private def kCoreChainSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""kp$i AS MATERIALIZED (
+        |  SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e${i - 1} e
+        |  JOIN kp$i a ON a.node = e.src JOIN kp$i b ON b.node = e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e0raw AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM e0raw WHERE src <> dst
+      |  UNION ALL SELECT dst, src FROM e0raw WHERE src <> dst)),
+      |$rs""".stripMargin
+  }
+
   /** BPE-training oracle chain: the word census symbolized to spaced
     * characters + `</w>`, then `n` generated rounds of (pair census →
     * argmax → one-pass merge application) — the loop the Spark trainer
@@ -2012,6 +2037,12 @@ object DataOpsQueries {
         .select("node", "label", "community_size")
     }),
 
+    // Window-volume anomaly detection: (window, type) counts z-scored
+    // against the type's mean from EXACT integer sums (Σn, Σn²) so the
+    // oracle replays every z bit-for-bit; |n − mean| > 2σ flags.
+    "x_rate_anomaly" -> ((s, dir) =>
+      operators.EventAnalytics.rateAnomalies(Tables.events(s, dir))),
+
     // Triangle counting + local clustering coefficient via the
     // degree-ordered node-iterator: oriented wedges from the
     // lowest-degree corner only (hub never pivots), one closing-edge
@@ -2033,6 +2064,59 @@ object DataOpsQueries {
     "x_covisitation" -> ((s, dir) =>
       operators.Covisitation.topCovisited(Tables.events(s, dir), k = 5)),
 
+    // Degree assortativity of the doc graph: one exact-integer-sum
+    // Pearson over endpoint degrees — the link-farm smell test in a
+    // single replayed row.
+    "g_assortativity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.GraphStats.assortativity(edges)
+    }),
+
+    // Winsorization: clip l_extendedprice to the [p05, p95] band from
+    // the same histogram census as k_hist_quantile — rows kept, tails
+    // clipped. Oracle replays census, both quantile interpolations, and
+    // the clip.
+    "k_winsorize" -> ((s, dir) =>
+      operators.Profile.winsorize(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, buckets = 64)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "clipped",
+          "clip_lo", "clip_hi")),
+
+    // Referential integrity as an external gate: lineitem orderkeys
+    // absent from orders (none in conforming TPC-H data — the zero is
+    // the assertion) plus a planted-orphan twin frame proving the
+    // check fires.
+    "v_orphans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val clean = operators.Constraints.orphans(li, "l_orderkey", ord, "o_orderkey")
+        .select(lit("clean").as("case"), col("n_orphans"))
+      val planted = operators.Constraints.orphans(
+        li.select(col("l_orderkey"))
+          .unionByName(li.where(col("l_orderkey") % 1000 === 0)
+            .select((col("l_orderkey") + lit(2000000000L)).as("l_orderkey"))),
+        "l_orderkey", ord, "o_orderkey")
+        .select(lit("planted").as("case"), col("n_orphans"))
+      clean.unionByName(planted)
+    }),
+
+    // 3-core of the doc graph: synchronous peel to the (unique) fixed
+    // point; the in-gate require pins convergence, the oracle unrolls
+    // 20 peel rounds — both land on the same canonical core.
+    "g_kcore" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.KCore.kCore(edges, k = 3)
+    }),
+
     // Personalized PageRank from the node % 50 seed set: teleport mass
     // lands only on seeds — rank relative to the seed neighborhood, the
     // trusted-host crawl prioritizer. All 10 rounds replayed.
@@ -2047,6 +2131,12 @@ object DataOpsQueries {
       operators.PageRank.personalized(edges,
         nodes.where(col("node") % 50 === 0), iterations = 10)
     }),
+
+    // Flesch reading-ease: the classic readability signal, vowel-group
+    // syllable heuristic so the oracle replays it exactly. Shuffle-free
+    // projection.
+    "t_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
 
     // Declarative constraint suite: 7 checks over documents in ONE
     // aggregation pass (completeness, uniqueness, bounds, set/pattern
@@ -2682,6 +2772,29 @@ object DataOpsQueries {
       ApplyChanges.history(log, "o_orderkey", "seq")
     }),
 
+    // Log retention: vacuum the pre-day-3 history to latest-per-key
+    // survivors, then take the latest snapshot from the VACUUMED log.
+    // The oracle computes the same snapshot from the ORIGINAL log —
+    // equality IS the retention contract (vacuum must be invisible at
+    // or after the horizon). The require pins that compaction actually
+    // shrank the log.
+    "i_vacuum" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      val log = o.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+        .unionByName(o.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+        .unionByName(o.where(col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(3L)))
+        .cache()
+      val vacuumed = ApplyChanges.vacuum(log, "o_orderkey", "seq",
+        beforeSeq = 3L).cache()
+      val (nOrig, nVac) = (log.count(), vacuumed.count())
+      require(nVac < nOrig,
+        s"vacuum failed to compact: $nVac rows vs $nOrig in the original log")
+      ApplyChanges.snapshotOf(vacuumed, "o_orderkey", "seq")
+    }),
+
     // Time travel: the snapshot the change log implies AS OF day 2 —
     // day-3 tombstones invisible, day-2 re-prices visible. Same
     // latest-per-key kernel bounded by seq ≤ 2.
@@ -2903,6 +3016,20 @@ object DataOpsQueries {
         |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to,
         |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL AS is_current
         |FROM chlog""".stripMargin,
+
+    // snapshot from the ORIGINAL log — vacuum must be invisible here
+    "i_vacuum" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |chlog AS (
+        |  SELECT o_orderkey, o_totalprice, 'upsert' AS op, 1::BIGINT AS seq FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100, 'upsert', 2::BIGINT FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'delete', 3::BIGINT FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderkey, o_totalprice, seq FROM (
+        |  SELECT chlog.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM chlog)
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin,
 
     "i_time_travel" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
@@ -5518,6 +5645,27 @@ object DataOpsQueries {
         |SELECT node, label, count(*) OVER (PARTITION BY label) AS community_size
         |FROM l5""".stripMargin,
 
+    "t_readability" ->
+      """WITH raw AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |norm AS (SELECT doc_id, t,
+        |  trim(regexp_replace(regexp_replace(lower(t), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM raw),
+        |w AS (SELECT doc_id, t,
+        |  CASE WHEN nt = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(nt, '\s+') END AS ws
+        |  FROM norm),
+        |m AS (SELECT doc_id,
+        |  len(ws)::BIGINT AS n_words,
+        |  greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT AS n_sentences,
+        |  coalesce(list_sum(list_transform(ws,
+        |    x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)::BIGINT AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |    ELSE round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+        |      - 84.6 * (n_syllables::DOUBLE / n_words), 6) END AS flesch
+        |FROM m""".stripMargin,
+
     "v_constraints" ->
       """SELECT 'complete' AS "check", 'text' AS "column",
         |  round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS metric,
@@ -5570,6 +5718,93 @@ object DataOpsQueries {
       s"""WITH ${pprChainSql(10)}
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
+
+    "x_rate_anomaly" ->
+      """WITH census AS (
+        |  SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*)::BIGINT AS nw, sum(n)::BIGINT AS s1,
+        |    sum(n * n)::BIGINT AS s2
+        |  FROM census GROUP BY event_type),
+        |j AS (
+        |  SELECT c.window_start, c.event_type, c.n,
+        |    s.s1::DOUBLE / s.nw AS m,
+        |    (s.s2::DOUBLE - s.s1::DOUBLE * s.s1 / s.nw) / s.nw AS vr
+        |  FROM census c JOIN stats s USING (event_type))
+        |SELECT window_start, event_type, n, round(m, 6) AS mean,
+        |  CASE WHEN vr > 0 THEN round((n - m) / sqrt(vr), 6) END AS z,
+        |  coalesce(abs(n - m) > 2.0 * sqrt(vr) AND vr > 0, false) AS anomaly
+        |FROM j""".stripMargin,
+
+    "g_assortativity" ->
+      """WITH e0raw AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0raw WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM e0raw WHERE src <> dst)),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM sym GROUP BY src),
+        |sc AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM sym s JOIN deg dx ON dx.node = s.src JOIN deg dy ON dy.node = s.dst),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS s1,
+        |    sum(dx * dx)::BIGINT AS s2, sum(dx * dy)::BIGINT AS sxy
+        |  FROM sc)
+        |SELECT m, s1, s2, sxy,
+        |  CASE WHEN (m * s2 - s1 * s1) = 0 THEN NULL
+        |       ELSE round((m * sxy - s1 * s1)::DOUBLE / (m * s2 - s1 * s1)::DOUBLE, 6)
+        |  END AS r
+        |FROM a""".stripMargin,
+
+    "k_winsorize" ->
+      """WITH h AS (
+        |  SELECT least(greatest(floor((l_extendedprice - 900.0) / 1626.5625), 0), 63)::BIGINT AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM h),
+        |probes AS (SELECT unnest([0.05, 0.95])::DOUBLE AS q),
+        |q2 AS (
+        |  SELECT q,
+        |    round(900.0 + bucket * 1626.5625 +
+        |          1626.5625 * (ceil(q * n) - (cum - cnt)) / cnt, 6) AS qtile
+        |  FROM c CROSS JOIN probes
+        |  WHERE cum >= ceil(q * n) AND (cum - cnt) < ceil(q * n)),
+        |b AS (
+        |  SELECT max(CASE WHEN q = 0.05 THEN qtile END) AS blo,
+        |         max(CASE WHEN q = 0.95 THEN qtile END) AS bhi
+        |  FROM q2)
+        |SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |       ELSE round(least(greatest(l_extendedprice::DOUBLE, blo), bhi), 6)
+        |  END AS clipped,
+        |  blo AS clip_lo, bhi AS clip_hi
+        |FROM lineitem CROSS JOIN b""".stripMargin,
+
+    "v_orphans" ->
+      """SELECT 'clean' AS "case",
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON o.o_orderkey = l.l_orderkey
+        |   WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL)::BIGINT AS n_orphans
+        |UNION ALL
+        |SELECT 'planted',
+        |  (SELECT count(*) FROM (
+        |     SELECT l_orderkey FROM lineitem
+        |     UNION ALL
+        |     SELECT l_orderkey + 2000000000 FROM lineitem WHERE l_orderkey % 1000 = 0) l
+        |   LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |   WHERE o.o_orderkey IS NULL AND l.l_orderkey IS NOT NULL)::BIGINT""".stripMargin,
+
+    "g_kcore" ->
+      s"""WITH ${kCoreChainSql(3, 20)}
+        |SELECT src AS node, count(*)::BIGINT AS core_degree
+        |FROM e20 GROUP BY src HAVING count(*) >= 3""".stripMargin,
 
     // a<b<c triangle enumeration (each triangle once), credited to all
     // three corners — equivalent by construction to the Spark side's

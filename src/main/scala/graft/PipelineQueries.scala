@@ -220,6 +220,23 @@ object PipelineQueries {
       parsed
     }),
 
+    // Schema evolution on read: two parquet batches with DIFFERENT
+    // column sets under one root (the columns-added-over-time layout
+    // every long-lived 100 TB dataset grows into), read back with
+    // mergeSchema — the union schema with nulls where a batch lacks a
+    // column, plus the Hive partition column. The staged bytes derive
+    // from documents, so the oracle recomputes the merged result.
+    "s10_schema_merge" -> ((s, dir) => {
+      val root = scratchDir(s, "merge_src", dir) + "/docs"
+      val d = Tables.documents(s, dir)
+      d.where(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(root + "/batch=a")
+      d.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(root + "/batch=b")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select("doc_id", "n_chars", "lang", "source", "batch")
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -290,6 +307,14 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END AS id,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v,
         |  CASE WHEN doc_id % 7 = 0 THEN '{"id": ' || doc_id || ', "v":' END AS corrupt
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the merged read = union schema with nulls + partition column
+    "s10_schema_merge" ->
+      """SELECT doc_id, n_chars, NULL AS lang, NULL AS source, 'a' AS batch
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL, lang, source, 'b'
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin
   )
 }

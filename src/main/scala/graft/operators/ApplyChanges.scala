@@ -82,4 +82,26 @@ object ApplyChanges {
       .where(col("op") === "upsert")
       .drop("op")
   }
+
+  /** Log retention/compaction: every change with seq < `beforeSeq`
+    * collapses to its latest-per-key survivor (keys whose last
+    * pre-horizon op is a delete vanish entirely — the tombstone has
+    * done its job); changes at/after the horizon are kept verbatim.
+    * Contract: [[snapshotOf]] at ANY asOf ≥ beforeSeq − 1 is identical
+    * on the vacuumed and original logs — history BEFORE the horizon is
+    * deliberately no longer replayable (that IS retention). At 100 TB
+    * this is what keeps the change log from growing without bound:
+    * the compacted prefix is snapshot-sized, not history-sized, and the
+    * operation is one latest-per-key window over the expired prefix
+    * only (increment-proportional in steady state when run on a rolling
+    * horizon).
+    */
+  def vacuum(changeLog: DataFrame, key: String, seq: String,
+             beforeSeq: Long): DataFrame = {
+    val expired = changeLog.where(col(seq) < beforeSeq)
+    val kept = changeLog.where(col(seq) >= beforeSeq)
+    latestPerKey(expired, key, seq)
+      .where(col("op") === "upsert")
+      .unionByName(kept)
+  }
 }

@@ -140,4 +140,44 @@ object EventAnalytics {
       .reduce(_ unionByName _)
     names.join(long, "step")
   }
+
+  /** Volume-anomaly detection over tumbling windows: a (window,
+    * event_type) whose count deviates from the type's mean by more than
+    * k·σ — the monitoring primitive of an ingestion pipeline (a
+    * scraper going dark or a bot flood both show up here first).
+    *
+    * Mean/variance come from EXACT integer sums (Σn, Σn², window
+    * count) rather than the engine's streaming variance kernel —
+    * Welford association differs between engines, integer sums don't,
+    * so z-scores replay bit-for-bit in the oracle. Two census-grain
+    * aggregations (windows, then types); the raw event table is
+    * touched once.
+    *
+    * Output: (window_start, event_type, n, mean, z, anomaly); z null
+    * (and anomaly false) for zero-variance types.
+    */
+  def rateAnomalies(events: DataFrame, windowLength: String = "1 hour",
+                    k: Double = 2.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val census = events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n"))
+    val stats = census.groupBy("event_type")
+      .agg(count(lit(1)).as("nw"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("nw")
+    val vr = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1") / col("nw")) / col("nw")
+    census.join(stats, Seq("event_type"))
+      .withColumn("_mean", mean)
+      .withColumn("_vr", vr)
+      .select(col("window_start"), col("event_type"), col("n"),
+        round(col("_mean"), 6).as("mean"),
+        when(col("_vr") > 0d,
+          round((col("n") - col("_mean")) / sqrt(col("_vr")), 6)).as("z"),
+        coalesce(abs(col("n") - col("_mean")) > lit(k) * sqrt(col("_vr"))
+          && col("_vr") > 0d, lit(false)).as("anomaly"))
+  }
 }

@@ -125,4 +125,32 @@ object Profile {
       .withColumn("median_est", lit(med))
       .withColumn("mad_est", lit(mad))
   }
+
+  /** Winsorization: clip `value` to the [pLo, pHi] quantile band — the
+    * standard outlier treatment when rows must be KEPT (an ML feature
+    * pipeline can't drop rows the way [[madOutliers]] flags them).
+    * Bounds come from the same [[HistQuantile]] census (one bounded
+    * pass), then the clip is a shuffle-free scan against two broadcast
+    * scalars. Output: input columns + `clipped` (6dp) + the bound
+    * columns.
+    */
+  def winsorize(df: DataFrame, value: String, lo: Double, hi: Double,
+                buckets: Int, pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val qs = HistQuantile.quantiles(
+      HistQuantile.histogram(df, col(value), lo, hi, buckets),
+      lo, hi, buckets, Seq(pLo, pHi))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (bLo, bHi) = (qs(pLo), qs(pHi))
+    // null inputs stay null (Spark's greatest would silently substitute
+    // the bound — engines disagree on null-skipping, so be explicit)
+    df.withColumn("clipped",
+        when(col(value).isNotNull,
+          round(least(greatest(col(value).cast("double"), lit(bLo)),
+            lit(bHi)), 6)))
+      .withColumn("clip_lo", lit(bLo))
+      .withColumn("clip_hi", lit(bHi))
+  }
 }

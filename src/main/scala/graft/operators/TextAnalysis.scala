@@ -682,4 +682,34 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Flesch reading-ease score — the classic readability quality signal
+    * next to the Gopher/C4 rules: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Syllables are approximated by vowel-group
+    * counts ([aeiouy]+ runs, floor 1 per word) — the standard
+    * dictionary-free heuristic, and crucially one an external SQL
+    * oracle can replay exactly (a hyphenation library could not).
+    * Sentences count [.!?]+ runs on the RAW text (normalization strips
+    * punctuation), floor 1. Word-less docs carry a null score
+    * (try_divide). Shuffle-free projection; one codegen pass.
+    *
+    * Output: (doc_id, n_words, n_sentences, n_syllables, flesch) with
+    * flesch rounded to 6dp.
+    */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val words = tokens(normalized(raw))
+    val nWords = size(words).cast("long")
+    val nSent = greatest(regexp_count(raw, lit("[.!?]+")), lit(1)).cast("long")
+    val nSyll = aggregate(
+      transform(words, w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
+      lit(0L), (acc, s) => acc + s)
+    docs.select(col("doc_id"),
+        nWords.as("n_words"), nSent.as("n_sentences"), nSyll.as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * try_divide(col("n_words").cast("double"), col("n_sentences"))
+          - lit(84.6) * try_divide(col("n_syllables").cast("double"), col("n_words")),
+        6))
+  }
 }

@@ -140,7 +140,17 @@ object ScaleProbe {
       // wedge fanout capped by oriented out-degree (≤ O(√m) any graph)
       "g_triangles",
       // session cap bounds per-session pair fanout by construction
-      "x_covisitation")
+      "x_covisitation",
+      // expired-prefix window only — increment-proportional
+      "i_vacuum",
+      // shuffle-free projection — must stay flat per-row
+      "t_readability", "s10_schema_merge",
+      // two census-grain aggs — window census then type census
+      "x_rate_anomaly",
+      // peel rounds grow with chain length, not data size; per round
+      // one census + two semi-joins
+      "g_kcore",
+      "g_assortativity", "k_winsorize", "v_orphans")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -66,4 +66,29 @@ class ApplyChangesSpec extends SparkSpec {
     assert(asOf10 == Map(1L -> "a", 2L -> "b2", 3L -> "c2", 5L -> "e"),
       s"unexpected as-of snapshot: $asOf10")
   }
+
+  test("vacuum: snapshots at/after the horizon are unchanged; log shrinks") {
+    val log = snap.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      .unionByName(changes).cache()
+    val vac = ApplyChanges.vacuum(log, "k", "seq", beforeSeq = 11L).cache()
+    // history-sized → snapshot-sized + kept tail
+    assert(vac.count() < log.count())
+    for (asOf <- Seq(Some(lit(11L)), None)) {
+      val a = ApplyChanges.snapshotOf(log, "k", "seq", asOf)
+        .drop("seq").as[(Long, String)].collect().toMap
+      val b = ApplyChanges.snapshotOf(vac, "k", "seq", asOf)
+        .drop("seq").as[(Long, String)].collect().toMap
+      assert(a == b, s"vacuum visible at asOf=$asOf: $a vs $b")
+    }
+    // a key whose last pre-horizon op was delete is GONE from the
+    // compacted prefix (the tombstone did its job): key 3's seq-10
+    // upsert was superseded... within the prefix seq<11, key 3's latest
+    // is the c2 upsert, so it survives compaction; key 4's latest
+    // pre-11 is a delete → vanishes from the prefix, reappears via the
+    // kept seq-11 re-insert
+    val prefixKeys = vac.where($"seq" < 11L).select("k")
+      .as[Long].collect().toSet
+    assert(!prefixKeys.contains(4L))
+    assert(prefixKeys.contains(3L))
+  }
 }

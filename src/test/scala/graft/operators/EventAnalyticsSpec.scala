@@ -119,4 +119,30 @@ class EventAnalyticsSpec extends SparkSpec {
       EventAnalytics.funnel(toDf(Seq(ev(1, 0, 1, "a"))), Seq("a", "a"))
     }
   }
+
+  test("rateAnomalies: spike window flags, steady windows don't, σ=0 → null z") {
+    // type "a": hourly counts 2,2,2,14 → mean 5, var 27, σ≈5.196;
+    // |14−5| = 9 > 2σ ≈ 10.39? NO → pick a bigger spike: 2,2,2,26 →
+    // mean 8, var 108/... recompute: s1=32, s2=4+4+4+676=688, nw=4,
+    // mean 8, var = (688 − 1024/4)/4 = 108, σ≈10.39, spike |26−8| = 18
+    // < 20.78? still no. Use k behavior directly: 1,1,1,41 → mean 11,
+    // var = (1684 − 1936/4)/4 = 300, σ≈17.3, |41−11| = 30 < 34.6. Var
+    // scales with the spike² — a single extreme among few windows
+    // can't exceed 2σ (z_max = √(nw−1) ≈ 1.73 at nw=4). Use 8 steady
+    // windows + 1 spike: z_max = √8 ≈ 2.83 > 2.
+    val hour = 3600000000L
+    val steady = (0 until 8).flatMap(h => Seq.fill(2)((1L, h.toLong, "a")))
+    val spike = Seq.fill(20)((1L, 8L, "a"))
+    val constant = (0 until 3).map(h => (2L, h.toLong, "b"))
+    val rows = (steady ++ spike ++ constant).zipWithIndex.map {
+      case ((u, h, t), i) => (i.toLong, u, h * hour, t)
+    }.toDF("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("ts", timestamp_micros($"ts_us" + day0)).drop("ts_us")
+    val out = EventAnalytics.rateAnomalies(rows).cache()
+    val aAnom = out.where($"event_type" === "a" && $"anomaly").collect()
+    assert(aAnom.length == 1 && aAnom.head.getAs[Long]("n") == 20L)
+    // constant type "b": variance 0 → null z, anomaly false everywhere
+    val b = out.where($"event_type" === "b").collect()
+    assert(b.forall(r => r.isNullAt(r.fieldIndex("z")) && !r.getAs[Boolean]("anomaly")))
+  }
 }

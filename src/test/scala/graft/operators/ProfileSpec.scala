@@ -43,4 +43,23 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(0) > 20 && r.getDouble(0) < 30, "median in the bulk")
     assert(r.getDouble(1) < 10, "MAD reflects the tight spread")
   }
+
+  test("winsorize clips the tails, keeps every row, bulk untouched") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1L to 98L).map(i => (i, i.toDouble)) ++
+      Seq((99L, 10000.0), (100L, -10000.0))).toDF("id", "v")
+    val out = Profile.winsorize(df, "v", lo = -10001, hi = 10001,
+      buckets = 10000, pLo = 0.05, pHi = 0.95).cache()
+    assert(out.count() == 100) // no rows dropped
+    val m = out.collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[Double]("clipped")).toMap
+    val (blo, bhi) = {
+      val r0 = out.head()
+      (r0.getAs[Double]("clip_lo"), r0.getAs[Double]("clip_hi"))
+    }
+    assert(m(99L) == bhi && m(100L) == blo, "tails clipped to the bounds")
+    // mid-bulk values survive within histogram-bucket tolerance
+    assert(math.abs(m(50L) - 50.0) < 3)
+    assert(out.where(col("clipped") > bhi || col("clipped") < blo).count() == 0)
+  }
 }
