@@ -2064,6 +2064,26 @@ object DataOpsQueries {
     "x_covisitation" -> ((s, dir) =>
       operators.Covisitation.topCovisited(Tables.events(s, dir), k = 5)),
 
+    // Nearest-centroid (Rocchio) classification: per-label centroids
+    // from MICRO-QUANTIZED sums over the even-id half (float sums are
+    // association-order-dependent, integer micro sums are not), odd-id
+    // half classified by argmin. The corpus labels are random, so no
+    // accuracy floor here (measured 8% ≈ chance — a property of the
+    // synthetic data); the SEPARABLE-data behavior is pinned in
+    // ClusteringSpec with planted offsets. Exact replay is the gate.
+    "e_nearest_centroid" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Clustering.labelCentroids(emb.where(col("vec_id") % 2 === 0))
+      Clustering.nearestCentroid(emb.where(col("vec_id") % 2 === 1), cents)
+    }),
+
+    // Simplified silhouette vs the 16 fixed centroids: per-point
+    // (d₂−d₁)/max micro-quantized before the cluster mean (exact
+    // integer rollup), one cluster-grain partial agg.
+    "e_silhouette" -> ((s, dir) =>
+      Clustering.silhouette(Tables.embeddings(s, dir),
+        fixedCentroids(s, dir, 16))),
+
     // Degree assortativity of the doc graph: one exact-integer-sum
     // Pearson over endpoint degrees — the link-farm smell test in a
     // single replayed row.
@@ -5737,6 +5757,62 @@ object DataOpsQueries {
         |  CASE WHEN vr > 0 THEN round((n - m) / sqrt(vr), 6) END AS z,
         |  coalesce(abs(n - m) > 2.0 * sqrt(vr) AND vr > 0, false) AS anomaly
         |FROM j""".stripMargin,
+
+    "e_nearest_centroid" ->
+      """WITH tr AS (
+        |  SELECT label, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |cen0 AS (
+        |  SELECT label, pos,
+        |    sum(CAST(round(x * 1e6) AS BIGINT)) AS s_micro, count(*) AS n
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |          unnest(embedding::DOUBLE[]) AS x FROM tr)
+        |  GROUP BY label, pos),
+        |cen AS (
+        |  SELECT label,
+        |    list(CAST(round(s_micro::DOUBLE / n) AS BIGINT)::DOUBLE / 1e6
+        |         ORDER BY pos) AS cv
+        |  FROM cen0 GROUP BY label),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |      WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT v.vec_id, c.label,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM v CROSS JOIN cen c),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, label AS pred_label FROM ranked WHERE rn = 1""".stripMargin,
+
+    "e_silhouette" ->
+      """WITH cen AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |             FROM embeddings WHERE vec_id < 16),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+        |        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS dv2
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT v.vec_id, v.dv2, c.cid,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc
+        |  FROM v CROSS JOIN cen c),
+        |ranked AS (
+        |  SELECT vec_id, dv2, cid, sc,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |  FROM scored),
+        |pp AS (
+        |  SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+        |    sqrt(greatest(a.dv2 + a.sc, 0)) AS d1,
+        |    sqrt(greatest(b.dv2 + b.sc, 0)) AS d2
+        |  FROM ranked a JOIN ranked b ON b.vec_id = a.vec_id
+        |    AND a.rn = 1 AND b.rn = 2),
+        |sm AS (
+        |  SELECT cluster_id,
+        |    CASE WHEN greatest(d1, d2) = 0 THEN 0
+        |         ELSE CAST(round((d2 - d1) / greatest(d1, d2) * 1e6) AS BIGINT)
+        |    END AS s_micro
+        |  FROM pp)
+        |SELECT cluster_id, count(*)::BIGINT AS n,
+        |  round(sum(s_micro)::DOUBLE / count(*) / 1e6, 6) AS mean_sil
+        |FROM sm GROUP BY cluster_id""".stripMargin,
 
     "g_assortativity" ->
       """WITH e0raw AS (

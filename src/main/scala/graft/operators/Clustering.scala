@@ -64,6 +64,87 @@ object Clustering {
              outCol: String = "cluster_id"): DataFrame =
     corpus.withColumn(outCol, assignColumn(col(vecCol), centroids))
 
+  /** Per-label micro-quantized centroid census: (label, pos, s_micro,
+    * n) with s_micro = Σ round(x·1e6) — float sums are association-
+    * order-dependent, integer micro sums are not, so the derived
+    * centroids (and everything downstream) replay exactly in an
+    * external oracle. Census is labels × dim rows.
+    */
+  def labelCentroidCensus(labeled: DataFrame, labelCol: String = "label",
+                          vecCol: String = "embedding"): DataFrame =
+    labeled.select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("s_micro"),
+        count(lit(1)).as("n"))
+
+  /** Driver-side centroids from the census: label → coordinate array,
+    * c_i = round(s_micro/n)/1e6 (micro-mean as an integer, then the
+    * fixed /1e6 — deterministic on any engine). Labels ascending.
+    */
+  def labelCentroids(labeled: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): Seq[(Int, Array[Double])] =
+    labelCentroidCensus(labeled, labelCol, vecCol)
+      .collect()
+      .groupBy(_.getInt(0))
+      .toSeq
+      .map { case (label, rows) =>
+        val arr = rows.sortBy(_.getInt(1)).map(r =>
+          math.round(r.getLong(2).toDouble / r.getLong(3)).toDouble / 1e6)
+        (label, arr)
+      }
+      .sortBy(_._1)
+
+  /** Nearest-centroid (Rocchio) classification: label whose centroid
+    * minimizes squared L2, ties to the lowest label. The model is the
+    * tiny (labels × dim) centroid set shipped in the plan — serving is
+    * a shuffle-free scan, the same few-shot labeling shape as
+    * [[graft.operators.Classifier]]'s stateless serving. Output:
+    * (idCol, pred_label).
+    */
+  def nearestCentroid(unlabeled: DataFrame,
+                      centroids: Seq[(Int, Array[Double])],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "need at least one labeled class")
+    val scored = centroids.map { case (label, c) =>
+      struct(score(col(vecCol), c).as("d"), lit(label).as("l"))
+    }
+    unlabeled.select(col(idCol),
+      array_sort(array(scored: _*)).getItem(0).getField("l").as("pred_label"))
+  }
+
+  /** Simplified silhouette (per-point vs CENTROIDS, the standard
+    * large-scale variant — true silhouette's all-pairs a(i)/b(i) is
+    * O(n²)): s = (d₂ − d₁)/max(d₁, d₂) with d₁ the distance to the own
+    * (nearest) centroid and d₂ to the best other. Per-point values are
+    * micro-quantized before the cluster mean so the rollup is an exact
+    * integer sum (the association-order rule). Shuffle: ONE cluster-
+    * grain partial agg; everything per-point is codegen projection.
+    * Output: (cluster_id, n, mean_sil).
+    */
+  def silhouette(corpus: DataFrame, centroids: Array[Array[Double]],
+                 vecCol: String = "embedding"): DataFrame = {
+    require(centroids.length >= 2, "silhouette needs >= 2 centroids")
+    val ds = centroids.zipWithIndex.map { case (c, i) =>
+      struct(score(col(vecCol), c).as("d"), lit(i).as("i"))
+    }
+    val dv2 = graft.functions.VectorOps.dot(col(vecCol), col(vecCol))
+    val sorted = array_sort(array(ds: _*))
+    val d1 = sqrt(greatest(dv2 + sorted.getItem(0).getField("d"), lit(0d)))
+    val d2 = sqrt(greatest(dv2 + sorted.getItem(1).getField("d"), lit(0d)))
+    corpus
+      .select(sorted.getItem(0).getField("i").as("cluster_id"),
+        // degenerate max(d1,d2) = 0 (duplicate centroids at the point)
+        // → s = 0 by convention, not a NaN→long ANSI error
+        when(greatest(d1, d2) === 0d, lit(0L))
+          .otherwise(round((d2 - d1) / greatest(d1, d2) * 1e6).cast("long"))
+          .as("_s_micro"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum(col("_s_micro")).as("_sum"))
+      .select(col("cluster_id"), col("n"),
+        round(col("_sum").cast("double") / col("n") / 1e6, 6).as("mean_sil"))
+  }
+
   final case class KMeansResult(centroids: Array[Array[Double]],
                                 iterations: Int, converged: Boolean)
 

@@ -150,7 +150,9 @@ object ScaleProbe {
       // peel rounds grow with chain length, not data size; per round
       // one census + two semi-joins
       "g_kcore",
-      "g_assortativity", "k_winsorize", "v_orphans")
+      "g_assortativity", "k_winsorize", "v_orphans",
+      // serving is a shuffle-free scan; census labels × dim
+      "e_nearest_centroid", "e_silhouette")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -128,4 +128,46 @@ class ClusteringSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(5L, 9L))
   }
+
+  test("nearest centroid: separable planted classes classify perfectly") {
+    import org.apache.spark.sql.functions.col
+    // class c lives at axis c·10 with small per-point jitter
+    val train = for (c <- 0 to 2; j <- 0 to 4) yield
+      (c * 100L + j, Seq.tabulate(4)(i =>
+        (if (i == c) 10f else 0f) + 0.01f * j), c)
+    val test0 = for (c <- 0 to 2) yield
+      (900L + c, Seq.tabulate(4)(i => if (i == c) 9.5f else 0.2f))
+    val tr = spark.createDataFrame(
+      spark.sparkContext.parallelize(train.map { case (id, v, l) => Row(id, v, l) }),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType, nullable = false))))
+    val cents = Clustering.labelCentroids(tr)
+    assert(cents.map(_._1) == Seq(0, 1, 2))
+    val pred = Clustering.nearestCentroid(vecsDf(test0), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred == Map(900L -> 0, 901L -> 1, 902L -> 2))
+    // ties break to the lowest label: the origin is equidistant to all
+    val tie = Clustering.nearestCentroid(
+      vecsDf(Seq((999L, Seq(0f, 0f, 0f, 0f)))), cents)
+      .head().getInt(1)
+    assert(tie == 0)
+    assert(pred.values.toSet == Set(0, 1, 2))
+    val _ = col("vec_id") // keep the import used
+  }
+
+  test("silhouette: tight separated clusters near 1, boundary points near 0") {
+    val cents = Array(Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0))
+    val tight = vecsDf(Seq(
+      (1L, Seq(10f, 0f, 0f, 0f)), (2L, Seq(9.9f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 10f, 0f, 0f)), (4L, Seq(0f, 9.9f, 0f, 0f))))
+    val s1 = Clustering.silhouette(tight, cents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(s1.values.forall(_ > 0.9), s"expected tight clusters: $s1")
+    // midpoint between the two centroids scores ~0
+    val mid = vecsDf(Seq((9L, Seq(5f, 5f, 0f, 0f))))
+    val s0 = Clustering.silhouette(mid, cents).head().getDouble(2)
+    assert(math.abs(s0) < 1e-6)
+  }
 }
