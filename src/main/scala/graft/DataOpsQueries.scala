@@ -494,6 +494,55 @@ object DataOpsQueries {
       |$rs""".stripMargin
   }
 
+  /** Per-document TextRank oracle chain (the GROUPED PageRank — every
+    * key carries doc_id): filtered token positions, per-doc symmetric
+    * adjacency edges, per-doc node counts, then `n` micro-quantized
+    * rounds. Ends at `pr$n` with (doc_id, node, pr).
+    */
+  private def textRankDocChainSql(n: Int, minLen: Int,
+                                  where: String): String = {
+    val rounds = (1 to n).map { i =>
+      s"""pr$i AS MATERIALIZED (
+        |  SELECT nn.doc_id, nn.node,
+        |    CAST(round(${1.0 - 0.85} * 1e6 / nn.nn) AS BIGINT)
+        |      + coalesce(c.s, 0) AS pr
+        |  FROM nwn nn LEFT JOIN (
+        |    SELECT e.doc_id, e.dst AS node,
+        |      sum(CAST(round(${0.85} * p.pr / od.out) AS BIGINT))::BIGINT AS s
+        |    FROM e JOIN pr${i - 1} p ON p.doc_id = e.doc_id AND p.node = e.src
+        |    JOIN od ON od.doc_id = e.doc_id AND od.src = e.src
+        |    GROUP BY e.doc_id, e.dst) c
+        |    ON c.doc_id = nn.doc_id AND c.node = nn.node)""".stripMargin
+    }.mkString(",\n")
+    s"""onorm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+      |  FROM documents WHERE $where),
+      |seq AS MATERIALIZED (
+      |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS tok FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN nt = '' THEN []::VARCHAR[]
+      |           ELSE list_filter(regexp_split_to_array(nt, '\\s+'),
+      |                            t -> length(t) >= $minLen) END AS a
+      |    FROM onorm)),
+      |rawp AS (
+      |  SELECT a.doc_id, a.tok AS src, b.tok AS dst
+      |  FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  WHERE a.tok <> b.tok),
+      |e AS MATERIALIZED (SELECT DISTINCT doc_id, src, dst FROM (
+      |  SELECT doc_id, src, dst FROM rawp
+      |  UNION ALL SELECT doc_id, dst, src FROM rawp)),
+      |nd AS MATERIALIZED (SELECT DISTINCT doc_id, src AS node FROM e),
+      |nnc AS (SELECT doc_id, count(*)::BIGINT AS nn FROM nd GROUP BY doc_id),
+      |nwn AS MATERIALIZED (
+      |  SELECT nd.doc_id, nd.node, nnc.nn FROM nd JOIN nnc USING (doc_id)),
+      |od AS MATERIALIZED (
+      |  SELECT doc_id, src, count(*)::BIGINT AS out FROM e GROUP BY 1, 2),
+      |pr0 AS MATERIALIZED (
+      |  SELECT doc_id, node, CAST(round(1e6 / nn) AS BIGINT) AS pr FROM nwn),
+      |$rounds""".stripMargin
+  }
+
   /** BPE-training oracle chain: the word census symbolized to spaced
     * characters + `</w>`, then `n` generated rounds of (pair census →
     * argmax → one-pass merge application) — the loop the Spark trainer
@@ -2190,6 +2239,13 @@ object DataOpsQueries {
     // rounds, then the top-20 TakeOrdered ranking.
     "t_textrank" -> ((s, dir) =>
       operators.TextRank.keywords(Tables.documents(s, dir), k = 20)),
+
+    // Per-document TextRank (the original per-doc formulation): grouped
+    // PageRank with doc_id in every key — ALL documents' graphs rank in
+    // one job. 5 rounds replayed per (doc, term); top-5 per doc.
+    "t_textrank_doc" -> ((s, dir) =>
+      operators.TextRank.keywordsPerDoc(
+        Tables.documents(s, dir).where(col("doc_id") % 20 === 0), k = 5)),
 
     // Skip-gram pairs + deterministic negative sampling (window 2, k=2
     // negatives per pair drawn by md5-prefix hash over the vocabulary
@@ -5733,6 +5789,14 @@ object DataOpsQueries {
         |SELECT node AS term, pr AS pr_micro,
         |  row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
         |FROM pr10 ORDER BY rank LIMIT 20""".stripMargin,
+
+    "t_textrank_doc" ->
+      s"""WITH ${textRankDocChainSql(5, 4, "doc_id % 20 = 0")}
+        |SELECT doc_id, node AS term, pr AS pr_micro, rank FROM (
+        |  SELECT doc_id, node, pr,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pr DESC, node ASC) AS rank
+        |  FROM pr5)
+        |WHERE rank <= 5""".stripMargin,
 
     "g_ppr" ->
       s"""WITH ${pprChainSql(10)}

@@ -14,6 +14,12 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "st_event_windows" -> ((s, dir) =>
       EventStream.windowedCounts(Tables.events(s, dir))),
+
+    // Chained window aggregation (hour → day) — two stateful operators
+    // in one query on the streaming side; the batch analog here is the
+    // oracle-checked twin.
+    "st_daily_rollup" -> ((s, dir) =>
+      EventStream.dailyRollup(Tables.events(s, dir))),
     "st_session_counts" -> ((s, dir) =>
       EventStream.sessionCounts(Tables.events(s, dir))),
 
@@ -88,6 +94,16 @@ object StreamingQueries {
         |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st_daily_rollup" ->
+      """WITH h AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS hw,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(time_bucket(INTERVAL '1 day', hw), '%Y-%m-%d') AS day,
+        |  event_type, sum(n)::BIGINT AS n_events,
+        |  count(*)::BIGINT AS n_active_hours
+        |FROM h GROUP BY 1, 2""".stripMargin,
 
     "st_session_counts" ->
       """WITH ev AS (

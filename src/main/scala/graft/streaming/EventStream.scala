@@ -108,6 +108,27 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left_outer")
 
+  /** CHAINED time-window aggregation — two stateful operators in ONE
+    * streaming query (Spark 3.4+ multiple-stateful-operator support):
+    * hourly per-type counts roll up into daily totals + active-hour
+    * counts via `window(window_time(w), "1 day")`. The pre-3.4 shape
+    * was two queries with an intermediate sink; the chained form keeps
+    * the hourly grain entirely inside the state store — the standard
+    * coarse-rollup-over-fine-windows dashboard query. Batch/stream
+    * agnostic like every transform here (window_time works on both).
+    */
+  def dailyRollup(events: DataFrame,
+                  watermark: String = "10 minutes"): DataFrame =
+    watermarked(events, watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("w")), "1 day").as("d"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_active_hours"))
+      .select(date_format(col("d.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("n_active_hours"))
+
   case class UserRunningCount(userId: Long, events: Long, lastType: String)
 
   /** Custom streaming state: running per-user event counts via

@@ -152,7 +152,10 @@ object ScaleProbe {
       "g_kcore",
       "g_assortativity", "k_winsorize", "v_orphans",
       // serving is a shuffle-free scan; census labels × dim
-      "e_nearest_centroid", "e_silhouette")
+      "e_nearest_centroid", "e_silhouette",
+      // grouped iteration: per-doc graphs rank in ONE job — growth
+      // tracks total edges, never doc count × rounds
+      "t_textrank_doc", "st_daily_rollup")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -34,6 +34,23 @@ class TextRankSpec extends SparkSpec {
     assert(top.map(_.getAs[Int]("rank")).toSeq == (1 to top.length).toSeq)
   }
 
+  test("per-doc keywords: ranks are independent across docs") {
+    // doc 1's hub is "core"; doc 2's is "other" — each doc's top term is
+    // its own hub regardless of the other doc's graph
+    val docs = Seq(
+      (1L, "core alfa core bravo core delta"),
+      (2L, "other echo other golf")
+    ).toDF("doc_id", "text")
+    val top = TextRank.keywordsPerDoc(docs, k = 1, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "core", 2L -> "other"))
+    // a doc with no qualifying bigram yields no rows, others unaffected
+    val mixed = docs.unionByName(Seq((3L, "solo")).toDF("doc_id", "text"))
+    val got = TextRank.keywordsPerDoc(mixed, k = 1, iterations = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("single-token and empty docs contribute no edges") {
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "   "), (4L, "pair here"))
       .toDF("doc_id", "text")

@@ -59,6 +59,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chained window rollup (two stateful aggs) streams equal to batch") {
+    val batchEvents = graft.Tables.events(spark, eventsDir)
+    val expected = EventStream.dailyRollup(batchEvents)
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-rollup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // chained stateful aggregation requires APPEND mode: only windows
+    // the watermark has finalized flow hour → day. A sentinel event 3
+    // days past the data pushes the watermark over every real window;
+    // the comparison excludes the sentinel's own day.
+    import spark.implicits._
+    val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxTs + 3L * 86400000000L
+    val sentinelDay = java.time.Instant.ofEpochSecond(sentinelUs / 1000000L)
+      .toString.take(10)
+    // the sentinel file's ts must match the type the source will infer
+    // from the staged events file (long under a nanosAsLong-reading
+    // engine, timestamp under native NANOS truncation) — a mismatched
+    // physical type fails the stream's vectorized read
+    val inferredTs = spark.read.parquet(streamDir.toString)
+      .schema("ts").dataType
+    val sentinelBase = Seq(
+        (999999999L, sentinelUs, 1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val sentinel = (inferredTs match {
+      case org.apache.spark.sql.types.LongType =>
+        sentinelBase.withColumn("ts", col("ts_us") * 1000L)
+      case _ =>
+        sentinelBase.withColumn("ts", timestamp_micros(col("ts_us")))
+    }).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    stageParquet(sentinel, streamDir, "sentinel.parquet")
+    val stream = EventStream.readStream(spark, streamDir.toString)
+    val q = EventStream.dailyRollup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("rollup_out")
+      .where(col("day") < sentinelDay)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"append rollup mismatch: ${got.size} vs ${expected.size}")
+  }
+
   test("mapGroupsWithState running counts match per-user totals") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
     val expected = batchEvents.groupBy("user_id").count()
