@@ -2086,6 +2086,33 @@ object DataOpsQueries {
         .select("node", "label", "community_size")
     }),
 
+    // Population Stability Index on the pinned l_extendedprice grid:
+    // even-vs-odd orderkey halves (same distribution → psi ≈ 0) and
+    // even-vs-10%-shifted (drift → psi ≫ 0). Per-bucket terms
+    // micro-quantized before the exact integer total.
+    "k_psi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.where(col("l_orderkey") % 2 === 0)
+      val b = li.where(col("l_orderkey") % 2 === 1)
+      val shifted = a.withColumn("l_extendedprice",
+        col("l_extendedprice") * 1.1)
+      operators.Drift.psiTotal(operators.Drift.psi(a, b,
+          col("l_extendedprice"), 900.0, 105000.0, 64))
+        .select(lit("split").as("case"), col("psi"))
+        .unionByName(
+          operators.Drift.psiTotal(operators.Drift.psi(a, shifted,
+              col("l_extendedprice"), 900.0, 105000.0, 64))
+            .select(lit("shifted").as("case"), col("psi")))
+    }),
+
+    // Two-proportion A/B z-test: md5-parity arms, conversion = a big
+    // click (value > 150 — ~50% of users at sf0.01, so the variance is
+    // real; plain "any click" converts EVERYONE and degenerates se to
+    // 0), pooled z from exact integer counts — one fixed double chain.
+    "x_ab_test" -> ((s, dir) =>
+      operators.EventAnalytics.abTest(Tables.events(s, dir),
+        col("event_type") === "click" && col("value") > 150.0)),
+
     // Window-volume anomaly detection: (window, type) counts z-scored
     // against the type's mean from EXACT integer sums (Σn, Σn²) so the
     // oracle replays every z bit-for-bit; |n − mean| > 2σ flags.
@@ -5802,6 +5829,55 @@ object DataOpsQueries {
       s"""WITH ${pprChainSql(10)}
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
+
+    "k_psi" -> {
+      def hist(filter: String, valueExpr: String): String =
+        s"""SELECT least(greatest(floor(($valueExpr - 900.0) / 1626.5625), 0), 63)::BIGINT AS bucket,
+           |    count(*)::BIGINT AS n
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND $filter
+           |  GROUP BY 1""".stripMargin
+      def psiCase(name: String, actualCte: String): String =
+        s"""SELECT '$name' AS "case", round(sum(term_micro)::DOUBLE / 1e6, 6) AS psi
+           |FROM (
+           |  SELECT CAST(round((greatest(coalesce(a.n, 0)::DOUBLE, 0.5) / na
+           |      - greatest(coalesce(e.n, 0)::DOUBLE, 0.5) / ne)
+           |    * ln((greatest(coalesce(a.n, 0)::DOUBLE, 0.5) / na)
+           |        / (greatest(coalesce(e.n, 0)::DOUBLE, 0.5) / ne)) * 1e6) AS BIGINT) AS term_micro
+           |  FROM he e FULL JOIN $actualCte a ON a.bucket = e.bucket
+           |  CROSS JOIN (SELECT (SELECT sum(n) FROM he)::BIGINT AS ne,
+           |    (SELECT sum(n) FROM $actualCte)::BIGINT AS na) t)""".stripMargin
+      s"""WITH he AS (${hist("l_orderkey % 2 = 0", "l_extendedprice")}),
+        |hb AS (${hist("l_orderkey % 2 = 1", "l_extendedprice")}),
+        |hs AS (${hist("l_orderkey % 2 = 0", "l_extendedprice * 1.1")})
+        |${psiCase("split", "hb")}
+        |UNION ALL
+        |${psiCase("shifted", "hs")}""".stripMargin
+    },
+
+    "x_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' AND value > 150.0 THEN 1 ELSE 0 END)::BIGINT AS converted,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    AND sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)) > 0
+        |  THEN round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+        |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6)
+        |  END AS z
+        |FROM a""".stripMargin,
 
     "x_rate_anomaly" ->
       """WITH census AS (

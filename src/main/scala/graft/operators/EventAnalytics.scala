@@ -156,6 +156,40 @@ object EventAnalytics {
     * Output: (window_start, event_type, n, mean, z, anomaly); z null
     * (and anomaly false) for zero-variance types.
     */
+  /** Two-proportion A/B z-test over a deterministic hash split: users
+    * land in arm A/B by their md5 parity (the [[HashSplit]] idea), a
+    * user converts if they have ≥1 event satisfying `conversion`, and
+    * the pooled two-proportion z-statistic compares the arms. Counts
+    * are exact integers; the z formula is one fixed-association double
+    * chain rounded to 6dp — fully oracle-replayable where an
+    * engine-native stats routine would not be. Null z when either arm
+    * is empty or the pooled rate is degenerate (0 or 1 — no variance).
+    *
+    * Output: one row (n_a, n_b, conv_a, conv_b, z).
+    */
+  def abTest(events: DataFrame, conversion: Column): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(max(when(conversion, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(2L)))
+    val agg = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0d,
+        round((pa - pb) / se, 6)).as("z"))
+  }
+
   def rateAnomalies(events: DataFrame, windowLength: String = "1 hour",
                     k: Double = 2.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -155,7 +155,9 @@ object ScaleProbe {
       "e_nearest_centroid", "e_silhouette",
       // grouped iteration: per-doc graphs rank in ONE job — growth
       // tracks total edges, never doc count × rounds
-      "t_textrank_doc", "st_daily_rollup")
+      "t_textrank_doc", "st_daily_rollup",
+      // census-grain: fixed 64-bucket grid / one user-grain agg
+      "k_psi", "x_ab_test")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
