@@ -1179,6 +1179,15 @@ object DataOpsQueries {
         docsWithCopies(s, dir).where(col("doc_id") % 5 === 0),
         tNum = 9, tDen = 10)),
 
+    // Rep-collapsed set-similarity join — the dup-heavy scale path:
+    // exact duplicates collapse to min-id reps BEFORE the join (K
+    // copies → 1 node, not K²/2 trivial pairs); probed FLAT at 8×
+    // K-fold copies where the uncollapsed twin grows quadratically.
+    "d_setsim_reps" -> ((s, dir) =>
+      SetSimJoin.selfJoinReps(
+        docsWithCopies(s, dir).where(col("doc_id") % 5 === 0),
+        tNum = 9, tDen = 10)),
+
     // Sorted-neighborhood dedup: sort by the normalized text itself,
     // compare each doc to its 3 successors, verify at token-Jaccard
     // ≥ 0.9. O(n·w) candidates by construction — no hot bucket can
@@ -5188,6 +5197,59 @@ object DataOpsQueries {
         |      FROM (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |        FROM documents))))""".stripMargin,
+
+    // the rep-collapse + the full AllPairs chain on reps + group sizes
+    "d_setsim_reps" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |  WHERE doc_id % 5 = 0),
+        |norm0 AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM docs0),
+        |grp AS (
+        |  SELECT md5(nt) AS fp, min(doc_id) AS rep, count(*)::BIGINT AS gsz
+        |  FROM norm0 GROUP BY md5(nt)),
+        |norm AS (
+        |  SELECT g.rep AS doc_id, f.nt
+        |  FROM grp g JOIN norm0 f ON f.doc_id = g.rep),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(nt, '\s+')) AS t
+        |    FROM norm WHERE nt <> '')),
+        |dfc AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |ord AS (
+        |  SELECT t.doc_id, t.tok, s.n,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |  FROM tok t JOIN dfc d USING (tok) JOIN sz s USING (doc_id)),
+        |pref AS (
+        |  SELECT * FROM ord
+        |  WHERE rn <= n - CAST(floor((n * 9 + 9) / 10) AS BIGINT) + 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    max(1 + least(a.n - a.rn, b.n - b.rn)) AS ubound
+        |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9
+        |  GROUP BY 1, 2, 3, 4),
+        |kept AS (
+        |  SELECT * FROM cand
+        |  WHERE ubound >= CAST(floor((greatest(n_a, n_b) * 9 + 9) / 10) AS BIGINT)),
+        |ix AS (
+        |  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS inter
+        |  FROM kept c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni,
+        |  round(inter / CAST(n_a + n_b - inter AS DOUBLE), 6) AS jaccard,
+        |  ga.gsz AS size_a, gb.gsz AS size_b
+        |FROM ix
+        |JOIN grp ga ON ga.rep = doc_a
+        |JOIN grp gb ON gb.rep = doc_b
+        |WHERE inter * 10 >= (n_a + n_b - inter) * 9""".stripMargin,
 
     // full AllPairs/PPJoin replay: df census → rarest-first prefix rank →
     // length + positional filters (all integer-rational) → candidate-bounded

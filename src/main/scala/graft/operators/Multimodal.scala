@@ -243,6 +243,30 @@ object Multimodal {
         Decoded(rate, channels, bucketMeans(payload, dataOff, dataLen, dim))
       } catch { case _: Throwable => Decoded(null, null, Array.empty[Float]) }
     }
+
+    /** The raw PCM bytes of the data chunk (same chunk walk as
+      * [[decode]]); empty array for malformed payloads — the
+      * never-hang/never-throw contract.
+      */
+    def pcm(payload: Array[Byte]): Array[Byte] = {
+      try {
+        require(payload.length >= 44 &&
+          new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(payload, 8, 4, "US-ASCII") == "WAVE")
+        var pos = 12
+        var dataOff = -1; var dataLen = -1
+        while (pos + 8 <= payload.length && dataOff < 0) {
+          val id = new String(payload, pos, 4, "US-ASCII")
+          val len = le32(payload, pos + 4)
+          require(len >= 0, s"negative chunk length $len")
+          if (id == "data") { dataOff = pos + 8; dataLen = len }
+          pos += 8 + len + (len & 1)
+        }
+        require(dataOff >= 0 && payload.length - dataOff >= dataLen,
+          "missing or truncated data chunk")
+        java.util.Arrays.copyOfRange(payload, dataOff, dataOff + dataLen)
+      } catch { case _: Throwable => Array.empty[Byte] }
+    }
   }
 
   /** STUB: deterministic fake decode — byte histogram folded to `dim`

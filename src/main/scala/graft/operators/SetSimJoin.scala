@@ -104,6 +104,33 @@ object SetSimJoin {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** Rep-collapsed variant — THE scale path for dup-heavy corpora (the
+    * same collapse [[Dedup.nearDuplicates]] applies): exact duplicates
+    * (by content fingerprint) collapse to their min-id representative
+    * BEFORE the join, so K identical copies contribute ONE node instead
+    * of K²/2 trivial J=1 pairs. Output is rep-grain (doc_a, doc_b,
+    * inter, uni, jaccard, size_a, size_b) where size_* are the exact-dup
+    * group sizes — the full pair expansion (Σ size_a·size_b rows) is
+    * derivable but intrinsically quadratic, so it is NOT materialized
+    * here. Probed: the 8× K-fold corpus is FLAT at rep grain where the
+    * uncollapsed join grows with the square of the copy factor.
+    */
+  def selfJoinReps(docs: DataFrame, textCol: String = "text",
+                   tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val groups = fps.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+    val repDocs = docs.join(groups.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sizes = groups.select(col("doc_id"), col("group_size"))
+    selfJoin(repDocs, textCol, tNum, tDen)
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("group_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("group_size").as("size_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard", "size_a", "size_b")
+  }
+
   /** Brute-force all-pairs reference (|docs|² token joins) — spec-only
     * twin used to prove the filtered path has no false negatives.
     */

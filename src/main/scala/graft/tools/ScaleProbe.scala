@@ -124,8 +124,13 @@ object ScaleProbe {
       // round-5e surface
       // the templated corpus makes near-pairs grow superlinearly with K
       // (a data property — see the gate comment); the probe watches the
-      // prefix filter keep the candidate join bounded by true pairs
+      // prefix filter keep the candidate join bounded by true pairs.
+      // Measured at 8× K-fold copies: 177 s / 11.1M output rows —
+      // output-proportional but quadratic in the copy factor, which is
+      // exactly what the rep-collapsed twin below exists to fix
       "d_setsim_join",
+      // rep-collapse folds the K copies before the join — FLAT at 8×
+      "d_setsim_reps",
       "e_binary_topk", "e_binary_rerank", "g_lpa", "t_textrank",
       // cell census is (lang × source)-bounded — FLAT at K×
       "x_ipf_raking",

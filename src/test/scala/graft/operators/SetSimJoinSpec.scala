@@ -58,6 +58,24 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 3L)))
   }
 
+  test("rep-collapse: copies fold into one node, sizes carried, pairs agree") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),    // exact dup of 1
+      (3L, "ALPHA beta gamma delta!"),   // normalizes identical too
+      (4L, "alpha beta gamma epsilon"),  // J = 3/5 vs the group
+      (5L, "unrelated tokens entirely")
+    ).toDF("doc_id", "text")
+    val reps = SetSimJoin.selfJoinReps(docs, tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    // group {1,2,3} collapses to rep 1 (size 3); pair (1, 4) at J=0.6
+    assert(reps.toSeq == Seq((1L, 4L, 3L, 1L)))
+    // the rep-grain pair set matches the full join collapsed by identity
+    val full = SetSimJoin.selfJoin(docs, tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+  }
+
   test("invalid thresholds rejected") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { SetSimJoin.selfJoin(docs, tNum = 0, tDen = 5) }
