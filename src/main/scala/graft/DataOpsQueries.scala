@@ -2668,6 +2668,14 @@ object DataOpsQueries {
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
 
+    // Frame-level audio features on the real WAV path: 16-sample frames,
+    // RMS energy + zero crossings of the centered PCM — the oracle
+    // replays both from the deterministic generation formula (sample i
+    // of doc id = (7·id + i) mod 256).
+    "m_wav_features" -> ((s, dir) =>
+      Multimodal.wavFrameFeatures(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))),
+
     // Frame sampling: payload chunk per frame index (oracle on counts).
     "m_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.syntheticMedia(Tables.documents(s, dir)))
@@ -5350,6 +5358,32 @@ object DataOpsQueries {
 
     // WAV round trip: rate/channels from the generation formulas, f0 from
     // the cycled PCM bytes at bucket-0 indices
+    // samples replayed from the generation formula, framed by i // 16;
+    // RMS over centered values, crossings via the consecutive-pair join
+    "m_wav_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (length(coalesce(text, '')) % 96) + 8 AS cnt
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, i, ((7 * media_id + i) % 256) - 128 AS c,
+        |    (i // 16)::INT AS frame_idx
+        |  FROM (SELECT media_id, unnest(range(0, cnt)) AS i FROM m)),
+        |f AS (
+        |  SELECT media_id, frame_idx, count(*)::INT AS n_samples,
+        |    round(sqrt(sum(c * c)::DOUBLE / count(*)), 6) AS rms
+        |  FROM s GROUP BY 1, 2),
+        |z AS (
+        |  SELECT a.media_id, a.frame_idx,
+        |    sum(CASE WHEN (a.c < 0) <> (b.c < 0) THEN 1 ELSE 0 END)::BIGINT AS zc
+        |  FROM s b JOIN s a ON a.media_id = b.media_id
+        |    AND b.i = a.i + 1 AND b.frame_idx = a.frame_idx
+        |  GROUP BY 1, 2)
+        |SELECT f.media_id, f.frame_idx, f.n_samples, f.rms,
+        |  coalesce(z.zc, 0) AS zero_crossings
+        |FROM f LEFT JOIN z ON z.media_id = f.media_id
+        |  AND z.frame_idx = f.frame_idx""".stripMargin,
+
     "m_decode_wav" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

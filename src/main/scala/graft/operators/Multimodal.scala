@@ -564,6 +564,60 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame-level audio features over REAL WAV payloads: the PCM stream
+    * framed into fixed `frameLen`-sample windows (tail frame short),
+    * per frame the RMS energy of the centered samples (x − 128 for
+    * 8-bit PCM) and the zero-crossing count (sign flips of consecutive
+    * centered samples) — the two classic cheap audio descriptors
+    * (silence/music/speech triage before any model). Pure integer
+    * arithmetic until the final RMS sqrt, rounded 6dp HALF_UP, so the
+    * whole thing replays from the synthetic generation formulas in an
+    * external oracle. mapPartitions batch walk like every media kernel
+    * (imperative byte loop — the documented justification); malformed
+    * payloads contribute no frames.
+    *
+    * Output: (media_id, frame_idx, n_samples, rms, zero_crossings).
+    */
+  def wavFrameFeatures(media: DataFrame, frameLen: Int = 16): DataFrame = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Iterator.empty
+          else {
+            val pcm = WavDecoder.pcm(payload)
+            val id = r.getLong(0)
+            (0 until pcm.length by frameLen).iterator.map { off =>
+              val len = math.min(frameLen, pcm.length - off)
+              var sum2 = 0L
+              var zc = 0L
+              var i = 0
+              while (i < len) {
+                val c = (pcm(off + i) & 0xff) - 128
+                sum2 += c.toLong * c
+                if (i > 0) {
+                  val p = (pcm(off + i - 1) & 0xff) - 128
+                  if ((p < 0) != (c < 0)) zc += 1
+                }
+                i += 1
+              }
+              val rms = BigDecimal(math.sqrt(sum2.toDouble / len))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              Row(id, off / frameLen, len, rms, zc)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Nearest-neighbor resize for PPM payloads — a REAL image transform
     * over the binary column: parse the source header, sample
     * src(x·w/outW, y·h/outH) per output pixel, re-emit a valid PPM. Runs

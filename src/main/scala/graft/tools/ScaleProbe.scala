@@ -162,7 +162,9 @@ object ScaleProbe {
       // tracks total edges, never doc count × rounds
       "t_textrank_doc", "st_daily_rollup",
       // census-grain: fixed 64-bucket grid / one user-grain agg
-      "k_psi", "x_ab_test")
+      "k_psi", "x_ab_test",
+      // per-payload byte walk — frame rows ∝ samples
+      "m_wav_features")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

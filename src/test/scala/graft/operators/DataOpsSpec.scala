@@ -793,6 +793,41 @@ class DataOpsSpec extends SparkSpec {
     assert(Multimodal.PpmDecoder.decode("P6\n0 0\n255\n".getBytes, 2).width == null)
     assert(Multimodal.PpmDecoder.decode(
       "P6\n100000 100000\n255\n".getBytes ++ new Array[Byte](64), 2).width == null)
+    // pcm extraction: exact data bytes back; malformed → empty
+    assert(Multimodal.WavDecoder.pcm(wav).toSeq == samples.toSeq)
+    assert(Multimodal.WavDecoder.pcm("nope".getBytes).isEmpty)
+  }
+
+  test("wavFrameFeatures: hand-computed RMS and zero crossings per frame") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    // 6 samples: centered values +72, -68, +72, -68, 0, 0
+    val samples = Array[Byte](200.toByte, 60, 200.toByte, 60, 128.toByte, 128.toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + samples.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes ++ le32(samples.length) ++ samples
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, wav))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    // frameLen 4: frame 0 = [+72,-68,+72,-68] → 3 crossings,
+    // rms = sqrt((72²+68²+72²+68²)/4); frame 1 = [0,0] → rms 0, zc 0
+    // (center 0 counts as non-negative: no flip against itself)
+    val rows = Multimodal.wavFrameFeatures(media, frameLen = 4)
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    val f0 = rows(0)
+    assert(f0.getInt(1) == 0 && f0.getInt(2) == 4 && f0.getLong(4) == 3L)
+    val expRms = BigDecimal(math.sqrt((72.0 * 72 + 68 * 68 + 72 * 72 + 68 * 68) / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f0.getDouble(3) == expRms)
+    val f1 = rows(1)
+    assert(f1.getInt(1) == 1 && f1.getInt(2) == 2 &&
+      f1.getDouble(3) == 0.0 && f1.getLong(4) == 0L)
   }
 
   test("resizePpm: nearest-neighbor sampling, valid output PPM, bad input → null") {
