@@ -777,6 +777,18 @@ object DataOpsQueries {
       operators.Retrieval.bm25TopK(d, q, k = 10, maxDfFrac = 1.0)
     }),
 
+    // Vector-space-model retrieval: tf-idf cosine with micro-quantized
+    // weights (exact integer dots and norms), the third lexical scorer
+    // next to BM25 and phrase search. Full oracle replay.
+    "r_vsm_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
+      operators.Retrieval.vsmTopK(d, q, k = 10, maxDfFrac = 1.0)
+    }),
+
     // Hybrid retrieval: BM25 lexical top-10 fused with embedding cosine
     // top-10 (vec_id ≡ doc_id in the synthetic tables) by reciprocal-rank
     // fusion — each reciprocal micro-fixed before the exact integer sum,
@@ -2121,6 +2133,38 @@ object DataOpsQueries {
     "x_ab_test" -> ((s, dir) =>
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
+
+    // Trailing-hour moving average per user: a RANGE (interval) window
+    // frame — time-based, not row-based, so sparse/bursty users get the
+    // same 1-hour semantics. Values micro-quantized to cents before the
+    // frame sum (sliding-frame double accumulation order differs
+    // between engines; integer cents don't), avg derived from exact
+    // (sum, count).
+    "x_moving_avg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.withColumn("n_window", count(lit(1)).over(w))
+        .withColumn("sum_cents", sum(col("_cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          round(col("sum_cents").cast("double") / col("n_window") / 100.0, 6)
+            .as("avg_1h"))
+    }),
+
+    // GROUPING SETS with grouping() flags — the arbitrary-combination
+    // generalization of the a9/a10 rollup/cube gates.
+    "a18_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               |  grouping(o_orderstatus) AS g_status,
+               |  grouping(o_orderpriority) AS g_prio
+               |FROM orders_gs
+               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+               |  (o_orderstatus, o_orderpriority))""".stripMargin)
+    }),
 
     // Window-volume anomaly detection: (window, type) counts z-scored
     // against the type's mean from EXACT integer sums (Σn, Σn²) so the
@@ -3657,6 +3701,55 @@ object DataOpsQueries {
     // replays in order before the micro fix; avgdl is a sum of longs in
     // double (exact below 2^53 — integer partials), so it is order-free
     "r_bm25_topk" -> bm25OracleSql(1.0),
+
+    "r_vsm_topk" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |wd AS (
+        |  SELECT tc.doc_id, tc.term,
+        |    CAST(round(tc.tf::DOUBLE
+        |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
+        |      * 1e6) AS BIGINT) AS w_micro
+        |  FROM tc JOIN dfq USING (term) CROSS JOIN st),
+        |dn AS (SELECT doc_id, sum(w_micro * w_micro)::BIGINT AS d2
+        |       FROM wd GROUP BY 1),
+        |qtc AS (
+        |  SELECT doc_id AS query_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks[1:8]) AS term FROM tok
+        |        WHERE doc_id % 97 = 0)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |wq AS (
+        |  SELECT qtc.query_id, qtc.term,
+        |    CAST(round(qtc.tf::DOUBLE
+        |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
+        |      * 1e6) AS BIGINT) AS q_micro
+        |  FROM qtc JOIN dfq USING (term) CROSS JOIN st),
+        |qn AS (SELECT query_id, sum(q_micro * q_micro)::BIGINT AS q2
+        |       FROM wq GROUP BY 1),
+        |dt AS (
+        |  SELECT wq.query_id, wd.doc_id, sum(wd.w_micro * wq.q_micro)::BIGINT AS dot
+        |  FROM wd JOIN wq USING (term) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.query_id, dt.doc_id,
+        |    round(dt.dot::DOUBLE / (sqrt(dn.d2::DOUBLE) * sqrt(qn.q2::DOUBLE)), 6) AS cosine
+        |  FROM dt JOIN dn USING (doc_id) JOIN qn USING (query_id)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, doc_id, cosine, rank FROM rk WHERE rank <= 10""".stripMargin,
 
     "r_bm25_capped" -> bm25OracleSql(0.78),
 
@@ -5974,6 +6067,30 @@ object DataOpsQueries {
         |      * (1.0 / n_a + 1.0 / n_b)), 6)
         |  END AS z
         |FROM a""".stripMargin,
+
+    "x_moving_avg" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER win AS n_window,
+        |    sum(cents) OVER win AS sum_cents
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, n_window,
+        |  round(sum_cents::DOUBLE / n_window / 100.0, 6) AS avg_1h
+        |FROM w""".stripMargin,
+
+    "a18_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))""".stripMargin,
 
     "x_rate_anomaly" ->
       """WITH census AS (

@@ -87,6 +87,65 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Vector-space-model retrieval (tf-idf cosine, Salton's classic) —
+    * the third lexical scorer next to [[bm25TopK]] and
+    * [[phraseSearch]]: w(t) = tf · (ln((N+1)/(df+1)) + 1) (smooth idf,
+    * positive by construction), score = cos(w_q, w_d). Weights are
+    * micro-quantized per (doc, term) BEFORE any sum, so dot products
+    * and squared norms are EXACT integer arithmetic (headroom: w_micro
+    * ≲ 10⁸ per term ⇒ Σw² < 2⁶³ to ~10⁷ distinct terms per doc) — the
+    * cosine is one double chain over three exact longs, bit-replayable.
+    * Query terms weight against CORPUS statistics (the standard VSM
+    * contract). Same inverted-index join + `maxDfFrac` stop-term cap
+    * as BM25; per-query top-k windows partition on query_id.
+    *
+    * Output: (query_id, doc_id, cosine, rank).
+    */
+  def vsmTopK(docs: DataFrame, queries: DataFrame, k: Int,
+              maxDfFrac: Double = 0.5,
+              textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tc = Salience.termCounts(docs, textCol).cache()
+    tc.count()
+    val dfreq = Salience.docFrequency(tc)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs").cast("double") + 1.0d)
+      / (col("df").cast("double") + 1.0d)) + 1.0d
+    val wd = tc.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("w_micro",
+        round(col("tf").cast("double") * idf * 1e6).cast("long"))
+      .select("doc_id", "term", "w_micro", "df", "n_docs")
+    val dnorm = wd.groupBy("doc_id")
+      .agg(sum(col("w_micro") * col("w_micro")).as("d2"))
+    val qc = Salience.termCounts(
+      queries.select(col("query_id").as("doc_id"), col(textCol)), textCol)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf"))
+    val wq = qc.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("q_micro",
+        round(col("tf").cast("double") * idf * 1e6).cast("long"))
+      .select("query_id", "term", "q_micro")
+    val qnorm = wq.groupBy("query_id")
+      .agg(sum(col("q_micro") * col("q_micro")).as("q2"))
+    val capped =
+      if (maxDfFrac >= 1.0) wd
+      else wd.where(col("df") <= col("n_docs").cast("double") * maxDfFrac)
+    val dot = capped.join(wq, Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("w_micro") * col("q_micro")).as("dot"))
+    val scored = dot
+      .join(dnorm, Seq("doc_id"))
+      .join(qnorm, Seq("query_id"))
+      .withColumn("cosine",
+        round(col("dot").cast("double")
+          / (sqrt(col("d2").cast("double")) * sqrt(col("q2").cast("double"))),
+          6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "cosine", "rank")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.) — the standard way a RAG
     * stack combines lexical ([[bm25TopK]]) and semantic
     * ([[Similarity.bruteForceTopK]] / ANN) result lists WITHOUT

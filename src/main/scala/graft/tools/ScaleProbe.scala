@@ -164,7 +164,11 @@ object ScaleProbe {
       // census-grain: fixed 64-bucket grid / one user-grain agg
       "k_psi", "x_ab_test",
       // per-payload byte walk — frame rows ∝ samples
-      "m_wav_features")
+      "m_wav_features",
+      // inverted-index join like BM25; queries scale with the corpus
+      "r_vsm_topk",
+      // RANGE frame bounded by the hour, one user-partition window
+      "x_moving_avg", "a18_grouping_sets")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -50,6 +50,27 @@ class RetrievalSpec extends SparkSpec {
       s"length normalization must favor the shorter doc: $out")
   }
 
+  test("vsmTopK: exact-match doc scores cosine 1; idf favors rare terms") {
+    // query identical to doc 5's term multiset → cosine exactly 1.0
+    val out = Retrieval.vsmTopK(docs,
+      queries(100L -> "fig grape fig grape fig"), k = 5, maxDfFrac = 1.0)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(1) == 5L)
+    assert(out.head.getDouble(2) == 1.0)
+    // VSM vs BM25, deliberately opposite verdicts on the same query:
+    // BM25 sums idf-weighted contributions → the rare "durian" match
+    // wins (pinned in the bm25 test above); COSINE ranks by ANGLE →
+    // doc 2 (4×apple, nearly parallel to the query's apple axis)
+    // outranks doc 3, whose durian is buried under off-axis cherry
+    // mass. Both behaviors are correct; a retrieval stack fuses them
+    // precisely because they disagree like this.
+    val mixed = Retrieval.vsmTopK(docs, queries(200L -> "durian apple"),
+      k = 5, maxDfFrac = 1.0).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(mixed(2L) < mixed(3L),
+      s"cosine must rank the aligned doc above the buried rare term: $mixed")
+  }
+
   test("rrfFuse: consensus beats a single top rank; micro sums are exact") {
     val sysA = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
       .toDF("query_id", "doc_id", "rank")
