@@ -3062,6 +3062,34 @@ object DataOpsQueries {
               |FROM embeddings_sqlfn a
               |JOIN embeddings_sqlfn b ON b.vec_id = a.vec_id + 1
               |WHERE a.vec_id < 100""".stripMargin)
+    }),
+
+    // The sketch aggregates through the SQL surface: theta sketches are
+    // in EXACT mode below 2^14 distincts, so the per-lang estimate is
+    // the exact distinct count and the oracle is plain COUNT(DISTINCT).
+    "f_sql_theta" -> ((s, dir) => {
+      graft.session.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_theta_sqlfn")
+      s.sql("""SELECT lang,
+              |  CAST(round(theta_estimate(theta_sketch(CAST(doc_id AS STRING)))) AS BIGINT) AS n_distinct
+              |FROM docs_theta_sqlfn GROUP BY lang""".stripMargin)
+    }),
+
+    // Bloom build + probe through the SQL surface: every id planted
+    // into its language's filter MUST be found (no false negatives) —
+    // the deterministic half of the Bloom contract; n_missed ≡ 0 is
+    // what the oracle asserts.
+    "f_sql_bloom" -> ((s, dir) => {
+      graft.session.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_bloom_sqlfn")
+      s.sql("""WITH f AS (
+              |  SELECT lang, bloom_agg(CAST(doc_id AS STRING), 8192) AS b
+              |  FROM docs_bloom_sqlfn GROUP BY lang)
+              |SELECT d.lang, count(*) AS n_checked,
+              |  sum(CASE WHEN bloom_contains(f.b, CAST(d.doc_id AS STRING))
+              |      THEN 0 ELSE 1 END) AS n_missed
+              |FROM docs_bloom_sqlfn d JOIN f ON f.lang = d.lang
+              |GROUP BY d.lang""".stripMargin)
     })
   )
 
@@ -3423,6 +3451,16 @@ object DataOpsQueries {
         |  round(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS self_dot
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 100""".stripMargin,
+
+    // exact mode below 2^lgK: the sketch estimate IS the distinct count
+    "f_sql_theta" ->
+      """SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_distinct
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // the deterministic half of the Bloom contract: zero false negatives
+    "f_sql_bloom" ->
+      """SELECT lang, count(*) AS n_checked, 0::BIGINT AS n_missed
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "t_token_stats" ->
       """SELECT doc_id,

@@ -1,10 +1,10 @@
 package graft.session
 
-import graft.functions.{ArrayDot, CosineSimilarity, NGramShingles, RollingHash64, UnicodeNormalize}
+import graft.functions.{ArrayDot, BloomAgg, BloomBytesMightContain, CosineSimilarity, NGramShingles, RollingHash64, ThetaEstimate, ThetaSketchAgg, UnicodeNormalize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
 
 /** SQL surface for graft's native expressions.
   *
@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
   *   - `rolling_hash(text)`  — 64-bit Karp–Rabin rolling hash
   *   - `unicode_norm(text [, 'NFC'|'NFD'|'NFKC'|'NFKD'])` — Unicode
   *     normalization (default NFC)
+  *   - `theta_sketch(col [, lgK])` — theta-sketch aggregate (binary)
+  *   - `theta_estimate(sketch)`   — distinct-count estimate
+  *   - `bloom_agg(col, expectedItems [, fpp])` — per-group Bloom filter
+  *   - `bloom_contains(filterBytes, value)` — row-wise membership probe
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -77,8 +81,46 @@ object GraftFunctions {
         case Seq(t, n, d) =>
           NGramShingles(t, intLit(n, "ngram_shingles"), boolLit(d, "ngram_shingles"))
         case args => throw new IllegalArgumentException(
-          s"ngram_shingles expects 2 or 3 arguments, got ${args.length}") })
+          s"ngram_shingles expects 2 or 3 arguments, got ${args.length}") }),
+    (FunctionIdentifier("theta_sketch"),
+      info("theta_sketch"),
+      { case Seq(c) => ThetaSketchAgg(c, 14)
+        case Seq(c, k) => ThetaSketchAgg(c, intLit(k, "theta_sketch"))
+        case args => throw new IllegalArgumentException(
+          s"theta_sketch expects 1 or 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("theta_estimate"),
+      info("theta_estimate"),
+      { case Seq(s) => ThetaEstimate(s)
+        case args => throw new IllegalArgumentException(
+          s"theta_estimate expects 1 argument, got ${args.length}") }),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg"),
+      { case Seq(c, n) => BloomAgg(c, longLit(n, "bloom_agg"), 0.01)
+        case Seq(c, n, f) => BloomAgg(c, longLit(n, "bloom_agg"),
+          doubleLit(f, "bloom_agg"))
+        case args => throw new IllegalArgumentException(
+          s"bloom_agg expects 2 or 3 arguments, got ${args.length}") }),
+    (FunctionIdentifier("bloom_contains"),
+      info("bloom_contains"),
+      { case Seq(b, v) => BloomBytesMightContain(b, v)
+        case args => throw new IllegalArgumentException(
+          s"bloom_contains expects 2 arguments, got ${args.length}") })
   )
+
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer, got $other")
+  }
+
+  private def doubleLit(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    // SQL decimal literals (0.01) parse as Decimal, not double
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal double, got $other")
+  }
 
   /** Register into an already-built session (idempotent — re-registration
     * overwrites with the same builder).

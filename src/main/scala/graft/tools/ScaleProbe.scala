@@ -168,7 +168,9 @@ object ScaleProbe {
       // inverted-index join like BM25; queries scale with the corpus
       "r_vsm_topk",
       // RANGE frame bounded by the hour, one user-partition window
-      "x_moving_avg", "a18_grouping_sets")
+      "x_moving_avg", "a18_grouping_sets",
+      // sketch state per group through the SQL surface
+      "f_sql_theta", "f_sql_bloom")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
