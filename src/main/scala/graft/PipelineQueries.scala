@@ -237,6 +237,35 @@ object PipelineQueries {
         .select("doc_id", "n_chars", "lang", "source", "batch")
     }),
 
+    // Manifest-commit round trip: two committed batches + a PLANTED
+    // ORPHAN parquet file in the table directory (the debris a crashed
+    // write leaves). readCommitted must return exactly the two batches
+    // — the orphan is invisible because readers enumerate the manifest,
+    // never the directory. The oracle recomputes the committed rows.
+    "s11_manifest_source" -> ((s, dir) => {
+      val table = scratchDir(s, "manifest_src", dir) + "/docs"
+      // idempotent under bench re-runs: each invocation starts a fresh
+      // table (commits append by design — re-running the gate must not)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(table))
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      graft.sinks.Sinks.commitParquet(d.where(col("doc_id") % 2 === 0), table)
+      graft.sinks.Sinks.commitParquet(d.where(col("doc_id") % 2 === 1), table)
+      // orphan: a valid parquet file that was never committed
+      val orphanTmp = scratchDir(s, "manifest_orphan", dir)
+      d.limit(7).withColumn("doc_id", col("doc_id") + lit(9000000L))
+        .coalesce(1).write.mode("overwrite").parquet(orphanTmp)
+      val part = new java.io.File(orphanTmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error("no orphan part written"))
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(table, "orphan-crashed-write.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.sinks.Sinks.readCommitted(s, table)
+    }),
+
     // Stratified sampling (J6-J8, P10 analog): seeded Bernoulli sample →
     // rows-only (sampling is engine-RNG-specific, not SQL-expressible).
     "stratified_sample" -> ((s, dir) => {
@@ -308,6 +337,10 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v,
         |  CASE WHEN doc_id % 7 = 0 THEN '{"id": ' || doc_id || ', "v":' END AS corrupt
         |FROM documents""".stripMargin,
+
+    // committed batches only — the planted orphan must be invisible
+    "s11_manifest_source" ->
+      """SELECT doc_id, lang, n_chars FROM documents""".stripMargin,
 
     // the merged read = union schema with nulls + partition column
     "s10_schema_merge" ->

@@ -119,4 +119,61 @@ object Sinks {
     log.info(s"compacted $path: ${parts.length} files ($total bytes) -> $n files")
     n
   }
+
+  /** Manifest-commit protocol — the poor-man's ACID every lakehouse
+    * table format is built around: a write becomes visible ONLY when the
+    * `_manifest` file (the list of valid data files) is atomically
+    * swapped in. A crashed or concurrent half-write leaves orphan part
+    * files in the directory that [[readCommitted]] never sees, because
+    * readers enumerate the MANIFEST, not the directory — the invariant
+    * that makes retries idempotent and partial failures invisible at
+    * 100 TB (a directory listing of a table mid-write is garbage; a
+    * manifest is a snapshot).
+    *
+    * Each commit appends one `batch-<k>` directory and rewrites the
+    * manifest as previous-files + new-files via write-temp-then-
+    * ATOMIC_MOVE. Single-writer contract (like the reference's batch
+    * jobs); multi-writer needs a lock service, documented not invented.
+    * Returns the committed batch index.
+    */
+  def commitParquet(df: DataFrame, tableDir: String): Int = {
+    val dir = new java.io.File(tableDir)
+    dir.mkdirs()
+    val manifest = new java.io.File(dir, "_manifest")
+    val previous: Seq[String] =
+      if (manifest.exists())
+        new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    val k = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("batch-"))
+    val batchDir = new java.io.File(dir, s"batch-$k")
+    df.write.mode("errorifexists").parquet(batchDir.getPath)
+    val fresh = Option(batchDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(f => s"batch-$k/${f.getName}").sorted
+    require(fresh.nonEmpty, s"commit wrote no part files under $batchDir")
+    val tmp = new java.io.File(dir, s"._manifest_tmp_$k")
+    java.nio.file.Files.write(tmp.toPath,
+      (previous ++ fresh).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, manifest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    log.info(s"committed batch-$k (${fresh.length} files) to $tableDir")
+    k
+  }
+
+  /** Read exactly the committed snapshot: the manifest's file list, never
+    * the directory listing — orphans from crashed writes are invisible.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String): DataFrame = {
+    val manifest = new java.io.File(tableDir, "_manifest")
+    require(manifest.exists(), s"no _manifest under $tableDir — nothing committed")
+    val files = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map(rel => new java.io.File(tableDir, rel).getPath)
+    spark.read.parquet(files: _*)
+  }
 }

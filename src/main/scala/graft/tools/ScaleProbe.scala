@@ -170,7 +170,9 @@ object ScaleProbe {
       // RANGE frame bounded by the hour, one user-partition window
       "x_moving_avg", "a18_grouping_sets",
       // sketch state per group through the SQL surface
-      "f_sql_theta", "f_sql_bloom")
+      "f_sql_theta", "f_sql_bloom",
+      // two commits + manifest swap — write-bound, linear in rows
+      "s11_manifest_source")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
