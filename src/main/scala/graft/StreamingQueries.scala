@@ -53,6 +53,17 @@ object StreamingQueries {
         ev.where(col("event_type") === "view"))
     }),
 
+    // LEFT OUTER stream-stream join: unattributed clicks kept with a
+    // null view side — streaming emits the null only at watermark-
+    // proven state eviction; the batch analog here replays as a plain
+    // left join.
+    "st_stream_join_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.clickAttributionOuter(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+    }),
+
     // Streaming ingestion dedup (batch analog): re-ingest copies of the
     // corpus ∪ suffix-modified novel docs; only novel fingerprints
     // survive, one row per fp. Output is the fp alone — the survivor's
@@ -147,6 +158,15 @@ object StreamingQueries {
         |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
         |FROM events c JOIN events v ON v.user_id = c.user_id
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
+        |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
+
+    "st_stream_join_outer" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
         |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
         |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
 

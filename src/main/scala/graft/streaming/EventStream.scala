@@ -209,4 +209,32 @@ object EventStream {
       .select(col("click_id"), col("view_id"), col("user_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
+
+  /** Stream-stream LEFT OUTER interval join — [[clickAttribution]] with
+    * unattributed clicks KEPT (null view side): the outer variant is a
+    * genuinely different streaming capability, because the engine can
+    * emit the null row only once the watermark PROVES no matching view
+    * can still arrive (inner joins emit eagerly; outer joins emit the
+    * null at state eviction). Batch mode is the plain left_outer with
+    * the same predicate, which is what the oracle replays; the
+    * incremental path needs a watermark-advancing tail (spec-driven,
+    * same sentinel technique as the chained rollup).
+    */
+  def clickAttributionOuter(clicks: DataFrame, views: DataFrame,
+                            window: String = "4 hours",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val c = watermarked(clicks, watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = watermarked(views, watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("_vu"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("_vu") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
 }

@@ -172,7 +172,9 @@ object ScaleProbe {
       // sketch state per group through the SQL surface
       "f_sql_theta", "f_sql_bloom",
       // two commits + manifest swap — write-bound, linear in rows
-      "s11_manifest_source")
+      "s11_manifest_source",
+      // interval-bounded join state; output ∝ matches
+      "st_stream_join_outer")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

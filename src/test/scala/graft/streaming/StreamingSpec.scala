@@ -105,6 +105,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"append rollup mismatch: ${got.size} vs ${expected.size}")
   }
 
+  test("left-outer stream-stream join: nulls emit at watermark eviction, equals batch") {
+    import spark.implicits._
+    val batchEvents = graft.Tables.events(spark, eventsDir).cache()
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "view"))
+    val (bc, bv) = split(batchEvents)
+    val expected = EventStream.clickAttributionOuter(bc, bv)
+      .collect().map(_.toSeq).toSet
+    assert(expected.exists(_(1) == null), "fixture must have unattributed clicks")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // watermark-advancing sentinels on BOTH sides (click and view), far
+    // enough out that they match nothing and everything real evicts
+    val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val inferredTs = spark.read.parquet(streamDir.toString)
+      .schema("ts").dataType
+    val sentinels0 = Seq(
+        (999999998L, maxTs + 3L * 86400000000L, 999999L, "view", 0.0, "{}"),
+        (999999999L, maxTs + 3L * 86400000000L + 5L * 3600000000L, 999999L,
+          "click", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val sentinels = (inferredTs match {
+      case org.apache.spark.sql.types.LongType =>
+        sentinels0.withColumn("ts", col("ts_us") * 1000L)
+      case _ => sentinels0.withColumn("ts", timestamp_micros(col("ts_us")))
+    }).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    stageParquet(sentinels, streamDir, "sentinels.parquet")
+
+    val stream = EventStream.readStream(spark, streamDir.toString)
+    val (sc, sv) = split(stream)
+    val q = EventStream.clickAttributionOuter(sc, sv)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("outer_out")
+      .where(col("click_id") < 999999998L)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"outer join mismatch: got ${got.size} rows vs ${expected.size}")
+  }
+
   test("mapGroupsWithState running counts match per-user totals") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
     val expected = batchEvents.groupBy("user_id").count()
