@@ -2126,6 +2126,11 @@ object DataOpsQueries {
             .select(lit("shifted").as("case"), col("psi")))
     }),
 
+    // Markov event-type transition matrix: per-user lag bigrams →
+    // types² census → exact-count probabilities. Full replay.
+    "x_transitions" -> ((s, dir) =>
+      operators.EventAnalytics.typeTransitions(Tables.events(s, dir))),
+
     // Two-proportion A/B z-test: md5-parity arms, conversion = a big
     // click (value > 150 — ~50% of users at sf0.01, so the variance is
     // real; plain "any click" converts EVERYONE and degenerates se to
@@ -6080,6 +6085,22 @@ object DataOpsQueries {
         |UNION ALL
         |${psiCase("shifted", "hs")}""".stripMargin
     },
+
+    "x_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type
+        |  FROM events),
+        |pr AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS from_type
+        |  FROM ev),
+        |census AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS t FROM census GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n::DOUBLE / t.t, 6) AS p
+        |FROM census c JOIN tot t USING (from_type)""".stripMargin,
 
     "x_ab_test" ->
       """WITH u AS (

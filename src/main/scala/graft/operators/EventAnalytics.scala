@@ -156,6 +156,30 @@ object EventAnalytics {
     * Output: (window_start, event_type, n, mean, z, anomaly); z null
     * (and anomaly false) for zero-variance types.
     */
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type) from exact bigram counts —
+    * the user-journey model behind "what do users do after an error".
+    * One user-partitioned lag window (ties broken by event_id — total
+    * order) + a types² census; probabilities are one division of exact
+    * integers rounded 6dp. Output: (from_type, to_type, n, p).
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val census = pairs.groupBy(col("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = census.groupBy("from_type").agg(sum(col("n")).as("_t"))
+    census.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_t"), 6).as("p"))
+  }
+
   /** Two-proportion A/B z-test over a deterministic hash split: users
     * land in arm A/B by their md5 parity (the [[HashSplit]] idea), a
     * user converts if they have ≥1 event satisfying `conversion`, and

@@ -174,7 +174,9 @@ object ScaleProbe {
       // two commits + manifest swap — write-bound, linear in rows
       "s11_manifest_source",
       // interval-bounded join state; output ∝ matches
-      "st_stream_join_outer")
+      "st_stream_join_outer",
+      // types² census from one user-partition lag window
+      "x_transitions")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

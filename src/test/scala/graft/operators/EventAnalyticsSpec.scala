@@ -120,6 +120,22 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("typeTransitions: per-user bigrams, probabilities sum to 1 per source") {
+    // user 1: a→b→a→b, user 2: a→a. Transitions: a→b ×2, b→a ×1, a→a ×1
+    val rows = Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "a"), (1L, 3L, "b"),
+      (2L, 0L, "a"), (2L, 1L, "a"))
+    val df = rows.zipWithIndex.map { case ((u, m, t), i) => (i.toLong, u, m, t) }
+      .toDF("event_id", "user_id", "m", "event_type")
+      .withColumn("ts", timestamp_micros($"m" * 60000000L + day0)).drop("m")
+    val got = EventAnalytics.typeTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((2L, 0.666667)))
+    assert(got(("a", "a")) == ((1L, 0.333333)))
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    assert(got.size == 3) // no cross-user transition (u1's b → u2's a)
+  }
+
   test("rateAnomalies: spike window flags, steady windows don't, σ=0 → null z") {
     // type "a": hourly counts 2,2,2,14 → mean 5, var 27, σ≈5.196;
     // |14−5| = 9 > 2σ ≈ 10.39? NO → pick a bigger spike: 2,2,2,26 →
