@@ -689,6 +689,24 @@ class PlanSpec extends SparkSpec {
       s"pair census must map-side combine:\n$p")
   }
 
+  test("r_vsm_topk: postings join stays equi-keyed on the term") {
+    val p = executed("r_vsm_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"VSM scoring must never go doc×query:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id#")),
+      s"top-k window must partition by query:\n${specs.mkString("\n")}")
+  }
+
+  test("x_moving_avg and x_transitions: windows partition by user") {
+    for (q <- Seq("x_moving_avg", "x_transitions")) {
+      val p = executed(q)
+      val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id#")),
+        s"$q window must partition by user:\n${specs.mkString("\n")}")
+    }
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single
