@@ -349,6 +349,35 @@ object DataOpsQueries {
       |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
       |${pageRankRoundsSql(n)}""".stripMargin
 
+  /** Weighted-PageRank oracle chain: same graph with multiplicity
+    * weights 1 + (src + dst) % 5; contributions scale by w/wout.
+    * Ends at `pr$n`.
+    */
+  private def pageRankWeightedChainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""pr$i AS MATERIALIZED (
+        |  SELECT n.node,
+        |    (SELECT CAST(round(${1.0 - 0.85} * 1e6 / nn) AS BIGINT) FROM cnt)
+        |      + coalesce(c.s, 0) AS pr
+        |  FROM n LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum(CAST(round(${0.85} * (p.pr * e.w) / ow.wout) AS BIGINT))::BIGINT AS s
+        |    FROM e JOIN pr${i - 1} p ON p.node = e.src JOIN ow ON ow.src = e.src
+        |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+      |  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+      |    SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+      |    UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents)),
+      |n AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |cnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM n),
+      |ow AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wout FROM e GROUP BY src),
+      |pr0 AS MATERIALIZED (
+      |  SELECT node, (SELECT CAST(round(1e6 / nn) AS BIGINT) FROM cnt) AS pr FROM n),
+      |$rounds""".stripMargin
+  }
+
   /** Personalized-PageRank oracle chain on the same graph: teleport
     * mass lands only on the seed nodes (node % 50 = 0), walk starts
     * from the seeds. Ends at `pr$n`.
@@ -2084,6 +2113,19 @@ object DataOpsQueries {
         .unionByName(d.select(col("doc_id").as("src"),
           expr("(doc_id div 10) * 10").as("dst")))
       operators.PageRank.pageRank(edges, iterations = 10)
+    }),
+
+    // Weighted PageRank: the doc graph with deterministic multiplicity
+    // weights 1 + (src + dst) % 5 — rank mass splits proportionally to
+    // out-edge weight. All 10 rounds replayed.
+    "g_pagerank_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+      operators.PageRank.pageRankWeighted(edges, iterations = 10)
     }),
 
     // Deterministic synchronous label propagation on the same graph: 5
@@ -5972,6 +6014,11 @@ object DataOpsQueries {
 
     "g_pagerank" ->
       s"""WITH ${pageRankChainSql(10)}
+        |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
+        |FROM pr10""".stripMargin,
+
+    "g_pagerank_weighted" ->
+      s"""WITH ${pageRankWeightedChainSql(10)}
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
 

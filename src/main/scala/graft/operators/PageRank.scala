@@ -66,6 +66,54 @@ object PageRank {
       round(col("pr").cast("double") / 1e6, 6).as("pr"))
   }
 
+  /** Weighted PageRank: each edge carries a positive integer weight
+    * (link multiplicity, anchor quality, crawl frequency) and a node's
+    * rank mass splits PROPORTIONALLY to out-edge weights instead of
+    * uniformly — the form link-graph curation actually wants (a page
+    * linked 50× from one hub is not 50 pages). Same micro-quantization
+    * contract: ONE double chain per edge per round,
+    * round(d · pr · w / wout), integer everywhere else — replays
+    * round-for-round. Weights must be positive integers (weights as
+    * doubles would put a float product inside the partial sum and break
+    * association-order freedom — quantize upstream).
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       damping: Double = 0.85,
+                       checkpointEvery: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val cnt = nodes.agg(count(lit(1)).as("nn"))
+    val ow = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    var pr = nodes.crossJoin(broadcast(cnt))
+      .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
+      .localCheckpoint()
+    var i = 1
+    while (i <= iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ow, Seq("src"))
+        .select(col("dst").as("node"),
+          // pr·w as an EXACT long product first — two double ops, not
+          // three, so the chain can't ulp-diverge from the oracle
+          round(lit(damping) * (col("pr") * col("w")) / col("wout"))
+            .cast("long").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(cnt))
+        .select(col("node"),
+          (round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
+            + coalesce(col("s"), lit(0L))).as("pr"))
+      if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
+      i += 1
+    }
+    pr.select(col("node"), col("pr").as("pr_micro"),
+      round(col("pr").cast("double") / 1e6, 6).as("pr"))
+  }
+
   /** Personalized PageRank (random walk with restart): the teleport
     * mass lands ONLY on `seeds` — rank becomes "importance AS SEEN FROM
     * the seed set", the crawl-frontier prioritizer (seeds = trusted

@@ -176,7 +176,9 @@ object ScaleProbe {
       // interval-bounded join state; output ∝ matches
       "st_stream_join_outer",
       // types² census from one user-partition lag window
-      "x_transitions")
+      "x_transitions",
+      // same Pregel shape as g_pagerank, weights ride the edge shuffle
+      "g_pagerank_weighted")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

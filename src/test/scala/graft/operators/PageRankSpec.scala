@@ -4,6 +4,28 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class PageRankSpec extends SparkSpec {
+
+  test("weighted: unit weights reduce exactly to unweighted PageRank") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val un = PageRank.pageRank(e, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = PageRank.pageRankWeighted(
+        e.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(un == w1)
+  }
+
+  test("weighted: mass follows the heavy edge") {
+    import spark.implicits._
+    // 1 → 2 (w 9) and 1 → 3 (w 1): node 2 must end far above node 3
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.pageRankWeighted(e, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L) * 3, s"heavy edge must dominate: $got")
+  }
   import spark.implicits._
 
   private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
