@@ -2983,6 +2983,26 @@ object DataOpsQueries {
       ApplyChanges.history(log, "o_orderkey", "seq")
     }),
 
+    // Right-to-be-forgotten sweep: the doc_id % 97 forget-set cascaded
+    // across documents, the chunk table, and the embedding store (one
+    // audit scan per table); the in-gate require proves the purge left
+    // no trace. Oracle replays all three audit rows.
+    "i_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val forget = docs.where(col("doc_id") % 97 === 0).select("doc_id")
+      val chunks = SpanDedup.chunk(docs, maxTokens = 64, overlap = 16)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val tables = Seq("documents" -> docs.select("doc_id"),
+        "chunks" -> chunks.select("doc_id"), "embeddings" -> emb)
+      for ((name, t) <- tables) {
+        val left = operators.Forget.purge(t, forget)
+          .join(forget, Seq("doc_id"), "left_semi").count()
+        require(left == 0, s"forget sweep left $left rows in $name")
+      }
+      operators.Forget.audit(forget, tables)
+    }),
+
     // Log retention: vacuum the pre-day-3 history to latest-per-key
     // survivors, then take the latest snapshot from the VACUUMED log.
     // The oracle computes the same snapshot from the ORIGINAL log —
@@ -3255,6 +3275,34 @@ object DataOpsQueries {
         |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to,
         |  lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL AS is_current
         |FROM chlog""".stripMargin,
+
+    // the three audit rows: chunk counts derive from the token-window
+    // chunking formula (ceil(n_tokens − overlap) / (max − overlap)),
+    // replayed like the t_chunk oracle
+    "i_forget" ->
+      """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |ch AS (
+        |  SELECT doc_id, CASE WHEN n = 0 THEN 0
+        |    ELSE greatest(CAST(ceil((n - 64)::DOUBLE / 48) AS BIGINT), 0) + 1 END AS n_chunks
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+')) END AS n
+        |    FROM documents))
+        |SELECT 'documents' AS "table", count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  (count(*) - sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_after
+        |FROM documents
+        |UNION ALL
+        |SELECT 'chunks', sum(n_chunks)::BIGINT,
+        |  sum(CASE WHEN doc_id % 97 = 0 THEN n_chunks ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE n_chunks END)::BIGINT
+        |FROM ch
+        |UNION ALL
+        |SELECT 'embeddings', count(*)::BIGINT,
+        |  sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |  (count(*) - sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END))::BIGINT
+        |FROM embeddings""".stripMargin,
 
     // snapshot from the ORIGINAL log — vacuum must be invisible here
     "i_vacuum" ->

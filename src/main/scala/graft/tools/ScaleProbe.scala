@@ -178,7 +178,9 @@ object ScaleProbe {
       // types² census from one user-partition lag window
       "x_transitions",
       // same Pregel shape as g_pagerank, weights ride the edge shuffle
-      "g_pagerank_weighted")
+      "g_pagerank_weighted",
+      // one broadcast-flag scan per table — the audit minimum
+      "i_forget")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
