@@ -498,6 +498,42 @@ object DataOpsQueries {
       |$rounds""".stripMargin
   }
 
+  /** Greedy k-center oracle chain: int8-quantize the embeddings (the
+    * e_quantize_int8 grid, kept as DOUBLE lists so list_dot_product
+    * stays exact integer math), seed at min vec_id, then k−1 unrolled
+    * rounds of (argmax running min-distance² → update via least) — the
+    * exact loop [[graft.operators.Coreset.kCenters]] runs. Ends with
+    * per-round picks in c2..c$k.
+    */
+  private def kCenterChainSql(k: Int): String = {
+    val rounds = (2 to k).map { i =>
+      s"""c$i AS MATERIALIZED (
+        |  SELECT vec_id, d2min FROM s${i - 1}
+        |  ORDER BY d2min DESC, vec_id ASC LIMIT 1),
+        |s$i AS MATERIALIZED (
+        |  SELECT a.vec_id, a.qv, a.sq,
+        |    least(a.d2min, CAST(a.sq + b.sq - 2 * list_dot_product(a.qv, b.qv) AS BIGINT)) AS d2min
+        |  FROM s${i - 1} a, (SELECT n.qv, n.sq FROM n2 n
+        |    WHERE n.vec_id = (SELECT vec_id FROM c$i)) b)""".stripMargin
+    }.mkString(",\n")
+    s"""qm AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS ev,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      |  FROM embeddings),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(ev, x ->
+      |    CASE WHEN ma = 0 THEN 0.0 ELSE round(x * 127.0 / ma) END) AS qv
+      |  FROM qm),
+      |n2 AS MATERIALIZED (
+      |  SELECT vec_id, qv, list_dot_product(qv, qv) AS sq FROM q),
+      |s1 AS MATERIALIZED (
+      |  SELECT a.vec_id, a.qv, a.sq,
+      |    CAST(a.sq + b.sq - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d2min
+      |  FROM n2 a, (SELECT qv, sq FROM n2
+      |    WHERE vec_id = (SELECT min(vec_id) FROM n2)) b),
+      |$rounds""".stripMargin
+  }
+
   /** k-core oracle chain on the g_pagerank graph: symmetrized loop-free
     * edges, then `rounds` unrolled peel rounds (degree census → keep ≥ k
     * → edge filter). The k-core is canonical, so the oracle only needs
@@ -2062,6 +2098,12 @@ object DataOpsQueries {
         array_min(col("qvec")).as("qmin"),
         array_max(col("qvec")).as("qmax"))),
 
+    // Greedy k-center (farthest-first) diversity selection on the int8
+    // grid: every round's argmax is exact integer math (squared L2 of
+    // int8 vectors), so the oracle replays the full selection sequence.
+    "e_kcenter" -> ((s, dir) =>
+      operators.Coreset.kCenters(Tables.embeddings(s, dir), k = 8)),
+
     // Exact top-k over QUANTIZED vectors — int dots are exact in double;
     // ranks order by the 6dp-rounded cosine + id tiebreak (the shared
     // topK contract), so the oracle replays them regardless of ulp-level
@@ -2200,6 +2242,15 @@ object DataOpsQueries {
           round(col("sum_cents").cast("double") / col("n_window") / 100.0, 6)
             .as("avg_1h"))
     }),
+
+    // Per-user EWMA over the event series: a RECURRENCE, not a frame
+    // aggregate — α=0.3 in micro units, every step exact integer math
+    // (div 1e6), so the oracle's recursive CTE replays all of it.
+    "x_ewma" -> ((s, dir) =>
+      operators.Smoothing.ewma(Tables.events(s, dir),
+        key = col("user_id"), order = unix_micros(col("ts")),
+        tie = col("event_id"), value = col("value"), alphaMicro = 300000L)
+        .withColumnRenamed("o", "ts_us")),
 
     // GROUPING SETS with grouping() flags — the arbitrary-combination
     // generalization of the a9/a10 rollup/cube gates.
@@ -3040,6 +3091,41 @@ object DataOpsQueries {
       ApplyChanges.snapshotOf(log, "o_orderkey", "seq", Some(lit(2L)))
     }),
 
+    // k-anonymity audit at quasi-identifier grain: (lang, 512-char
+    // length bucket) census with the ≥ k verdict — one partial-agg
+    // shuffle collapses the corpus to QI cells before anything else.
+    "v_kanon" -> ((s, dir) =>
+      operators.Privacy.kAnonymityAudit(
+        Tables.documents(s, dir),
+        Seq(col("lang"), (col("n_chars") / 512).cast("long").as("len_bucket")),
+        k = 20)
+        .orderBy(col("lang"), col("len_bucket"))),
+
+    // One-row release-gate summary over the same audit (risky rows in
+    // exact ppm) — the number a data-release review reads.
+    "v_kanon_summary" -> ((s, dir) =>
+      operators.Privacy.anonymitySummary(
+        operators.Privacy.kAnonymityAudit(
+          Tables.documents(s, dir),
+          Seq(col("lang"), (col("n_chars") / 512).cast("long").as("len_bucket")),
+          k = 20))),
+
+    // l-diversity: each (lang, len_bucket) group must span ≥ 3 distinct
+    // sources or it is homogeneity-attackable even when k-anonymous.
+    "v_ldiv" -> ((s, dir) =>
+      operators.Privacy.lDiversityAudit(
+        Tables.documents(s, dir),
+        Seq(col("lang"), (col("n_chars") / 512).cast("long").as("len_bucket")),
+        col("source"), l = 3)
+        .orderBy(col("lang"), col("len_bucket"))),
+
+    // ε-DP noisy release of the (lang, source) census: Laplace(1/ε)
+    // noise from a deterministic md5 uniform (the DSIR Gumbel pattern),
+    // micro-rounded once — the oracle replays the noise bit-for-bit.
+    "v_dp_counts" -> ((s, dir) =>
+      operators.Privacy.dpCounts(Tables.documents(s, dir),
+        Seq("lang", "source"), epsilon = 0.5, seed = 7L)),
+
     // Greedy sequence packing under the oracle: single range partition →
     // globally-sequential packing, which a DuckDB recursive CTE replays
     // exactly. (At scale the operator runs partition-parallel with
@@ -3330,6 +3416,51 @@ object DataOpsQueries {
         |  SELECT chlog.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
         |  FROM chlog WHERE seq <= 2)
         |WHERE rn = 1 AND op = 'upsert'""".stripMargin,
+
+    "v_kanon" ->
+      """SELECT lang, (n_chars // 512)::BIGINT AS len_bucket,
+        |  count(*)::BIGINT AS group_size, count(*) >= 20 AS anonymous
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, len_bucket""".stripMargin,
+
+    "v_kanon_summary" ->
+      """WITH a AS (
+        |  SELECT lang, n_chars // 512 AS len_bucket, count(*)::BIGINT AS gs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN gs < 20 THEN 1 ELSE 0 END)::BIGINT AS risky_groups,
+        |  sum(gs)::BIGINT AS n_rows,
+        |  sum(CASE WHEN gs < 20 THEN gs ELSE 0 END)::BIGINT AS risky_rows,
+        |  CAST(round(sum(CASE WHEN gs < 20 THEN gs ELSE 0 END) * 1e6 / sum(gs)) AS BIGINT) AS risky_row_ppm
+        |FROM a""".stripMargin,
+
+    "v_ldiv" ->
+      """SELECT lang, (n_chars // 512)::BIGINT AS len_bucket,
+        |  count(*)::BIGINT AS group_size,
+        |  count(DISTINCT source)::BIGINT AS n_sensitive,
+        |  count(DISTINCT source) >= 3 AS diverse
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, len_bucket""".stripMargin,
+
+    // Laplace noise replay: same md5-uniform, same one-chain inverse
+    // CDF, same single micro round as Privacy.dpCounts (ε=0.5, seed=7).
+    "v_dp_counts" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+        |n AS (
+        |  SELECT lang, source, cnt,
+        |    (('0x' || substr(md5('dp:7:' || coalesce(lang, ' ') || ':' || coalesce(source, ' ')), 1, 15))::BIGINT + 0.5)
+        |      / 1.152921504606846976e18 AS u
+        |  FROM c),
+        |m AS (
+        |  SELECT lang, source,
+        |    CAST(cnt * 1000000 +
+        |      CAST(round((-(1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))) * 1e6) AS BIGINT)
+        |    AS BIGINT) AS noisy_micro
+        |  FROM n)
+        |SELECT lang, source, noisy_micro,
+        |  round(noisy_micro::DOUBLE / 1e6, 6) AS noisy_count
+        |FROM m""".stripMargin,
 
     // Histogram family: w = (105000−900)/64 = 1626.5625 exactly in IEEE
     // double, so the bucket formula replays bit-for-bit.
@@ -6027,6 +6158,15 @@ object DataOpsQueries {
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
 
+    "e_kcenter" -> {
+      val picks = (2 to 8).map(i =>
+        s"UNION ALL SELECT ${i}::BIGINT, vec_id::BIGINT, d2min FROM c$i")
+        .mkString("\n")
+      s"""WITH ${kCenterChainSql(8)}
+        |SELECT 1::BIGINT AS rank, (SELECT min(vec_id) FROM n2)::BIGINT AS vec_id, 0::BIGINT AS d2_sel
+        |$picks""".stripMargin
+    },
+
     "g_anchor_text" ->
       s"""WITH ${pageRankChainSql(10)},
         |anorm AS (
@@ -6237,6 +6377,22 @@ object DataOpsQueries {
         |SELECT event_id, user_id, n_window,
         |  round(sum_cents::DOUBLE / n_window / 100.0, 6) AS avg_1h
         |FROM w""".stripMargin,
+
+    "x_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id AS key, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT key, rn, ts_us, x, x AS sm FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.key, s.rn, s.ts_us, s.x,
+        |    (300000 * s.x + 700000 * r.sm) // 1000000
+        |  FROM r JOIN s ON s.key = r.key AND s.rn = r.rn + 1)
+        |SELECT key, rn, ts_us, x AS value_micro, sm AS ewma_micro,
+        |  round(sm::DOUBLE / 1e6, 6) AS ewma
+        |FROM r""".stripMargin,
 
     "a18_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
