@@ -534,6 +534,61 @@ object DataOpsQueries {
       |$rounds""".stripMargin
   }
 
+  /** MMR oracle chain: int8 grid, per-query top-`pool` relevance
+    * short-list (cosine micro-rounded once), pool² pairwise sims, then
+    * `k` unrolled greedy rounds — window argmax on the exact long score
+    * λµ·relµ − (1e6−λµ)·maxsimµ, then the maxsim update join — the
+    * exact loop [[graft.operators.Mmr.diversifiedTopK]] runs. Picks
+    * land in w1..w$k.
+    */
+  private def mmrChainSql(pool: Int, k: Int, lam: Long): String = {
+    val colam = 1000000L - lam
+    val rounds = (1 to k).map { i =>
+      val prev = s"cand${i - 1}"
+      val update = if (i == k) "" else
+        s""",
+          |cand$i AS MATERIALIZED (
+          |  SELECT c.query_id, c.doc_id, c.rel_micro,
+          |    greatest(c.maxsim, s.sim_micro) AS maxsim
+          |  FROM $prev c
+          |  JOIN w$i w ON w.query_id = c.query_id AND c.doc_id <> w.doc_id
+          |  JOIN sims s ON s.query_id = c.query_id AND s.a_id = c.doc_id
+          |    AND s.b_id = w.doc_id)""".stripMargin
+      s"""w$i AS MATERIALIZED (
+        |  SELECT query_id, doc_id, rel_micro, mmr_e12 FROM (
+        |    SELECT query_id, doc_id, rel_micro,
+        |      $lam * rel_micro - $colam * maxsim AS mmr_e12,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ($lam * rel_micro - $colam * maxsim) DESC, doc_id ASC) AS rn
+        |    FROM $prev) WHERE rn = 1)$update""".stripMargin
+    }.mkString(",\n")
+    s"""qm AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS ev,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+      |  FROM embeddings),
+      |qz AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(ev, x ->
+      |    CASE WHEN ma = 0 THEN 0.0 ELSE round(x * 127.0 / ma) END) AS qv
+      |  FROM qm),
+      |rel AS MATERIALIZED (
+      |  SELECT query_id, doc_id, qv, rel_micro FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.qv AS qv,
+      |      CAST(round(list_cosine_similarity(c.qv, q.qv) * 1e6) AS BIGINT) AS rel_micro,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY CAST(round(list_cosine_similarity(c.qv, q.qv) * 1e6) AS BIGINT) DESC,
+      |          c.vec_id ASC) AS rn
+      |    FROM qz c CROSS JOIN (SELECT vec_id, qv FROM qz WHERE vec_id < 5) q
+      |    WHERE c.vec_id <> q.vec_id)
+      |  WHERE rn <= $pool),
+      |sims AS MATERIALIZED (
+      |  SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(round(list_cosine_similarity(a.qv, b.qv) * 1e6) AS BIGINT) AS sim_micro
+      |  FROM rel a JOIN rel b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+      |cand0 AS (
+      |  SELECT query_id, doc_id, rel_micro, 0::BIGINT AS maxsim FROM rel),
+      |$rounds""".stripMargin
+  }
+
   /** k-core oracle chain on the g_pagerank graph: symmetrized loop-free
     * edges, then `rounds` unrolled peel rounds (degree census → keep ≥ k
     * → edge filter). The k-core is canonical, so the oracle only needs
@@ -2098,6 +2153,16 @@ object DataOpsQueries {
         array_min(col("qvec")).as("qmin"),
         array_max(col("qvec")).as("qmax"))),
 
+    // MMR diversified rerank: top-20 relevance pool per query, then 8
+    // greedy rounds of λ·rel − (1−λ)·maxsim on exact long scores —
+    // dedup-aware retrieval. The oracle replays pool, pairwise sims,
+    // and every greedy round.
+    "r_mmr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      operators.Mmr.diversifiedTopK(emb, emb.where(col("vec_id") < 5),
+        pool = 20, k = 8, lambdaMicro = 700000L)
+    }),
+
     // Greedy k-center (farthest-first) diversity selection on the int8
     // grid: every round's argmax is exact integer math (squared L2 of
     // int8 vectors), so the oracle replays the full selection sequence.
@@ -2251,6 +2316,17 @@ object DataOpsQueries {
         key = col("user_id"), order = unix_micros(col("ts")),
         tie = col("event_id"), value = col("value"), alphaMicro = 300000L)
         .withColumnRenamed("o", "ts_us")),
+
+    // 2-D Pareto frontier over orders (maximize price cents AND recency
+    // days): the census formulation (y == M(x) ∧ M(x) > P(x)) must
+    // produce exactly what the oracle's independent NOT EXISTS
+    // dominance scan produces.
+    "x_pareto" -> ((s, dir) =>
+      operators.Skyline.frontier2(Tables.orders(s, dir),
+        id = col("o_orderkey"),
+        x = round(col("o_totalprice") * 100).cast("long"),
+        y = expr("unix_micros(o_orderdate) div 86400000000"))
+        .orderBy(col("x"))),
 
     // GROUPING SETS with grouping() flags — the arbitrary-combination
     // generalization of the a9/a10 rollup/cube gates.
@@ -6158,6 +6234,14 @@ object DataOpsQueries {
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
 
+    "r_mmr" -> {
+      val picks = (1 to 8).map(i =>
+        s"SELECT query_id, doc_id, ${i}::BIGINT AS mmr_rank, rel_micro, mmr_e12 FROM w$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${mmrChainSql(20, 8, 700000L)}
+        |$picks""".stripMargin
+    },
+
     "e_kcenter" -> {
       val picks = (2 to 8).map(i =>
         s"UNION ALL SELECT ${i}::BIGINT, vec_id::BIGINT, d2min FROM c$i")
@@ -6393,6 +6477,19 @@ object DataOpsQueries {
         |SELECT key, rn, ts_us, x AS value_micro, sm AS ewma_micro,
         |  round(sm::DOUBLE / 1e6, 6) AS ewma
         |FROM r""".stripMargin,
+
+    // independent dominance formulation — NOT the Spark side's census
+    // trick — so a census-logic bug hash-fails here
+    "x_pareto" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS id, CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    epoch_us(o_orderdate::TIMESTAMP) // 86400000000 AS y
+        |  FROM orders)
+        |SELECT id, x, y FROM b t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM b o
+        |  WHERE o.x >= t.x AND o.y >= t.y AND (o.x > t.x OR o.y > t.y))
+        |ORDER BY x""".stripMargin,
 
     "a18_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -707,6 +707,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("v_kanon / v_ldiv / v_dp_counts: QI census partial-aggregates, scan pruned") {
+    for ((q, schema) <- Seq(
+      "v_kanon" -> "struct<lang:string,n_chars:bigint>",
+      "v_ldiv" -> "struct<lang:string,source:string,n_chars:bigint>")) {
+      val p = executed(q)
+      assert(p.contains("partial_count"),
+        s"$q census must map-side combine:\n$p")
+      assert(p.contains(s"ReadSchema: $schema"),
+        s"$q must read only the QI (+sensitive) columns:\n$p")
+    }
+    val p = executed("v_dp_counts")
+    assert(p.contains("partial_count"))
+    assert(p.contains("ReadSchema: struct<lang:string,source:string>"),
+      s"dp census must read only the release dims:\n$p")
+  }
+
+  test("x_ewma: one shuffle on the key, no global window") {
+    val p = executed("x_ewma")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"EWMA is one groupBy shuffle, got $exchanges:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the recurrence must fold inside aggregate(), not a window:\n$p")
+  }
+
+  test("r_mmr: corpus pass broadcasts queries; greedy windows partition by query") {
+    val p = executed("r_mmr")
+    assert(!p.contains("CartesianProduct"),
+      s"relevance pass must broadcast the query side:\n$p")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id#")),
+      s"every MMR window must partition by query:\n${specs.mkString("\n")}")
+  }
+
+  test("x_pareto: suffix max is sharded (no single-partition window), verdict broadcast") {
+    val p = executed("x_pareto")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("_shard#")),
+      s"census suffix-max must partition by shard:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (x, M) verdict table must broadcast back to the corpus:\n$p")
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single
