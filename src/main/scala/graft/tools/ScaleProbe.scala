@@ -180,7 +180,20 @@ object ScaleProbe {
       // same Pregel shape as g_pagerank, weights ride the edge shuffle
       "g_pagerank_weighted",
       // one broadcast-flag scan per table — the audit minimum
-      "i_forget")
+      "i_forget",
+      // round-5f surface
+      // QI census-grain aggs — cells bounded by lang × length domain
+      "v_kanon", "v_ldiv", "v_dp_counts",
+      // one key shuffle; per-user series length is K-invariant here
+      // (copies shift user_id), so growth tracks row count
+      "x_ewma",
+      // k rounds × one shuffle-free scan each — linear in corpus
+      "e_kcenter",
+      // corpus-sized work is the one broadcast-query relevance scan;
+      // pool² sims and greedy rounds are pool-bounded (flat at K×)
+      "r_mmr",
+      // x-grain census + sharded suffix max + broadcast verdict join
+      "x_pareto")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
