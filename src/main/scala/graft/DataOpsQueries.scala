@@ -534,6 +534,46 @@ object DataOpsQueries {
       |$rounds""".stripMargin
   }
 
+  /** Poisson-bootstrap oracle chain: the 60-bit md5 uniform, the
+    * constant Poisson(1) threshold ladder (same driver-computed double
+    * literals as [[graft.operators.Bootstrap.thresholds]]), exact
+    * micro-long weighted sums, per-replicate means at 6dp. Ends at `m`
+    * = (b, n_eff, sum_micro, mean).
+    */
+  private def bootstrapChainSql(b: Int, seed: Long): String = {
+    val ladder = operators.Bootstrap.thresholds.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    s"""base AS (
+      |  SELECT event_id::VARCHAR AS k, CAST(round(value * 1e6) AS BIGINT) AS x
+      |  FROM events),
+      |reps AS (
+      |  SELECT k, x, b FROM base CROSS JOIN (SELECT unnest(range($b)) AS b)),
+      |wts AS (
+      |  SELECT b, x, (CASE $ladder ELSE 9 END)::BIGINT AS w
+      |  FROM (
+      |    SELECT b, x,
+      |      (('0x' || substr(md5('boot:$seed:' || b::VARCHAR || ':' || k), 1, 15))::BIGINT + 0.5)
+      |        / 1.152921504606846976e18 AS u
+      |    FROM reps)),
+      |m AS MATERIALIZED (
+      |  SELECT b::BIGINT AS b, sum(w)::BIGINT AS n_eff,
+      |    sum(w * x)::BIGINT AS sum_micro,
+      |    round(sum(w * x)::DOUBLE / sum(w) / 1e6, 6) AS mean
+      |  FROM wts GROUP BY 1)""".stripMargin
+  }
+
+  /** Fellegi–Sunter gate fields — ONE definition shared by the Spark
+    * gate and the oracle, so the micro-bit weight constants are
+    * identical by construction.
+    */
+  private def fsGateFields: Seq[operators.RecordLinkage.FsField] = Seq(
+    operators.RecordLinkage.FsField("lang",
+      col("lang_a") === col("lang_b"), 0.95, 0.2),
+    operators.RecordLinkage.FsField("source",
+      col("source_a") === col("source_b"), 0.9, 0.1),
+    operators.RecordLinkage.FsField("len",
+      col("lb_a") === col("lb_b"), 0.8, 0.05))
+
   /** MMR oracle chain: int8 grid, per-query top-`pool` relevance
     * short-list (cosine micro-rounded once), pool² pairwise sims, then
     * `k` unrolled greedy rounds — window argmax on the exact long score
@@ -2153,6 +2193,38 @@ object DataOpsQueries {
         array_min(col("qvec")).as("qmin"),
         array_max(col("qvec")).as("qmax"))),
 
+    // Fellegi–Sunter linkage over sorted-neighborhood candidates:
+    // per-field agreement weights are driver-computed micro-bit
+    // constants (log2(m/u)), so the pair score is an exact long sum —
+    // the oracle inlines the same constants and replays blocking,
+    // scoring and the three-way verdict.
+    "d_fellegi_sunter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") % 3 === 0)
+      val cand = operators.SortedNeighborhood.candidatePairs(
+        docs, TextAnalysis.normalized(col("text")), w = 4)
+      val attrs = docs.select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 256").as("lb"))
+      val pairs = cand
+        .join(attrs.select(col("doc_id").as("doc_a"),
+          col("lang").as("lang_a"), col("source").as("source_a"),
+          col("lb").as("lb_a")), Seq("doc_a"))
+        .join(attrs.select(col("doc_id").as("doc_b"),
+          col("lang").as("lang_b"), col("source").as("source_b"),
+          col("lb").as("lb_b")), Seq("doc_b"))
+      val scored = operators.RecordLinkage.score(pairs, fsGateFields)
+      operators.RecordLinkage.classify(scored,
+          upperMicro = 2000000L, lowerMicro = 0L)
+        .select("doc_a", "doc_b", "w_lang", "w_source", "w_len",
+          "fs_micro", "verdict")
+    }),
+
+    // u-probability estimation from the value census: P(agree | random
+    // pair) = Σ p_v² per field — census-grain, never a pair sample.
+    "d_fs_uprob" -> ((s, dir) =>
+      operators.RecordLinkage.uEstimate(Tables.documents(s, dir), Map(
+        "lang" -> col("lang"), "source" -> col("source"),
+        "len" -> expr("n_chars div 256")))),
+
     // MMR diversified rerank: top-20 relevance pool per query, then 8
     // greedy rounds of λ·rel − (1−λ)·maxsim on exact long scores —
     // dedup-aware retrieval. The oracle replays pool, pairwise sims,
@@ -2315,7 +2387,21 @@ object DataOpsQueries {
       operators.Smoothing.ewma(Tables.events(s, dir),
         key = col("user_id"), order = unix_micros(col("ts")),
         tie = col("event_id"), value = col("value"), alphaMicro = 300000L)
-        .withColumnRenamed("o", "ts_us")),
+        .withColumnRenamed("o", "ts_us").withColumnRenamed("t", "event_id")),
+
+    // Poisson bootstrap: 40 replicate means of the event value, weights
+    // from the constant Poisson(1) ladder over md5 uniforms — exact
+    // micro sums, every replicate replayed by the oracle.
+    "x_bootstrap" -> ((s, dir) =>
+      operators.Bootstrap.replicateMeans(Tables.events(s, dir),
+        value = col("value"), rowKey = col("event_id"), b = 40, seed = 42L)),
+
+    // ... and the percentile CI those replicates imply (order statistics
+    // at ceil(αB)/ceil((1−α)B)) next to the full-data mean.
+    "x_bootstrap_ci" -> ((s, dir) =>
+      operators.Bootstrap.meanCI(Tables.events(s, dir),
+        value = col("value"), rowKey = col("event_id"), b = 40,
+        alpha = 0.025, seed = 42L)),
 
     // 2-D Pareto frontier over orders (maximize price cents AND recency
     // days): the census formulation (y == M(x) ∧ M(x) > P(x)) must
@@ -6234,6 +6320,51 @@ object DataOpsQueries {
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
 
+    "d_fellegi_sunter" -> {
+      val Seq(fl, fs, fn) = fsGateFields
+      s"""WITH docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+        |  FROM docs),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, (row_number() OVER (ORDER BY nt, doc_id) - 1)::BIGINT AS seq
+        |  FROM norm),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM r a JOIN r b ON b.seq - a.seq >= 1 AND b.seq - a.seq < 4),
+        |attr AS (SELECT doc_id, lang, source, n_chars // 256 AS lb FROM docs),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (CASE WHEN a.lang = b.lang THEN ${fl.agreeMicro} ELSE ${fl.disagreeMicro} END)::BIGINT AS w_lang,
+        |    (CASE WHEN a.source = b.source THEN ${fs.agreeMicro} ELSE ${fs.disagreeMicro} END)::BIGINT AS w_source,
+        |    (CASE WHEN a.lb = b.lb THEN ${fn.agreeMicro} ELSE ${fn.disagreeMicro} END)::BIGINT AS w_len
+        |  FROM cand c
+        |  JOIN attr a ON a.doc_id = c.doc_a
+        |  JOIN attr b ON b.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, w_lang, w_source, w_len,
+        |  w_lang + w_source + w_len AS fs_micro,
+        |  CASE WHEN w_lang + w_source + w_len >= 2000000 THEN 'link'
+        |       WHEN w_lang + w_source + w_len <= 0 THEN 'nonlink'
+        |       ELSE 'possible' END AS verdict
+        |FROM p""".stripMargin
+    },
+
+    "d_fs_uprob" ->
+      """SELECT 'lang' AS field, CAST(round(sq * 1e6 / (n * n)) AS BIGINT) AS u_micro
+        |FROM (SELECT sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS n
+        |      FROM (SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang))
+        |UNION ALL
+        |SELECT 'source', CAST(round(sq * 1e6 / (n * n)) AS BIGINT)
+        |FROM (SELECT sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS n
+        |      FROM (SELECT count(*)::BIGINT AS c FROM documents GROUP BY source))
+        |UNION ALL
+        |SELECT 'len', CAST(round(sq * 1e6 / (n * n)) AS BIGINT)
+        |FROM (SELECT sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS n
+        |      FROM (SELECT count(*)::BIGINT AS c FROM documents GROUP BY n_chars // 256))""".stripMargin,
+
     "r_mmr" -> {
       val picks = (1 to 8).map(i =>
         s"SELECT query_id, doc_id, ${i}::BIGINT AS mmr_rank, rel_micro, mmr_e12 FROM w$i")
@@ -6469,14 +6600,32 @@ object DataOpsQueries {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events),
         |r AS (
-        |  SELECT key, rn, ts_us, x, x AS sm FROM s WHERE rn = 1
+        |  SELECT key, rn, ts_us, event_id, x, x AS sm FROM s WHERE rn = 1
         |  UNION ALL
-        |  SELECT s.key, s.rn, s.ts_us, s.x,
+        |  SELECT s.key, s.rn, s.ts_us, s.event_id, s.x,
         |    (300000 * s.x + 700000 * r.sm) // 1000000
         |  FROM r JOIN s ON s.key = r.key AND s.rn = r.rn + 1)
-        |SELECT key, rn, ts_us, x AS value_micro, sm AS ewma_micro,
+        |SELECT key, rn, ts_us, event_id, x AS value_micro, sm AS ewma_micro,
         |  round(sm::DOUBLE / 1e6, 6) AS ewma
         |FROM r""".stripMargin,
+
+    "x_bootstrap" ->
+      s"""WITH ${bootstrapChainSql(40, 42L)}
+        |SELECT b, n_eff, sum_micro, mean FROM m""".stripMargin,
+
+    "x_bootstrap_ci" ->
+      s"""WITH ${bootstrapChainSql(40, 42L)},
+        |ranked AS (
+        |  SELECT mean, row_number() OVER (ORDER BY mean ASC, b ASC) AS r
+        |  FROM m),
+        |fullm AS (
+        |  SELECT round(sum(x)::DOUBLE / count(*) / 1e6, 6) AS mean_full
+        |  FROM base)
+        |SELECT (SELECT count(*) FROM ranked)::BIGINT AS n_replicates,
+        |  mean_full,
+        |  (SELECT mean FROM ranked WHERE r = 1) AS ci_lo,
+        |  (SELECT mean FROM ranked WHERE r = 39) AS ci_hi
+        |FROM fullm""".stripMargin,
 
     // independent dominance formulation — NOT the Spark side's census
     // trick — so a census-logic bug hash-fails here

@@ -44,6 +44,13 @@ object StreamingQueries {
     "st_event_seq" -> ((s, dir) =>
       EventStream.sequencedEvents(Tables.events(s, dir)).toDF()),
 
+    // flatMapGroupsWithState EWMA: the streaming twin of x_ewma — one
+    // long of state per user, same integer recurrence, same oracle
+    // family (recursive CTE).
+    "st_ewma" -> ((s, dir) =>
+      EventStream.ewmaStream(Tables.events(s, dir), alphaMicro = 300000L)
+        .toDF()),
+
     // Stream-stream interval join: clicks × same-user views within the
     // preceding 4 hours (bounded join state; oracle replays the predicate).
     "st_stream_join" -> ((s, dir) => {
@@ -150,6 +157,21 @@ object StreamingQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts::TIMESTAMP, event_id) AS seq
         |FROM events""".stripMargin,
+
+    "st_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    CAST(round(value * 1e6) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, event_id, ts_us, x, x AS sm FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.event_id, s.ts_us, s.x,
+        |    (300000 * s.x + 700000 * r.sm) // 1000000
+        |  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT user_id, event_id, ts_us, x AS value_micro, sm AS ewma_micro
+        |FROM r""".stripMargin,
 
     // µs gap (epoch_us on µs-truncated timestamps) matches Spark's
     // unix_micros exactly

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Smoothing {
 
-  /** Per-key EWMA: one output row per event, (key, rn, ts, value_micro,
-    * ewma_micro, ewma) with rn the 1-based position in (order, tieCol)
-    * order. s_1 = x_1; α in micro units (e.g. 300000 ≡ 0.3).
+  /** Per-key EWMA: one output row per event, (key, rn, o, t,
+    * value_micro, ewma_micro, ewma) with rn the 1-based position in
+    * (order, tie) order and o/t the order and tie values carried
+    * through. s_1 = x_1; α in micro units (e.g. 300000 ≡ 0.3).
     */
   def ewma(df: DataFrame, key: Column, order: Column, tie: Column,
            value: Column, alphaMicro: Long): DataFrame = {
@@ -59,7 +60,8 @@ object Smoothing {
            |  acc -> acc.out)""".stripMargin))
     folded.select(col("k"), posexplode(arrays_zip(col("xs"), col("sm"))))
       .select(col("k").as("key"), (col("pos") + 1).cast("long").as("rn"),
-        col("col.xs.o").as("o"), col("col.xs.x").as("value_micro"),
+        col("col.xs.o").as("o"), col("col.xs.t").as("t"),
+        col("col.xs.x").as("value_micro"),
         col("col.sm").as("ewma_micro"),
         round(col("col.sm").cast("double") / 1e6, 6).as("ewma"))
   }

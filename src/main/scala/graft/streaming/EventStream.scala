@@ -183,6 +183,46 @@ object EventStream {
       }
   }
 
+  case class EventEwma(user_id: Long, event_id: Long, ts_us: Long,
+                       value_micro: Long, ewma_micro: Long)
+
+  /** Streaming twin of [[graft.operators.Smoothing.ewma]]: the same
+    * integer-exact recurrence s_t = (α·x_t + (1e6−α)·s_{t−1}) div 1e6,
+    * run incrementally — state is ONE long per user (the last smoothed
+    * value), each trigger sorts only its own micro-batch slice by
+    * (ts_us, event_id) and folds on from the carried state. This is the
+    * unbounded-history path the batch operator's scaladoc points to:
+    * state never grows with history, only with the key count. Late data
+    * past a processed slice would mis-order the recurrence — pair with
+    * watermarked ingestion dedup upstream ([[dedupedEvents]]) when the
+    * source can reorder beyond a micro-batch.
+    */
+  def ewmaStream(events: DataFrame, alphaMicro: Long): Dataset[EventEwma] = {
+    require(alphaMicro > 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val a = alphaMicro
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1e6).cast("long").as("x"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, EventEwma](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
+          var prev = state.getOption.getOrElse(-1L)
+          val out = sorted.map { case (_, eid, ts, x) =>
+            prev = if (prev < 0) x
+            else (a * x + (1000000L - a) * prev) / 1000000L
+            EventEwma(uid, eid, ts, x, prev)
+          }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
   /** Stream-STREAM interval join (click attribution): each click joins
     * the same user's views from the preceding `window`. Both sides are
     * watermarked, and the range predicate is what lets Spark BOUND the

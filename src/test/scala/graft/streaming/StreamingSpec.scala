@@ -258,6 +258,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA carries state across micro-batches, equals batch") {
+    // split by TIME (not id): the recurrence is order-sensitive, so the
+    // second trigger must only ever see events later than the first —
+    // exactly the contract a real ingestion feed provides.
+    val batchEvents = graft.Tables.events(spark, eventsDir).cache()
+    val bounds = batchEvents
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cutoff = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ewma")
+    stageParquet(batchEvents.where(unix_micros(col("ts")) <= cutoff),
+      streamDir, "a.parquet")
+    stageParquet(batchEvents.where(unix_micros(col("ts")) > cutoff),
+      streamDir, "b.parquet")
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = EventStream.ewmaStream(stream, alphaMicro = 300000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.table("ewma_out")
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val batch = graft.operators.Smoothing.ewma(batchEvents,
+        key = col("user_id"), order = unix_micros(col("ts")),
+        tie = col("event_id"), value = col("value"), alphaMicro = 300000L)
+      .collect().map(r => r.getLong(3) -> r.getLong(5)).toMap
+    assert(streamed.nonEmpty && streamed.size === batch.size)
+    assert(streamed === batch,
+      "state carry across triggers must reproduce the batch recurrence")
+  }
+
   test("stream-stream interval join equals the batch result") {
     val ev = graft.Tables.events(spark, eventsDir)
     val expected = EventStream.clickAttribution(
