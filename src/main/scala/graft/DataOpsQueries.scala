@@ -2294,6 +2294,28 @@ object DataOpsQueries {
       operators.PageRank.pageRank(edges, iterations = 10)
     }),
 
+    // Warm-start PageRank: 5 cold rounds persisted as "yesterday's"
+    // ranks, then 3 warm rounds — the daily-loop refresh shape. The
+    // in-gate require pins warmStart(5)+3 ≡ cold 8 node-for-node; the
+    // oracle replays all 8 rounds.
+    "g_pagerank_warm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val day1 = operators.PageRank.pageRank(edges, iterations = 5)
+        .select(col("node"), col("pr_micro")).localCheckpoint()
+      val warm = operators.PageRank.pageRank(edges, iterations = 3,
+        initRanks = Some(day1))
+      val cold = operators.PageRank.pageRank(edges, iterations = 8)
+      val diff = warm.select("node", "pr_micro")
+        .exceptAll(cold.select("node", "pr_micro")).count()
+      require(diff == 0,
+        s"warm-start must equal the cold 8-round run, $diff rows differ")
+      warm
+    }),
+
     // Weighted PageRank: the doc graph with deterministic multiplicity
     // weights 1 + (src + dst) % 5 — rank mass splits proportionally to
     // out-edge weight. All 10 rounds replayed.
@@ -2388,6 +2410,15 @@ object DataOpsQueries {
         key = col("user_id"), order = unix_micros(col("ts")),
         tie = col("event_id"), value = col("value"), alphaMicro = 300000L)
         .withColumnRenamed("o", "ts_us").withColumnRenamed("t", "event_id")),
+
+    // Quantile normalization: per-lang exact percentile of n_chars
+    // mapped onto the GLOBAL 64-bucket histogram inverse CDF — the
+    // cross-group calibration step; windows partition by lang, census
+    // broadcast, all arithmetic replayed.
+    "t_quantile_norm" -> ((s, dir) =>
+      operators.HistQuantile.normalizeBy(Tables.documents(s, dir),
+        idCol = col("doc_id"), groups = Seq("lang"), value = col("n_chars"),
+        lo = 0.0, hi = 640.0, buckets = 64)),
 
     // Poisson bootstrap: 40 replicate means of the event value, weights
     // from the constant Poisson(1) ladder over md5 uniforms — exact
@@ -6420,6 +6451,11 @@ object DataOpsQueries {
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
         |FROM pr10""".stripMargin,
 
+    "g_pagerank_warm" ->
+      s"""WITH ${pageRankChainSql(8)}
+        |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
+        |FROM pr8""".stripMargin,
+
     "g_pagerank_weighted" ->
       s"""WITH ${pageRankWeightedChainSql(10)}
         |SELECT node, pr AS pr_micro, round(pr::DOUBLE / 1e6, 6) AS pr
@@ -6608,6 +6644,30 @@ object DataOpsQueries {
         |SELECT key, rn, ts_us, event_id, x AS value_micro, sm AS ewma_micro,
         |  round(sm::DOUBLE / 1e6, 6) AS ewma
         |FROM r""".stripMargin,
+
+    "t_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, lang, n_chars AS v FROM documents),
+        |ranked AS (
+        |  SELECT id, lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v ASC, id ASC)::BIGINT AS r,
+        |    count(*) OVER (PARTITION BY lang)::BIGINT AS m
+        |  FROM base),
+        |h AS (
+        |  SELECT least(greatest(floor((n_chars - 0.0) / 10.0), 0), 63)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, cnt,
+        |    sum(cnt) OVER (ORDER BY bucket) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM h)
+        |SELECT id, lang, v, round(r::DOUBLE / m, 6) AS q,
+        |  round(0.0 + bucket * 10.0 +
+        |    10.0 * (ceil(r::DOUBLE / m * n) - (cum - cnt)) / cnt, 6) AS qnorm
+        |FROM ranked JOIN c
+        |  ON cum >= ceil(r::DOUBLE / m * n)
+        |  AND (cum - cnt) < ceil(r::DOUBLE / m * n)""".stripMargin,
 
     "x_bootstrap" ->
       s"""WITH ${bootstrapChainSql(40, 42L)}

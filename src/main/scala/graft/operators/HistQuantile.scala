@@ -96,6 +96,49 @@ object HistQuantile {
           6).as("qtile"): _*)
   }
 
+  /** Quantile normalization: map each row's WITHIN-GROUP rank onto the
+    * GLOBAL value distribution — the cross-group calibration step that
+    * makes one threshold meaningful across languages/sources whose raw
+    * score scales differ (a "long" German doc and a "long" Chinese doc
+    * land on the same normalized value if they sit at the same
+    * percentile of their group). q = r/m from the exact per-group
+    * row_number (windows PARTITIONED by group — group-parallel); the
+    * inverse CDF comes from the global [[histogram]] census via the
+    * same interpolation as [[quantiles]], found by joining each row's
+    * target rank into the broadcast ≤buckets-row cumulated census (a
+    * bounded nested-loop against ≤`buckets` rows, not a corpus join).
+    * Output: (idCol, groups..., value, q, qnorm).
+    */
+  def normalizeBy(df: DataFrame, idCol: Column, groups: Seq[String],
+                  value: Column, lo: Double, hi: Double,
+                  buckets: Int): DataFrame = {
+    require(groups.nonEmpty, "need at least one group column")
+    val w = (hi - lo) / buckets
+    val base = df.select(idCol.as("id") +: groups.map(col) :+
+      value.as("v"): _*)
+    val byGroup = Window.partitionBy(groups.map(col): _*)
+    val ranked = base
+      .withColumn("r", row_number().over(
+        byGroup.orderBy(col("v").asc, col("id").asc)).cast("long"))
+      .withColumn("m", count(lit(1)).over(byGroup))
+      .withColumn("q", col("r").cast("double") / col("m"))
+    val cum = histogram(df, value, lo, hi, buckets)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked
+      .crossJoin(broadcast(cum))
+      .withColumn("_t", ceil(col("q") * col("n")))
+      .where(col("cum") >= col("_t") && (col("cum") - col("cnt")) < col("_t"))
+      .select(col("id") +: groups.map(col) :+ col("v") :+
+        round(col("q"), 6).as("q") :+
+        round(lit(lo) + col("bucket") * lit(w) +
+          lit(w) * (col("_t") - (col("cum") - col("cnt"))) / col("cnt"),
+          6).as("qnorm"): _*)
+  }
+
   /** Interpolated quantile estimates from a census. For each q the
     * target rank is ceil(q·N); the estimate interpolates linearly inside
     * the bucket containing that rank:

@@ -33,8 +33,20 @@ object PageRank {
   /** (node, pr_micro, pr): ranks after `iterations` rounds over
     * `edges` (src, dst).
     */
+  /** @param initRanks optional WARM START: yesterday's (node, pr_micro)
+    *                   frame — today's run continues from it instead of
+    *                   uniform, so a daily-loop refresh needs the few
+    *                   rounds the graph DELTA perturbs, not a cold
+    *                   convergence. Nodes absent from the init (new
+    *                   pages) seed at the uniform 1e6/n; init rows for
+    *                   vanished nodes are dropped by the join. Because
+    *                   every round is a deterministic pure function of
+    *                   the prior state, warmStart(pageRank(k), m) ≡
+    *                   pageRank(k+m) exactly — gate-pinned.
+    */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 3): DataFrame = {
+               checkpointEvery: Int = 3,
+               initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -43,9 +55,21 @@ object PageRank {
       .distinct().localCheckpoint()
     val cnt = nodes.agg(count(lit(1)).as("nn"))
     val od = e.groupBy("src").agg(count(lit(1)).as("out"))
-    var pr = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
-      .localCheckpoint()
+    var pr = initRanks match {
+      case None =>
+        nodes.crossJoin(broadcast(cnt))
+          .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
+          .localCheckpoint()
+      case Some(init) =>
+        nodes
+          .join(init.select(col("node"), col("pr_micro").as("_init")),
+            Seq("node"), "left_outer")
+          .crossJoin(broadcast(cnt))
+          .select(col("node"),
+            coalesce(col("_init"),
+              round(lit(1e6) / col("nn")).cast("long")).as("pr"))
+          .localCheckpoint()
+    }
     var i = 1
     while (i <= iterations) {
       val contrib = e

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
   *   - `bloom_contains(filterBytes, value)` — row-wise membership probe
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // fuse the portable-uniform md5 idiom into the native long kernel
+    ext.injectOptimizerRule(_ => graft.plans.FuseMd5Uniform)
+  }
 }
 
 object GraftFunctions {

@@ -7,7 +7,9 @@ object DebugMain {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     implicit val spark: SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus.toString)
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.session.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

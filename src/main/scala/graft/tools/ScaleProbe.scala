@@ -17,7 +17,9 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus.toString)
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.session.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // regenerated events.parquet would otherwise infer TIMESTAMP_NTZ,
       // which unix_micros rejects — same setting as Verify/Bench
@@ -193,7 +195,18 @@ object ScaleProbe {
       // pool² sims and greedy rounds are pool-bounded (flat at K×)
       "r_mmr",
       // x-grain census + sharded suffix max + broadcast verdict join
-      "x_pareto")
+      "x_pareto",
+      // blocking candidates O(n·w); scoring a shuffle-free projection
+      "d_fellegi_sunter",
+      // one scan → map-side combine to a B-row census
+      "x_bootstrap",
+      // group windows + broadcast ≤64-row census join
+      "t_quantile_norm",
+      // 5 persisted + 3 warm rounds + the cold-8 equivalence require —
+      // the probe measures the whole daily refresh INCLUDING its proof
+      "g_pagerank_warm",
+      // stateful recurrence, one long of state per user
+      "st_ewma")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

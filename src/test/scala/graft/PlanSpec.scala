@@ -749,6 +749,18 @@ class PlanSpec extends SparkSpec {
       s"the (x, M) verdict table must broadcast back to the corpus:\n$p")
   }
 
+  test("top-k windows ride WindowGroupLimit: partial per-partition limit before the exchange") {
+    val p = executed("e_cosine_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must push a partial group limit below the shuffle:\n$p")
+  }
+
+  test("t_dsir_sample: the fused md5 uniform kernel is in the executed plan") {
+    val p = executed("t_dsir_sample")
+    assert(p.contains("md5_prefix60"),
+      s"FuseMd5Uniform must rewrite the portable-uniform idiom:\n$p")
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single

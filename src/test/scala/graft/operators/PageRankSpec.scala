@@ -17,6 +17,34 @@ class PageRankSpec extends SparkSpec {
     assert(un == w1)
   }
 
+  test("warm start: k cold + m warm rounds equal k+m cold rounds") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val day1 = PageRank.pageRank(e, iterations = 4)
+      .select(col("node"), col("pr_micro"))
+    val warm = PageRank.pageRank(e, iterations = 3, initRanks = Some(day1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = PageRank.pageRank(e, iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === cold)
+  }
+
+  test("warm start: new nodes in the delta seed at uniform, vanished ones drop") {
+    import spark.implicits._
+    val day1Graph = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val day1 = PageRank.pageRank(day1Graph, iterations = 3)
+      .select(col("node"), col("pr_micro"))
+    // day 2: node 3 appears, nothing vanishes
+    val day2Graph = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val warm = PageRank.pageRank(day2Graph, iterations = 2,
+        initRanks = Some(day1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm.keySet === Set(1L, 2L, 3L))
+    assert(warm(3L) > 0L)
+    assert(warm(1L) > warm(3L), "the linked-to node must outrank the leaf")
+  }
+
   test("weighted: mass follows the heavy edge") {
     import spark.implicits._
     // 1 → 2 (w 9) and 1 → 3 (w 1): node 2 must end far above node 3
