@@ -2420,6 +2420,35 @@ object DataOpsQueries {
         idCol = col("doc_id"), groups = Seq("lang"), value = col("n_chars"),
         lo = 0.0, hi = 640.0, buckets = 64)),
 
+    // Homoglyph spoof detection: every 5th doc re-enters the corpus
+    // with Latin aeo swapped for Cyrillic аео — invisible to exact and
+    // shingle dedup, caught by the skeleton fold. The oracle replays
+    // the same confusable table (interpolated from the operator).
+    "t_homoglyph" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val spoofed = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeo", "аео").as("text"))
+      operators.Homoglyph.spoofPairs(d.unionByName(spoofed))
+    }),
+
+    // The fused uniform kernel on the SQL surface: md5_prefix60(text)
+    // must equal the composed conv/substring/md5 spelling the oracle
+    // uses — the SQL-function twin of the FuseMd5Uniform rewrite.
+    "f_sql_md5prefix" -> ((s, dir) => {
+      graft.session.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("docs_md5p")
+      s.sql("SELECT doc_id, md5_prefix60(coalesce(text, '')) AS u FROM docs_md5p")
+    }),
+
+    // Single change-point over the hourly event census: argmax of the
+    // between-segment SSE term from exact prefix sums — one double
+    // chain per split, 6dp round, split-index tie-break.
+    "x_changepoint" -> ((s, dir) =>
+      operators.Changepoint.bestSplit(
+        operators.Changepoint.census(Tables.events(s, dir),
+          expr("unix_micros(ts) div 3600000000")), minSeg = 2)),
+
     // Poisson bootstrap: 40 replicate means of the event value, weights
     // from the constant Poisson(1) ladder over md5 uniforms — exact
     // micro sums, every replicate replayed by the oracle.
@@ -2591,7 +2620,11 @@ object DataOpsQueries {
         MinValue("n_chars", 0.0),
         MaxValue("n_chars", 10000.0),
         InSet("lang", Seq("en", "de", "fr", "es", "zh"), 1.0),
-        Matches("source", "^src[0-9]+$", 1.0)))
+        Matches("source", "^src[0-9]+$", 1.0),
+        // doc_id → lang holds (key determines everything); source →
+        // lang deliberately fails (sources span languages)
+        FunctionalDep("doc_id", "lang", 1.0),
+        FunctionalDep("source", "lang", 1.0)))
     }),
 
     // IPF raking: reweight the (lang, source) cell census so BOTH
@@ -6520,6 +6553,16 @@ object DataOpsQueries {
         |SELECT 'matches', 'source',
         |  round(avg(CASE WHEN source IS NOT NULL THEN (CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1.0 ELSE 0.0 END) END), 6), 1.0::DOUBLE,
         |  coalesce(avg(CASE WHEN source IS NOT NULL THEN (CASE WHEN regexp_matches(source, '^src[0-9]+$') THEN 1.0 ELSE 0.0 END) END) >= 1.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'functional_dep', 'doc_id',
+        |  round(count(DISTINCT doc_id)::DOUBLE / count(DISTINCT (doc_id, lang)), 6), 1.0::DOUBLE,
+        |  coalesce(count(DISTINCT doc_id)::DOUBLE / count(DISTINCT (doc_id, lang)) >= 1.0, false)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'functional_dep', 'source',
+        |  round(count(DISTINCT source)::DOUBLE / count(DISTINCT (source, lang)), 6), 1.0::DOUBLE,
+        |  coalesce(count(DISTINCT source)::DOUBLE / count(DISTINCT (source, lang)) >= 1.0, false)
         |FROM documents""".stripMargin,
 
     "x_ipf_raking" ->
@@ -6668,6 +6711,56 @@ object DataOpsQueries {
         |FROM ranked JOIN c
         |  ON cum >= ceil(r::DOUBLE / m * n)
         |  AND (cum - cnt) < ceil(r::DOUBLE / m * n)""".stripMargin,
+
+    "t_homoglyph" ->
+      s"""WITH spoof AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    translate(text, 'aeo', 'аео') AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM spoof),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    md5(translate(text, '${operators.Homoglyph.confusablesFrom}', '${operators.Homoglyph.confusablesTo}')) AS skel_digest
+        |  FROM corpus WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.skel_digest
+        |FROM k a JOIN k b ON a.skel_digest = b.skel_digest
+        |  AND a.doc_id < b.doc_id AND a.text <> b.text""".stripMargin,
+
+    "f_sql_md5prefix" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS u
+        |FROM documents""".stripMargin,
+
+    "x_changepoint" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT bucket, cnt,
+        |    row_number() OVER (ORDER BY bucket)::BIGINT AS i,
+        |    coalesce(sum(cnt) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS sl,
+        |    count(*) OVER ()::BIGINT AS n,
+        |    sum(cnt) OVER ()::BIGINT AS s
+        |  FROM c),
+        |sc AS (
+        |  SELECT bucket, i - 1 AS nl, n - (i - 1) AS nr, sl, s - sl AS sr, n
+        |  FROM p WHERE i - 1 >= 2 AND n - (i - 1) >= 2),
+        |f AS (
+        |  SELECT bucket, nl, nr, sl, sr, n, (nl * sr - nr * sl) AS d FROM sc),
+        |r AS (
+        |  SELECT bucket, nl, nr, sl, sr, n, d,
+        |    row_number() OVER (
+        |      ORDER BY round(d::DOUBLE * d / (nl * nr) / n, 6) DESC, bucket ASC) AS rk
+        |  FROM f)
+        |SELECT bucket AS split_bucket, nl AS n_left, nr AS n_right,
+        |  round(sl::DOUBLE / nl, 6) AS mean_left,
+        |  round(sr::DOUBLE / nr, 6) AS mean_right,
+        |  round(d::DOUBLE * d / (nl * nr) / n, 6) AS score
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "x_bootstrap" ->
       s"""WITH ${bootstrapChainSql(40, 42L)}

@@ -59,6 +59,18 @@ object Constraints {
                            threshold: Double) extends Check {
     val name = "matches"
   }
+  /** Functional dependency `column → dependent`:
+    * count_distinct(column) / count_distinct(column, dependent) ≥
+    * threshold — exactly 1.0 ⟺ every determinant value maps to one
+    * dependent value. Folds into the same single-pass agg (one more
+    * Expand branch), so FD profiling costs no extra scan. Assumes
+    * null-free determinant/dependent columns (Spark's multi-argument
+    * DISTINCT drops any-null tuples — pair with [[Complete]] checks).
+    */
+  final case class FunctionalDep(column: String, dependent: String,
+                                 threshold: Double = 1.0) extends Check {
+    val name = "functional_dep"
+  }
 
   private def metric(c: Check): Column = c match {
     case Complete(col0, _) =>
@@ -77,6 +89,9 @@ object Constraints {
     case Matches(col0, re, _) =>
       avg(when(col(col0).isNotNull,
         when(regexp_like(col(col0), lit(re)), 1.0d).otherwise(0.0d)))
+    case FunctionalDep(det, dep, _) =>
+      try_divide(count_distinct(col(det)).cast("double"),
+        count_distinct(col(det), col(dep)))
   }
 
   private def passed(c: Check, m: Column): Column = {

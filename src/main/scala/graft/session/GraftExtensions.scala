@@ -107,7 +107,14 @@ object GraftFunctions {
       info("bloom_contains"),
       { case Seq(b, v) => BloomBytesMightContain(b, v)
         case args => throw new IllegalArgumentException(
-          s"bloom_contains expects 2 arguments, got ${args.length}") })
+          s"bloom_contains expects 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60"),
+      { case Seq(c) => graft.functions.Md5Prefix60(
+          org.apache.spark.sql.catalyst.expressions.Cast(c,
+            org.apache.spark.sql.types.BinaryType))
+        case args => throw new IllegalArgumentException(
+          s"md5_prefix60 expects 1 argument, got ${args.length}") })
   )
 
   private def longLit(e: Expression, fn: String): Long = e match {

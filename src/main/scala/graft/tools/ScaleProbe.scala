@@ -206,7 +206,13 @@ object ScaleProbe {
       // the probe measures the whole daily refresh INCLUDING its proof
       "g_pagerank_warm",
       // stateful recurrence, one long of state per user
-      "st_ewma")
+      "st_ewma",
+      // hour-bucket census then census-grain split scan
+      "x_changepoint",
+      // one translate() projection + digest equi-join
+      "t_homoglyph",
+      // SQL-surface twin of the fused uniform kernel
+      "f_sql_md5prefix")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

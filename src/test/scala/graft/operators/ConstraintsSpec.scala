@@ -1,3 +1,4 @@
+// (FunctionalDep coverage added at the bottom of this suite)
 package graft.operators
 
 import graft.SparkSpec
@@ -59,5 +60,18 @@ class ConstraintsSpec extends SparkSpec {
     val ref = Seq(1L, 2L).toDF("rid")
     val n = Constraints.orphans(df, "id", ref, "rid").head().getLong(0)
     assert(n == 3) // ids 3, 4, 4
+  }
+
+  test("FunctionalDep: holds at exactly 1.0, violations lower the ratio") {
+    val fd = Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("k", "v")
+    val ok = validate(fd, Seq(FunctionalDep("k", "v"))).head()
+    assert(ok.getDouble(2) === 1.0 && ok.getBoolean(4))
+    val bad = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "v")
+    val r = validate(bad, Seq(FunctionalDep("k", "v"))).head()
+    // 2 determinants / 3 (k,v) pairs
+    assert(r.getDouble(2) === math.round(2.0 / 3.0 * 1e6) / 1e6)
+    assert(!r.getBoolean(4))
   }
 }
