@@ -2449,6 +2449,26 @@ object DataOpsQueries {
         operators.Changepoint.census(Tables.events(s, dir),
           expr("unix_micros(ts) div 3600000000")), minSeg = 2)),
 
+    // Top user journeys: per-user ordered event-type trigram census
+    // with path shares — one lag window, types³-bounded census.
+    "x_journeys" -> ((s, dir) =>
+      operators.EventAnalytics.journeyNgrams(Tables.events(s, dir), n = 3)),
+
+    // Theil–Sen robust trend over the hourly census: median of all
+    // pairwise slopes (exact long deltas, one IEEE division each),
+    // median intercept — the spike-immune trend next to x_changepoint.
+    "x_theilsen" -> ((s, dir) =>
+      operators.TimeSeriesStats.theilSen(
+        operators.Changepoint.census(Tables.events(s, dir),
+          expr("unix_micros(ts) div 3600000000")))),
+
+    // Exact sample autocorrelation r_1..r_4 over the hourly census —
+    // integer power sums scaled by n², ONE double division per lag.
+    "x_autocorr" -> ((s, dir) =>
+      operators.TimeSeriesStats.autocorrelation(
+        operators.Changepoint.census(Tables.events(s, dir),
+          expr("unix_micros(ts) div 3600000000")), maxLag = 4)),
+
     // Poisson bootstrap: 40 replicate means of the event value, weights
     // from the constant Poisson(1) ladder over md5 uniforms — exact
     // micro sums, every replicate replayed by the oracle.
@@ -6732,6 +6752,73 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS u
         |FROM documents""".stripMargin,
+
+    "x_journeys" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    event_type AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)),
+        |census AS (
+        |  SELECT t1, t2, t3, count(*)::BIGINT AS n
+        |  FROM e WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n,
+        |  round(n::DOUBLE / (SELECT sum(n) FROM census), 6) AS share
+        |FROM census""".stripMargin,
+
+    "x_theilsen" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |sl AS (
+        |  SELECT a.bucket AS bi, b.bucket AS bj,
+        |    (b.cnt - a.cnt)::DOUBLE / (b.bucket - a.bucket) AS slope
+        |  FROM c a JOIN c b ON b.bucket > a.bucket),
+        |rs AS (
+        |  SELECT slope,
+        |    row_number() OVER (ORDER BY slope ASC, bi ASC, bj ASC)::BIGINT AS r,
+        |    count(*) OVER ()::BIGINT AS n
+        |  FROM sl),
+        |med AS (
+        |  SELECT n AS n_pairs, slope FROM rs
+        |  WHERE r = CAST(ceil(n / 2.0) AS BIGINT)),
+        |res AS (
+        |  SELECT c.cnt::DOUBLE - (SELECT slope FROM med) * c.bucket AS res
+        |  FROM c),
+        |rr AS (
+        |  SELECT res,
+        |    row_number() OVER (ORDER BY res ASC)::BIGINT AS r,
+        |    count(*) OVER ()::BIGINT AS n
+        |  FROM res)
+        |SELECT (SELECT n_pairs FROM med) AS n_pairs,
+        |  round((SELECT slope FROM med), 6) AS slope,
+        |  round(res, 6) AS intercept
+        |FROM rr WHERE r = CAST(ceil(n / 2.0) AS BIGINT)""".stripMargin,
+
+    "x_autocorr" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS s,
+        |    sum(cnt * cnt)::BIGINT AS sq
+        |  FROM c),
+        |lagk AS (
+        |  SELECT k, count(*)::BIGINT AS m,
+        |    sum(a.cnt * b.cnt)::BIGINT AS sxy,
+        |    sum(a.cnt)::BIGINT AS sh, sum(b.cnt)::BIGINT AS st
+        |  FROM (SELECT unnest([1, 2, 3, 4]) AS k) lags
+        |  JOIN c a ON true
+        |  JOIN c b ON b.bucket = a.bucket + k
+        |  GROUP BY k)
+        |SELECT k::BIGINT AS lag, m AS n_terms,
+        |  round((n * n * sxy - n * s * (sh + st) + m * s * s)::DOUBLE /
+        |        (n * n * sq - n * s * s), 6) AS r
+        |FROM lagk, tot""".stripMargin,
 
     "x_changepoint" ->
       """WITH c AS (

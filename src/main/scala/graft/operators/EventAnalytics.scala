@@ -180,6 +180,33 @@ object EventAnalytics {
         round(col("n").cast("double") / col("_t"), 6).as("p"))
   }
 
+  /** Top user journeys: the event-type n-gram census over each user's
+    * (ts, event_id)-ordered stream — "what are the common 3-step
+    * paths?" next to [[typeTransitions]]'s 1-step matrix. One
+    * user-partitioned lag window (n−1 lags in the same window — one
+    * shuffle), then a types^n-bounded census with per-path share.
+    * Output: (t1..tn, n, share) where share is the path's fraction of
+    * all complete n-grams, rounded 6dp.
+    */
+  def journeyNgrams(events: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 5, s"n must be in [2, 5], got $n")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val lagged = (1 until n).foldLeft(
+      base.withColumn(s"t$n", col("event_type"))) { (df, i) =>
+      df.withColumn(s"t${n - i}", lag(col("event_type"), i).over(w))
+    }
+    val cols = (1 to n).map(i => col(s"t$i"))
+    val grams = lagged.where(cols.head.isNotNull)
+    val census = grams.groupBy(cols: _*).agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("_t"))
+    census.crossJoin(broadcast(tot))
+      .select(cols :+ col("n") :+
+        round(col("n").cast("double") / col("_t"), 6).as("share"): _*)
+  }
+
   /** Two-proportion A/B z-test over a deterministic hash split: users
     * land in arm A/B by their md5 parity (the [[HashSplit]] idea), a
     * user converts if they have ≥1 event satisfying `conversion`, and

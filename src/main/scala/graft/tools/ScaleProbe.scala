@@ -212,7 +212,9 @@ object ScaleProbe {
       // one translate() projection + digest equi-join
       "t_homoglyph",
       // SQL-surface twin of the fused uniform kernel
-      "f_sql_md5prefix")
+      "f_sql_md5prefix",
+      // census-grain pair slopes / lag joins; one lag window per user
+      "x_theilsen", "x_autocorr", "x_journeys")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -161,4 +161,22 @@ class EventAnalyticsSpec extends SparkSpec {
     val b = out.where($"event_type" === "b").collect()
     assert(b.forall(r => r.isNullAt(r.fieldIndex("z")) && !r.getAs[Boolean]("anomaly")))
   }
+
+  test("journeyNgrams: per-user trigrams don't cross users, shares sum to 1") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // user 1: a b c d → trigrams abc, bcd; user 2: x y z → xyz
+    val rows = Seq(
+      (1L, t(1), 1L, "a", 0.0, ""), (2L, t(2), 1L, "b", 0.0, ""),
+      (3L, t(3), 1L, "c", 0.0, ""), (4L, t(4), 1L, "d", 0.0, ""),
+      (5L, t(1), 2L, "x", 0.0, ""), (6L, t(2), 2L, "y", 0.0, ""),
+      (7L, t(3), 2L, "z", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.journeyNgrams(rows, n = 3).collect()
+    val paths = out.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(paths.toSet === Set(("a", "b", "c"), ("b", "c", "d"), ("x", "y", "z")))
+    // shares are 6dp-rounded (oracle-hash contract): 3 × 0.333333
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    assert(!paths.contains(("c", "d", "x")), "no cross-user n-grams")
+  }
 }
