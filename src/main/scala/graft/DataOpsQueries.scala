@@ -2449,6 +2449,30 @@ object DataOpsQueries {
         operators.Changepoint.census(Tables.events(s, dir),
           expr("unix_micros(ts) div 3600000000")), minSeg = 2)),
 
+    // Kaplan–Meier user-lifetime survival with right-censoring (last
+    // event within 1 day of the horizon = still active, not churned):
+    // the survival product is exact integer micro math per step, so
+    // the oracle's recursive CTE replays the whole curve.
+    "x_kaplan_meier" -> ((s, dir) =>
+      operators.Survival.kaplanMeier(Tables.events(s, dir), censorDays = 1)),
+
+    // Corpus concentration: Gini of per-source contribution (exact
+    // integer rank sums, one double chain), Shannon entropy of the
+    // language mix (per-term micro rounds before the sum), and the
+    // top-20 source coverage curve.
+    "k_gini" -> ((s, dir) =>
+      operators.Concentration.gini(
+        operators.Concentration.census(Tables.documents(s, dir), col("source")))),
+
+    "k_entropy" -> ((s, dir) =>
+      operators.Concentration.entropy(
+        operators.Concentration.census(Tables.documents(s, dir), col("lang")))),
+
+    "k_coverage" -> ((s, dir) =>
+      operators.Concentration.coverage(
+        operators.Concentration.census(Tables.documents(s, dir), col("source")),
+        topK = 20)),
+
     // Top user journeys: per-user ordered event-type trigram census
     // with path shares — one lag window, types³-bounded census.
     "x_journeys" -> ((s, dir) =>
@@ -6752,6 +6776,78 @@ object DataOpsQueries {
       """SELECT doc_id,
         |  ('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT AS u
         |FROM documents""".stripMargin,
+
+    "x_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id, min(epoch_us(ts::TIMESTAMP))::BIGINT AS f,
+        |    max(epoch_us(ts::TIMESTAMP))::BIGINT AS l
+        |  FROM events GROUP BY 1),
+        |obs AS (
+        |  SELECT user_id, (l - f) // 86400000000 AS t_days,
+        |    l < (SELECT max(l) FROM u) - 86400000000 AS churned
+        |  FROM u),
+        |byday AS (
+        |  SELECT t_days, count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t_days, d,
+        |    sum(n_users) OVER (ORDER BY t_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_risk
+        |  FROM byday),
+        |ev AS (
+        |  SELECT t_days, n_risk, d,
+        |    row_number() OVER (ORDER BY t_days ASC)::BIGINT AS rn
+        |  FROM risk WHERE d > 0),
+        |r AS (
+        |  SELECT t_days, n_risk, d, rn,
+        |    (1000000 * (n_risk - d)) // n_risk AS s
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.t_days, e.n_risk, e.d, e.rn,
+        |    (r.s * (e.n_risk - e.d)) // e.n_risk
+        |  FROM r JOIN ev e ON e.rn = r.rn + 1)
+        |SELECT t_days, n_risk, d, s AS s_micro,
+        |  round(s::DOUBLE / 1e6, 6) AS s
+        |FROM r""".stripMargin,
+
+    "k_gini" ->
+      """WITH c AS (
+        |  SELECT source AS g, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT g, cnt,
+        |    row_number() OVER (ORDER BY cnt ASC, g ASC)::BIGINT AS i
+        |  FROM c)
+        |SELECT count(*)::BIGINT AS n_groups, sum(cnt)::BIGINT AS total,
+        |  round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+        |    - (count(*) + 1)::DOUBLE / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+
+    "k_entropy" ->
+      """WITH c AS (
+        |  SELECT lang AS g, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS s, count(*)::BIGINT AS n FROM c),
+        |t AS (
+        |  SELECT n, s,
+        |    CAST(round(-(cnt::DOUBLE / s) * ln(cnt::DOUBLE / s) * 1e6) AS BIGINT) AS tm
+        |  FROM c, tot)
+        |SELECT n AS n_groups, s AS total,
+        |  round(sum(tm)::DOUBLE / 1e6, 6) AS entropy_nats,
+        |  CASE WHEN n > 1 THEN round(sum(tm)::DOUBLE / 1e6 / ln(n::DOUBLE), 6) END AS entropy_norm
+        |FROM t GROUP BY n, s""".stripMargin,
+
+    "k_coverage" ->
+      """WITH c AS (
+        |  SELECT source AS g, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT g, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, g ASC)::BIGINT AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, g ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM c)
+        |SELECT rank, g, cnt,
+        |  round(cum::DOUBLE / (SELECT sum(cnt) FROM c), 6) AS cum_share
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     "x_journeys" ->
       """WITH e AS (

@@ -214,7 +214,9 @@ object ScaleProbe {
       // SQL-surface twin of the fused uniform kernel
       "f_sql_md5prefix",
       // census-grain pair slopes / lag joins; one lag window per user
-      "x_theilsen", "x_autocorr", "x_journeys")
+      "x_theilsen", "x_autocorr", "x_journeys",
+      // group-census concentration stats; day-census KM fold
+      "k_gini", "k_entropy", "k_coverage", "x_kaplan_meier")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
