@@ -207,16 +207,39 @@ object Retrieval {
     val postings = docs.select(col("doc_id"),
       posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
         .as(Seq("pos", "term")))
+      .localCheckpoint()
     val qterms = queries.select(col("query_id"),
       posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
         .as(Seq("off", "term")))
+      .localCheckpoint()
     val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("qlen"))
-    val occurrences = qterms.join(postings, "term")
-      .groupBy(col("query_id"), col("doc_id"),
-        (col("pos") - col("off")).as("base"))
+    // The classic phrase-query optimization: anchor each query on its
+    // RAREST term (postings census join + per-query argmin), so the
+    // candidate set is bounded by that term's df — not the sum of every
+    // query term's postings, which for common-word phrases is the whole
+    // corpus token stream.
+    val tdf = postings.groupBy("term").agg(count(lit(1)).as("_df"))
+    val wRare = Window.partitionBy(col("query_id"))
+      .orderBy(col("_df").asc, col("off").asc)
+    val anchorTerm = qterms.join(tdf, "term")
+      .withColumn("_rn", row_number().over(wRare))
+      .where(col("_rn") === 1)
+      .select(col("query_id"), col("term"), col("off").as("_aoff"))
+    val anchors = anchorTerm.join(postings, "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("_aoff")).as("base"))
+      .where(col("base") >= 0)
+    // verify: every query offset must find its term at base + off —
+    // anchor-bounded equi-join on (doc, term, pos)
+    val occurrences = anchors.join(qterms, Seq("query_id"))
+      .withColumn("_vp", col("base") + col("off"))
+      .join(postings.select(col("doc_id"), col("term"),
+        col("pos").as("_vp")),
+        Seq("doc_id", "term", "_vp"))
+      .groupBy(col("query_id"), col("doc_id"), col("base"))
       .agg(count(lit(1)).as("matched"))
       .join(qlen, "query_id")
-      .where(col("matched") === col("qlen") && col("base") >= 0)
+      .where(col("matched") === col("qlen"))
     val hits = occurrences.groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"))
     val w = Window.partitionBy("query_id")
