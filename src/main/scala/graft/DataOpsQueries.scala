@@ -3049,6 +3049,24 @@ object DataOpsQueries {
     // replays width/height/f0 from the documents table alone — the gate
     // proves the parse, not just the plumbing. (FakeDecoder formats stay
     // unit-tested; codecs for jpeg/mp3 remain environment-bound stubs.)
+    // binaryFile-source round trip: synthetic PPMs staged one file per
+    // payload, listed + read back through Spark's binaryFile source,
+    // decoded by the same real PPM decoder — width/height/f0 must equal
+    // the generation-formula prediction, proving the file path carries
+    // bytes unmodified. Staged under a per-SF tmp dir, idempotent.
+    "s12_binaryfile" -> ((s, dir) => {
+      val media = Multimodal.syntheticPpmMedia(
+        Tables.documents(s, dir).where(col("doc_id") % 5 === 0))
+      val stage = s"/tmp/graft-binfiles-${new java.io.File(dir).getName}"
+      Multimodal.stageMediaFiles(media, stage, "ppm")
+      Multimodal.decodeFeatures(
+          Multimodal.fromBinaryFiles(
+            graft.sources.Sources.binaryFiles(stage, "*.ppm")(s), "ppm"),
+          decoder = Multimodal.PpmDecoder)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+
     "m_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.syntheticPpmMedia(Tables.documents(s, dir)),
@@ -5954,6 +5972,18 @@ object DataOpsQueries {
     // text length, f0 = mean of raster bytes at indices ≡ 0 (mod 16),
     // normalized — cast through REAL to match the operator's float32
     // feature vector bit-for-bit before the 6dp round
+    "s12_binaryfile" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (length(coalesce(text, '')) % 61) + 4 AS w,
+        |    (length(coalesce(text, '')) % 43) + 4 AS h
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT media_id, w AS width, h AS height,
+        |  round(CAST(CAST(
+        |    list_avg([(media_id + i) % 256 FOR i IN range(0, w*h*3, 16)]) / 255.0
+        |  AS REAL) AS DOUBLE), 6) AS f0
+        |FROM m""".stripMargin,
+
     "m_decode_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -689,4 +689,35 @@ object Multimodal {
         expr(s"substring(payload, frame_no * (length(payload) DIV $frames) + 1, " +
           s"length(payload) DIV $frames)"))
       .select("media_id", "frame_no", "frame_payload")
+
+  /** Stage a media frame to one file per payload (`<media_id>.<ext>`) —
+    * executor-side writes (no driver data path), idempotent via a
+    * `_staged` marker. Gate/test scaffolding for the binaryFile source
+    * round-trip; real crawls arrive as files already.
+    */
+  def stageMediaFiles(media: DataFrame, dir: String, ext: String): Unit = {
+    val marker = java.nio.file.Paths.get(dir, "_staged")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    media.select("media_id", "payload").foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.$ext"),
+            r.getAs[Array[Byte]](1))
+        }
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  /** Lift a binaryFile-source frame (path, content) into the media
+    * shape: media_id parsed from the file name, null meta (the PPM/WAV
+    * decoders recover dimensions in-band).
+    */
+  def fromBinaryFiles(files: DataFrame, ext: String): DataFrame =
+    files.select(
+      regexp_extract(col("path"), s"([0-9]+)\\.$ext$$", 1)
+        .cast("long").as("media_id"),
+      col("content").as("payload"),
+      lit(null).cast(mediaMetaSchema).as("meta"))
 }

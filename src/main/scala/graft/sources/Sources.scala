@@ -104,4 +104,19 @@ object Sources {
   /** S5: MedDRA low-level terms (Loaders.scala:70-74). */
   def meddraLowLevelTerms(release: String)(implicit spark: SparkSession): DataFrame =
     meddra(release.stripSuffix("/") + "/MedAscii/llt.asc", Seq("llt_code", "llt_name"))
+
+  /** Binary-file ingestion (beyond-reference): Spark's `binaryFile`
+    * source reads each file as one row (path, modificationTime, length,
+    * content) — the entry point for raw media crawl output (images,
+    * audio) feeding [[graft.operators.Multimodal]]'s decoders. The
+    * source is splittable only per-file, so at 100 TB the file layout
+    * IS the parallelism — millions of small objects list-partition
+    * fine; a tarball does not (unpack to WARC or per-file objects
+    * upstream). pathGlobFilter prunes at listing time, before any
+    * bytes are read.
+    */
+  def binaryFiles(dir: String, glob: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
 }

@@ -216,7 +216,9 @@ object ScaleProbe {
       // census-grain pair slopes / lag joins; one lag window per user
       "x_theilsen", "x_autocorr", "x_journeys",
       // group-census concentration stats; day-census KM fold
-      "k_gini", "k_entropy", "k_coverage", "x_kaplan_meier")
+      "k_gini", "k_entropy", "k_coverage", "x_kaplan_meier",
+      // per-file listing parallelism; staging is idempotent (marker)
+      "s12_binaryfile")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -54,4 +54,17 @@ class SourcesSpec extends SparkSpec {
     val ids = rows.map(r => Option(r.getString(0)))
     assert(ids.count(_.isDefined) == 2 && ids.contains(None))
   }
+
+  test("binaryFiles: glob prunes at listing, bytes round-trip, ids parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    java.nio.file.Files.write(dir.resolve("7.ppm"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("9.ppm"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("9.wav"), Array[Byte](9))
+    val read = graft.operators.Multimodal.fromBinaryFiles(
+      Sources.binaryFiles(dir.toString, "*.ppm"), "ppm")
+    val rows = read.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(rows.keySet === Set(7L, 9L), "glob must exclude the .wav")
+    assert(rows(7L) === Seq[Byte](1, 2, 3) && rows(9L) === Seq[Byte](4, 5))
+  }
 }
