@@ -1722,6 +1722,12 @@ object DataOpsQueries {
 
     // Tokenizer-prep vocabulary: min-count-filtered census, ids in
     // deterministic (freq desc, term asc) rank order (oracle).
+    // Zipf-law fit: ln(freq) regressed on ln(rank) over the vocabulary
+    // census — milli-rounded logs, exact long normal-equation sums, one
+    // double chain per coefficient. Natural text sits near slope −1.
+    "t_zipf" -> ((s, dir) =>
+      operators.Salience.zipfFit(Tables.documents(s, dir), minCount = 2)),
+
     "t_vocab" -> ((s, dir) =>
       Salience.vocabulary(Tables.documents(s, dir), minCount = 3,
         maxSize = 1000)),
@@ -4795,6 +4801,37 @@ object DataOpsQueries {
         |  a.logp_sum_micro,
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_zipf" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS term
+        |  FROM norm),
+        |census AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM tok WHERE term <> '' GROUP BY term HAVING count(*) >= 2),
+        |ranked AS (
+        |  SELECT (row_number() OVER (ORDER BY freq DESC, term ASC) - 1)::BIGINT AS token_id,
+        |    freq
+        |  FROM census),
+        |pts AS (
+        |  SELECT CAST(round(ln((token_id + 1)::DOUBLE) * 1e3) AS BIGINT) AS x,
+        |    CAST(round(ln(freq::DOUBLE) * 1e3) AS BIGINT) AS y
+        |  FROM ranked),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+        |  FROM pts)
+        |SELECT n AS n_terms,
+        |  round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |    / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6) AS slope,
+        |  round((sy::DOUBLE - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |    / (n::DOUBLE * sxx - sx::DOUBLE * sx) * sx) / n / 1e3, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "t_vocab" ->
       """WITH norm AS (

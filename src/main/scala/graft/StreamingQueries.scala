@@ -98,7 +98,19 @@ object StreamingQueries {
     // COUNT(DISTINCT md5(norm)). StreamingSpec drives the same
     // transform as a 2-trigger complete-mode stream.
     "st_running_cards" -> ((s, dir) =>
-      graft.streaming.DocStream.runningCards(Tables.documents(s, dir)))
+      graft.streaming.DocStream.runningCards(Tables.documents(s, dir))),
+
+    // Streaming drift: hourly value-histogram census (the stateful
+    // half) + per-window PSI against the even-event-id baseline census
+    // (census-grain scoring). Alert contract: psi > 0.25.
+    "st_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val baseline = graft.operators.HistQuantile.histogram(
+          ev.where(col("event_id") % 2 === 0), col("value"), 0.0, 512.0, 64)
+        .select(col("bucket"), col("cnt").as("n_expected"))
+      EventStream.psiOfWindows(
+        EventStream.windowedHistogram(ev, 0.0, 512.0, 64), baseline)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -157,6 +169,39 @@ object StreamingQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts::TIMESTAMP, event_id) AS seq
         |FROM events""".stripMargin,
+
+    "st_drift" ->
+      """WITH base AS (
+        |  SELECT least(greatest(floor((value - 0.0) / 8.0), 0), 63)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n_expected
+        |  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+        |cen AS (
+        |  SELECT (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000 AS ws,
+        |    least(greatest(floor((value - 0.0) / 8.0), 0), 63)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT ws FROM cen),
+        |bdom AS (SELECT bucket FROM base UNION SELECT bucket FROM cen),
+        |netot AS (SELECT sum(n_expected)::BIGINT AS ne FROM base),
+        |natot AS (SELECT ws, sum(cnt)::BIGINT AS na FROM cen GROUP BY 1),
+        |grid AS (
+        |  SELECT w.ws, d.bucket,
+        |    coalesce(b.n_expected, 0)::BIGINT AS n_expected,
+        |    coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM wins w CROSS JOIN bdom d
+        |  LEFT JOIN base b ON b.bucket = d.bucket
+        |  LEFT JOIN cen c ON c.ws = w.ws AND c.bucket = d.bucket),
+        |t AS (
+        |  SELECT g.ws,
+        |    CAST(round(
+        |      (greatest(g.n_expected::DOUBLE, 0.5) / (SELECT ne FROM netot)
+        |        - greatest(g.cnt::DOUBLE, 0.5) / na.na)
+        |      * ln((greatest(g.n_expected::DOUBLE, 0.5) / (SELECT ne FROM netot))
+        |          / (greatest(g.cnt::DOUBLE, 0.5) / na.na))
+        |      * 1e6) AS BIGINT) AS tm
+        |  FROM grid g JOIN natot na ON na.ws = g.ws)
+        |SELECT ws AS window_start_us, round(sum(tm)::DOUBLE / 1e6, 6) AS psi
+        |FROM t GROUP BY 1""".stripMargin,
 
     "st_ewma" ->
       """WITH RECURSIVE s AS (

@@ -111,6 +111,42 @@ object Salience {
     if (maxSize > 0) ranked.where(col("token_id") < maxSize) else ranked
   }
 
+  /** Zipf-law fit over the [[vocabulary]] census: least-squares slope of
+    * ln(freq) on ln(rank) — the corpus-health fingerprint (natural text
+    * sits near −1; template/boilerplate-heavy corpora flatten, spam
+    * steepens). Points are MILLI-rounded logs (3dp — slope precision
+    * ~1e-3, and Σx·y stays long-exact to ~10⁷ vocabulary terms where
+    * micro units would overflow); the normal-equation sums are exact
+    * longs and slope/intercept are one double chain each, so the oracle
+    * replays the regression bit-for-bit. Census-grain throughout.
+    * Output one row: (n_terms, slope, intercept).
+    */
+  def zipfFit(docs: DataFrame, minCount: Long = 2, textCol: String = "text",
+              shards: Int = 32): DataFrame = {
+    val pts = vocabulary(docs, minCount, 0, textCol, shards)
+      .select(
+        round(log((col("token_id") + 1).cast("double")) * 1e3)
+          .cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e3).cast("long").as("y"))
+    pts
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_terms"),
+        // n·Σxy etc. would overflow long beyond ~10⁵ terms — each exact
+        // long enters the ONE double chain individually
+        round((col("n").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy"))
+          / (col("n").cast("double") * col("sxx")
+            - col("sx").cast("double") * col("sx")), 6).as("slope"),
+        round((col("sy").cast("double")
+          - (col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+            / (col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx")) * col("sx"))
+          / col("n") / 1e3, 6).as("intercept"))
+  }
+
   /** Bigram collocations by pointwise mutual information — the classic
     * phrase-mining step (PMI ≫ 0 ⇒ the pair co-occurs far above chance:
     * "new york", "machine learning"). PMI = ln(p(ab) / (p(a)·p(b))) with

@@ -77,6 +77,77 @@ object EventStream {
         col("event_type"), col("n"), col("n_users"), col("min_value"), col("max_value"))
   }
 
+  /** Streaming drift monitoring, census half: the per-event-time-window
+    * equi-width value histogram — ONE stateful aggregation whose state
+    * is (windows × buckets) rows, never events. The PSI itself is
+    * census-grain post-processing ([[psiOfWindows]]) a consumer runs on
+    * the append output (or in foreachBatch): splitting census from
+    * score keeps the streaming state bounded and the scoring formula
+    * batch-replayable. Bucket formula = [[graft.operators.HistQuantile
+    * .histogram]]'s (clamped edges, null values dropped).
+    */
+  def windowedHistogram(events: DataFrame, lo: Double, hi: Double,
+                        buckets: Int, windowLength: String = "1 hour",
+                        watermark: String = "10 minutes"): DataFrame = {
+    require(buckets > 0 && hi > lo, s"bad histogram [$lo, $hi) × $buckets")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((col("value") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("bigint")
+    watermarked(events, watermark)
+      .where(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLength).as("w"), b.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("bucket"), col("cnt"))
+  }
+
+  /** PSI per window from a [[windowedHistogram]] census against a static
+    * baseline census (bucket, n_expected): every window sees every
+    * baseline bucket (windows × buckets generate, zero-filled), each
+    * bucket contributes the micro-rounded (p−q)·ln(p/q) term
+    * ([[graft.operators.Drift]]'s 0.5 pseudo-count contract), and the
+    * per-window sum is exact long arithmetic. Output: (window_start_us,
+    * psi) — alert when psi > 0.25.
+    */
+  def psiOfWindows(census: DataFrame, baseline: DataFrame): DataFrame = {
+    val spark = census.sparkSession
+    import spark.implicits._
+    val base = baseline.select(col("bucket"), col("n_expected"))
+    val ne = base.agg(sum(col("n_expected")).as("ne"))
+    // bucket domain = baseline ∪ observed (either side may be sparse —
+    // mass where the other side has none is exactly what PSI must see).
+    // Rebuilt as a fresh ≤|buckets|-row frame (offset-table rule), and
+    // every census reference below is explicitly aliased — the census
+    // appears three times (windows, counts, totals) and unaliased
+    // self-joins trip Catalyst's conflicting-reference check.
+    val bdom = base.select("bucket").union(census.select("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.toDF("bucket")
+    val windows = census.select(col("window_start_us")).distinct()
+      .alias("win")
+    val cen = census.alias("cen")
+    val na = census.groupBy("window_start_us").agg(sum(col("cnt")).as("na"))
+      .alias("na")
+    val grid = windows.crossJoin(broadcast(bdom.alias("bd")))
+      .join(broadcast(base.alias("b")),
+        col("bd.bucket") === col("b.bucket"), "left_outer")
+      .select(col("win.window_start_us").as("ws"),
+        col("bd.bucket").as("bkt"),
+        coalesce(col("b.n_expected"), lit(0L)).as("n_exp"))
+      .join(cen,
+        col("ws") === col("cen.window_start_us") &&
+          col("bkt") === col("cen.bucket"), "left_outer")
+      .select(col("ws"), col("bkt"), col("n_exp"),
+        coalesce(col("cen.cnt"), lit(0L)).as("n_act"))
+    val p = greatest(col("n_exp").cast("double"), lit(0.5)) / col("ne")
+    val q = greatest(col("n_act").cast("double"), lit(0.5)) / col("na")
+    grid.join(na, col("ws") === col("na.window_start_us"))
+      .crossJoin(broadcast(ne))
+      .withColumn("term_micro",
+        round((p - q) * log(p / q) * 1e6).cast("long"))
+      .groupBy(col("ws").as("window_start_us"))
+      .agg(round(sum(col("term_micro")).cast("double") / 1e6, 6).as("psi"))
+  }
+
   /** Per-user session windows (gap-based). Emits count + span rather than
     * the raw window struct for cross-engine comparability.
     */

@@ -218,7 +218,9 @@ object ScaleProbe {
       // group-census concentration stats; day-census KM fold
       "k_gini", "k_entropy", "k_coverage", "x_kaplan_meier",
       // per-file listing parallelism; staging is idempotent (marker)
-      "s12_binaryfile")
+      "s12_binaryfile",
+      // vocabulary census regression; windows×buckets state only
+      "t_zipf", "st_drift")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -59,6 +59,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming drift: windowed histogram streams equal to batch, PSI composes") {
+    val batchEvents = graft.Tables.events(spark, eventsDir)
+    val baseline = graft.operators.HistQuantile.histogram(
+        batchEvents.where(col("event_id") % 2 === 0),
+        col("value"), 0.0, 512.0, 64)
+      .select(col("bucket"), col("cnt").as("n_expected"))
+      .cache()
+    val expected = EventStream.psiOfWindows(
+        EventStream.windowedHistogram(batchEvents, 0.0, 512.0, 64), baseline)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-drift")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, streamDir.toString)
+    val q = EventStream.windowedHistogram(stream, 0.0, 512.0, 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_census")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = EventStream.psiOfWindows(spark.table("drift_census"), baseline)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got === expected,
+      "streamed census must score identically to batch")
+  }
+
   test("chained window rollup (two stateful aggs) streams equal to batch") {
     val batchEvents = graft.Tables.events(spark, eventsDir)
     val expected = EventStream.dailyRollup(batchEvents)
