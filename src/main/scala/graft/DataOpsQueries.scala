@@ -1722,6 +1722,13 @@ object DataOpsQueries {
 
     // Tokenizer-prep vocabulary: min-count-filtered census, ids in
     // deterministic (freq desc, term asc) rank order (oracle).
+    // T5-style span corruption: deterministic md5 span walk (start
+    // prob 0.075, lengths 1–3), sentinel input + span targets — the
+    // oracle's per-doc recursive CTE replays every masking decision.
+    "t_span_corrupt" -> ((s, dir) =>
+      operators.SpanCorrupt.corrupt(Tables.documents(s, dir),
+        startProbMicro = 75000L, seed = 42L)),
+
     // Zipf-law fit: ln(freq) regressed on ln(rank) over the vocabulary
     // census — milli-rounded logs, exact long normal-equation sums, one
     // double chain per coefficient. Natural text sits near slope −1.
@@ -4801,6 +4808,49 @@ object DataOpsQueries {
         |  a.logp_sum_micro,
         |  round(a.logp_sum_micro::DOUBLE / a.n_tokens / 1e6, 6) AS avg_logp10
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_span_corrupt" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS MATERIALIZED (
+        |  SELECT doc_id, generate_subscripts(a, 1) - 1 AS pos, unnest(a) AS tok FROM (
+        |    SELECT doc_id, CASE WHEN nt = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(nt, '\s+') END AS a
+        |    FROM norm)),
+        |dr AS MATERIALIZED (
+        |  SELECT doc_id, pos, tok,
+        |    (u % 1000000) < 75000 AS sd, ((u >> 20) % 3 + 1) AS len
+        |  FROM (
+        |    SELECT doc_id, pos, tok,
+        |      ('0x' || substr(md5('corrupt:42:' || doc_id::VARCHAR || ':' || pos::VARCHAR), 1, 15))::BIGINT AS u
+        |    FROM t)),
+        |w AS (
+        |  SELECT doc_id, pos, tok, sd AS masked, sd AS sstart,
+        |    CASE WHEN sd THEN 0 ELSE -1 END AS sk,
+        |    CASE WHEN sd THEN pos + len ELSE 0 END AS nf,
+        |    CASE WHEN sd THEN 1 ELSE 0 END AS k
+        |  FROM dr WHERE pos = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, d.pos, d.tok,
+        |    CASE WHEN d.pos < w.nf THEN true ELSE d.sd END,
+        |    (d.pos >= w.nf AND d.sd),
+        |    CASE WHEN d.pos < w.nf THEN w.k - 1 WHEN d.sd THEN w.k ELSE -1 END,
+        |    CASE WHEN d.pos < w.nf THEN w.nf WHEN d.sd THEN d.pos + d.len ELSE w.nf END,
+        |    CASE WHEN d.pos >= w.nf AND d.sd THEN w.k + 1 ELSE w.k END
+        |  FROM w JOIN dr d ON d.doc_id = w.doc_id AND d.pos = w.pos + 1)
+        |SELECT doc_id,
+        |  coalesce(string_agg(
+        |    CASE WHEN sstart THEN '<extra_id_' || sk::VARCHAR || '>' ELSE tok END, ' '
+        |    ORDER BY pos) FILTER (NOT masked OR sstart), '') AS input_text,
+        |  coalesce(string_agg(
+        |    CASE WHEN sstart THEN '<extra_id_' || sk::VARCHAR || '> ' || tok ELSE tok END, ' '
+        |    ORDER BY pos) FILTER (masked), '') AS target_text,
+        |  count(*)::BIGINT AS n_tokens,
+        |  (count(*) FILTER (masked))::BIGINT AS n_masked,
+        |  (count(*) FILTER (sstart))::BIGINT AS n_spans
+        |FROM w GROUP BY doc_id""".stripMargin,
 
     "t_zipf" ->
       """WITH norm AS (

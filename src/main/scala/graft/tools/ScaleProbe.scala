@@ -220,7 +220,9 @@ object ScaleProbe {
       // per-file listing parallelism; staging is idempotent (marker)
       "s12_binaryfile",
       // vocabulary census regression; windows×buckets state only
-      "t_zipf", "st_drift")
+      "t_zipf", "st_drift",
+      // md5 span walk folds per doc; one doc-grain shuffle
+      "t_span_corrupt")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -57,6 +57,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
       Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash",
         "unicode_norm", "theta_sketch", "theta_estimate", "bloom_agg",
-        "bloom_contains"))
+        "bloom_contains", "md5_prefix60"))
   }
 }
