@@ -3080,6 +3080,28 @@ object DataOpsQueries {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // Audio fingerprint: 32 sign-of-energy-delta bits over 16-sample
+    // PCM frames — exact integer energies, the full bit assembly
+    // replayed by the oracle from the generation formula.
+    "m_audio_fp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.syntheticWavMedia(Tables.documents(s, dir)))),
+
+    // ...and the near-dup pairing: originals ∪ one-sample-perturbed
+    // copies (id+5000000), pigeonhole-banded Hamming ≤ 4 — the banding
+    // and popcount verify replayed like m_phash_neardup. 8-sample
+    // frames + a doc subset: the synthetic clips are short (≤ 13
+    // frames), so fingerprint entropy is frame-bounded — the subset
+    // keeps incidental cross-clip collisions from swamping the planted
+    // pairs (documented data property, not an operator limit).
+    "m_audio_fp_neardup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).where(col("doc_id") % 5 === 0)
+      Multimodal.audioNearDuplicates(
+        Multimodal.syntheticWavMedia(d)
+          .unionByName(Multimodal.syntheticWavMediaPerturbed(d, 5000000L)),
+        maxHamming = 4, frameLen = 8)
+    }),
+
     "m_decode_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.syntheticPpmMedia(Tables.documents(s, dir)),
@@ -6173,6 +6195,90 @@ object DataOpsQueries {
     // hash chain, 4x16-bit banding — mask-after-shift extracts the same
     // bits whether the engine's >> is arithmetic or logical — candidate
     // self-join, popcount verify
+    "m_audio_fp" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, (length(coalesce(text, '')) % 96) + 8 AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, unnest(range(len)) AS i FROM m),
+        |e AS (
+        |  SELECT s.media_id, s.i // 16 AS f, s.i % 4 AS band,
+        |    sum((((7 * s.media_id + s.i) % 256) - 128)
+        |      * (((7 * s.media_id + s.i) % 256) - 128))::BIGINT AS en
+        |  FROM s GROUP BY 1, 2, 3),
+        |gf AS (
+        |  SELECT media_id, unnest(range((len + 15) // 16)) AS f FROM m),
+        |g AS (
+        |  SELECT gf.media_id, gf.f, bb.band
+        |  FROM gf CROSS JOIN range(4) bb(band)),
+        |ed AS (
+        |  SELECT g.media_id, g.f, g.band, coalesce(e.en, 0)::BIGINT AS en
+        |  FROM g LEFT JOIN e ON e.media_id = g.media_id
+        |    AND e.f = g.f AND e.band = g.band)
+        |SELECT m.media_id, coalesce(bs.afp, 0)::BIGINT AS afp
+        |FROM m LEFT JOIN (
+        |  SELECT ea.media_id,
+        |    sum(CASE WHEN ea.en > eb.en THEN 1::BIGINT << b.b ELSE 0 END)::BIGINT AS afp
+        |  FROM range(48) b(b)
+        |  JOIN ed ea ON ea.f = b.b // 4 AND ea.band = b.b % 4
+        |  JOIN ed eb ON eb.media_id = ea.media_id AND eb.f = b.b // 4 + 1
+        |    AND eb.band = b.b % 4
+        |  GROUP BY 1) bs ON bs.media_id = m.media_id""".stripMargin,
+
+    "m_audio_fp_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, (length(coalesce(text, '')) % 96) + 8 AS len
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s AS (
+        |  SELECT doc_id AS media_id, len, unnest(range(len)) AS i, 0 AS pert FROM m
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, len, unnest(range(len)), 1 FROM m),
+        |c AS (
+        |  SELECT media_id, i,
+        |    (CASE WHEN pert = 1 AND i = (media_id - 5000000) % len
+        |          THEN ((7 * (media_id - 5000000) + i) + 16) % 256
+        |          WHEN pert = 1
+        |          THEN (7 * (media_id - 5000000) + i) % 256
+        |          ELSE (7 * media_id + i) % 256 END) - 128 AS v
+        |  FROM s),
+        |e AS (
+        |  SELECT media_id, i // 8 AS f, i % 4 AS band, sum(v * v)::BIGINT AS en
+        |  FROM c GROUP BY 1, 2, 3),
+        |mm AS (
+        |  SELECT doc_id AS media_id, len FROM m
+        |  UNION ALL SELECT doc_id + 5000000, len FROM m),
+        |gf AS (
+        |  SELECT media_id, unnest(range((len + 7) // 8)) AS f FROM mm),
+        |g AS (
+        |  SELECT gf.media_id, gf.f, bb.band
+        |  FROM gf CROSS JOIN range(4) bb(band)),
+        |ed AS (
+        |  SELECT g.media_id, g.f, g.band, coalesce(e.en, 0)::BIGINT AS en
+        |  FROM g LEFT JOIN e ON e.media_id = g.media_id
+        |    AND e.f = g.f AND e.band = g.band),
+        |fp AS (
+        |  SELECT mm.media_id, coalesce(bs.afp, 0)::BIGINT AS afp
+        |  FROM mm LEFT JOIN (
+        |    SELECT ea.media_id,
+        |      sum(CASE WHEN ea.en > eb.en THEN 1::BIGINT << b.b ELSE 0 END)::BIGINT AS afp
+        |    FROM range(48) b(b)
+        |    JOIN ed ea ON ea.f = b.b // 4 AND ea.band = b.b % 4
+        |    JOIN ed eb ON eb.media_id = ea.media_id AND eb.f = b.b // 4 + 1
+        |      AND eb.band = b.b % 4
+        |    GROUP BY 1) bs ON bs.media_id = mm.media_id),
+        |banded AS (
+        |  SELECT media_id, afp, r.b AS band,
+        |    (afp >> (r.b * 9)) &
+        |      (CASE WHEN r.b = 4 THEN 4095 ELSE 511 END) AS v
+        |  FROM fp CROSS JOIN range(5) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |    a.afp AS fa, b.afp AS fb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.media_id < b.media_id)
+        |SELECT media_a, media_b, bit_count(xor(fa, fb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 4""".stripMargin,
+
     "m_phash_neardup" ->
       """WITH m AS (
         |  SELECT doc_id,

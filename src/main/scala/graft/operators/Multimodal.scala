@@ -363,6 +363,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[syntheticWavMedia]] with one perturbed sample per clip — sample
+    * j = id mod len bumps by +16 (mod 256) and the media_id shifts by
+    * `idOffset`: the engineered near-duplicate the audio fingerprint
+    * must still pair with its original.
+    */
+  def syntheticWavMediaPerturbed(docs: DataFrame, idOffset: Long): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id").as("media_id"),
+        length(coalesce(col("text"), lit(""))).as("n"))
+      .mapPartitions { rows =>
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = r.getInt(1)
+          val rate = 8000 + (id % 8).toInt * 1000
+          val channels = 1 + (id % 2).toInt
+          val len = (n % 96) + 8
+          val j = (id % len).toInt
+          val samples = Array.tabulate(len) { i =>
+            val v = (7 * id + i) % 256
+            (if (i == j) (v + 16) % 256 else v).toByte
+          }
+          val payload = "RIFF".getBytes ++ le32(36 + samples.length) ++
+            "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
+            le16(1) ++ le16(channels) ++ le32(rate) ++
+            le32(rate * channels) ++ le16(channels) ++ le16(8) ++
+            "data".getBytes ++ le32(samples.length) ++ samples
+          Row(id + idOffset, payload, Row("audio", "wav", null, null, null))
+        }
+      }(enc)
+  }
+
   /** Synthetic REAL-PNG media frame: the same deterministic pixel
     * formulas as [[syntheticPpmMedia]] (w = n%61+4, h = n%43+4, raster
     * byte i = (id+i)%256 in row-major RGB order), but the payload is a
@@ -689,6 +723,74 @@ object Multimodal {
         expr(s"substring(payload, frame_no * (length(payload) DIV $frames) + 1, " +
           s"length(payload) DIV $frames)"))
       .select("media_id", "frame_no", "frame_payload")
+
+  /** Audio fingerprint (Haitsma–Kalker shape): sign-of-energy-delta
+    * bits over (frame × polyphase sub-band) cells — each frame's
+    * samples split into 4 interleaved sub-bands (i mod 4, the cheap
+    * stand-in for the spectral bands a real HK fingerprint filters),
+    * bit (f, band) is 1 iff e[f][band] > e[f+1][band]. LINEAR frame
+    * deltas only (bits beyond (F−1)·4 stay 0 — wrapping would repeat
+    * each delta and let a one-frame edit flip every repetition), so a
+    * one-sample edit flips ≤ 2 bits while 4 bands × frames gives
+    * enough entropy that short clips don't saturate the Hamming
+    * radius. Energies are exact integer Σc²; undecodable payloads
+    * yield null. Same imperative byte-walk justification as
+    * [[wavFrameFeatures]]. Output: (media_id, afp).
+    */
+  def audioFingerprint(media: DataFrame, frameLen: Int = 16,
+                       bits: Int = 48): DataFrame = {
+    require(frameLen >= 2 && bits >= 1 && bits <= 63,
+      s"bad fingerprint params frameLen=$frameLen bits=$bits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getLong(0)
+          if (payload == null) Row(id, null)
+          else {
+            val pcm = WavDecoder.pcm(payload)
+            if (pcm.length == 0) Row(id, null)
+            else {
+              val nf = (pcm.length + frameLen - 1) / frameLen
+              val e = Array.ofDim[Long](nf, 4)
+              var i = 0
+              while (i < pcm.length) {
+                val c = (pcm(i) & 0xff) - 128
+                e(i / frameLen)(i & 3) += c.toLong * c
+                i += 1
+              }
+              var fp = 0L
+              var b = 0
+              val nd = math.min(bits, (nf - 1) * 4)
+              while (b < nd) {
+                if (e(b >> 2)(b & 3) > e((b >> 2) + 1)(b & 3)) fp |= (1L << b)
+                b += 1
+              }
+              Row(id, fp)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] through the same
+    * pigeonhole Hamming banding as [[phashNearDuplicates]] — PCM never
+    * shuffles, only 32-bit fingerprints. Output: (media_a < media_b,
+    * hamming).
+    */
+  def audioNearDuplicates(media: DataFrame, maxHamming: Int = 4,
+                          frameLen: Int = 16, bits: Int = 48): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioFingerprint(media, frameLen, bits)
+        .where(col("afp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("afp").as("fp")),
+      bits, maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
 
   /** Stage a media frame to one file per payload (`<media_id>.<ext>`) —
     * executor-side writes (no driver data path), idempotent via a

@@ -222,7 +222,13 @@ object ScaleProbe {
       // vocabulary census regression; windows×buckets state only
       "t_zipf", "st_drift",
       // md5 span walk folds per doc; one doc-grain shuffle
-      "t_span_corrupt")
+      "t_span_corrupt",
+      // PCM byte walk per clip; banding joins fingerprints only
+      "m_audio_fp",
+      // the byte-cycle clips alias heavily (256-period phase shifts),
+      // so pairs grow with true fingerprint collisions — same templated
+      // worst-case caveat as d_setsim_join; output-proportional
+      "m_audio_fp_neardup")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

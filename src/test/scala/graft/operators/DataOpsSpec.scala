@@ -755,6 +755,38 @@ class DataOpsSpec extends SparkSpec {
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame_payload").length == 8))
   }
 
+  test("audioFingerprint: perturbed clip stays near, determinism, null-safe") {
+    val docs = (1L to 30L)
+      .map(i => (i, "x" * (20 + (i % 40)).toInt)).toSeq.toDF("doc_id", "text")
+    val orig = Multimodal.syntheticWavMedia(docs)
+    val pert = Multimodal.syntheticWavMediaPerturbed(docs, 5000000L)
+    val fp1 = Multimodal.audioFingerprint(orig, frameLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = Multimodal.audioFingerprint(orig, frameLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 === fp2, "fingerprints must be deterministic")
+    val fpP = Multimodal.audioFingerprint(pert, frameLen = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hams = fp1.map { case (id, f) =>
+      java.lang.Long.bitCount(f ^ fpP(id + 5000000L))
+    }
+    assert(hams.max <= 4, s"one-sample edit must stay near: ${hams.max}")
+    // pairing finds every planted pair at maxHamming 4
+    val pairs = Multimodal.audioNearDuplicates(
+        orig.unionByName(pert), maxHamming = 4, frameLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 30L).foreach { id =>
+      assert(pairs.contains((id, id + 5000000L)), s"missing planted pair $id")
+    }
+    // null payloads fingerprint to null and never pair
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(99L, null, null))),
+      Multimodal.mediaSchema)
+    val nf = Multimodal.audioFingerprint(withNull).collect()
+    assert(nf.length == 1 && nf.head.isNullAt(1))
+  }
+
   test("PpmDecoder / WavDecoder: real header parse, features from payload bytes") {
     // 2×1 P6 with a header comment: pixels (0,0,0) and (255,255,255)
     val ppm = "P6\n# a comment\n2 1\n255\n"
