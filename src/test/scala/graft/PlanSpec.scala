@@ -761,6 +761,20 @@ class PlanSpec extends SparkSpec {
       s"FuseMd5Uniform must rewrite the portable-uniform idiom:\n$p")
   }
 
+  test("t_span_corrupt: one doc-grain shuffle, fold replaces any window") {
+    val p = executed("t_span_corrupt")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"span walk is one groupBy shuffle, got $exchanges:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the walk must fold inside aggregate(), not a window:\n$p")
+  }
+
+  test("m_audio_fp: fingerprinting is a shuffle-free scan") {
+    val p = executed("m_audio_fp")
+    assert(!p.contains("Exchange"),
+      s"PCM fingerprints must never shuffle payload bytes:\n$p")
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single
