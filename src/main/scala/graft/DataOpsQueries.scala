@@ -574,6 +574,59 @@ object DataOpsQueries {
     operators.RecordLinkage.FsField("len",
       col("lb_a") === col("lb_b"), 0.8, 0.05))
 
+  /** VSM (tf-idf cosine) oracle chain — the r_vsm_topk scoring replay
+    * (micro-quantized weights, exact integer dots, 6dp cosine), shared
+    * with the nDCG evaluation gate. Ends at `rk` = (query_id, doc_id,
+    * cosine, rank).
+    */
+  private def vsmChainSql: String =
+    """norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+      |  FROM norm),
+      |tc AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+      |st AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |wd AS (
+      |  SELECT tc.doc_id, tc.term,
+      |    CAST(round(tc.tf::DOUBLE
+      |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
+      |      * 1e6) AS BIGINT) AS w_micro
+      |  FROM tc JOIN dfq USING (term) CROSS JOIN st),
+      |dn AS (SELECT doc_id, sum(w_micro * w_micro)::BIGINT AS d2
+      |       FROM wd GROUP BY 1),
+      |qtc AS (
+      |  SELECT doc_id AS query_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(toks[1:8]) AS term FROM tok
+      |        WHERE doc_id % 97 = 0)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |wq AS (
+      |  SELECT qtc.query_id, qtc.term,
+      |    CAST(round(qtc.tf::DOUBLE
+      |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
+      |      * 1e6) AS BIGINT) AS q_micro
+      |  FROM qtc JOIN dfq USING (term) CROSS JOIN st),
+      |qn AS (SELECT query_id, sum(q_micro * q_micro)::BIGINT AS q2
+      |       FROM wq GROUP BY 1),
+      |dt AS (
+      |  SELECT wq.query_id, wd.doc_id, sum(wd.w_micro * wq.q_micro)::BIGINT AS dot
+      |  FROM wd JOIN wq USING (term) GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dt.query_id, dt.doc_id,
+      |    round(dt.dot::DOUBLE / (sqrt(dn.d2::DOUBLE) * sqrt(qn.q2::DOUBLE)), 6) AS cosine
+      |  FROM dt JOIN dn USING (doc_id) JOIN qn USING (query_id)),
+      |rk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+      |  FROM sc)""".stripMargin
+
   /** MMR oracle chain: int8 grid, per-query top-`pool` relevance
     * short-list (cosine micro-rounded once), pool² pairwise sims, then
     * `k` unrolled greedy rounds — window argmax on the exact long score
@@ -947,6 +1000,27 @@ object DataOpsQueries {
           array_join(slice(TextAnalysis.tokens(
             TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
       operators.Retrieval.vsmTopK(d, q, k = 10, maxDfFrac = 1.0)
+    }),
+
+    // nDCG@10 over the VSM ranking against formula judgments (rel 3 =
+    // the query's own source doc, rel 1 = same doc_id decade) — the
+    // oracle replays the whole VSM chain AND the DCG/IDCG arithmetic.
+    "r_ndcg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val q = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text"))), 1, 8), " ").as("text"))
+      val ranked = operators.Retrieval.vsmTopK(d, q, k = 10, maxDfFrac = 1.0)
+        .select("query_id", "doc_id", "rank")
+      val judg = d.select(col("doc_id")).alias("dd")
+        .join(d.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("query_id")).alias("qq"),
+          col("dd.doc_id") % 10 === col("query_id") % 10)
+        .select(col("query_id"), col("dd.doc_id").as("doc_id"))
+        .withColumn("rel",
+          when(col("doc_id") === col("query_id"), 3L).otherwise(1L))
+      operators.Retrieval.ndcgAt(ranked, judg, k = 10)
     }),
 
     // Hybrid retrieval: BM25 lexical top-10 fused with embedding cosine
@@ -4290,53 +4364,37 @@ object DataOpsQueries {
     "r_bm25_topk" -> bm25OracleSql(1.0),
 
     "r_vsm_topk" ->
-      """WITH norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-        |  FROM documents),
-        |tok AS (
-        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
-        |  FROM norm),
-        |tc AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
-        |st AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
-        |wd AS (
-        |  SELECT tc.doc_id, tc.term,
-        |    CAST(round(tc.tf::DOUBLE
-        |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
-        |      * 1e6) AS BIGINT) AS w_micro
-        |  FROM tc JOIN dfq USING (term) CROSS JOIN st),
-        |dn AS (SELECT doc_id, sum(w_micro * w_micro)::BIGINT AS d2
-        |       FROM wd GROUP BY 1),
-        |qtc AS (
-        |  SELECT doc_id AS query_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks[1:8]) AS term FROM tok
-        |        WHERE doc_id % 97 = 0)
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |wq AS (
-        |  SELECT qtc.query_id, qtc.term,
-        |    CAST(round(qtc.tf::DOUBLE
-        |      * (ln((st.n_docs::DOUBLE + 1.0) / (dfq.df::DOUBLE + 1.0)) + 1.0)
-        |      * 1e6) AS BIGINT) AS q_micro
-        |  FROM qtc JOIN dfq USING (term) CROSS JOIN st),
-        |qn AS (SELECT query_id, sum(q_micro * q_micro)::BIGINT AS q2
-        |       FROM wq GROUP BY 1),
-        |dt AS (
-        |  SELECT wq.query_id, wd.doc_id, sum(wd.w_micro * wq.q_micro)::BIGINT AS dot
-        |  FROM wd JOIN wq USING (term) GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT dt.query_id, dt.doc_id,
-        |    round(dt.dot::DOUBLE / (sqrt(dn.d2::DOUBLE) * sqrt(qn.q2::DOUBLE)), 6) AS cosine
-        |  FROM dt JOIN dn USING (doc_id) JOIN qn USING (query_id)),
-        |rk AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
-        |  FROM sc)
+      s"""WITH $vsmChainSql
         |SELECT query_id, doc_id, cosine, rank FROM rk WHERE rank <= 10""".stripMargin,
+
+    "r_ndcg" ->
+      s"""WITH $vsmChainSql,
+        |judg AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CASE WHEN d.doc_id = q.query_id THEN 3 ELSE 1 END AS rel
+        |  FROM (SELECT doc_id AS query_id FROM documents WHERE doc_id % 97 = 0) q
+        |  JOIN documents d ON d.doc_id % 10 = q.query_id % 10),
+        |dcg AS (
+        |  SELECT rk.query_id,
+        |    sum(((1::BIGINT << coalesce(j.rel, 0)) - 1)
+        |      * CAST(round(1e6 / (ln(rk.rank + 1.0) / ln(2.0))) AS BIGINT))::BIGINT AS dcg_micro
+        |  FROM rk LEFT JOIN judg j
+        |    ON j.query_id = rk.query_id AND j.doc_id = rk.doc_id
+        |  WHERE rk.rank <= 10 GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id, doc_id, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id ASC) AS irank
+        |  FROM judg),
+        |idcg AS (
+        |  SELECT query_id,
+        |    sum(((1::BIGINT << rel) - 1)
+        |      * CAST(round(1e6 / (ln(irank + 1.0) / ln(2.0))) AS BIGINT))::BIGINT AS idcg_micro
+        |  FROM ideal WHERE irank <= 10 GROUP BY 1)
+        |SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+        |  CASE WHEN i.idcg_micro > 0
+        |       THEN round(d.dcg_micro::DOUBLE / i.idcg_micro, 6) END AS ndcg
+        |FROM dcg d JOIN idcg i USING (query_id)""".stripMargin,
 
     "r_bm25_capped" -> bm25OracleSql(0.78),
 

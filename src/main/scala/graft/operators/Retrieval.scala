@@ -247,4 +247,40 @@ object Retrieval {
     hits.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
   }
+
+  /** nDCG@k — the oracle-checkable retrieval-EVALUATION metric (the
+    * recall harnesses self-assert; this one hash-replays): DCG with the
+    * standard 2^rel−1 gains and 1/log₂(rank+1) discounts, normalized by
+    * the ideal ordering of the SAME judgment set. Discounts are
+    * micro-rounded per rank (one libm chain each), gains exact integers
+    * — the per-query sums are exact long arithmetic. Unjudged retrieved
+    * docs earn rel 0. Windows partition by query (judgment pools are
+    * per-query bounded). Input: `ranked` = (query_id, doc_id, rank),
+    * `judgments` = (query_id, doc_id, rel ≥ 0). Output: (query_id,
+    * dcg_micro, idcg_micro, ndcg).
+    */
+  def ndcgAt(ranked: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def disc = round(lit(1e6) /
+      (log(col("rank").cast("double") + 1.0d) / log(lit(2.0d)))).cast("long")
+    def gain =
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - CAST(1 AS BIGINT)")
+    val dcg = ranked.where(col("rank") <= k)
+      .join(judgments, Seq("query_id", "doc_id"), "left_outer")
+      .na.fill(0L, Seq("rel"))
+      .withColumn("_t", gain * disc)
+      .groupBy("query_id").agg(sum(col("_t")).as("dcg_micro"))
+    val wI = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = judgments
+      .withColumn("rank", row_number().over(wI))
+      .where(col("rank") <= k)
+      .withColumn("_t", gain * disc)
+      .groupBy("query_id").agg(sum(col("_t")).as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          round(col("dcg_micro").cast("double") / col("idcg_micro"), 6))
+          .as("ndcg"))
+  }
 }

@@ -228,7 +228,10 @@ object ScaleProbe {
       // the byte-cycle clips alias heavily (256-period phase shifts),
       // so pairs grow with true fingerprint collisions — same templated
       // worst-case caveat as d_setsim_join; output-proportional
-      "m_audio_fp_neardup")
+      "m_audio_fp_neardup",
+      // inherits r_vsm_topk's honest superlinearity (queries scale
+      // with the corpus; df cap off in the replay gate by design)
+      "r_ndcg")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -127,4 +127,22 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(ranked == Seq((5L, 2L), (6L, 1L)))
   }
+
+  test("ndcgAt: perfect ranking scores 1, swaps lose, unjudged earn rel 0") {
+    val judg = Seq((1L, 10L, 3L), (1L, 11L, 1L), (1L, 12L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val perfect = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val p = Retrieval.ndcgAt(perfect, judg, k = 3).head()
+    assert(p.getLong(1) === p.getLong(2) && p.getDouble(3) === 1.0)
+    // best doc last + an unjudged doc in the list
+    val bad = Seq((1L, 99L, 1), (1L, 11L, 2), (1L, 10L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Retrieval.ndcgAt(bad, judg, k = 3).head()
+    assert(b.getDouble(3) < 1.0 && b.getDouble(3) > 0.0)
+    // hand check: dcg = 0·d1 + 1·d2 + 7·d3; idcg = 7·d1 + 1·d2 + 1·d3
+    def d(r: Int) = math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+    assert(b.getLong(1) === 1L * d(2) + 7L * d(3))
+    assert(b.getLong(2) === 7L * d(1) + 1L * d(2) + 1L * d(3))
+  }
 }
