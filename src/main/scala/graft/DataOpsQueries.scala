@@ -2280,6 +2280,22 @@ object DataOpsQueries {
         array_min(col("qvec")).as("qmin"),
         array_max(col("qvec")).as("qmax"))),
 
+    // Corpus self-containment: 16-token excerpts re-enter as their own
+    // docs (id+3000000) — tiny Jaccard vs their source but containment
+    // 1.0; the inverted-index self-join must find exactly what the
+    // exact shingle-set SQL finds (cap off in the replay gate).
+    "d_containment_self" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+      val excerpts = d.select(col("doc_id"), toks.as("_t"))
+        .where(size(col("_t")) >= 24 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(col("_t"), 1, 16), " ").as("text"))
+      operators.Decontaminate.selfContainment(
+        d.unionByName(excerpts), threshold = 0.9, shingleSize = 3,
+        maxDf = 0L)
+    }),
+
     // Fellegi–Sunter linkage over sorted-neighborhood candidates:
     // per-field agreement weights are driver-computed micro-bit
     // constants (log2(m/u)), so the pair score is an exact long sum —
@@ -2586,6 +2602,13 @@ object DataOpsQueries {
     "x_bootstrap" -> ((s, dir) =>
       operators.Bootstrap.replicateMeans(Tables.events(s, dir),
         value = col("value"), rowKey = col("event_id"), b = 40, seed = 42L)),
+
+    // Per-group (event-type) bootstrap replicate means — per-slice
+    // error bars from the same one-scan map-side combine.
+    "x_bootstrap_by" -> ((s, dir) =>
+      operators.Bootstrap.replicateMeansBy(Tables.events(s, dir),
+        group = col("event_type"), value = col("value"),
+        rowKey = col("event_id"), b = 20, seed = 42L)),
 
     // ... and the percentile CI those replicates imply (order statistics
     // at ceil(αB)/ceil((1−α)B)) next to the full-data mean.
@@ -6709,6 +6732,43 @@ object DataOpsQueries {
         |  list_max(qvec) AS qmax
         |FROM qv""".stripMargin,
 
+    "d_containment_self" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tok0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, toks[1:16] FROM tok0
+        |  WHERE len(toks) >= 24 AND doc_id % 7 = 0),
+        |sh_of AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM corpus),
+        |sh AS (SELECT doc_id, unnest(sh) AS g FROM sh_of),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |m AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b USING (g)
+        |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT contained_id, container_id, inter,
+        |  sa.n::BIGINT AS n_contained,
+        |  round(inter::DOUBLE / sa.n, 6) AS containment
+        |FROM m
+        |JOIN sizes sa ON sa.doc_id = contained_id
+        |JOIN sizes sb ON sb.doc_id = container_id
+        |WHERE (sa.n < sb.n OR (sa.n = sb.n AND contained_id < container_id))
+        |  AND round(inter::DOUBLE / sa.n, 6) >= 0.9""".stripMargin,
+
     "d_fellegi_sunter" -> {
       val Seq(fl, fs, fn) = fsGateFields
       s"""WITH docs AS (
@@ -7229,6 +7289,28 @@ object DataOpsQueries {
     "x_bootstrap" ->
       s"""WITH ${bootstrapChainSql(40, 42L)}
         |SELECT b, n_eff, sum_micro, mean FROM m""".stripMargin,
+
+    "x_bootstrap_by" -> {
+      val ladder = operators.Bootstrap.thresholds.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH base AS (
+        |  SELECT event_type AS g, event_id::VARCHAR AS k,
+        |    CAST(round(value * 1e6) AS BIGINT) AS x
+        |  FROM events),
+        |reps AS (
+        |  SELECT g, k, x, b FROM base CROSS JOIN (SELECT unnest(range(20)) AS b)),
+        |wts AS (
+        |  SELECT g, b, x, (CASE $ladder ELSE 9 END)::BIGINT AS w
+        |  FROM (
+        |    SELECT g, b, x,
+        |      (('0x' || substr(md5('boot:42:' || b::VARCHAR || ':' || k), 1, 15))::BIGINT + 0.5)
+        |        / 1.152921504606846976e18 AS u
+        |    FROM reps))
+        |SELECT g, b::BIGINT AS b, sum(w)::BIGINT AS n_eff,
+        |  sum(w * x)::BIGINT AS sum_micro,
+        |  round(sum(w * x)::DOUBLE / sum(w) / 1e6, 6) AS mean
+        |FROM wts GROUP BY 1, 2""".stripMargin
+    },
 
     "x_bootstrap_ci" ->
       s"""WITH ${bootstrapChainSql(40, 42L)},

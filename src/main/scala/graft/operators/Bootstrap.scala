@@ -65,6 +65,31 @@ object Bootstrap {
           .as("mean"))
   }
 
+  /** Grouped twin of [[replicateMeans]]: per-(group, replicate) means —
+    * per-language/source error bars from the same one-scan map-side
+    * combine, census now groups × B rows. Draw keys include the group,
+    * so a row's weight differs across groups only through its key
+    * (deterministic as ever). Output: (g, b, n_eff, sum_micro, mean).
+    */
+  def replicateMeansBy(df: DataFrame, group: Column, value: Column,
+                       rowKey: Column, b: Int,
+                       seed: Long = 42L): DataFrame = {
+    require(b >= 2, s"need >= 2 replicates, got $b")
+    val base = df.select(group.as("g"), rowKey.cast("string").as("k"),
+      round(value * 1e6).cast("long").as("x"))
+    val reps = base.select(col("g"), col("k"), col("x"),
+      explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val u = (conv(substring(md5(concat(lit("boot:"), lit(seed.toString),
+        lit(":"), col("b").cast("string"), lit(":"), col("k"))), 1, 15),
+      16, 10).cast("double") + 0.5d) / 1.152921504606846976e18d
+    reps.withColumn("w", poissonWeight(u).cast("long"))
+      .groupBy(col("g"), col("b").cast("long").as("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("x")).as("sum_micro"))
+      .select(col("g"), col("b"), col("n_eff"), col("sum_micro"),
+        round(col("sum_micro").cast("double") / col("n_eff") / 1e6, 6)
+          .as("mean"))
+  }
+
   /** Percentile CI from the replicate census: order statistics at
     * ceil(α·B) and ceil((1−α)·B) (1-based), plus the full-data mean.
     * One row: (n_replicates, mean_full, ci_lo, ci_hi). The window runs

@@ -96,6 +96,51 @@ object Decontaminate {
     scoredPairs(test, train, textCol, threshold, shingleSize, maxDf)
       .select(col("train_id").as("doc_id")).distinct()
 
+  /** Corpus SELF-containment: doc-in-doc quote/excerpt pairs — the
+    * asymmetric-overlap dedup tier Jaccard misses (a 16-token excerpt
+    * of a 500-token article has tiny Jaccard but containment 1.0).
+    * Same inverted-index shape as the test-vs-train containment, joined
+    * against the corpus itself: containment(a→b) = |sh(a)∩sh(b)|/|sh(a)|
+    * with a the smaller shingle set (ties break a < b), the container
+    * side df-capped (`maxDf`) like the decontamination index. Output:
+    * (contained_id, container_id, inter, n_contained, containment).
+    */
+  def selfContainment(docs: DataFrame, textCol: String = "text",
+                      threshold: Double = 0.9, shingleSize: Int = 3,
+                      maxDf: Long = DefaultMaxDf): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = Dedup.shingleRows(docs, textCol, shingleSize)
+      .localCheckpoint()
+    val index0 = sh.select(col("doc_id").as("container_id"), col("g"))
+    val index =
+      if (maxDf <= 0L) index0
+      else {
+        val dfc = index0.groupBy("g").agg(count(lit(1)).as("_df"))
+          .where(col("_df") <= maxDf).select("g")
+        index0.join(dfc, Seq("g"), "left_semi")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+    val matches = sh.select(col("doc_id").as("contained_id"), col("g"))
+      .join(index, Seq("g"))
+      .where(col("contained_id") =!= col("container_id"))
+      .groupBy("contained_id", "container_id")
+      .agg(count(lit(1)).as("inter"))
+    matches
+      .join(sizes.select(col("doc_id").as("contained_id"),
+        col("_n").as("n_contained")), Seq("contained_id"))
+      .join(sizes.select(col("doc_id").as("container_id"),
+        col("_n").as("_nb")), Seq("container_id"))
+      .where(col("n_contained") < col("_nb") ||
+        (col("n_contained") === col("_nb") &&
+          col("contained_id") < col("container_id")))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_contained"), 6))
+      .where(col("containment") >= threshold)
+      .select("contained_id", "container_id", "inter", "n_contained",
+        "containment")
+  }
+
   /** SPAN-LEVEL leak report: for each test/benchmark document, the
     * maximal contiguous token runs that appear verbatim (≥ k tokens)
     * anywhere in the training corpus — the audit artifact a containment

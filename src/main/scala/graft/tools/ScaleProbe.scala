@@ -231,7 +231,11 @@ object ScaleProbe {
       "m_audio_fp_neardup",
       // inherits r_vsm_topk's honest superlinearity (queries scale
       // with the corpus; df cap off in the replay gate by design)
-      "r_ndcg")
+      "r_ndcg",
+      // one-scan B-grain census per group; inverted-index self-join
+      // (cap ON at scale; the replay gate runs cap-off like
+      // d_decontaminate)
+      "x_bootstrap_by", "d_containment_self")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

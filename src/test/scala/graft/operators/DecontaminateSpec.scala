@@ -111,4 +111,29 @@ class DecontaminateSpec extends SparkSpec {
       (100L, 14L, 8L, "p q r s t u v w")),
       s"unexpected spans: $got")
   }
+
+  test("selfContainment: excerpt-in-article found at containment 1.0, direction fixed") {
+    import spark.implicits._
+    val article = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 17).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, excerpt), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.selfContainment(docs, threshold = 0.9,
+        maxDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // Jaccard would be ~6/38 ≈ 0.16 — far below any dedup threshold
+    assert(pairs.toSeq === Seq((2L, 1L, 1.0)),
+      s"excerpt must be contained in the article: ${pairs.toSeq}")
+  }
+
+  test("selfContainment: the df cap drops ubiquitous shingles from the index") {
+    import spark.implicits._
+    // the shared boilerplate shingle appears in EVERY doc — capped out,
+    // so no pair survives; unique-content containment is unaffected
+    val docs = (1L to 6L).map(i => (i, s"common boiler plate line u$i v$i"))
+      .toDF("doc_id", "text")
+    val capped = Decontaminate.selfContainment(docs, threshold = 0.5,
+      shingleSize = 3, maxDf = 2L)
+    assert(capped.count() === 0L)
+  }
 }
