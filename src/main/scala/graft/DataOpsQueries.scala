@@ -2328,6 +2328,21 @@ object DataOpsQueries {
         "lang" -> col("lang"), "source" -> col("source"),
         "len" -> expr("n_chars div 256")))),
 
+    // Embedding-space drift: even-id vs odd-id snapshot halves compared
+    // at dimension grain — exact micro censuses, per-dim shifts, and
+    // the centroid cosine + max-shift alert line.
+    "e_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.EmbeddingDrift.perDim(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
+    }),
+
+    "e_embedding_drift_summary" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.EmbeddingDrift.summary(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1))
+    }),
+
     // MMR diversified rerank: top-20 relevance pool per query, then 8
     // greedy rounds of λ·rel − (1−λ)·maxsim on exact long scores —
     // dedup-aware retrieval. The oracle replays pool, pairwise sims,
@@ -6813,6 +6828,46 @@ object DataOpsQueries {
         |SELECT 'len', CAST(round(sq * 1e6 / (n * n)) AS BIGINT)
         |FROM (SELECT sum(c * c)::BIGINT AS sq, sum(c)::BIGINT AS n
         |      FROM (SELECT count(*)::BIGINT AS c FROM documents GROUP BY n_chars // 256))""".stripMargin,
+
+    "e_embedding_drift" ->
+      """WITH ca AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1e6) AS BIGINT) AS vm
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |cb AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1e6) AS BIGINT) AS vm
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |ga AS (SELECT dim, sum(vm)::BIGINT AS sa, count(*)::BIGINT AS na FROM ca GROUP BY 1),
+        |gb AS (SELECT dim, sum(vm)::BIGINT AS sb, count(*)::BIGINT AS nb FROM cb GROUP BY 1)
+        |SELECT dim,
+        |  round(sa::DOUBLE / na / 1e6, 6) AS mean_a,
+        |  round(sb::DOUBLE / nb / 1e6, 6) AS mean_b,
+        |  round(abs(sb::DOUBLE / nb / 1e6 - sa::DOUBLE / na / 1e6), 6) AS shift
+        |FROM ga JOIN gb USING (dim)""".stripMargin,
+
+    "e_embedding_drift_summary" ->
+      """WITH ca AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1e6) AS BIGINT) AS vm
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |cb AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1e6) AS BIGINT) AS vm
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |ga AS (SELECT dim, sum(vm)::BIGINT AS sa, count(*)::BIGINT AS na FROM ca GROUP BY 1),
+        |gb AS (SELECT dim, sum(vm)::BIGINT AS sb, count(*)::BIGINT AS nb FROM cb GROUP BY 1),
+        |m AS (
+        |  SELECT dim,
+        |    CAST(round(sa::DOUBLE / na) AS BIGINT) AS ma,
+        |    CAST(round(sb::DOUBLE / nb) AS BIGINT) AS mb,
+        |    round(abs(sb::DOUBLE / nb / 1e6 - sa::DOUBLE / na / 1e6), 6) AS shift
+        |  FROM ga JOIN gb USING (dim))
+        |SELECT count(*)::BIGINT AS n_dims,
+        |  round(sum(ma * mb)::DOUBLE
+        |    / (sqrt(sum(ma * ma)::DOUBLE) * sqrt(sum(mb * mb)::DOUBLE)), 6) AS centroid_cosine,
+        |  max(shift) AS max_shift
+        |FROM m""".stripMargin,
 
     "r_mmr" -> {
       val picks = (1 to 8).map(i =>

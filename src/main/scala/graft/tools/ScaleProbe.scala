@@ -235,7 +235,9 @@ object ScaleProbe {
       // one-scan B-grain census per group; inverted-index self-join
       // (cap ON at scale; the replay gate runs cap-off like
       // d_decontaminate)
-      "x_bootstrap_by", "d_containment_self")
+      "x_bootstrap_by", "d_containment_self",
+      // dim-grain censuses — d rows per side, never vectors
+      "e_embedding_drift_summary")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
