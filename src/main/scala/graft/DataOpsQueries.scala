@@ -24,6 +24,21 @@ object DataOpsQueries {
     */
   private val RECALL_FLOOR_HARD_NEG = 0.8
 
+  /** NB-scored corpus with boolean truth labels (lang = 'en') — the
+    * shared input of the `v_roc_auc` / `v_avg_precision` /
+    * `v_calibration*` / `v_confusion` evaluation gates. Train = test
+    * here on purpose: the gates pin the METRIC arithmetic, not
+    * generalization.
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    operators.Classifier.scoreAgainst(d,
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        buckets = 1024)
+      .join(d.select(col("doc_id"), (col("lang") === "en").as("label")),
+        Seq("doc_id"))
+  }
+
   /** documents ∪ shifted-id copy — duplicate-by-construction corpus so
     * dedup operators always have work to do on the synthetic data (which
     * has no natural duplicates).
@@ -840,6 +855,30 @@ object DataOpsQueries {
       |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
       |  FROM fb LEFT JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
+  /** Labeled NB scores + score-grain census with strict-below
+    * cumulatives — the shared head of the classifier-evaluation
+    * oracles (extends [[nbScoreSql]]).
+    */
+  private val nbEvalSql: String =
+    nbScoreSql + """,
+      |vscored AS (
+      |  SELECT d.doc_id,
+      |    (coalesce(a.w_sum_micro, 0) + p.prior_micro)::BIGINT AS s,
+      |    (d.lang = 'en') AS label
+      |  FROM documents d LEFT JOIN nbagg a USING (doc_id)
+      |  CROSS JOIN nbprior p),
+      |vcen AS (
+      |  SELECT s, sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+      |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n_neg
+      |  FROM vscored GROUP BY s),
+      |vcum AS (
+      |  SELECT s, n_pos, n_neg,
+      |    coalesce(sum(n_neg) OVER (ORDER BY s ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg_below,
+      |    coalesce(sum(n_pos) OVER (ORDER BY s ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos_below
+      |  FROM vcen)""".stripMargin
+
   private def portableLshSql(src: String, p: String = ""): String =
     s"""${p}norm AS (
       |  SELECT doc_id,
@@ -1071,6 +1110,26 @@ object DataOpsQueries {
           Tables.documents(s, dir).select("doc_id", "lang"),
           col("doc_id"), col("lang"),
           Map("en" -> 0.3, "zh" -> 1.0), defaultFraction = 0.6)),
+
+    // Efraimidis–Spirakis weighted sample without replacement, exact
+    // integer ladder: key = max of w 60-bit md5 uniforms, top-100 by
+    // key — weight grows with document length (oracle replays every
+    // draw).
+    "s_weighted_sample" -> ((s, dir) =>
+      operators.WeightedSample.weightedTopK(Tables.documents(s, dir),
+        col("doc_id"), expr("(n_chars div 256) + 1"), k = 100)),
+
+    // The 100 TB A-ES ladder: one ln(u)/w key per row, nano-rounded
+    // once before ranking — unbounded weights, O(rows) hashes.
+    "s_weighted_sample_log" -> ((s, dir) =>
+      operators.WeightedSample.weightedTopKLog(Tables.documents(s, dir),
+        col("doc_id"), col("n_chars") + lit(1L), k = 100)),
+
+    // Stratified weighted pick: 5 winners per language, group-partition
+    // rank window (never global).
+    "s_weighted_group" -> ((s, dir) =>
+      operators.WeightedSample.weightedTopKPerGroup(Tables.documents(s, dir),
+        col("lang"), col("doc_id"), expr("(n_chars div 512) + 1"), k = 5)),
 
     // Dataset-card summary per (lang, source): counts, token totals,
     // exact distinct-fingerprint dup rate (oracle; HLL variant is the
@@ -2237,6 +2296,33 @@ object DataOpsQueries {
         d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
         buckets = 1024)
     }),
+
+    // Classifier evaluation over the NB gate's scores with truth =
+    // (lang = 'en'): tie-corrected rank-sum ROC AUC on the score
+    // census — two-phase cumulative, integer numerator, one division.
+    "v_roc_auc" -> ((s, dir) =>
+      operators.Evaluation.rocAuc(nbScored(s, dir))),
+
+    // Average precision (PR-curve area, tie groups as one level,
+    // per-level precision nano-rounded before the weighted sum).
+    "v_avg_precision" -> ((s, dir) =>
+      operators.Evaluation.averagePrecision(nbScored(s, dir))),
+
+    // Reliability diagram at 1.0-log10-odds score-bucket grain:
+    // observed positive rate vs base-10-logistic predicted probability,
+    // both micro-rounded before the gap.
+    "v_calibration" -> ((s, dir) =>
+      operators.Evaluation.calibration(nbScored(s, dir))),
+
+    // Expected calibration error folded from the bins — exact integer
+    // gap sum in a decimal accumulator.
+    "v_calibration_ece" -> ((s, dir) =>
+      operators.Evaluation.calibrationError(nbScored(s, dir))),
+
+    // Confusion matrix + precision/recall/F1/accuracy at the NB
+    // decision threshold (score > 0).
+    "v_confusion" -> ((s, dir) =>
+      operators.Evaluation.confusionAt(nbScored(s, dir))),
 
     // Snapshot diff between two corpus versions: %5==0 removed, %3==0
     // content-perturbed (changed — unless text is null, where both sides
@@ -4483,6 +4569,51 @@ object DataOpsQueries {
          |  ELSE substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.6)}'
          |  END""".stripMargin,
 
+    "s_weighted_sample" ->
+      """WITH ws AS (
+        |  SELECT doc_id, (n_chars // 256 + 1)::BIGINT AS w FROM documents),
+        |ex AS (
+        |  SELECT doc_id, w, unnest(range(1, least(w, 4096) + 1)) AS j
+        |  FROM ws),
+        |keys AS (
+        |  SELECT doc_id AS id, w,
+        |    max(('0x' || substr(md5('aes:42:' || doc_id || ':' || j), 1, 15))::BIGINT)
+        |      AS key_h
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT id, w, key_h FROM keys
+        |ORDER BY key_h DESC, id ASC LIMIT 100""".stripMargin,
+
+    "s_weighted_sample_log" ->
+      """WITH ws AS (
+        |  SELECT doc_id AS id, (n_chars + 1)::DOUBLE AS w FROM documents),
+        |keys AS (
+        |  SELECT id, w,
+        |    CAST(round(ln((('0x' || substr(md5('aes:42:' || id || ':0'), 1, 15))::BIGINT::DOUBLE + 0.5)
+        |        / 1.152921504606846976e18) / w * 1e9) AS BIGINT) AS key_nano
+        |  FROM ws)
+        |SELECT id, w, key_nano FROM keys
+        |ORDER BY key_nano DESC, id ASC LIMIT 100""".stripMargin,
+
+    "s_weighted_group" ->
+      """WITH ws AS (
+        |  SELECT lang AS grp, doc_id AS id,
+        |    (n_chars // 512 + 1)::BIGINT AS w FROM documents),
+        |ex AS (
+        |  SELECT grp, id, w, unnest(range(1, least(w, 4096) + 1)) AS j
+        |  FROM ws),
+        |keys AS (
+        |  SELECT grp, id, w,
+        |    max(('0x' || substr(md5('aes:42:' || id || ':' || j), 1, 15))::BIGINT)
+        |      AS key_h
+        |  FROM ex GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT grp, id, w, key_h,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY key_h DESC, id ASC) AS rank
+        |  FROM keys)
+        |SELECT grp, id, w, key_h, rank::BIGINT AS rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
+
     "a12_dataset_card" ->
       """WITH t AS (
         |  SELECT lang, source, length(text) AS n_chars,
@@ -5162,6 +5293,88 @@ object DataOpsQueries {
         |  round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) AS w_per_feat,
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p""".stripMargin,
+
+    "v_roc_auc" ->
+      s"""WITH $nbEvalSql
+        |SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+        |    round(sum(n_pos * (2 * cumneg_below + n_neg))::DOUBLE
+        |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
+        |FROM vcum""".stripMargin,
+
+    "v_avg_precision" ->
+      s"""WITH $nbEvalSql,
+        |vtot AS (SELECT sum(n_pos)::BIGINT AS p_tot,
+        |                sum(n_neg)::BIGINT AS n_tot FROM vcen),
+        |vlev AS (
+        |  SELECT n_pos, p_tot, n_tot,
+        |    CAST(round((p_tot - cumpos_below)::DOUBLE
+        |      / (p_tot - cumpos_below + n_tot - cumneg_below) * 1e9)
+        |      AS BIGINT) AS prec_nano
+        |  FROM vcum CROSS JOIN vtot)
+        |SELECT max(p_tot) AS n_pos, max(n_tot) AS n_neg,
+        |  CASE WHEN max(p_tot) > 0 THEN
+        |    round(sum(n_pos * prec_nano)::DOUBLE / 1e9 / max(p_tot), 6)
+        |  END AS ap
+        |FROM vlev""".stripMargin,
+
+    "v_calibration" ->
+      s"""WITH $nbEvalSql,
+        |vbin AS (
+        |  SELECT greatest(-8, least(8, floor(s::DOUBLE / 1000000))) AS bin,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y, s
+        |  FROM vscored),
+        |vagg AS (
+        |  SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS n_pos, sum(s)::BIGINT AS ssum
+        |  FROM vbin GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(round(n_pos::DOUBLE / n * 1e6) AS BIGINT) AS obs_micro,
+        |  CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
+        |    AS BIGINT) AS pred_micro,
+        |  abs(CAST(round(n_pos::DOUBLE / n * 1e6) AS BIGINT)
+        |    - CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
+        |      AS BIGINT)) AS gap_micro
+        |FROM vagg""".stripMargin,
+
+    "v_calibration_ece" ->
+      s"""WITH $nbEvalSql,
+        |vbin AS (
+        |  SELECT greatest(-8, least(8, floor(s::DOUBLE / 1000000))) AS bin,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y, s
+        |  FROM vscored),
+        |vagg AS (
+        |  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |    sum(s)::BIGINT AS ssum
+        |  FROM vbin GROUP BY 1),
+        |vgap AS (
+        |  SELECT n,
+        |    abs(CAST(round(n_pos::DOUBLE / n * 1e6) AS BIGINT)
+        |      - CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
+        |        AS BIGINT)) AS gap_micro
+        |  FROM vagg)
+        |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins,
+        |  round(sum(n * gap_micro)::DOUBLE / sum(n) / 1e6, 6) AS ece
+        |FROM vgap""".stripMargin,
+
+    "v_confusion" ->
+      s"""WITH $nbEvalSql,
+        |vcnt AS (
+        |  SELECT
+        |    sum(CASE WHEN s > 0 AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN s > 0 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN s <= 0 AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |    sum(CASE WHEN s <= 0 AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM vscored)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp), 6) END
+        |    AS precision,
+        |  CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn), 6) END
+        |    AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+        |  round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) AS accuracy
+        |FROM vcnt""".stripMargin,
 
     // the pruned scan must return EXACTLY the full-scan IN-list rows —
     // file skipping is an IO optimization, never a semantics change

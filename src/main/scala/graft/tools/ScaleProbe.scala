@@ -237,7 +237,12 @@ object ScaleProbe {
       // d_decontaminate)
       "x_bootstrap_by", "d_containment_self",
       // dim-grain censuses — d rows per side, never vectors
-      "e_embedding_drift_summary")
+      "e_embedding_drift_summary",
+      // NB scoring chain + score census; the curve math is census-grain
+      // two-phase cumulative (no global window)
+      "v_roc_auc",
+      // one ln-key per row + TakeOrdered — the unbounded-weight A-ES path
+      "s_weighted_sample_log")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
