@@ -1468,6 +1468,17 @@ object DataOpsQueries {
       Dedup.ngramJaccard(pairs, docsWithCopies(s, dir))
     }),
 
+    // Near-dup threshold sweep on consecutive-id candidate pairs: per
+    // Jaccard bar (30..90%), surviving pairs / touched docs / one-pass
+    // removals — the tuning view, one verify pass for the whole grid.
+    "d_threshold_sweep" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.select(col("doc_id").as("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + lit(1L))
+      Dedup.thresholdSweep(pairs, d)
+    }),
+
     // Exact threshold set-similarity self-join (AllPairs/PPJoin): every
     // pair with word-token Jaccard ≥ 0.9, prefix+length+positional
     // filtered, NO false negatives (vs LSH's probabilistic recall). The
@@ -6268,6 +6279,49 @@ object DataOpsQueries {
         |      FROM (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |        FROM documents))))""".stripMargin,
+
+    "d_threshold_sweep" ->
+      """WITH tnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |ttok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM tnorm),
+        |tsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END) AS sh
+        |  FROM ttok),
+        |tp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni
+        |  FROM tsh a JOIN tsh b ON b.doc_id = a.doc_id + 1),
+        |tj AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(round(round(inter::DOUBLE / uni, 6) * 1e6) AS BIGINT) AS jac_micro
+        |  FROM tp WHERE uni > 0),
+        |tgrid AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS t_pct),
+        |ttag AS (
+        |  SELECT t_pct, doc_a, doc_b FROM tj CROSS JOIN tgrid
+        |  WHERE jac_micro >= t_pct * 10000),
+        |tagg AS (
+        |  SELECT t_pct, count(*)::BIGINT AS n_pairs,
+        |    count(DISTINCT greatest(doc_a, doc_b))::BIGINT AS n_removed
+        |  FROM ttag GROUP BY 1),
+        |tdoc AS (
+        |  SELECT t_pct, count(DISTINCT d)::BIGINT AS n_docs
+        |  FROM (SELECT t_pct, unnest([doc_a, doc_b]) AS d FROM ttag)
+        |  GROUP BY 1)
+        |SELECT g.t_pct::BIGINT AS t_pct,
+        |  coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(d.n_docs, 0)::BIGINT AS n_docs,
+        |  coalesce(a.n_removed, 0)::BIGINT AS n_removed
+        |FROM tgrid g LEFT JOIN tagg a USING (t_pct)
+        |LEFT JOIN tdoc d USING (t_pct)""".stripMargin,
 
     // the rep-collapse + the full AllPairs chain on reps + group sizes
     "d_setsim_reps" ->

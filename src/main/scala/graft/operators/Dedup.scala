@@ -820,6 +820,55 @@ object Dedup {
     *
     * Output: pairs with (lev, ratio — 6dp) where ratio ≥ threshold.
     */
+  /** Threshold sweep — the TUNING view of near-dup verification: for a
+    * grid of Jaccard thresholds (integer percent), how many candidate
+    * pairs clear each bar, how many documents they touch, and how many
+    * documents the one-pass keep-min-id policy would remove. Running
+    * this once on a candidate set answers "what does raising the bar
+    * from 0.7 to 0.8 actually cost" WITHOUT re-running the pipeline per
+    * threshold. Beyond-reference surface (SURVEY §2.13).
+    *
+    * Exactness: the threshold test is integer — round(jaccard·1e6) ≥
+    * pct·10⁴ on the already-6dp Jaccard — so grid membership replays
+    * engine-exactly. Scale shape: ONE exact-verify pass over the
+    * candidate pairs ([[ngramJaccardFromRows]] — pairs × shingles,
+    * never all-pairs), then the grid (≤10 thresholds) multiplies only
+    * the SURVIVING pair census; distinct-doc counts shuffle two-phase
+    * on (threshold, doc). Zero-pair thresholds densify via a left join
+    * against the broadcast grid.
+    *
+    * Output: (t_pct, n_pairs, n_docs, n_removed) — one row per
+    * threshold, removed = distinct larger ids of clearing pairs.
+    */
+  def thresholdSweep(pairs: DataFrame, docs: DataFrame,
+                     thresholds: Seq[Int] = Seq(30, 40, 50, 60, 70, 80, 90),
+                     textCol: String = "text",
+                     shingleSize: Int = 3): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 0 && t <= 100),
+      s"thresholds must be percents in [0, 100]: $thresholds")
+    val j = ngramJaccard(pairs, docs, textCol, shingleSize)
+      .where(col("jaccard").isNotNull)
+      .withColumn("jac_micro", round(col("jaccard") * 1e6).cast("long"))
+    val gridLits = array(thresholds.map(t => lit(t.toLong)): _*)
+    val grid = pairs.sparkSession.range(1)
+      .select(explode(gridLits).as("t_pct"))
+    val tagged = j.select(col("doc_a"), col("doc_b"), col("jac_micro"),
+        explode(gridLits).as("t_pct"))
+      .where(col("jac_micro") >= col("t_pct") * lit(10000L))
+    val pairAgg = tagged.groupBy("t_pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(greatest(col("doc_a"), col("doc_b"))).as("n_removed"))
+    val docAgg = tagged
+      .select(col("t_pct"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("t_pct").agg(count_distinct(col("d")).as("n_docs"))
+    grid
+      .join(pairAgg, Seq("t_pct"), "left_outer")
+      .join(docAgg, Seq("t_pct"), "left_outer")
+      .na.fill(0L, Seq("n_pairs", "n_docs", "n_removed"))
+      .select("t_pct", "n_pairs", "n_docs", "n_removed")
+  }
+
   def editVerify(pairs: DataFrame, docs: DataFrame, threshold: Double,
                  textCol: String = "text"): DataFrame = {
     require(threshold >= 0 && threshold <= 1,

@@ -242,7 +242,10 @@ object ScaleProbe {
       // two-phase cumulative (no global window)
       "v_roc_auc",
       // one ln-key per row + TakeOrdered — the unbounded-weight A-ES path
-      "s_weighted_sample_log")
+      "s_weighted_sample_log",
+      // one exact-verify pass over candidate pairs; the grid multiplies
+      // only the surviving pair census
+      "d_threshold_sweep")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
