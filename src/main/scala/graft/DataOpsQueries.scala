@@ -1879,6 +1879,16 @@ object DataOpsQueries {
     "t_zipf" -> ((s, dir) =>
       operators.Salience.zipfFit(Tables.documents(s, dir), minCount = 2)),
 
+    // KL / Jensen–Shannon divergence between the en and non-en token
+    // distributions — add-one smoothed joint vocabulary, per-term
+    // nano-rounded ln terms, one vocabulary-grain join (oracle replays
+    // censuses + every term).
+    "t_divergence" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Drift.tokenDivergence(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"))
+    }),
+
     "t_vocab" -> ((s, dir) =>
       Salience.vocabulary(Tables.documents(s, dir), minCount = 3,
         maxSize = 1000)),
@@ -5111,6 +5121,49 @@ object DataOpsQueries {
         |  (count(*) FILTER (masked))::BIGINT AS n_masked,
         |  (count(*) FILTER (sstart))::BIGINT AS n_spans
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "t_divergence" ->
+      """WITH dnorm AS (
+        |  SELECT lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |dtok AS (
+        |  SELECT lang, unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS term
+        |  FROM dnorm),
+        |dca AS (
+        |  SELECT term, count(*)::BIGINT AS ca FROM dtok
+        |  WHERE term <> '' AND lang = 'en' GROUP BY 1),
+        |dcb AS (
+        |  SELECT term, count(*)::BIGINT AS cb FROM dtok
+        |  WHERE term <> '' AND lang <> 'en' GROUP BY 1),
+        |dj AS (
+        |  SELECT coalesce(dca.ca, 0) AS ca, coalesce(dcb.cb, 0) AS cb
+        |  FROM dca FULL OUTER JOIN dcb ON dca.term = dcb.term),
+        |dtot AS (
+        |  SELECT count(*)::BIGINT AS v, sum(ca)::BIGINT AS na,
+        |    sum(cb)::BIGINT AS nb FROM dj),
+        |dterm AS (
+        |  SELECT v,
+        |    CAST(round((ca + 1)::DOUBLE / (na + v)
+        |      * ln(((ca + 1)::DOUBLE / (na + v)) / ((cb + 1)::DOUBLE / (nb + v)))
+        |      * 1e9) AS BIGINT) AS kab,
+        |    CAST(round((cb + 1)::DOUBLE / (nb + v)
+        |      * ln(((cb + 1)::DOUBLE / (nb + v)) / ((ca + 1)::DOUBLE / (na + v)))
+        |      * 1e9) AS BIGINT) AS kba,
+        |    CAST(round((((ca + 1)::DOUBLE / (na + v))
+        |        * ln(((ca + 1)::DOUBLE / (na + v))
+        |          / ((((ca + 1)::DOUBLE / (na + v)) + ((cb + 1)::DOUBLE / (nb + v))) / 2))
+        |      + ((cb + 1)::DOUBLE / (nb + v))
+        |        * ln(((cb + 1)::DOUBLE / (nb + v))
+        |          / ((((ca + 1)::DOUBLE / (na + v)) + ((cb + 1)::DOUBLE / (nb + v))) / 2)))
+        |      / 2 * 1e9) AS BIGINT) AS jst
+        |  FROM dj CROSS JOIN dtot)
+        |SELECT v AS n_terms,
+        |  round(sum(kab)::DOUBLE / 1e9, 6) AS kl_ab,
+        |  round(sum(kba)::DOUBLE / 1e9, 6) AS kl_ba,
+        |  round(sum(jst)::DOUBLE / 1e9, 6) AS js
+        |FROM dterm GROUP BY v""".stripMargin,
 
     "t_zipf" ->
       """WITH norm AS (

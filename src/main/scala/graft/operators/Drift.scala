@@ -48,4 +48,51 @@ object Drift {
   def psiTotal(bucketFrame: DataFrame): DataFrame =
     bucketFrame.agg(
       round(sum(col("term_micro")).cast("double") / 1e6, 6).as("psi"))
+
+  /** KL and Jensen–Shannon divergence between two corpora's unigram
+    * TOKEN distributions — the content-mix twin of [[psi]]'s
+    * fixed-grid value drift: PSI watches a scalar feature, this
+    * watches what the text is made of (language mix shifts, template
+    * floods, topic collapse between corpus versions or mixture
+    * sources). Distributions are add-one smoothed over the JOINT
+    * vocabulary, so both KL directions are finite and JS is bounded by
+    * ln 2.
+    *
+    * Portability: p = (c_a+1)/(N_a+V) and q likewise are single
+    * deterministic double divisions from exact census longs; each
+    * term p·ln(p/q) nano-rounds BEFORE the sum (ln is the only libm
+    * call, rounded per term — the [[psi]] rule), so the three scalars
+    * replay exactly. Scale shape: one token-census shuffle per side
+    * (partial-aggregated map-side), a vocabulary-grain full-outer
+    * join, one broadcast totals row — never corpus-grain after the
+    * census.
+    *
+    * Output one row: (n_terms, kl_ab, kl_ba, js).
+    */
+  def tokenDivergence(a: DataFrame, b: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    def census(df: DataFrame, cnt: String): DataFrame =
+      df.select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalized(col(textCol)))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as(cnt))
+    val j = census(a, "ca").join(census(b, "cb"), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = j.agg(count(lit(1)).as("v"), sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"))
+    val p = (col("ca") + lit(1L)).cast("double") / (col("na") + col("v"))
+    val q = (col("cb") + lit(1L)).cast("double") / (col("nb") + col("v"))
+    val m = (p + q) / lit(2.0d)
+    j.crossJoin(broadcast(tot))
+      .select(col("v"),
+        round(p * log(p / q) * 1e9).cast("long").as("kab"),
+        round(q * log(q / p) * 1e9).cast("long").as("kba"),
+        round((p * log(p / m) + q * log(q / m)) / lit(2.0d) * 1e9)
+          .cast("long").as("jst"))
+      .groupBy("v")
+      .agg(round(sum(col("kab")).cast("double") / 1e9, 6).as("kl_ab"),
+        round(sum(col("kba")).cast("double") / 1e9, 6).as("kl_ba"),
+        round(sum(col("jst")).cast("double") / 1e9, 6).as("js"))
+      .select(col("v").as("n_terms"), col("kl_ab"), col("kl_ba"), col("js"))
+  }
 }

@@ -245,7 +245,9 @@ object ScaleProbe {
       "s_weighted_sample_log",
       // one exact-verify pass over candidate pairs; the grid multiplies
       // only the surviving pair census
-      "d_threshold_sweep")
+      "d_threshold_sweep",
+      // two token censuses + a vocabulary-grain join
+      "t_divergence")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
