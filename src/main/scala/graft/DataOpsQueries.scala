@@ -1984,6 +1984,62 @@ object DataOpsQueries {
       out
     }),
 
+    // Frequent-items (Misra–Gries) sketch twin of t_cms_hitters: exact
+    // top-50 terms must satisfy the sketch's unconditional lb ≤ true ≤ ub
+    // with ub − lb ≤ maximumError, 3-shard merged sketch ≡ whole-corpus
+    // sketch on every probe term, and with no purges at gate scale the
+    // wide sketch's estimates are EXACT (rows-only — purge history is
+    // engine-specific; the assertions are the gate).
+    "t_freq_hitters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val whole = Salience.freqTokenSketch(d, maxMapSize = 8192)
+      val merged = Salience.mergeFreqSketches((0 to 2).map(i =>
+        Salience.freqTokenSketch(d.where(col("doc_id") % 3 === i),
+          maxMapSize = 8192)))
+      val top = Salience.heavyHitters(d, k = 50).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val estW = Salience.freqEstimates(whole, top.map(_._1).toSeq)
+      val estM = Salience.freqEstimates(merged, top.map(_._1).toSeq)
+      val rows = top.map { case (t, exact) =>
+        val (ew, lw, uw) = estW(t)
+        (t, exact, ew, lw, uw,
+          ew == exact && lw == exact && uw == exact, // no purge → exact
+          estM(t) == estW(t)) // shard merge ≡ direct (both purge-free)
+      }.toSeq
+      require(rows.forall(_._6),
+        s"wide sketch must be exact at gate scale: ${rows.filterNot(_._6).take(3)}")
+      require(rows.forall(_._7),
+        s"shard merge must equal direct: ${rows.filterNot(_._7).take(3)}")
+      // purge mode, on a high-cardinality derived key (term:doc-bucket —
+      // thousands of actives through a 64-slot map): bounds must hold
+      // unconditionally and NO_FALSE_NEGATIVES must return a superset of
+      // everything above the error line
+      val keyed = d.select(explode(TextAnalysis.tokens(
+            TextAnalysis.normalized(col("text")))).as("t"),
+          pmod(col("doc_id"), lit(97L)).as("b"))
+        .where(col("t") =!= "")
+        .select(concat(col("t"), lit(":"), col("b")).as("k"))
+      val exactK = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc).limit(50)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val narrow = keyed.agg(graft.functions.FreqSketch
+          .freqAgg(col("k"), 64).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val maxErr = graft.functions.FreqSketch.wrap(narrow).getMaximumError
+      require(maxErr > 0L, "derived stream must actually purge")
+      val estN = Salience.freqEstimates(narrow, exactK.map(_._1).toSeq)
+      require(exactK.forall { case (t, n) =>
+        val (_, lb, ub) = estN(t); lb <= n && n <= ub
+      }, "freq bounds violated in purge mode")
+      val hitters = Salience.freqHitters(narrow).map(_._1).toSet
+      val mustFind = exactK.filter(_._2 > maxErr).map(_._1)
+      require(mustFind.forall(hitters.contains),
+        s"NO_FALSE_NEGATIVES missed: ${mustFind.filterNot(hitters.contains).take(3)}")
+      import s.implicits._
+      rows.map(r => (r._1, r._2, r._3, r._4, r._5))
+        .toDF("term", "exact", "est", "lb", "ub")
+    }),
+
     // File-level Bloom skipping index: stage documents range-partitioned
     // by doc_id into 8 files, build one Bloom filter per file in a
     // single partial-agg pass, then serve a clustered IN-list lookup

@@ -239,4 +239,45 @@ object Salience {
     merged.writeTo(out)
     out.toByteArray
   }
+
+  /** Frequent-items (Misra–Gries/SpaceSaving) sketch over the corpus
+    * token stream — the deterministic-bound twin of [[tokenSketch]]:
+    * true count ∈ [lb, ub] unconditionally, ub − lb ≤ ~3.5·N/maxMapSize,
+    * state O(maxMapSize) for any vocabulary. One partial-aggregated
+    * scan; the shuffle carries sketch bytes.
+    */
+  def freqTokenSketch(docs: DataFrame, maxMapSize: Int = 1024,
+                      textCol: String = "text"): Array[Byte] =
+    docs.select(
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .agg(graft.functions.FreqSketch.freqAgg(col("term"), maxMapSize).as("sk"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Driver-side (estimate, lowerBound, upperBound) per term. */
+  def freqEstimates(sketch: Array[Byte],
+                    terms: Seq[String]): Map[String, (Long, Long, Long)] = {
+    val sk = graft.functions.FreqSketch.wrap(sketch)
+    terms.map(t =>
+      t -> ((sk.getEstimate(t), sk.getLowerBound(t), sk.getUpperBound(t)))).toMap
+  }
+
+  /** Frequent items above the sketch's error line — NO_FALSE_NEGATIVES
+    * returns a superset of every item with true count > maximumError.
+    */
+  def freqHitters(sketch: Array[Byte]): Seq[(String, Long)] = {
+    val sk = graft.functions.FreqSketch.wrap(sketch)
+    sk.getFrequentItems(
+        org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => r.getItem -> r.getEstimate).toSeq
+  }
+
+  /** Merge same-family frequent-items sketches (no re-scan). */
+  def mergeFreqSketches(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val merged = graft.functions.FreqSketch.wrap(sketches.head)
+    sketches.tail.foreach(b =>
+      merged.merge(graft.functions.FreqSketch.wrap(b)))
+    merged.toByteArray(graft.functions.FreqSketch.serde)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.session
 
-import graft.functions.{ArrayDot, BloomAgg, BloomBytesMightContain, CosineSimilarity, NGramShingles, RollingHash64, ThetaEstimate, ThetaSketchAgg, UnicodeNormalize}
+import graft.functions.{ArrayDot, BloomAgg, BloomBytesMightContain, CosineSimilarity, FreqSketchAgg, NGramShingles, RollingHash64, ThetaEstimate, ThetaSketchAgg, UnicodeNormalize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -96,6 +96,12 @@ object GraftFunctions {
       { case Seq(s) => ThetaEstimate(s)
         case args => throw new IllegalArgumentException(
           s"theta_estimate expects 1 argument, got ${args.length}") }),
+    (FunctionIdentifier("freq_sketch"),
+      info("freq_sketch"),
+      { case Seq(c) => FreqSketchAgg(c, 1024)
+        case Seq(c, m) => FreqSketchAgg(c, intLit(m, "freq_sketch"))
+        case args => throw new IllegalArgumentException(
+          s"freq_sketch expects 1 or 2 arguments, got ${args.length}") }),
     (FunctionIdentifier("bloom_agg"),
       info("bloom_agg"),
       { case Seq(c, n) => BloomAgg(c, longLit(n, "bloom_agg"), 0.01)

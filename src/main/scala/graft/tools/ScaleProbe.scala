@@ -247,7 +247,9 @@ object ScaleProbe {
       // only the surviving pair census
       "d_threshold_sweep",
       // two token censuses + a vocabulary-grain join
-      "t_divergence")
+      "t_divergence",
+      // O(maxMapSize) sketch state; shuffle carries sketch bytes
+      "t_freq_hitters")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
