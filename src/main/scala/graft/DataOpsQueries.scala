@@ -1103,6 +1103,23 @@ object DataOpsQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    // Leakage-safe splitting at GROUP grain: the whole source lands in
+    // one split, so near-copies within a source can never straddle
+    // train/test (oracle replays the group-key threshold ladder).
+    "s_group_splits" -> ((s, dir) =>
+      HashSplit.groupSafeSplits(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")),
+
+    // Exact-count stratified split: per-language md5-rank ranges make
+    // split sizes exact to the row (vs hash-split binomial jitter).
+    "s_exact_split" -> ((s, dir) =>
+      HashSplit.exactStratifiedSplits(
+        Tables.documents(s, dir), col("doc_id"), col("lang"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
     // Domain rebalancing: per-language deterministic sampling rates
     // (downsample en, keep zh, default 0.6) — a scan, no shuffle (oracle).
     "s_stratified_hash" -> ((s, dir) =>
@@ -4637,6 +4654,29 @@ object DataOpsQueries {
          |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '${HashSplit.thresholdHex(0.9)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "s_group_splits" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5(source), 1, 8) < '${HashSplit.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(source), 1, 8) < '${HashSplit.thresholdHex(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "s_exact_split" ->
+      """WITH xb AS (
+        |  SELECT doc_id AS id, lang AS stratum,
+        |    md5('xsplit:42:' || doc_id) AS d
+        |  FROM documents),
+        |xr AS (
+        |  SELECT id, stratum,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY d ASC, id ASC) - 1 AS r,
+        |    count(*) OVER (PARTITION BY stratum) AS n
+        |  FROM xb)
+        |SELECT id, stratum,
+        |  CASE WHEN r < floor(0.8 * n) THEN 'train'
+        |       WHEN r < floor(0.9 * n) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM xr""".stripMargin,
 
     "s_stratified_hash" ->
       s"""SELECT doc_id, lang FROM documents

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling and dataset splitting.
@@ -252,5 +253,60 @@ object HashSplit {
       case (((name, _), c), acc) => when(h < lit(thresholdHex(c)), name).otherwise(acc)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Leakage-safe splitting: assign the split at GROUP grain (near-dup
+    * cluster, registrable domain, author…) so no group straddles
+    * train/test — the contamination the doc-grain [[assignSplits]]
+    * cannot prevent (two near-copies hash to different splits and the
+    * eval set silently contains training paraphrases). One distinct
+    * pass to group grain, the same threshold ladder on the GROUP key,
+    * and a broadcast-friendly join back; all doc-grain work stays a
+    * scan. Output: input columns + `split`.
+    */
+  def groupSafeSplits(df: DataFrame, group: Column,
+                      splits: Seq[(String, Double)]): DataFrame = {
+    val g = df.select(group.cast("string").as("_grp")).distinct()
+    val assigned = assignSplits(g, col("_grp"), splits)
+    df.withColumn("_grp", group.cast("string"))
+      .join(assigned, Seq("_grp"))
+      .drop("_grp")
+  }
+
+  /** EXACT-count stratified split: within each stratum, rows are ranked
+    * by the deterministic md5 draw (id tiebreak) and split i takes rank
+    * range [floor(cumf_{i−1}·n_g), floor(cumf_i·n_g)) — so split sizes
+    * are exact to the row (vs [[assignSplits]]' binomial jitter),
+    * which is what a fixed-size eval panel or a budgeted val set
+    * needs. The rank window partitions by STRATUM (bounded groups;
+    * for one giant stratum use [[Shuffle]]'s two-phase shape); stratum
+    * sizes ride a broadcast census join. floor of the double product
+    * is engine-identical, so assignment replays exactly.
+    *
+    * Output: (id, stratum, split).
+    */
+  def exactStratifiedSplits(df: DataFrame, id: Column, stratum: Column,
+                            splits: Seq[(String, Double)],
+                            seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val base = df.select(id.cast("long").as("id"),
+      stratum.cast("string").as("stratum"))
+    val draw = md5(concat(lit(s"xsplit:$seed:"), col("id").cast("string")))
+    val w = Window.partitionBy("stratum")
+      .orderBy(draw.asc, col("id").asc)
+    val counts = base.groupBy("stratum").agg(count(lit(1)).as("_n"))
+    val ranked = base
+      .withColumn("_r", row_number().over(w).cast("long") - 1L)
+      .join(broadcast(counts), Seq("stratum"))
+    // last split is the unconditional otherwise — floor rounding can
+    // never orphan a row
+    val expr = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), c), acc) =>
+          when(col("_r") < floor(lit(c) * col("_n")), name).otherwise(acc)
+      }
+    ranked.select(col("id"), col("stratum"), expr.as("split"))
   }
 }

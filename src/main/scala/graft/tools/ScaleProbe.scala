@@ -249,7 +249,9 @@ object ScaleProbe {
       // two token censuses + a vocabulary-grain join
       "t_divergence",
       // O(maxMapSize) sketch state; shuffle carries sketch bytes
-      "t_freq_hitters")
+      "t_freq_hitters",
+      // group-grain distinct + broadcast join back; doc side is a scan
+      "s_group_splits")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
