@@ -855,6 +855,50 @@ object DataOpsQueries {
       |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
       |  FROM fb LEFT JOIN w USING (b) GROUP BY doc_id)""".stripMargin
 
+  /** Unrolled warm-start k-means refresh: round 1 assigns against the
+    * raw fixed centroids (the e_kmeans_assign arithmetic), each later
+    * round against the previous round's micro-mean centroids; empty
+    * clusters carry the previous micro coordinate (the snap-to-grid
+    * contract of `Clustering.refineCentroids`).
+    */
+  private def kmeansWarmSql(rounds: Int): String = {
+    val head =
+      """cv0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |        FROM embeddings WHERE vec_id < 8),
+        |wv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |p1 AS (SELECT cid, generate_subscripts(cv, 1) - 1 AS pos,
+        |         CAST(round(unnest(cv) * 1e6) AS BIGINT) AS prev_cm
+        |       FROM cv0)""".stripMargin
+    val parts = (1 to rounds).map { r =>
+      s"""sc$r AS (
+         |  SELECT wv.vec_id, c.cid,
+         |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(wv.ev, c.cv) AS sc
+         |  FROM wv CROSS JOIN cv${r - 1} c),
+         |asg$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |cen$r AS (
+         |  SELECT a.cid, generate_subscripts(wv.ev, 1) - 1 AS pos,
+         |    CAST(round(unnest(wv.ev) * 1e6) AS BIGINT) AS vm
+         |  FROM asg$r a JOIN wv USING (vec_id)),
+         |cag$r AS (
+         |  SELECT cid, pos,
+         |    CAST(round(sum(vm)::DOUBLE / count(*)) AS BIGINT) AS cm,
+         |    count(*)::BIGINT AS n
+         |  FROM cen$r GROUP BY 1, 2),
+         |r$r AS (
+         |  SELECT p.cid, p.pos, coalesce(c.cm, p.prev_cm) AS cm,
+         |    coalesce(c.n, 0) AS n
+         |  FROM p$r p LEFT JOIN cag$r c USING (cid, pos)),
+         |p${r + 1} AS (SELECT cid, pos, cm AS prev_cm FROM r$r),
+         |cv$r AS (SELECT cid, list(cm::DOUBLE / 1e6 ORDER BY pos) AS cv
+         |         FROM r$r GROUP BY cid)""".stripMargin
+    }
+    (head +: parts).mkString(",\n")
+  }
+
   /** Labeled NB scores + score-grain census with strict-below
     * cumulatives — the shared head of the classifier-evaluation
     * oracles (extends [[nbScoreSql]]).
@@ -1776,6 +1820,14 @@ object DataOpsQueries {
     "e_kmeans_assign" -> ((s, dir) =>
       Clustering.assign(Tables.embeddings(s, dir), fixedCentroids(s, dir, 8))
         .select("vec_id", "cluster_id")),
+
+    // Warm-start Lloyd refresh: 3 exact E+M rounds from the fixed
+    // persisted centroids — the daily-loop clustering update; micro
+    // M-step + snap-to-grid empty clusters make every round's centroid
+    // census replayable (oracle unrolls all 3 rounds).
+    "e_kmeans_warm" -> ((s, dir) =>
+      Clustering.refineCentroids(Tables.embeddings(s, dir),
+        fixedCentroids(s, dir, 8), rounds = 3)),
 
     // Full Lloyd's k-means on a planted corpus (8 anchors × 60 perturbed
     // members): self-asserting — every planted member must land in the
@@ -6932,6 +6984,13 @@ object DataOpsQueries {
         |  FROM scored)
         |SELECT vec_id, CAST(cid AS INT) AS cluster_id
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "e_kmeans_warm" -> {
+      val sel = (1 to 3).map(r =>
+        s"""SELECT $r::INT AS round, cid::INT AS cluster_id, pos::INT AS pos,
+           |  cm AS c_micro, n FROM r$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"WITH ${kmeansWarmSql(3)}\n$sel"
+    },
 
     "e_semantic_pairs" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv

@@ -236,6 +236,69 @@ object Clustering {
     KMeansResult(centroids, it, moved <= tol)
   }
 
+  /** Round-half-away-from-zero — matches SQL round() (Spark and DuckDB
+    * both round away from zero) where Scala's math.round is
+    * floor(x+0.5) and disagrees on NEGATIVE exact halves (-1.5 → -1 vs
+    * -2). Centroid means can be negative, so a replayable driver-side
+    * rounding must use this, not math.round.
+    */
+  private[operators] def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Warm-start Lloyd refresh — the DAILY-LOOP clustering update: run
+    * `rounds` exact E+M steps from PERSISTED centroids instead of
+    * re-seeding [[kmeans]] from scratch, so cluster identities stay
+    * stable across corpus versions (the property SemDeDup's
+    * within-cluster joins and the IVF lists depend on day over day) and
+    * the cost is rounds × one assignment scan — same shape as the
+    * warm-start PageRank.
+    *
+    * Replayable by construction: the E-step is the shared [[assign]]
+    * argmin (raw-double arithmetic both engines execute identically);
+    * the M-step micro-quantizes elements BEFORE the sum (exact long
+    * census) and the new centroid coordinate is the integer micro mean
+    * (half away from zero — SQL round semantics). Empty clusters SNAP
+    * to their previous coordinate's micro grid, so the carried state
+    * always equals the emitted census and an oracle reconstructs round
+    * r+1 from round r's output alone.
+    *
+    * Scale: per round ONE partial-agg shuffle to the k·dim census;
+    * driver traffic k·dim rows per round. Output, all rounds:
+    * (round, cluster_id, pos, c_micro, n).
+    */
+  def refineCentroids(corpus: DataFrame, init: Array[Array[Double]],
+                      rounds: Int = 3,
+                      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(init.nonEmpty, "need at least one centroid")
+    val dim = init(0).length
+    var centroids = init
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val census = assign(corpus, centroids, vecCol)
+        .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos")
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val nextMicro = Array.tabulate(centroids.length, dim)((c, p) =>
+        roundHalfAway(centroids(c)(p) * 1e6)) // empty clusters snap to grid
+      val counts = new Array[Long](centroids.length)
+      census.foreach { row =>
+        nextMicro(row.getInt(0))(row.getInt(1)) =
+          roundHalfAway(row.getLong(2).toDouble / row.getLong(3))
+        counts(row.getInt(0)) = row.getLong(3)
+      }
+      for (c <- centroids.indices; p <- 0 until dim)
+        out += ((r, c, p, nextMicro(c)(p), counts(c)))
+      centroids = nextMicro.map(_.map(_.toDouble / 1e6))
+    }
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    out.toSeq.toDF("round", "cluster_id", "pos", "c_micro", "n")
+  }
+
   /** Within-cluster semantic-duplicate pairs (id_a < id_b, cosine ≥ tau).
     * Cosine is rounded to 6 dp BEFORE the threshold compare so the
     * keep/prune frontier is engine-portable (the oracle replays the same

@@ -251,7 +251,9 @@ object ScaleProbe {
       // O(maxMapSize) sketch state; shuffle carries sketch bytes
       "t_freq_hitters",
       // group-grain distinct + broadcast join back; doc side is a scan
-      "s_group_splits")
+      "s_group_splits",
+      // rounds × (assignment scan + k·dim census); driver k·dim/round
+      "e_kmeans_warm")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
