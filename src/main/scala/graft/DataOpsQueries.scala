@@ -1529,6 +1529,21 @@ object DataOpsQueries {
       Dedup.ngramJaccard(pairs, docsWithCopies(s, dir))
     }),
 
+    // LSH recall harness: exact all-pairs Jaccard ground truth on the
+    // %5 stratum + copies vs the production banding scheme — recall
+    // floor self-asserted (rows-only: xxhash64 signatures); the
+    // verify-⊆-truth invariant is require()d inside the operator.
+    "d_lsh_recall" -> ((s, dir) => {
+      val out = Dedup.lshRecallReport(
+        docsWithCopies(s, dir).where(col("doc_id") % 5 === 0))
+      val r = out.head()
+      require(r.getLong(0) > 0, "stratum must contain true near-dup pairs")
+      require(r.getDouble(3) >= 0.9,
+        s"LSH recall ${r.getDouble(3)} below 0.9 floor at J>=0.8 " +
+          "(32 hashes / 8 bands: theory ~0.98)")
+      out
+    }),
+
     // Near-dup threshold sweep on consecutive-id candidate pairs: per
     // Jaccard bar (30..90%), surviving pairs / touched docs / one-pass
     // removals — the tuning view, one verify pass for the whole grid.

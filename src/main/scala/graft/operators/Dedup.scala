@@ -820,6 +820,53 @@ object Dedup {
     *
     * Output: pairs with (lev, ratio — 6dp) where ratio ≥ threshold.
     */
+  /** LSH recall/precision harness — MEASURE the banding scheme instead
+    * of trusting the (1−(1−J^r)^b) curve: exact all-pairs shingle
+    * Jaccard is the ground truth, MinHash-LSH candidates are the
+    * system under test, and the report says what fraction of true
+    * ≥threshold pairs the bands surfaced (recall — LSH's only error
+    * direction, since verification is exact) and how much junk they
+    * admitted (candidate precision — the verify-stage cost knob).
+    *
+    * TEST-HARNESS SCALE CONTRACT: the truth side is an all-pairs
+    * O(n²) cross join — run on a bounded stratum (the e_ann_recall
+    * pattern), never the corpus; the production path stays
+    * [[nearDuplicates]]. One shingle pass is shared by truth,
+    * signatures, and verification. Output one row:
+    * (n_truth, n_candidates, n_verified, recall, precision).
+    */
+  def lshRecallReport(docs: DataFrame, threshold: Double = 0.8,
+                      shingleSize: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, scheme: HashScheme = HashScheme.Fast,
+                      textCol: String = "text"): DataFrame = {
+    requireBandable(numHashes, bands)
+    val sh = shingleRows(docs, textCol, shingleSize, scheme).cache()
+    sh.count()
+    val ids = docs.select(col("doc_id")).distinct()
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .crossJoin(ids.select(col("doc_id").as("doc_b")))
+      .where(col("doc_a") < col("doc_b"))
+    val truth = ngramJaccardFromRows(allPairs, sh)
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b").cache()
+    val cand = candidatesFromBands(
+      lshBands(minhashSignaturesFromRows(sh, numHashes, scheme), bands,
+        scheme)).cache()
+    val nTruth = truth.count()
+    val nCand = cand.count()
+    val nVerified = ngramJaccardFromRows(cand, sh)
+      .where(col("jaccard") >= threshold).count()
+    val hits = cand.join(truth, Seq("doc_a", "doc_b")).count()
+    require(hits == nVerified,
+      s"verify ⊆ truth violated: $hits hits vs $nVerified verified")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    Seq((nTruth, nCand, nVerified,
+        if (nTruth == 0) 1.0 else math.rint(nVerified.toDouble / nTruth * 1e6) / 1e6,
+        if (nCand == 0) 1.0 else math.rint(hits.toDouble / nCand * 1e6) / 1e6))
+      .toDF("n_truth", "n_candidates", "n_verified", "recall", "precision")
+  }
+
   /** Threshold sweep — the TUNING view of near-dup verification: for a
     * grid of Jaccard thresholds (integer percent), how many candidate
     * pairs clear each bar, how many documents they touch, and how many
