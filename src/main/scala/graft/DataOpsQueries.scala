@@ -1844,6 +1844,24 @@ object DataOpsQueries {
       Clustering.refineCentroids(Tables.embeddings(s, dir),
         fixedCentroids(s, dir, 8), rounds = 3)),
 
+    // Clustering agreement ARI + NMI between the initial assignment and
+    // the round-3 refreshed assignment — did the refresh keep cluster
+    // identities? Contingency-census arithmetic, oracle replays the
+    // whole refresh chain plus both metrics.
+    "e_cluster_compare" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val init = fixedCentroids(s, dir, 8)
+      val dim = init(0).length
+      val fin = Array.ofDim[Double](init.length, dim)
+      Clustering.refineCentroids(emb, init, rounds = 3)
+        .where(col("round") === 3).collect()
+        .foreach(r => fin(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / 1e6)
+      Clustering.compareClusterings(
+        Clustering.assign(emb, init).select("vec_id", "cluster_id"),
+        Clustering.assign(emb, fin).select("vec_id", "cluster_id"))
+    }),
+
     // Full Lloyd's k-means on a planted corpus (8 anchors × 60 perturbed
     // members): self-asserting — every planted member must land in the
     // same cluster as its anchor (purity 1.0 required on this separation;
@@ -7006,6 +7024,48 @@ object DataOpsQueries {
            |  cm AS c_micro, n FROM r$r""".stripMargin).mkString("\nUNION ALL\n")
       s"WITH ${kmeansWarmSql(3)}\n$sel"
     },
+
+    "e_cluster_compare" ->
+      s"""WITH ${kmeansWarmSql(3)},
+        |sc4 AS (
+        |  SELECT wv.vec_id, c.cid,
+        |    list_dot_product(c.cv, c.cv) - 2 * list_dot_product(wv.ev, c.cv) AS sc
+        |  FROM wv CROSS JOIN cv3 c),
+        |asg4 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM sc4) WHERE rn = 1),
+        |cc AS (SELECT a.cid AS ca, b.cid AS cb, count(*)::BIGINT AS n
+        |       FROM asg1 a JOIN asg4 b USING (vec_id) GROUP BY 1, 2),
+        |cam AS (SELECT ca, sum(n)::BIGINT AS na FROM cc GROUP BY 1),
+        |cbm AS (SELECT cb, sum(n)::BIGINT AS nb FROM cc GROUP BY 1),
+        |ctot AS (SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS cells FROM cc),
+        |cagg AS (
+        |  SELECT max(nn) AS n, max(cells) AS n_cells,
+        |    sum(n * (n - 1)) AS sij2,
+        |    sum(CAST(round((n::DOUBLE / nn)
+        |      * ln(nn::DOUBLE * n / (na::DOUBLE * nb)) * 1e9) AS BIGINT)) AS mi_nano
+        |  FROM cc JOIN cam USING (ca) JOIN cbm USING (cb) CROSS JOIN ctot),
+        |cha AS (
+        |  SELECT sum(CAST(round(-(na::DOUBLE / nn) * ln(na::DOUBLE / nn) * 1e9)
+        |    AS BIGINT)) AS h_na, sum(na * (na - 1)) AS s_na
+        |  FROM cam CROSS JOIN ctot),
+        |chb AS (
+        |  SELECT sum(CAST(round(-(nb::DOUBLE / nn) * ln(nb::DOUBLE / nn) * 1e9)
+        |    AS BIGINT)) AS h_nb, sum(nb * (nb - 1)) AS s_nb
+        |  FROM cbm CROSS JOIN ctot)
+        |SELECT n, n_cells,
+        |  CASE WHEN abs((s_na::DOUBLE / 2 + s_nb::DOUBLE / 2) / 2
+        |      - s_na::DOUBLE / 2 * (s_nb::DOUBLE / 2) / (n::DOUBLE * (n - 1) / 2)) > 0
+        |    THEN round((sij2::DOUBLE / 2
+        |        - s_na::DOUBLE / 2 * (s_nb::DOUBLE / 2) / (n::DOUBLE * (n - 1) / 2))
+        |      / ((s_na::DOUBLE / 2 + s_nb::DOUBLE / 2) / 2
+        |        - s_na::DOUBLE / 2 * (s_nb::DOUBLE / 2) / (n::DOUBLE * (n - 1) / 2)), 6)
+        |  END AS ari,
+        |  CASE WHEN h_na > 0 AND h_nb > 0 THEN
+        |    round(mi_nano::DOUBLE / sqrt(h_na::DOUBLE * h_nb), 6) END AS nmi
+        |FROM cagg CROSS JOIN cha CROSS JOIN chb""".stripMargin,
 
     "e_semantic_pairs" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv

@@ -299,6 +299,66 @@ object Clustering {
     out.toSeq.toDF("round", "cluster_id", "pos", "c_micro", "n")
   }
 
+  /** Clustering agreement — Adjusted Rand Index and Normalized Mutual
+    * Information between two assignments of the same ids (yesterday vs
+    * today after [[refineCentroids]], k-means vs label truth): did the
+    * refresh keep cluster identities, or silently reshuffle the space
+    * the within-cluster operators depend on?
+    *
+    * Exactness: everything reduces to the k_a × k_b CONTINGENCY census
+    * (one id-grain join + one partial-agg shuffle — the only
+    * corpus-grain work). ARI is pure integer combinatorics
+    * (Σ C(n,2) terms in DECIMAL(38,0) accumulators, ONE double chain at
+    * the end); MI and the entropies nano-round each census term before
+    * the sum (ln is the only libm call — the [[Drift.tokenDivergence]]
+    * rule), and NMI's 1e9 units cancel inside the final
+    * mi/√(ha·hb) chain. Output one row:
+    * (n, n_cells, ari, nmi) — null metrics where degenerate (a
+    * single-cluster side has zero entropy; ARI's denominator vanishes
+    * when both partitions are trivial).
+    */
+  def compareClusterings(a: DataFrame, b: DataFrame,
+                         idCol: String = "vec_id",
+                         clusterCol: String = "cluster_id"): DataFrame = {
+    val j = a.select(col(idCol).as("id"), col(clusterCol).as("ca"))
+      .join(b.select(col(idCol).as("id"), col(clusterCol).as("cb")),
+        Seq("id"))
+    val cells = j.groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    val am = cells.groupBy("ca").agg(sum(col("n")).as("na"))
+    val bm = cells.groupBy("cb").agg(sum(col("n")).as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nn"), count(lit(1)).as("cells"))
+    def c2(c: Column): Column = (c * (c - lit(1L))).cast("decimal(38,0)")
+    val joined = cells.join(broadcast(am), Seq("ca"))
+      .join(broadcast(bm), Seq("cb")).crossJoin(broadcast(tot))
+    val miTerm = round((col("n").cast("double") / col("nn"))
+      * log(col("nn").cast("double") * col("n")
+        / (col("na").cast("double") * col("nb"))) * 1e9).cast("long")
+    val agg = joined.agg(
+      first(col("nn")).as("n"), first(col("cells")).as("n_cells"),
+      sum(c2(col("n"))).as("sij2"), sum(miTerm).as("mi_nano"))
+    def hNano(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot.select(col("nn").as("_t"))))
+        .select(round(-(col(cnt).cast("double") / col("_t"))
+            * log(col(cnt).cast("double") / col("_t")) * 1e9).cast("long")
+          .as("h"), c2(col(cnt)).as("p"))
+        .agg(sum(col("h")).as(s"h_$cnt"), sum(col("p")).as(s"s_$cnt"))
+    val dn = col("nn").cast("double") * (col("nn") - lit(1L)) / lit(2.0d)
+    agg.crossJoin(broadcast(hNano(am, "na")))
+      .crossJoin(broadcast(hNano(bm, "nb")))
+      .withColumn("nn", col("n"))
+      .select(col("n"), col("n_cells"),
+        when(abs((col("s_na").cast("double") / 2 + col("s_nb").cast("double") / 2) / 2
+            - col("s_na").cast("double") / 2 * (col("s_nb").cast("double") / 2) / dn) > 0d,
+          round((col("sij2").cast("double") / 2
+              - col("s_na").cast("double") / 2 * (col("s_nb").cast("double") / 2) / dn)
+            / ((col("s_na").cast("double") / 2 + col("s_nb").cast("double") / 2) / 2
+              - col("s_na").cast("double") / 2 * (col("s_nb").cast("double") / 2) / dn),
+            6)).as("ari"),
+        when(col("h_na") > 0L && col("h_nb") > 0L,
+          round(col("mi_nano").cast("double")
+            / sqrt(col("h_na").cast("double") * col("h_nb")), 6)).as("nmi"))
+  }
+
   /** Within-cluster semantic-duplicate pairs (id_a < id_b, cosine ≥ tau).
     * Cosine is rounded to 6 dp BEFORE the threshold compare so the
     * keep/prune frontier is engine-portable (the oracle replays the same

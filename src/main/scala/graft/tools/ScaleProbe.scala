@@ -253,7 +253,9 @@ object ScaleProbe {
       // group-grain distinct + broadcast join back; doc side is a scan
       "s_group_splits",
       // rounds × (assignment scan + k·dim census); driver k·dim/round
-      "e_kmeans_warm")
+      "e_kmeans_warm",
+      // one id-grain join to a k² contingency census
+      "e_cluster_compare")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
