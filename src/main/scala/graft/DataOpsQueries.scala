@@ -1981,6 +1981,13 @@ object DataOpsQueries {
     "t_zipf" -> ((s, dir) =>
       operators.Salience.zipfFit(Tables.documents(s, dir), minCount = 2)),
 
+    // word2vec frequency subsampling: ubiquitous tokens thinned by
+    // p = min(1, √(t/f)+t/f), rare tokens survive — per-occurrence
+    // md5 decisions, position-ordered reassembly (oracle replays the
+    // census, every keep probability, and every draw).
+    "t_subsample" -> ((s, dir) =>
+      operators.Subsample.frequencySubsample(Tables.documents(s, dir))),
+
     // KL / Jensen–Shannon divergence between the en and non-en token
     // distributions — add-one smoothed joint vocabulary, per-term
     // nano-rounded ln terms, one vocabulary-grain join (oracle replays
@@ -5302,6 +5309,32 @@ object DataOpsQueries {
         |  (count(*) FILTER (masked))::BIGINT AS n_masked,
         |  (count(*) FILTER (sstart))::BIGINT AS n_spans
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "t_subsample" ->
+      """WITH bnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |btok AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+        |  FROM (SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks FROM bnorm)),
+        |bt AS (SELECT * FROM btok WHERE term <> ''),
+        |bcen AS (SELECT term, count(*)::BIGINT AS cnt FROM bt GROUP BY 1),
+        |btot AS (SELECT sum(cnt)::BIGINT AS ntot FROM bcen),
+        |bkeep AS (
+        |  SELECT doc_id, pos, term,
+        |    (('0x' || substr(md5('subs:42:' || doc_id || ':' || pos), 1, 15))::BIGINT::DOUBLE + 0.5)
+        |      / 1.152921504606846976e18
+        |      < least(1.0, sqrt(0.001 / (cnt::DOUBLE / ntot))
+        |        + 0.001 / (cnt::DOUBLE / ntot)) AS keep
+        |  FROM bt JOIN bcen USING (term) CROSS JOIN btot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(string_agg(term, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+        |    AS text_sub
+        |FROM bkeep GROUP BY doc_id""".stripMargin,
 
     "t_divergence" ->
       """WITH dnorm AS (

@@ -255,7 +255,9 @@ object ScaleProbe {
       // rounds × (assignment scan + k·dim census); driver k·dim/round
       "e_kmeans_warm",
       // one id-grain join to a k² contingency census
-      "e_cluster_compare")
+      "e_cluster_compare",
+      // census + vocabulary-grain join back onto the token stream
+      "t_subsample")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
