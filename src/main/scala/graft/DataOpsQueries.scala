@@ -1981,6 +1981,13 @@ object DataOpsQueries {
     "t_zipf" -> ((s, dir) =>
       operators.Salience.zipfFit(Tables.documents(s, dir), minCount = 2)),
 
+    // GloVe-style weighted co-occurrence census: ordered pairs within
+    // a 5-token window, 1/d micro-integer weights (oracle replays the
+    // position self-join and every weight).
+    "t_cooc" -> ((s, dir) =>
+      operators.SkipGram.weightedCooccurrence(Tables.documents(s, dir),
+        window = 5)),
+
     // word2vec frequency subsampling: ubiquitous tokens thinned by
     // p = min(1, √(t/f)+t/f), rare tokens survive — per-occurrence
     // md5 decisions, position-ordered reassembly (oracle replays the
@@ -5309,6 +5316,25 @@ object DataOpsQueries {
         |  (count(*) FILTER (masked))::BIGINT AS n_masked,
         |  (count(*) FILTER (sstart))::BIGINT AS n_spans
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "t_cooc" ->
+      """WITH gnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |gtok AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+        |  FROM (SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks FROM gnorm))
+        |SELECT a.term AS center, b.term AS context,
+        |  count(*)::BIGINT AS n_pairs,
+        |  sum(CAST(round(1000000.0 / abs(b.pos - a.pos)) AS BIGINT))::BIGINT
+        |    AS x_micro
+        |FROM gtok a JOIN gtok b
+        |  ON a.doc_id = b.doc_id AND a.pos <> b.pos
+        |  AND abs(b.pos - a.pos) <= 5
+        |GROUP BY 1, 2""".stripMargin,
 
     "t_subsample" ->
       """WITH bnorm AS (

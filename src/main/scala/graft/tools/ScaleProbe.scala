@@ -257,7 +257,9 @@ object ScaleProbe {
       // one id-grain join to a k² contingency census
       "e_cluster_compare",
       // census + vocabulary-grain join back onto the token stream
-      "t_subsample")
+      "t_subsample",
+      // per-offset equi-joins → vocabulary²-bounded census
+      "t_cooc")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
