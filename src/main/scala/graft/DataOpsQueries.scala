@@ -1192,6 +1192,12 @@ object DataOpsQueries {
       operators.WeightedSample.weightedTopKPerGroup(Tables.documents(s, dir),
         col("lang"), col("doc_id"), expr("(n_chars div 512) + 1"), k = 5)),
 
+    // Dataset card with mergeable KLL quantiles: per-(lang, source)
+    // doc-length p50/p90/p99 — exact mode at gate group sizes, so the
+    // oracle replays the ⌈q·n⌉-th order statistic.
+    "a18_card_quantiles" -> ((s, dir) =>
+      CorpusStats.datasetCardQuantiles(Tables.documents(s, dir))),
+
     // Dataset-card summary per (lang, source): counts, token totals,
     // exact distinct-fingerprint dup rate (oracle; HLL variant is the
     // documented scale path).
@@ -4829,6 +4835,21 @@ object DataOpsQueries {
         |  FROM keys)
         |SELECT grp, id, w, key_h, rank::BIGINT AS rank
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    "a18_card_quantiles" ->
+      """WITH qr AS (
+        |  SELECT lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, source, max(n)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN n_chars END)::DOUBLE AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN n_chars END)::DOUBLE AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |    THEN n_chars END)::DOUBLE AS p99
+        |FROM qr GROUP BY lang, source""".stripMargin,
 
     "a12_dataset_card" ->
       """WITH t AS (

@@ -106,4 +106,31 @@ object CorpusStats {
           .when(col("_fp_prev") <=> col("_fp_cur"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Dataset card with MERGEABLE quantiles: per (lang, source), the
+    * document-length p50/p90/p99 from a per-group KLL sketch
+    * ([[graft.functions.KllSketchAgg]]) — counters and HLL cards
+    * already merged across shards/days; this closes the gap for
+    * distribution stats ("did p99 doc length jump in yesterday's
+    * crawl") with O(k·log n) state per group and sketch-union merge,
+    * no re-scan. One partial-agg shuffle; quantile evaluation is one
+    * scalar call per GROUP row.
+    *
+    * In exact mode (group size ≤ sketch capacity) the INCLUSIVE
+    * quantile is the ⌈q·n⌉-th order statistic — externally replayable;
+    * past compaction the rank bounds hold but values are run-varying
+    * (gate corpora pin group sizes under k).
+    */
+  def datasetCardQuantiles(docs: DataFrame, k: Int = 1024,
+                           valueCol: String = "n_chars"): DataFrame = {
+    val sk = graft.functions.KllSketch
+    docs.where(col(valueCol).isNotNull)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sk.kllAgg(col(valueCol), k).as("_sk"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        sk.kllQuantile(col("_sk"), lit(0.5d)).as("p50"),
+        sk.kllQuantile(col("_sk"), lit(0.9d)).as("p90"),
+        sk.kllQuantile(col("_sk"), lit(0.99d)).as("p99"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.session
 
-import graft.functions.{ArrayDot, BloomAgg, BloomBytesMightContain, CosineSimilarity, FreqSketchAgg, NGramShingles, RollingHash64, ThetaEstimate, ThetaSketchAgg, UnicodeNormalize}
+import graft.functions.{ArrayDot, BloomAgg, BloomBytesMightContain, CosineSimilarity, FreqSketchAgg, KllQuantile, KllSketchAgg, NGramShingles, RollingHash64, ThetaEstimate, ThetaSketchAgg, UnicodeNormalize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -96,6 +96,17 @@ object GraftFunctions {
       { case Seq(s) => ThetaEstimate(s)
         case args => throw new IllegalArgumentException(
           s"theta_estimate expects 1 argument, got ${args.length}") }),
+    (FunctionIdentifier("kll_sketch"),
+      info("kll_sketch"),
+      { case Seq(c) => KllSketchAgg(c, 1024)
+        case Seq(c, k) => KllSketchAgg(c, intLit(k, "kll_sketch"))
+        case args => throw new IllegalArgumentException(
+          s"kll_sketch expects 1 or 2 arguments, got ${args.length}") }),
+    (FunctionIdentifier("kll_quantile"),
+      info("kll_quantile"),
+      { case Seq(s, q) => KllQuantile(s, q)
+        case args => throw new IllegalArgumentException(
+          s"kll_quantile expects 2 arguments, got ${args.length}") }),
     (FunctionIdentifier("freq_sketch"),
       info("freq_sketch"),
       { case Seq(c) => FreqSketchAgg(c, 1024)

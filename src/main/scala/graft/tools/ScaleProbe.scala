@@ -259,7 +259,9 @@ object ScaleProbe {
       // census + vocabulary-grain join back onto the token stream
       "t_subsample",
       // per-offset equi-joins → vocabulary²-bounded census
-      "t_cooc")
+      "t_cooc",
+      // one partial-agg shuffle; O(k·log n) sketch state per group
+      "a18_card_quantiles")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -57,6 +57,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).toSet ===
       Set("vec_dot", "cosine_sim", "ngram_shingles", "rolling_hash",
         "unicode_norm", "theta_sketch", "theta_estimate", "freq_sketch",
-        "bloom_agg", "bloom_contains", "md5_prefix60"))
+        "kll_sketch", "kll_quantile", "bloom_agg", "bloom_contains",
+        "md5_prefix60"))
   }
 }
