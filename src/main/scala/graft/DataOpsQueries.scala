@@ -1850,6 +1850,14 @@ object DataOpsQueries {
       Clustering.refineCentroids(Tables.embeddings(s, dir),
         fixedCentroids(s, dir, 8), rounds = 3)),
 
+    // Embedding outlier pruning: per-cluster robust MAD rule on the
+    // exact micro distance to the assigned centroid — encoder glitches
+    // and off-manifold junk flagged before dedup/ANN (oracle replays
+    // assignment, distances, both order-statistic medians, the flag).
+    "e_embedding_outliers" -> ((s, dir) =>
+      Clustering.embeddingOutliers(Tables.embeddings(s, dir),
+        fixedCentroids(s, dir, 8))),
+
     // Clustering agreement ARI + NMI between the initial assignment and
     // the round-3 refreshed assignment — did the refresh keep cluster
     // identities? Contingency-census arithmetic, oracle replays the
@@ -7104,6 +7112,49 @@ object DataOpsQueries {
            |  cm AS c_micro, n FROM r$r""".stripMargin).mkString("\nUNION ALL\n")
       s"WITH ${kmeansWarmSql(3)}\n$sel"
     },
+
+    "e_embedding_outliers" ->
+      """WITH oc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |            FROM embeddings WHERE vec_id < 8),
+        |ov AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |osc AS (
+        |  SELECT ov.vec_id, oc.cid,
+        |    list_dot_product(cv, cv) - 2 * list_dot_product(ev, cv) AS sc,
+        |    list_dot_product(ev, ev) AS vv
+        |  FROM ov CROSS JOIN oc),
+        |oasg AS (
+        |  SELECT vec_id, cid AS cluster_id, sc, vv FROM (
+        |    SELECT vec_id, cid, sc, vv,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sc ASC, cid ASC) AS rn
+        |    FROM osc) WHERE rn = 1),
+        |ob AS (
+        |  SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
+        |    CAST(round((sc + vv) * 1e6) AS BIGINT) AS d
+        |  FROM oasg),
+        |om1 AS (
+        |  SELECT cluster_id,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN d END) AS med
+        |  FROM (
+        |    SELECT cluster_id, d,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY d ASC, vec_id ASC) AS rn,
+        |      count(*) OVER (PARTITION BY cluster_id) AS n
+        |    FROM ob) GROUP BY 1),
+        |obd AS (
+        |  SELECT ob.vec_id, ob.cluster_id, ob.d, om1.med,
+        |    abs(ob.d - om1.med) AS dev
+        |  FROM ob JOIN om1 USING (cluster_id)),
+        |om2 AS (
+        |  SELECT cluster_id,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+        |  FROM (
+        |    SELECT cluster_id, vec_id, dev,
+        |      row_number() OVER (PARTITION BY cluster_id ORDER BY dev ASC, vec_id ASC) AS rn,
+        |      count(*) OVER (PARTITION BY cluster_id) AS n
+        |    FROM obd) GROUP BY 1)
+        |SELECT obd.vec_id, obd.cluster_id, obd.d AS d_micro,
+        |  obd.med AS med_micro, om2.mad AS mad_micro
+        |FROM obd JOIN om2 USING (cluster_id)
+        |WHERE obd.dev > 3 * om2.mad""".stripMargin,
 
     "e_cluster_compare" ->
       s"""WITH ${kmeansWarmSql(3)},

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -297,6 +298,52 @@ object Clustering {
     val sp = corpus.sparkSession
     import sp.implicits._
     out.toSeq.toDF("round", "cluster_id", "pos", "c_micro", "n")
+  }
+
+  /** Embedding outlier pruning — flag vectors that sit abnormally far
+    * from their OWN cluster's centroid by the robust MAD rule
+    * (|d − median| > k·MAD per cluster): encoder glitches, corrupt
+    * rows, off-manifold junk that SemDeDup would otherwise keep
+    * (far from everything ⇒ never a near-dup) and ANN recall pays
+    * for. Distances micro-quantize once (exact long), median and MAD
+    * are ⌈n/2⌉-th order statistics per cluster (the
+    * [[CorpusStats.datasetCardQuantiles]] inclusive definition), and
+    * the flag compare is pure integer arithmetic — fully replayable.
+    *
+    * Scale: the rank windows partition BY CLUSTER (bounded groups —
+    * one mega-cluster straggles a window partition; the histogram-
+    * census `HistQuantile` path is the escape hatch, the
+    * [[HashSplit.capPerGroup]] doctrine). Output: flagged rows
+    * (vec_id, cluster_id, d_micro, med_micro, mad_micro).
+    */
+  def embeddingOutliers(corpus: DataFrame, centroids: Array[Array[Double]],
+                        k: Long = 3L, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ds = array(centroids.map(c => score(col(vecCol), c)): _*)
+    val base = corpus.select(col(idCol).as("vec_id"),
+      assignColumn(col(vecCol), centroids).as("cluster_id"),
+      round((array_min(ds)
+        + graft.functions.VectorOps.dot(col(vecCol), col(vecCol))) * 1e6)
+        .cast("long").as("d_micro"))
+    def medianOf(df: DataFrame, valueCol: String,
+                 outCol: String): DataFrame = {
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col(valueCol).asc, col("vec_id").asc)
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .groupBy("cluster_id")
+        .agg(max(when(col("_rn") === ceil(col("_n") * 0.5d), col(valueCol)))
+          .as(outCol))
+    }
+    val med = medianOf(base, "d_micro", "med_micro")
+    val withMed = base.join(broadcast(med), Seq("cluster_id"))
+      .withColumn("_dev", abs(col("d_micro") - col("med_micro")))
+    val mad = medianOf(withMed.select(col("vec_id"), col("cluster_id"),
+      col("_dev").as("d_micro")), "d_micro", "mad_micro")
+    withMed.join(broadcast(mad), Seq("cluster_id"))
+      .where(col("_dev") > lit(k) * col("mad_micro"))
+      .select("vec_id", "cluster_id", "d_micro", "med_micro", "mad_micro")
   }
 
   /** Clustering agreement — Adjusted Rand Index and Normalized Mutual

@@ -261,7 +261,9 @@ object ScaleProbe {
       // per-offset equi-joins → vocabulary²-bounded census
       "t_cooc",
       // one partial-agg shuffle; O(k·log n) sketch state per group
-      "a18_card_quantiles")
+      "a18_card_quantiles",
+      // cluster-partition rank windows over micro distances
+      "e_embedding_outliers")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
