@@ -1204,6 +1204,14 @@ object DataOpsQueries {
     "a12_dataset_card" -> ((s, dir) =>
       CorpusStats.datasetCard(Tables.documents(s, dir))),
 
+    // Mixture-rate solver: target weights + a token budget → per-source
+    // token targets and sampling factors (the planning step the
+    // deterministic samplers execute). Oracle replays census + weights
+    // + the whole chain.
+    "s_mixture_solve" -> ((s, dir) =>
+      operators.Mixture.solveRates(Tables.documents(s, dir),
+        Map("src0" -> 3.0, "src1" -> 0.5), budgetTokens = 1000000L)),
+
     // Deterministic mixture upsampling: src0 ×2.5 epochs, src1 ×0.25,
     // rest ×1 — copy membership hashed per (doc, copy) so the mixture
     // is reproducible row-by-row (oracle).
@@ -3186,6 +3194,19 @@ object DataOpsQueries {
       operators.Bpe.encode(r.merges, d.where(col("doc_id") % 2 === 1))
     }),
 
+    // Tokenizer fertility per language on the unseen-docs serving fold:
+    // subwords/word from the same trained merges — the vocabulary
+    // health metric (oracle extends the serving replay with the group
+    // rollup).
+    "t_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val r = operators.Bpe.train(d.where(col("doc_id") % 2 === 0),
+        nMerges = 20)
+      operators.Bpe.fertility(
+        operators.Bpe.encode(r.merges, d.where(col("doc_id") % 2 === 1)),
+        d.where(col("doc_id") % 2 === 1))
+    }),
+
     // WordPiece greedy longest-match serving: vocabulary = substring
     // census of the EVEN docs (init vs ## continuation pieces, chars
     // always kept), served on the distinct words of the UNSEEN odd
@@ -4896,6 +4917,35 @@ object DataOpsQueries {
         |       WHEN p.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id""".stripMargin,
+
+    "s_mixture_solve" ->
+      """WITH mnorm AS (
+        |  SELECT source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |mcen AS (
+        |  SELECT source,
+        |    coalesce(sum(CASE WHEN norm IS NULL THEN NULL
+        |      WHEN norm = '' THEN 0
+        |      ELSE len(regexp_split_to_array(norm, '\s+')) END), 0)::BIGINT
+        |      AS tokens
+        |  FROM mnorm GROUP BY source),
+        |mw AS (
+        |  SELECT source, tokens,
+        |    (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.5
+        |      ELSE 1.0 END)::DOUBLE AS w
+        |  FROM mcen),
+        |mtot AS (SELECT sum(w) AS wtot FROM mw)
+        |SELECT source, tokens, round(w, 6)::DOUBLE AS weight,
+        |  CAST(round(1000000 * (w / wtot)) AS BIGINT) AS target_tokens,
+        |  CASE WHEN tokens > 0 THEN
+        |    round(CAST(round(1000000 * (w / wtot)) AS BIGINT)::DOUBLE / tokens, 6)
+        |  END AS factor,
+        |  CASE WHEN CAST(round(1000000 * (w / wtot)) AS BIGINT) > tokens
+        |    THEN 'upsample'
+        |    WHEN CAST(round(1000000 * (w / wtot)) AS BIGINT) < tokens
+        |    THEN 'downsample' ELSE 'keep' END AS mode
+        |FROM mw CROSS JOIN mtot""".stripMargin,
 
     "s_mixture_upsample" ->
       s"""WITH w AS (
@@ -8425,6 +8475,43 @@ object DataOpsQueries {
         |  md5(a.seg) AS seg_md5
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "t_bpe_fertility" ->
+      s"""WITH ${bpeChainSql(20, "doc_id % 2 = 0")},
+        |onorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ostream AS MATERIALIZED (
+        |  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS word FROM (
+        |    SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(norm, '\\s+') END AS a
+        |    FROM onorm)),
+        |e0 AS MATERIALIZED (
+        |  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS syms
+        |  FROM (SELECT DISTINCT word FROM ostream WHERE word <> '')),
+        |${(1 to 20).map(i =>
+            s"""e$i AS MATERIALIZED (
+              |  SELECT word, trim(replace(' ' || syms || ' ',
+              |    ' ' || (SELECT g FROM b$i) || ' ',
+              |    ' ' || replace((SELECT g FROM b$i), ' ', '') || ' ')) AS syms
+              |  FROM e${i - 1})""".stripMargin).mkString(",\n")},
+        |oagg AS (
+        |  SELECT s.doc_id, count(*) AS n_words,
+        |    string_agg(e.syms, ' ' ORDER BY s.pos) AS seg
+        |  FROM ostream s JOIN e20 e USING (word)
+        |  GROUP BY s.doc_id),
+        |odoc AS (
+        |  SELECT d.doc_id, d.lang, coalesce(a.n_words, 0)::BIGINT AS n_words,
+        |    coalesce(len(str_split(a.seg, ' ')), 0)::BIGINT AS n_subwords
+        |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) d
+        |  LEFT JOIN oagg a USING (doc_id))
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_words)::BIGINT AS n_words,
+        |  sum(n_subwords)::BIGINT AS n_subwords,
+        |  CASE WHEN sum(n_words) > 0 THEN
+        |    round(sum(n_subwords)::DOUBLE / sum(n_words), 6) END AS fertility
+        |FROM odoc GROUP BY lang""".stripMargin,
 
     "e_pq_encode" ->
       s"""WITH ${pqCodesSql()}

@@ -168,4 +168,24 @@ object Bpe {
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
         col("seg_md5"))
   }
+
+  /** Tokenizer fertility — subwords per word by group (language,
+    * source): THE standard health metric of a trained vocabulary
+    * (fertility near 1 = words mostly kept whole; high fertility on a
+    * language = the merge table under-serves it and its token budget
+    * silently inflates). Pure census arithmetic over [[encode]]'s
+    * per-doc counts: one join to the grouping column, one partial-agg
+    * shuffle, a single exact division rounded 6dp. Zero-word groups
+    * report null fertility.
+    */
+  def fertility(encoded: DataFrame, meta: DataFrame,
+                groupCol: String = "lang"): DataFrame =
+    encoded.join(meta.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        when(col("n_words") > 0L,
+          round(col("n_subwords").cast("double") / col("n_words"), 6)))
 }

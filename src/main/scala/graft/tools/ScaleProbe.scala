@@ -263,7 +263,9 @@ object ScaleProbe {
       // one partial-agg shuffle; O(k·log n) sketch state per group
       "a18_card_quantiles",
       // cluster-partition rank windows over micro distances
-      "e_embedding_outliers")
+      "e_embedding_outliers",
+      // source-grain token census + broadcast total-weight row
+      "s_mixture_solve")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
