@@ -1204,6 +1204,32 @@ object DataOpsQueries {
     "a12_dataset_card" -> ((s, dir) =>
       CorpusStats.datasetCard(Tables.documents(s, dir))),
 
+    // Two-sample Kolmogorov–Smirnov test: en vs non-en document-length
+    // distributions — integer D statistic over the value census,
+    // asymptotic Kolmogorov-series p (100 nano-rounded terms).
+    "x_ks_test" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Hypothesis.ksTest(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        col("n_chars"))
+    }),
+
+    // Benjamini–Hochberg FDR over a fleet of per-source monitor
+    // p-values (three planted discoveries + md5-derived nulls) —
+    // integer p·m ≤ α·rank rule, k* cutoff, discovery flags.
+    "x_bh_fdr" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).select(col("source")).distinct()
+        .select(col("source").as("key"),
+          when(col("source") === "src0", lit(1000L))
+            .when(col("source") === "src1", lit(2000L))
+            .when(col("source") === "src2", lit(900000L))
+            .otherwise(conv(substring(md5(concat(lit("bh:"),
+                col("source"))), 1, 15), 16, 10).cast("long")
+              % lit(1000000L) + lit(1L))
+            .as("p_micro"))
+      operators.Hypothesis.bhCorrect(p, alphaMicro = 50000L)
+    }),
+
     // Mixture-rate solver: target weights + a token budget → per-source
     // token targets and sampling factors (the planning step the
     // deterministic samplers execute). Oracle replays census + weights
@@ -4917,6 +4943,66 @@ object DataOpsQueries {
         |       WHEN p.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id""".stripMargin,
+
+    "x_ks_test" ->
+      """WITH ka AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS na FROM documents
+        |  WHERE lang = 'en' GROUP BY 1),
+        |kb AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS nb FROM documents
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |kc AS (
+        |  SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na,
+        |    coalesce(nb, 0) AS nb
+        |  FROM ka FULL OUTER JOIN kb ON ka.v = kb.v),
+        |kcum AS (
+        |  SELECT v,
+        |    sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM kc),
+        |ktot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM kc),
+        |kd AS (
+        |  SELECT n_a, n_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      round(max(abs(cuma * n_b - cumb * n_a))::DOUBLE
+        |        / (n_a::DOUBLE * n_b), 6) END AS d_stat
+        |  FROM kcum CROSS JOIN ktot GROUP BY n_a, n_b),
+        |kt AS (
+        |  SELECT n_a, n_b, d_stat,
+        |    CAST(round((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+        |      * exp(-2.0 * j * j
+        |        * (d_stat * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)))
+        |        * (d_stat * sqrt(n_a::DOUBLE * n_b / (n_a + n_b))))
+        |      * 1e9) AS BIGINT) AS term
+        |  FROM (SELECT n_a, n_b, d_stat, unnest(range(1, 101)) AS j FROM kd))
+        |SELECT n_a, n_b, d_stat,
+        |  CASE WHEN d_stat * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)) < 0.2
+        |    THEN 1.0
+        |    ELSE round(least(1.0, greatest(0.0,
+        |      2.0 * sum(term)::DOUBLE / 1e9)), 6) END AS p_value
+        |FROM kt GROUP BY 1, 2, 3""".stripMargin,
+
+    "x_bh_fdr" ->
+      """WITH bp AS (SELECT DISTINCT source AS key FROM documents),
+        |bpv AS (
+        |  SELECT key,
+        |    (CASE WHEN key = 'src0' THEN 1000
+        |      WHEN key = 'src1' THEN 2000
+        |      WHEN key = 'src2' THEN 900000
+        |      ELSE ('0x' || substr(md5('bh:' || key), 1, 15))::BIGINT
+        |        % 1000000 + 1 END)::BIGINT AS p_micro
+        |  FROM bp),
+        |bm AS (SELECT count(*)::BIGINT AS m FROM bpv),
+        |br AS (
+        |  SELECT key, p_micro,
+        |    row_number() OVER (ORDER BY p_micro ASC, key ASC)::BIGINT AS rank
+        |  FROM bpv),
+        |bk AS (
+        |  SELECT coalesce(max(CASE WHEN p_micro * m <= 50000 * rank
+        |    THEN rank END), 0) AS kstar
+        |  FROM br CROSS JOIN bm)
+        |SELECT key, p_micro, rank, rank <= kstar AS discovery
+        |FROM br CROSS JOIN bk""".stripMargin,
 
     "s_mixture_solve" ->
       """WITH mnorm AS (

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution hypothesis testing — the inference layer over the
+  * drift monitors: PSI/KL say "how far apart", the two-sample
+  * Kolmogorov–Smirnov test says "is the gap explainable by sampling
+  * noise", and Benjamini–Hochberg keeps a FLEET of such monitors from
+  * drowning the on-call in false alarms (at α=0.05, 200 per-slice
+  * monitors fire ~10 false positives a day uncorrected). Beyond-
+  * reference surface (SURVEY §2.13).
+  *
+  * Exactness: the KS statistic is pure integer arithmetic — at each
+  * distinct value, |cumA·n_b − cumB·n_a| over the value census
+  * (DECIMAL(38,0) products), D = max/(n_a·n_b) rounded once; the
+  * asymptotic p-value's exp-series terms nano-round before the sum
+  * (the libm rule). BH is integer products only (p·m ≤ α·rank).
+  * Cumulatives use the two-phase range-shard shape (no global
+  * window); BH ranks at TEST grain (one row per monitor — census
+  * grain by construction).
+  */
+object Hypothesis {
+
+  /** Two-sample KS test on an integer-valued column (micro-quantize
+    * upstream for continuous data). One row:
+    * (n_a, n_b, d_stat, p_value) — p from the asymptotic Kolmogorov
+    * series 2·Σ(−1)^{j−1}e^{−2j²λ²}, λ = D·√(n_a·n_b/(n_a+n_b)),
+    * 100 nano-rounded terms (null when either side is empty).
+    */
+  def ksTest(a: DataFrame, b: DataFrame, value: Column,
+             shards: Int = 32): DataFrame = {
+    val ca = a.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("na"))
+    val cb = b.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("nb"))
+    val census = ca.join(cb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val sharded = census.repartitionByRange(shards, col("v").asc)
+      .withColumn("_shard", spark_partition_id()).cache()
+    val totals = sharded.groupBy("_shard")
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def lookup(off: Array[(Int, Long)]): Column =
+      if (off.isEmpty) lit(0L)
+      else element_at(
+        map(off.flatMap { case (s, o) => Seq(lit(s), lit(o)) }: _*),
+        col("_shard"))
+    val offA = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _))
+    val offB = totals.map(_._1).zip(totals.map(_._3).scanLeft(0L)(_ + _))
+    val w = Window.partitionBy("_shard").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sharded
+      .withColumn("cuma", lookup(offA) + sum(col("na")).over(w))
+      .withColumn("cumb", lookup(offB) + sum(col("nb")).over(w))
+    val na = totals.map(_._2).sum
+    val nb = totals.map(_._3).sum
+    val stat = cum.agg(
+        max(abs(col("cuma").cast("decimal(38,0)") * lit(nb)
+          - col("cumb").cast("decimal(38,0)") * lit(na))).as("_num"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        when(lit(na) > 0L && lit(nb) > 0L,
+          round(col("_num").cast("double") / (lit(na).cast("double") * nb), 6))
+          .as("d_stat"))
+    stat.select(col("n_a"), col("n_b"), col("d_stat"),
+        explode(sequence(lit(1), lit(100))).as("j"))
+      .withColumn("_lam",
+        col("d_stat") * sqrt(lit(na).cast("double") * nb / (na + nb)))
+      .withColumn("_term",
+        round(when(pmod(col("j"), lit(2)) === 1, lit(1.0d)).otherwise(lit(-1.0d))
+          * exp(lit(-2.0d) * col("j") * col("j") * col("_lam") * col("_lam"))
+          * 1e9).cast("long"))
+      .groupBy("n_a", "n_b", "d_stat", "_lam")
+      .agg(round(least(lit(1.0d), greatest(lit(0.0d),
+        lit(2.0d) * sum(col("_term")).cast("double") / 1e9)), 6).as("_praw"))
+      // the alternating series is only valid for λ bounded away from 0
+      // (at λ=0 it oscillates ±1); below 0.2 the true tail prob is 1
+      // to well past 6dp, so clamp — same guard in the oracle
+      .select(col("n_a"), col("n_b"), col("d_stat"),
+        when(col("_lam") < lit(0.2d), lit(1.0d)).otherwise(col("_praw"))
+          .as("p_value"))
+  }
+
+  /** Benjamini–Hochberg FDR correction: rank the m p-values ascending,
+    * k* = the largest rank with p·m ≤ α·rank, flag ranks ≤ k* as
+    * discoveries. Integer arithmetic only (p in micro units). Output:
+    * (key, p_micro, rank, discovery).
+    */
+  def bhCorrect(pvals: DataFrame, alphaMicro: Long = 50000L,
+                keyCol: String = "key",
+                pCol: String = "p_micro"): DataFrame = {
+    require(alphaMicro > 0, s"alpha must be positive, got $alphaMicro")
+    val w = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    val m = pvals.select(count(lit(1)).as("m"))
+    val ranked = pvals
+      .select(col(keyCol).as("key"), col(pCol).cast("long").as("p_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .withColumn("_pass",
+        col("p_micro") * col("m") <= lit(alphaMicro) * col("rank"))
+    val kstar = ranked.agg(coalesce(max(when(col("_pass"), col("rank"))),
+      lit(0L)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("key"), col("p_micro"), col("rank"),
+        (col("rank") <= col("kstar")).as("discovery"))
+  }
+}

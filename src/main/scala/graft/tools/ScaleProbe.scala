@@ -265,7 +265,9 @@ object ScaleProbe {
       // cluster-partition rank windows over micro distances
       "e_embedding_outliers",
       // source-grain token census + broadcast total-weight row
-      "s_mixture_solve")
+      "s_mixture_solve",
+      // value census + two-phase cumulative; series on a 1-row frame
+      "x_ks_test")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

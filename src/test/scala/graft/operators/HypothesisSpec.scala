@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HypothesisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("identical samples: D = 0, p = 1") {
+    val a = (1 to 50).map(_.toLong).toDF("v")
+    val r = Hypothesis.ksTest(a, a, col("v")).head()
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("disjoint samples: D = 1, p ~ 0") {
+    val a = (1 to 40).map(_.toLong).toDF("v")
+    val b = (100 to 140).map(_.toLong).toDF("v")
+    val r = Hypothesis.ksTest(a, b, col("v")).head()
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) < 0.001)
+  }
+
+  test("hand-computed D on a small census") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: ECDFs diverge most at v=2: 2/4 - 0
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Hypothesis.ksTest(a, b, col("v")).head()
+    assert(r.getDouble(2) === 0.5)
+  }
+
+  test("D is shard-count invariant") {
+    val a = (1 to 200).map(i => ((i * 13) % 40).toLong).toDF("v")
+    val b = (1 to 150).map(i => ((i * 7) % 55).toLong).toDF("v")
+    val d1 = Hypothesis.ksTest(a, b, col("v"), shards = 1).head().getDouble(2)
+    val d7 = Hypothesis.ksTest(a, b, col("v"), shards = 7).head().getDouble(2)
+    assert(d1 === d7)
+  }
+
+  test("BH: planted small p-values are discovered, the bulk is not") {
+    val pv = ((1 to 3).map(i => (s"sig$i", i * 1000L)) ++
+      (1 to 30).map(i => (s"null$i", 400000L + i * 10000L)))
+      .toDF("key", "p_micro")
+    val out = Hypothesis.bhCorrect(pv, alphaMicro = 50000L).collect()
+    val disc = out.filter(_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(disc === Set("sig1", "sig2", "sig3"))
+  }
+
+  test("BH: step-up catches borderline ranks below a later passing rank") {
+    // m=4, alpha=0.5 → per-rank bars alpha·k/m = .125, .25, .375, .5
+    // p = (.10 ✓, .30 ✗, .40 ✗, .90 ✗) → k* = 1 → only rank 1
+    val pv = Seq(("a", 100000L), ("b", 300000L), ("c", 400000L),
+      ("d", 900000L)).toDF("key", "p_micro")
+    val out = Hypothesis.bhCorrect(pv, alphaMicro = 500000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out === Map("a" -> true, "b" -> false, "c" -> false,
+      "d" -> false))
+    // p = (.10 ✓, .30 ✗, .35 ✓, .90 ✗) → k* = 3 sweeps rank 2 in even
+    // though it failed its own bar (the step-up property)
+    val pv2 = Seq(("a", 100000L), ("b", 300000L), ("c", 350000L),
+      ("d", 900000L)).toDF("key", "p_micro")
+    val out2 = Hypothesis.bhCorrect(pv2, alphaMicro = 500000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out2 === Map("a" -> true, "b" -> true, "c" -> true,
+      "d" -> false))
+  }
+}
