@@ -1204,6 +1204,32 @@ object DataOpsQueries {
     "a12_dataset_card" -> ((s, dir) =>
       CorpusStats.datasetCard(Tables.documents(s, dir))),
 
+    // Dedup-adjusted dataset card: raw vs unique-content tokens per
+    // (lang, source) on the duplicate-laden corpus — the budget
+    // numbers that survive dedup (oracle replays the fp census).
+    "a19_dedup_card" -> ((s, dir) =>
+      CorpusStats.dedupAdjustedCard(docsWithCopies(s, dir))),
+
+    // Split-leakage audit: doc-grain hash splitting on a corpus with
+    // exact copies leaks train text into eval — the matrix counts the
+    // cross-split copy pairs; the require pins that fingerprint-keyed
+    // groupSafeSplits drives leakage to zero by construction.
+    "v_split_leakage" -> ((s, dir) => {
+      val d = docsWithCopies(s, dir)
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val leakSafe = Dedup.splitLeakage(d,
+        HashSplit.groupSafeSplits(
+            d.withColumn("_fp", TextAnalysis.fingerprint(col("text")))
+              .where(col("_fp").isNotNull),
+            col("_fp"), splits)
+          .select("doc_id", "split"))
+      require(leakSafe.count() == 0L,
+        "fingerprint-keyed group-safe splits must leak zero pairs")
+      Dedup.splitLeakage(d,
+        HashSplit.assignSplits(d.select("doc_id"), col("doc_id"), splits)
+          .select("doc_id", "split"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov test: en vs non-en document-length
     // distributions — integer D statistic over the value census,
     // asymptotic Kolmogorov-series p (100 nano-rounded terms).
@@ -4943,6 +4969,58 @@ object DataOpsQueries {
         |       WHEN p.fp IS NOT DISTINCT FROM c.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id""".stripMargin,
+
+    "a19_dedup_card" ->
+      """WITH adoc AS (
+        |  SELECT lang, source, text FROM documents
+        |  UNION ALL SELECT lang, source, text FROM documents),
+        |anorm AS (
+        |  SELECT lang, source,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM adoc),
+        |abase AS (
+        |  SELECT lang, source,
+        |    CASE WHEN norm IS NULL THEN NULL WHEN norm = '' THEN 0
+        |         ELSE len(regexp_split_to_array(norm, '\s+')) END AS n,
+        |    md5(norm) AS fp
+        |  FROM anorm),
+        |afp AS (
+        |  SELECT lang, source, fp, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS toks_all, min(n)::BIGINT AS toks_one
+        |  FROM abase GROUP BY 1, 2, 3),
+        |aroll AS (
+        |  SELECT lang, source, sum(n_docs)::BIGINT AS n_docs,
+        |    count(*)::BIGINT AS n_unique_docs,
+        |    coalesce(sum(toks_all), 0)::BIGINT AS tokens_raw,
+        |    coalesce(sum(toks_one), 0)::BIGINT AS tokens_unique
+        |  FROM afp GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_unique_docs, tokens_raw,
+        |  tokens_unique,
+        |  CASE WHEN tokens_raw > 0 THEN
+        |    round(1.0 - tokens_unique::DOUBLE / tokens_raw, 6) END
+        |    AS dup_token_frac
+        |FROM aroll""".stripMargin,
+
+    "v_split_leakage" -> {
+      val t1 = HashSplit.thresholdHex(0.8)
+      val t2 = HashSplit.thresholdHex(0.9)
+      s"""WITH ldoc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |lfp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$t1' THEN 'train'
+        |         WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '$t2' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM ldoc WHERE text IS NOT NULL),
+        |lps AS (
+        |  SELECT fp, split, count(*)::BIGINT AS n FROM lfp GROUP BY 1, 2)
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  sum(a.n * b.n)::BIGINT AS n_pairs
+        |FROM lps a JOIN lps b ON a.fp = b.fp AND a.split < b.split
+        |GROUP BY 1, 2""".stripMargin
+    },
 
     "x_ks_test" ->
       """WITH ka AS (

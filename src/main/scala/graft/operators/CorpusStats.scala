@@ -107,6 +107,35 @@ object CorpusStats {
           .otherwise("changed").as("status"))
   }
 
+  /** Dedup-adjusted dataset card — the token counts that MATTER for a
+    * training budget: raw tokens double-count every duplicate, so a
+    * source that is 40% copies looks 1.7× bigger than the data it
+    * actually contributes. Per (lang, source): raw vs unique-content
+    * tokens (each distinct normalized fingerprint counted once) and
+    * the duplicated-token fraction. Fingerprint-grain census (never
+    * text through the shuffle — the [[snapshotDiff]] rule), then one
+    * group rollup. Content is deduped WITHIN a group; the cross-group
+    * overlap question belongs to the theta-sketch cards.
+    */
+  def dedupAdjustedCard(docs: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+    val base = docs.select(col("lang"), col("source"),
+      size(toks).as("_n"), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val fpCensus = base.groupBy("lang", "source", "fp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("toks_all"),
+        min(col("_n")).as("toks_one"))
+    fpCensus.groupBy("lang", "source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_unique_docs"),
+        coalesce(sum(col("toks_all")), lit(0L)).as("tokens_raw"),
+        coalesce(sum(col("toks_one")), lit(0L)).as("tokens_unique"))
+      .withColumn("dup_token_frac",
+        when(col("tokens_raw") > 0L,
+          round(lit(1.0d) - col("tokens_unique").cast("double")
+            / col("tokens_raw"), 6)))
+  }
+
   /** Dataset card with MERGEABLE quantiles: per (lang, source), the
     * document-length p50/p90/p99 from a per-group KLL sketch
     * ([[graft.functions.KllSketchAgg]]) — counters and HLL cards

@@ -820,6 +820,35 @@ object Dedup {
     *
     * Output: pairs with (lev, ratio — 6dp) where ratio ≥ threshold.
     */
+  /** Split-leakage audit — COUNT the contamination doc-grain splitting
+    * causes: two exact copies hashed to different splits mean the eval
+    * set contains training text verbatim. Given per-doc split
+    * assignments, counts cross-split pairs of distinct docs sharing a
+    * content fingerprint, as a (split_a < split_b, n_pairs) matrix —
+    * the number every "we deduplicated train against test" claim
+    * should cite. Fingerprint-grain census (per fp: docs per split,
+    * cross counts multiply as na·nb), never a pair join; output is
+    * splits²-bounded. [[HashSplit.groupSafeSplits]] keyed on the
+    * fingerprint drives this to zero by construction.
+    */
+  def splitLeakage(docs: DataFrame, assignments: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .where(col("fp").isNotNull)
+      .join(assignments.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val perSplit = fp.groupBy("fp", "split").agg(count(lit(1)).as("n"))
+    val a = perSplit.select(col("fp"), col("split").as("split_a"),
+      col("n").as("na"))
+    val b = perSplit.select(col("fp"), col("split").as("split_b"),
+      col("n").as("nb"))
+    a.join(b, Seq("fp"))
+      .where(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(sum((col("na") * col("nb")).cast("decimal(38,0)"))
+        .cast("long").as("n_pairs"))
+  }
+
   /** LSH recall/precision harness — MEASURE the banding scheme instead
     * of trusting the (1−(1−J^r)^b) curve: exact all-pairs shingle
     * Jaccard is the ground truth, MinHash-LSH candidates are the

@@ -267,7 +267,9 @@ object ScaleProbe {
       // source-grain token census + broadcast total-weight row
       "s_mixture_solve",
       // value census + two-phase cumulative; series on a 1-row frame
-      "x_ks_test")
+      "x_ks_test",
+      // fingerprint-grain censuses, splits²-bounded output
+      "v_split_leakage")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
