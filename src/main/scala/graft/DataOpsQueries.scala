@@ -1240,6 +1240,25 @@ object DataOpsQueries {
         col("n_chars"))
     }),
 
+    // The production composition: per-source KS drift fleet against
+    // the corpus baseline (src0's lengths planted +2000) → BH FDR over
+    // the fleet's p-values. One grouped operator, no driver loop; the
+    // oracle replays censuses, dense-grid cumulatives, D, the p
+    // series, and the step-up.
+    "x_drift_fleet" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"),
+        (col("n_chars") + when(col("source") === "src0", lit(2000L))
+          .otherwise(lit(0L))).as("v"))
+      val ks = operators.Hypothesis.ksTestByGroup(d, col("source"),
+        col("v"))
+      operators.Hypothesis.bhCorrect(
+          ks.select(col("key"), col("p_micro")))
+        .join(ks.select(col("key").as("key"), col("n_g"), col("d_stat"),
+          col("p_value")), Seq("key"))
+        .select("key", "n_g", "d_stat", "p_value", "p_micro", "rank",
+          "discovery")
+    }),
+
     // Benjamini–Hochberg FDR over a fleet of per-source monitor
     // p-values (three planted discoveries + md5-derived nulls) —
     // integer p·m ≤ α·rank rule, k* cutoff, discovery flags.
@@ -5059,6 +5078,64 @@ object DataOpsQueries {
         |    ELSE round(least(1.0, greatest(0.0,
         |      2.0 * sum(term)::DOUBLE / 1e9)), 6) END AS p_value
         |FROM kt GROUP BY 1, 2, 3""".stripMargin,
+
+    "x_drift_fleet" ->
+      """WITH fbase AS (
+        |  SELECT source AS g,
+        |    (n_chars + CASE WHEN source = 'src0' THEN 2000 ELSE 0 END)::BIGINT AS v
+        |  FROM documents),
+        |fgc AS (SELECT g, v, count(*)::BIGINT AS n FROM fbase GROUP BY 1, 2),
+        |fvc AS (SELECT v, sum(n)::BIGINT AS nv FROM fgc GROUP BY 1),
+        |fcumall AS (
+        |  SELECT v, sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM fvc),
+        |ftot AS (SELECT count(*)::BIGINT AS nn FROM fbase),
+        |fgt AS (SELECT g, count(*)::BIGINT AS ng FROM fbase GROUP BY 1),
+        |fdense AS (
+        |  SELECT fgt.g, fgt.ng, fc.v, fc.cumb, coalesce(fgc.n, 0) AS n
+        |  FROM fgt CROSS JOIN fcumall fc
+        |  LEFT JOIN fgc ON fgc.g = fgt.g AND fgc.v = fc.v),
+        |fcum AS (
+        |  SELECT g, ng, v, cumb,
+        |    sum(n) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma
+        |  FROM fdense),
+        |fd AS (
+        |  SELECT g AS key, ng AS n_g,
+        |    round(max(abs(cuma * nn - cumb * ng))::DOUBLE
+        |      / (ng::DOUBLE * nn), 6) AS d_stat,
+        |    ng, nn
+        |  FROM fcum CROSS JOIN ftot GROUP BY g, ng, nn),
+        |fl AS (
+        |  SELECT key, n_g, d_stat,
+        |    d_stat * sqrt(ng::DOUBLE * nn / (ng + nn)) AS lam
+        |  FROM fd),
+        |fp2 AS (
+        |  SELECT key, n_g, d_stat, lam,
+        |    CAST(round((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+        |      * exp(-2.0 * j * j * lam * lam) * 1e9) AS BIGINT) AS term
+        |  FROM (SELECT key, n_g, d_stat, lam, unnest(range(1, 101)) AS j
+        |        FROM fl)),
+        |fpv AS (
+        |  SELECT key, n_g, d_stat,
+        |    CASE WHEN lam < 0.2 THEN 1.0
+        |      ELSE round(least(1.0, greatest(0.0,
+        |        2.0 * sum(term)::DOUBLE / 1e9)), 6) END AS p_value
+        |  FROM fp2 GROUP BY key, n_g, d_stat, lam),
+        |fpm AS (
+        |  SELECT key, n_g, d_stat, p_value,
+        |    CAST(round(p_value * 1e6) AS BIGINT) AS p_micro FROM fpv),
+        |fm AS (SELECT count(*)::BIGINT AS m FROM fpm),
+        |fr AS (
+        |  SELECT key, n_g, d_stat, p_value, p_micro,
+        |    row_number() OVER (ORDER BY p_micro ASC, key ASC)::BIGINT AS rank
+        |  FROM fpm),
+        |fk AS (
+        |  SELECT coalesce(max(CASE WHEN p_micro * m <= 50000 * rank
+        |    THEN rank END), 0) AS kstar
+        |  FROM fr CROSS JOIN fm)
+        |SELECT key, n_g, d_stat, p_value, p_micro, rank,
+        |  rank <= kstar AS discovery
+        |FROM fr CROSS JOIN fk""".stripMargin,
 
     "x_bh_fdr" ->
       """WITH bp AS (SELECT DISTINCT source AS key FROM documents),

@@ -83,6 +83,70 @@ object Hypothesis {
           .as("p_value"))
   }
 
+  /** Grouped KS drift fleet — one KS test PER SLICE against the
+    * whole-corpus baseline, entirely group-parallel (no driver loop):
+    * the per-slice monitor whose p-values feed [[bhCorrect]] — the
+    * actual production composition ("which sources drifted today,
+    * FDR-controlled"). Slice-vs-whole is the standard PSI-style
+    * baseline (the slice is part of the whole; the mild correlation is
+    * the accepted monitoring convention).
+    *
+    * Shapes: one (group, value) census; the baseline cumulative is a
+    * value-census-grain window, per-group cumulatives partition by
+    * group; D and the p-series are the [[ksTest]] integer/nano
+    * arithmetic at group grain. Output: (key, n_g, d_stat, p_value,
+    * p_micro).
+    */
+  def ksTestByGroup(df: DataFrame, group: Column, value: Column,
+                    shards: Int = 32): DataFrame = {
+    val base = df.select(group.cast("string").as("g"),
+      value.cast("long").as("v"))
+    val gc = base.groupBy("g", "v").agg(count(lit(1)).as("n"))
+    val vc = gc.groupBy("v").agg(sum(col("n")).as("nv"))
+    val wAll = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumAll = vc.withColumn("cumb", sum(col("nv")).over(wAll))
+    val wG = Window.partitionBy("g").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = base.agg(count(lit(1)).as("nn"))
+    val gtot = base.groupBy("g").agg(count(lit(1)).as("ng"))
+    // DENSE group×value grid: both ECDFs jump only at observed values,
+    // but a group's ECDF must be EVALUATED (carried forward) at every
+    // baseline value too — sampling it only at the group's own rows
+    // silently underestimates D whenever the baseline moves inside a
+    // group-flat interval. G·V rows — value census bounded by contract
+    // (integer/micro-bucketed monitor values).
+    val cum = gtot.select(col("g"), col("ng"))
+      .crossJoin(cumAll.select(col("v"), col("cumb")))
+      .join(gc, Seq("g", "v"), "left_outer")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cuma", sum(col("n")).over(wG))
+    val d = cum.crossJoin(broadcast(tot))
+      .groupBy("g", "ng", "nn")
+      .agg(max(abs(col("cuma").cast("decimal(38,0)") * col("nn")
+        - col("cumb").cast("decimal(38,0)") * col("ng"))).as("_num"))
+      .select(col("g").as("key"), col("ng").as("n_g"),
+        round(col("_num").cast("double")
+          / (col("ng").cast("double") * col("nn")), 6).as("d_stat"),
+        col("ng"), col("nn"))
+    d.select(col("key"), col("n_g"), col("d_stat"),
+        (col("d_stat") * sqrt(col("ng").cast("double") * col("nn")
+          / (col("ng") + col("nn")))).as("_lam"),
+        explode(sequence(lit(1), lit(100))).as("j"))
+      .withColumn("_term",
+        round(when(pmod(col("j"), lit(2)) === 1, lit(1.0d))
+          .otherwise(lit(-1.0d))
+          * exp(lit(-2.0d) * col("j") * col("j") * col("_lam") * col("_lam"))
+          * 1e9).cast("long"))
+      .groupBy("key", "n_g", "d_stat", "_lam")
+      .agg(round(least(lit(1.0d), greatest(lit(0.0d),
+        lit(2.0d) * sum(col("_term")).cast("double") / 1e9)), 6).as("_praw"))
+      .select(col("key"), col("n_g"), col("d_stat"),
+        when(col("_lam") < lit(0.2d), lit(1.0d)).otherwise(col("_praw"))
+          .as("p_value"))
+      .withColumn("p_micro", round(col("p_value") * 1e6).cast("long"))
+  }
+
   /** Benjamini–Hochberg FDR correction: rank the m p-values ascending,
     * k* = the largest rank with p·m ≤ α·rank, flag ranks ≤ k* as
     * discoveries. Integer arithmetic only (p in micro units). Output:

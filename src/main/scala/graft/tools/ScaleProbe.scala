@@ -269,7 +269,9 @@ object ScaleProbe {
       // value census + two-phase cumulative; series on a 1-row frame
       "x_ks_test",
       // fingerprint-grain censuses, splits²-bounded output
-      "v_split_leakage")
+      "v_split_leakage",
+      // G×V dense grid cumulatives + per-group p series
+      "x_drift_fleet")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -38,6 +38,29 @@ class HypothesisSpec extends SparkSpec {
     assert(d1 === d7)
   }
 
+  test("grouped KS evaluates the gap INSIDE group-flat intervals") {
+    // group a = {0, 100}; group b = {50}×100 — a's ECDF is flat on
+    // (0, 100) while the baseline jumps at 50: sampling only a's own
+    // rows would miss the dominant gap at v=50
+    val df = (Seq(("a", 0L), ("a", 100L)) ++
+      Seq.fill(100)(("b", 50L))).toDF("g", "v")
+    val d = Hypothesis.ksTestByGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // at v=50: F_a = 1/2, F_all = 101/102 → gap = |51 - 101|/102... in
+    // integer form |cuma·N − cumb·ng|/(ng·N) = |1·102 − 101·2|/204
+    assert(d("a") === math.rint(100.0 / 204 * 1e6) / 1e6)
+  }
+
+  test("grouped KS agrees with the pairwise test run slice-vs-whole") {
+    val df = (1 to 90).map(i => (if (i % 3 == 0) "x" else "y",
+      ((i * 17) % 23).toLong)).toDF("g", "v")
+    val grouped = Hypothesis.ksTestByGroup(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val px = Hypothesis.ksTest(df.where(col("g") === "x").select("v"),
+      df.select("v"), col("v")).head().getDouble(2)
+    assert(grouped("x") === px)
+  }
+
   test("BH: planted small p-values are discovered, the bulk is not") {
     val pv = ((1 to 3).map(i => (s"sig$i", i * 1000L)) ++
       (1 to 30).map(i => (s"null$i", 400000L + i * 10000L)))
