@@ -2074,6 +2074,25 @@ object DataOpsQueries {
     "t_zipf" -> ((s, dir) =>
       operators.Salience.zipfFit(Tables.documents(s, dir), minCount = 2)),
 
+    // Vocabulary coverage curve: corpus token fraction covered by the
+    // top-S vocab for a size grid — 1 − coverage is the OOV rate a
+    // tokenizer pays (oracle replays ranking + grid).
+    "t_vocab_coverage" -> ((s, dir) =>
+      Salience.vocabCoverage(Tables.documents(s, dir))),
+
+    // Survivor-policy dedup: prefer the 'copy' twin over the original
+    // (policy inverts min-id), ties by id — which copy survives
+    // changes the corpus, so the policy must replay (oracle replays
+    // the preference window).
+    "d_exact_dedup_by" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val twin = d.withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("source", lit("copy"))
+      Dedup.exactDedupedBy(d.unionByName(twin),
+          when(col("source") === "copy", 1L).otherwise(0L))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // GloVe-style weighted co-occurrence census: ordered pairs within
     // a 5-token window, 1/d micro-integer weights (oracle replays the
     // position self-join and every weight).
@@ -5636,6 +5655,44 @@ object DataOpsQueries {
         |  (count(*) FILTER (masked))::BIGINT AS n_masked,
         |  (count(*) FILTER (sstart))::BIGINT AS n_spans
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    "t_vocab_coverage" ->
+      """WITH cvnorm AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |cvtok AS (
+        |  SELECT unnest(CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END) AS term
+        |  FROM cvnorm),
+        |cvcen AS (
+        |  SELECT term, count(*)::BIGINT AS freq FROM cvtok
+        |  WHERE term <> '' GROUP BY term),
+        |cvrank AS (
+        |  SELECT (row_number() OVER (ORDER BY freq DESC, term ASC) - 1)::BIGINT
+        |    AS token_id, freq
+        |  FROM cvcen),
+        |cvtot AS (SELECT coalesce(sum(freq), 0)::BIGINT AS total FROM cvrank),
+        |cvgrid AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+        |  1024]) AS size)
+        |SELECT g.size::BIGINT AS size, sum(r.freq)::BIGINT AS covered,
+        |  t.total, round(sum(r.freq)::DOUBLE / t.total, 6) AS coverage
+        |FROM cvgrid g JOIN cvrank r ON r.token_id < g.size
+        |CROSS JOIN cvtot t GROUP BY g.size, t.total""".stripMargin,
+
+    "d_exact_dedup_by" ->
+      """WITH xdoc AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, 'copy', n_chars
+        |  FROM documents),
+        |xr AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      ORDER BY (CASE WHEN source = 'copy' THEN 1 ELSE 0 END) DESC,
+        |        doc_id ASC) AS rn
+        |  FROM xdoc)
+        |SELECT doc_id, lang, source, n_chars FROM xr WHERE rn = 1""".stripMargin,
 
     "t_cooc" ->
       """WITH gnorm AS (

@@ -274,6 +274,24 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Survivor-POLICY dedup: keep the copy that maximizes `preference`
+    * per content group (ties → lowest doc_id). Min-id is the cheap
+    * default, but real pipelines keep the copy with the richest
+    * metadata, the longest cleaned text, or the highest quality score —
+    * near-identical crawls of one page differ in boilerplate trim, and
+    * which copy survives changes the corpus. Same one-window shape as
+    * [[exactDeduped]] (partial ordering pushed into the window sort);
+    * the preference column is any deterministic expression, so the
+    * choice replays externally.
+    */
+  def exactDedupedBy(docs: DataFrame, preference: Column,
+                     textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(preference.desc, col("doc_id").asc)
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
   /** MinHash signatures: for each of `numHashes` seeds, the minimum
     * xxhash64(shingle, seed) over the document's shingle set.
     *

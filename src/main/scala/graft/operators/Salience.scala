@@ -240,6 +240,36 @@ object Salience {
     out.toByteArray
   }
 
+  /** Vocabulary coverage curve — what fraction of the corpus token
+    * stream the top-S vocabulary entries cover, for a grid of
+    * candidate sizes: the empirical answer to "how big must the vocab
+    * be" (the knee of this curve IS the vocab-size decision, and
+    * 1 − coverage is the OOV/byte-fallback rate a tokenizer will pay).
+    * Built on [[vocabulary]]'s deterministic ranking (two-phase, no
+    * global window); the grid multiplies the VOCABULARY census, not
+    * the corpus. Output: (size, covered, total, coverage).
+    */
+  def vocabCoverage(docs: DataFrame,
+                    sizes: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L,
+                      64L, 128L, 256L, 512L, 1024L),
+                    textCol: String = "text",
+                    shards: Int = 32): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad size grid: $sizes")
+    val vocab = vocabulary(docs, minCount = 1, maxSize = 0, textCol, shards)
+      .select(col("token_id"), col("freq"))
+    val tot = vocab.agg(coalesce(sum(col("freq")), lit(0L)).as("total"))
+    vocab
+      .select(col("token_id"), col("freq"),
+        explode(array(sizes.map(lit): _*)).as("size"))
+      .where(col("token_id") < col("size"))
+      .groupBy("size")
+      .agg(sum(col("freq")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("size"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6)
+          .as("coverage"))
+  }
+
   /** Frequent-items (Misra–Gries/SpaceSaving) sketch over the corpus
     * token stream — the deterministic-bound twin of [[tokenSketch]]:
     * true count ∈ [lb, ub] unconditionally, ub − lb ≤ ~3.5·N/maxMapSize,
