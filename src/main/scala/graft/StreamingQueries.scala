@@ -100,6 +100,15 @@ object StreamingQueries {
     "st_running_cards" -> ((s, dir) =>
       graft.streaming.DocStream.runningCards(Tables.documents(s, dir))),
 
+    // Streaming quantile card (batch analog): per-language doc-length
+    // p50/p90 from the KLL sketch in streaming state — exact order
+    // statistics at this scale, so the oracle replays ⌈q·n⌉ ranks.
+    // StreamingSpec drives the same transform as a 2-trigger
+    // complete-mode stream.
+    "st_quantile_cards" -> ((s, dir) =>
+      graft.streaming.DocStream.runningQuantileCards(
+        Tables.documents(s, dir))),
+
     // Streaming drift: hourly value-histogram census (the stateful
     // half) + per-window PSI against the even-event-id baseline census
     // (census-grain scoring). Alert contract: psi > 0.25.
@@ -114,6 +123,20 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_quantile_cards" ->
+      """WITH sq AS (
+        |  SELECT coalesce(lang, 'unknown') AS lang, n_chars,
+        |    row_number() OVER (PARTITION BY coalesce(lang, 'unknown')
+        |      ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY coalesce(lang, 'unknown')) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, max(n)::BIGINT AS n_docs,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |    THEN n_chars END)::DOUBLE AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |    THEN n_chars END)::DOUBLE AS p90
+        |FROM sq GROUP BY lang""".stripMargin,
+
     "st_running_cards" ->
       """SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs,
         |  count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS distinct_fp

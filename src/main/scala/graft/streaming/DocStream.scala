@@ -164,4 +164,27 @@ object DocStream {
         round(ThetaSketch.estimate(ThetaSketch.thetaAgg(col("fp"), lgK)))
           .cast("long").as("distinct_fp"))
   }
+
+  /** Continuously-maintained per-language QUANTILE card: doc-length
+    * p50/p90 from a [[graft.functions.KllSketchAgg]] in the streaming
+    * state store — the distribution half of [[runningCards]] ("did p90
+    * doc length jump mid-ingest"), merging per micro-batch with no
+    * re-scan. Below the sketch capacity (the gate regime) INCLUSIVE
+    * quantiles are exact ⌈q·n⌉ order statistics, so the batch-mode
+    * oracle replays them; past capacity the rank bounds hold.
+    * `outputMode("complete")`, language-bounded state.
+    */
+  def runningQuantileCards(docs: DataFrame, k: Int = 1024): DataFrame = {
+    import graft.functions.KllSketch
+    docs
+      .select(coalesce(col("lang"), lit("unknown")).as("lang"),
+        col("n_chars"))
+      .where(col("n_chars").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        KllSketch.kllQuantile(KllSketch.kllAgg(col("n_chars"), k),
+          lit(0.5d)).as("p50"),
+        KllSketch.kllQuantile(KllSketch.kllAgg(col("n_chars"), k),
+          lit(0.9d)).as("p90"))
+  }
 }

@@ -500,6 +500,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("running quantile cards merge KLL state across micro-batches") {
+    // exact-mode KLL: the 2-trigger streamed card must equal the batch
+    // card (merge of exact sketches stays exact under capacity)
+    val docs = graft.Tables.documents(spark, eventsDir).cache()
+    val expected = graft.streaming.DocStream.runningQuantileCards(docs)
+      .collect().map(_.toSeq).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-qcards")
+    stageParquet(docs.where(col("doc_id") % 2 === 0), streamDir, "a.parquet")
+    stageParquet(docs.where(col("doc_id") % 2 === 1), streamDir, "b.parquet")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.DocStream.runningQuantileCards(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qcards_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("qcards_out").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      "streamed quantile card must equal the batch card")
+    assert(got.nonEmpty)
+    docs.unpersist()
+  }
+
   test("running cards maintain the theta sketch across micro-batches") {
     // the sketch state must MERGE across triggers, not reset: two
     // disjoint files, complete mode — the final card equals the batch
