@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // fuse the portable-uniform md5 idiom into the native long kernel
     ext.injectOptimizerRule(_ => graft.plans.FuseMd5Uniform)
+    ext.injectOptimizerRule(_ => graft.plans.FuseShingleDistinct)
   }
 }
 

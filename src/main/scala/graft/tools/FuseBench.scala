@@ -43,6 +43,29 @@ object FuseBench {
     require(v1 == v2, s"fused/composed disagree: $v1 vs $v2")
     println(f"rows=$n fused=$fused%.2f s composed=$composed%.2f s " +
       f"speedup=${composed / fused}%.2fx (sums equal: $v1)")
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+
+    // ---- FuseShingleDistinct A/B: repetitive document-sized texts,
+    // where array_distinct's pairwise walk is quadratic in shingles
+    val nDocs = 100000L
+    val words = (0 until 20).map(i => s"w$i")
+    val text = (0 until 400).map(i => words(i % words.size)).mkString(" ")
+    val docs = spark.range(nDocs)
+      .select(concat(lit(text), lit(" t"), col("id").cast("string"))
+        .as("text"))
+      .localCheckpoint()
+    val sh = graft.functions.NGramShingles
+      .shingles(col("text"), 3, distinct = false)
+    def runSh() =
+      docs.select(sum(size(array_distinct(sh)))).head().getLong(0)
+    val (shFused, s1) = median3(runSh())
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.FuseShingleDistinct")
+    val (shComposed, s2) = median3(runSh())
+    require(s1 == s2, s"shingle fused/composed disagree: $s1 vs $s2")
+    println(f"docs=$nDocs shingle fused=$shFused%.2f s " +
+      f"composed=$shComposed%.2f s " +
+      f"speedup=${shComposed / shFused}%.2fx (sums equal: $s1)")
     spark.stop()
   }
 }
