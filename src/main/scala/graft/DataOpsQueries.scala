@@ -1929,6 +1929,26 @@ object DataOpsQueries {
       Clustering.refineCentroids(Tables.embeddings(s, dir),
         fixedCentroids(s, dir, 8), rounds = 3)),
 
+    // Incremental PCA: the even/odd moment censuses MERGE cell-wise to
+    // the whole-corpus moments exactly — fit runs on merged state with
+    // no re-scan of earlier days (oracle = the whole-corpus census).
+    "e_pca_moments_merge" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pca.mergeMoments(
+        Pca.momentsMicro(e.where(col("vec_id") % 2 === 0)),
+        Pca.momentsMicro(e.where(col("vec_id") % 2 === 1)))
+    }),
+
+    // Exact k-th order statistic (median of micro event values) by
+    // iterative range narrowing — ≤4 census passes, no global sort
+    // (oracle replays the order statistic).
+    "a20_exact_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(round(col("value") * 1e6).cast("long").as("vm"))
+      val n = ev.where(col("vm").isNotNull).count()
+      operators.HistQuantile.exactKth(ev, col("vm"), (n + 1) / 2)
+    }),
+
     // Embedding outlier pruning: per-cluster robust MAD rule on the
     // exact micro distance to the assigned centroid — encoder glitches
     // and off-manifold junk flagged before dedup/ANN (oracle replays
@@ -8930,6 +8950,31 @@ object DataOpsQueries {
         |  CAST(sum(vi) AS BIGINT) AS s_i, CAST(sum(vj) AS BIGINT) AS s_j,
         |  CAST(sum(vi * vj) AS BIGINT) AS s_ij
         |FROM p GROUP BY i, j""".stripMargin,
+
+    "e_pca_moments_merge" ->
+      """WITH e AS (
+        |  SELECT [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) FOR x IN embedding] AS mv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT i.r AS i, j.r AS j, mv[i.r + 1] AS vi, mv[j.r + 1] AS vj
+        |  FROM e CROSS JOIN range(64) i(r) CROSS JOIN range(64) j(r)
+        |  WHERE j.r >= i.r)
+        |SELECT i, j, count(*) AS n,
+        |  CAST(sum(vi) AS BIGINT) AS s_i, CAST(sum(vj) AS BIGINT) AS s_j,
+        |  CAST(sum(vi * vj) AS BIGINT) AS s_ij
+        |FROM p GROUP BY i, j""".stripMargin,
+
+    "a20_exact_median" ->
+      """WITH em AS (
+        |  SELECT CAST(round(value * 1e6) AS BIGINT) AS vm FROM events
+        |  WHERE value IS NOT NULL),
+        |er AS (
+        |  SELECT vm, row_number() OVER (ORDER BY vm) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM em)
+        |SELECT max(n)::BIGINT AS n, ((max(n) + 1) // 2)::BIGINT AS k,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN vm END)::BIGINT AS kth
+        |FROM er""".stripMargin,
 
     "e_rand_proj" ->
       s"""WITH ev AS (

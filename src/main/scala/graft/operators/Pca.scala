@@ -65,6 +65,31 @@ object Pca {
         sum(col("vi").cast(dec) * col("vj").cast(dec)).as("s_ij"))
   }
 
+  /** Merge moment censuses — the INCREMENTAL path: the (i, j) census is
+    * a pure sum frame, so yesterday's persisted moments plus today's
+    * batch moments ADD cell-wise to the whole-corpus moments exactly
+    * (long or decimal alike), and [[fit]] runs on the merged census
+    * with no re-scan of any earlier day. One vocabulary... d(d+1)/2-row
+    * join; shapes must agree (same dim ⇒ same cells — the full-outer
+    * densification guards ragged partial censuses from ever summing).
+    */
+  def mergeMoments(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.select(col("i"), col("j"), col("n").as("na"),
+      col("s_i").as("sia"), col("s_j").as("sja"), col("s_ij").as("sija"))
+    val bn = b.select(col("i"), col("j"), col("n").as("nb"),
+      col("s_i").as("sib"), col("s_j").as("sjb"), col("s_ij").as("sijb"))
+    an.join(bn, Seq("i", "j"), "full_outer")
+      .select(col("i"), col("j"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sia"), lit(0L)) + coalesce(col("sib"), lit(0L)))
+          .as("s_i"),
+        (coalesce(col("sja"), lit(0L)) + coalesce(col("sjb"), lit(0L)))
+          .as("s_j"),
+        (coalesce(col("sija"), lit(0L)) + coalesce(col("sijb"), lit(0L)))
+          .as("s_ij"))
+  }
+
   /** Fitted model: mean (original units), orthonormal components ordered
     * by descending eigenvalue, eigenvalues (covariance units).
     */

@@ -271,7 +271,9 @@ object ScaleProbe {
       // fingerprint-grain censuses, splits²-bounded output
       "v_split_leakage",
       // G×V dense grid cumulatives + per-group p series
-      "x_drift_fleet")
+      "x_drift_fleet",
+      // ≤4 census passes, ≤2^16 driver rows per round, no sort
+      "a20_exact_median")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
