@@ -1614,6 +1614,12 @@ object DataOpsQueries {
       Dedup.ngramJaccard(pairs, docsWithCopies(s, dir))
     }),
 
+    // Per-document distinctness: fraction of a doc's shingles shared
+    // with other docs — the template-ness diagnostic below the
+    // near-dup threshold (oracle replays the shingle df census).
+    "t_distinctness" -> ((s, dir) =>
+      Dedup.distinctness(Tables.documents(s, dir))),
+
     // LSH recall harness: exact all-pairs Jaccard ground truth on the
     // %5 stratum + copies vs the production banding scheme — recall
     // floor self-asserted (rows-only: xxhash64 signatures); the
@@ -6969,6 +6975,29 @@ object DataOpsQueries {
         |      FROM (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         |        FROM documents))))""".stripMargin,
+
+    "t_distinctness" ->
+      """WITH znorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |ztok AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM znorm),
+        |zsh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        |    END)) AS g
+        |  FROM ztok),
+        |zdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM zsh GROUP BY g)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+        |  round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS shared_frac
+        |FROM zsh s JOIN zdf d USING (g)
+        |GROUP BY s.doc_id""".stripMargin,
 
     "d_threshold_sweep" ->
       """WITH tnorm AS (

@@ -838,6 +838,28 @@ object Dedup {
     *
     * Output: pairs with (lev, ratio — 6dp) where ratio ≥ threshold.
     */
+  /** Per-document distinctness — the self-BLEU-style diversity
+    * diagnostic at corpus scale: what fraction of a document's
+    * shingles also appear in OTHER documents. Template floods, mirror
+    * farms, and boilerplate-heavy sources score near 1 long before
+    * near-dup pairs form (sharing is sub-threshold but pervasive);
+    * the per-source rollup of this column is the "how templated is
+    * this source" card line. One shingle-census join (shingle →
+    * n_docs), per-doc partial agg — never doc×doc. Output:
+    * (doc_id, n_shingles, n_shared, shared_frac 6dp).
+    */
+  def distinctness(docs: DataFrame, textCol: String = "text",
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = shingleRows(docs, textCol, shingleSize)
+    val census = sh.groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
+    sh.join(census, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Split-leakage audit — COUNT the contamination doc-grain splitting
     * causes: two exact copies hashed to different splits mean the eval
     * set contains training text verbatim. Given per-doc split

@@ -273,7 +273,9 @@ object ScaleProbe {
       // G×V dense grid cumulatives + per-group p series
       "x_drift_fleet",
       // ≤4 census passes, ≤2^16 driver rows per round, no sort
-      "a20_exact_median")
+      "a20_exact_median",
+      // shingle df census join, never doc×doc
+      "t_distinctness")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
