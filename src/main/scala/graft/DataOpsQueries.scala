@@ -2639,6 +2639,15 @@ object DataOpsQueries {
     "v_avg_precision" -> ((s, dir) =>
       operators.Evaluation.averagePrecision(nbScored(s, dir))),
 
+    // Per-slice AUC: the fairness/regression view — rank-sum AUC per
+    // source over the same NB scores (single-class slices → null).
+    "v_auc_by" -> ((s, dir) =>
+      operators.Evaluation.rocAucBy(
+        nbScored(s, dir).join(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          Seq("doc_id")),
+        col("source"))),
+
     // Reliability diagram at 1.0-log10-odds score-bucket grain:
     // observed positive rate vs base-10-logistic predicted probability,
     // both micro-rounded before the gap.
@@ -2736,6 +2745,32 @@ object DataOpsQueries {
           upperMicro = 2000000L, lowerMicro = 0L)
         .select("doc_a", "doc_b", "w_lang", "w_source", "w_len",
           "fs_micro", "verdict")
+    }),
+
+    // Entity resolution end-to-end: Fellegi–Sunter link verdicts fed
+    // into the connected-components closure — pairwise matches become
+    // ENTITY ids (the step every MDM/identity pipeline runs after
+    // scoring; A≈B≈C merge even when A–C never scored). Oracle replays
+    // the FS chain + a recursive label-propagation closure.
+    "d_fs_entities" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") % 3 === 0)
+      val cand = operators.SortedNeighborhood.candidatePairs(
+        docs, TextAnalysis.normalized(col("text")), w = 4)
+      val attrs = docs.select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 256").as("lb"))
+      val pairs = cand
+        .join(attrs.select(col("doc_id").as("doc_a"),
+          col("lang").as("lang_a"), col("source").as("source_a"),
+          col("lb").as("lb_a")), Seq("doc_a"))
+        .join(attrs.select(col("doc_id").as("doc_b"),
+          col("lang").as("lang_b"), col("source").as("source_b"),
+          col("lb").as("lb_b")), Seq("doc_b"))
+      val scored = operators.RecordLinkage.score(pairs, fsGateFields)
+      val links = operators.RecordLinkage.classify(scored,
+          upperMicro = 2000000L, lowerMicro = 0L)
+        .where(col("verdict") === "link")
+        .select("doc_a", "doc_b")
+      ConnectedComponents.assign(links)
     }),
 
     // u-probability estimation from the value census: P(agree | random
@@ -6009,6 +6044,28 @@ object DataOpsQueries {
         |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
         |FROM vcum""".stripMargin,
 
+    "v_auc_by" ->
+      s"""WITH $nbEvalSql,
+        |gsc AS (
+        |  SELECT d.source AS grp, v.s, v.label
+        |  FROM vscored v JOIN documents d USING (doc_id)),
+        |gcen AS (
+        |  SELECT grp, s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |  FROM gsc GROUP BY 1, 2),
+        |gcum AS (
+        |  SELECT grp, n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (PARTITION BY grp ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM gcen)
+        |SELECT grp, sum(n_pos)::BIGINT AS n_pos,
+        |  sum(n_neg)::BIGINT AS n_neg,
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+        |    round(sum(n_pos * (2 * cb + n_neg))::DOUBLE
+        |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
+        |FROM gcum GROUP BY grp""".stripMargin,
+
     "v_avg_precision" ->
       s"""WITH $nbEvalSql,
         |vtot AS (SELECT sum(n_pos)::BIGINT AS p_tot,
@@ -7892,6 +7949,43 @@ object DataOpsQueries {
         |       WHEN w_lang + w_source + w_len <= 0 THEN 'nonlink'
         |       ELSE 'possible' END AS verdict
         |FROM p""".stripMargin
+    },
+
+    "d_fs_entities" -> {
+      val Seq(fl, fs, fn) = fsGateFields
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+        |  FROM docs),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, (row_number() OVER (ORDER BY nt, doc_id) - 1)::BIGINT AS seq
+        |  FROM norm),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM r a JOIN r b ON b.seq - a.seq >= 1 AND b.seq - a.seq < 4),
+        |attr AS (SELECT doc_id, lang, source, n_chars // 256 AS lb FROM docs),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    (CASE WHEN a.lang = b.lang THEN ${fl.agreeMicro} ELSE ${fl.disagreeMicro} END)::BIGINT
+        |    + (CASE WHEN a.source = b.source THEN ${fs.agreeMicro} ELSE ${fs.disagreeMicro} END)::BIGINT
+        |    + (CASE WHEN a.lb = b.lb THEN ${fn.agreeMicro} ELSE ${fn.disagreeMicro} END)::BIGINT
+        |      AS fs_micro
+        |  FROM cand c
+        |  JOIN attr a ON a.doc_id = c.doc_a
+        |  JOIN attr b ON b.doc_id = c.doc_b),
+        |links AS (SELECT doc_a, doc_b FROM p WHERE fs_micro >= 2000000),
+        |nodes AS (SELECT doc_a AS n FROM links UNION SELECT doc_b FROM links),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM links
+        |          UNION SELECT doc_b, doc_a FROM links),
+        |reach AS (
+        |  SELECT n, n AS c FROM nodes
+        |  UNION
+        |  SELECT e.b AS n, r2.c FROM reach r2 JOIN edges e ON e.a = r2.n)
+        |SELECT n AS node, min(c)::BIGINT AS component
+        |FROM reach GROUP BY n""".stripMargin
     },
 
     "d_fs_uprob" ->

@@ -98,6 +98,35 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** Per-slice ROC AUC — the fairness/regression view ("does the
+    * quality filter rank as well on zh as on en"): the tie-corrected
+    * rank-sum per GROUP, computed on the (group, score) census with
+    * group-partitioned cumulative windows (bounded groups; census
+    * grain within each). One row per group:
+    * (grp, n_pos, n_neg, auc — null for single-class slices).
+    */
+  def rocAucBy(scored: DataFrame, group: Column,
+               scoreCol: String = "score_micro",
+               labelCol: String = "label"): DataFrame = {
+    val census = scored.groupBy(group.cast("string").as("grp"),
+        col(scoreCol).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+    val w = Window.partitionBy("grp").orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("cumneg_below",
+        coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .groupBy("grp")
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        sum((col("n_pos") * (lit(2L) * col("cumneg_below") + col("n_neg")))
+          .cast("decimal(38,0)")).as("_num2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("_num2").cast("double")
+            / (lit(2.0d) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Average precision (area under the PR curve, ties processed as one
     * level, precision evaluated AFTER the whole tie group — the
     * standard step interpolation): AP = Σ_s n_pos(s)·prec(s) / P with

@@ -275,7 +275,9 @@ object ScaleProbe {
       // ≤4 census passes, ≤2^16 driver rows per round, no sort
       "a20_exact_median",
       // shingle df census join, never doc×doc
-      "t_distinctness")
+      "t_distinctness",
+      // FS pair scoring + large-star/small-star closure on match edges
+      "d_fs_entities")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -86,6 +86,27 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(7) === math.rint(4.0 / 6 * 1e6) / 1e6) // accuracy
   }
 
+  test("per-slice AUC matches the global computation per group") {
+    val rows = (0 until 80).map { i =>
+      (if (i % 2 == 0) "g1" else "g2", ((i * 37) % 13).toLong,
+        (i * 31) % 7 < 3)
+    }
+    val df = rows.zipWithIndex.map { case ((g, s, l), i) =>
+      (i.toLong, g, s, l)
+    }.toDF("doc_id", "grp", "score_micro", "label")
+    val by = Evaluation.rocAucBy(df, col("grp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    Seq("g1", "g2").foreach { g =>
+      val solo = Evaluation.rocAuc(df.where(col("grp") === g))
+        .head().getDouble(2)
+      assert(by(g) === solo, s"slice $g")
+    }
+    // single-class slice → null
+    val mono = Seq((1L, "m", 5L, true), (2L, "m", 3L, true))
+      .toDF("doc_id", "grp", "score_micro", "label")
+    assert(Evaluation.rocAucBy(mono, col("grp")).head().isNullAt(3))
+  }
+
   test("two-phase cumulative is shard-count invariant") {
     val rows = (0 until 200).map(i => (((i * 17) % 29).toLong, i % 3 == 0))
     val df = scored(rows)
