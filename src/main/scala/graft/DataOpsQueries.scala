@@ -2643,6 +2643,12 @@ object DataOpsQueries {
     "v_avg_precision" -> ((s, dir) =>
       operators.Evaluation.averagePrecision(nbScored(s, dir))),
 
+    // Precision-targeted threshold solver: lowest NB score threshold
+    // clearing each precision target, with the recall paid — pure
+    // integer cross-multiplication on the score census.
+    "v_precision_threshold" -> ((s, dir) =>
+      operators.Evaluation.thresholdForPrecision(nbScored(s, dir))),
+
     // Per-slice AUC: the fairness/regression view — rank-sum AUC per
     // source over the same NB scores (single-class slices → null).
     "v_auc_by" -> ((s, dir) =>
@@ -6047,6 +6053,29 @@ object DataOpsQueries {
         |    round(sum(n_pos * (2 * cumneg_below + n_neg))::DOUBLE
         |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
         |FROM vcum""".stripMargin,
+
+    "v_precision_threshold" ->
+      s"""WITH $nbEvalSql,
+        |vt AS (SELECT sum(n_pos)::BIGINT AS p_tot,
+        |              sum(n_neg)::BIGINT AS n_tot FROM vcen),
+        |vlev AS (
+        |  SELECT s, p_tot, p_tot - cumpos_below AS tp,
+        |    n_tot - cumneg_below AS fp
+        |  FROM vcum CROSS JOIN vt),
+        |vgrid AS (SELECT unnest([500000, 800000, 900000, 950000])::BIGINT
+        |          AS target_micro),
+        |vpass AS (
+        |  SELECT target_micro, s, tp, fp, p_tot,
+        |    row_number() OVER (PARTITION BY target_micro
+        |      ORDER BY tp DESC, s ASC) AS rk
+        |  FROM vlev CROSS JOIN vgrid
+        |  WHERE tp * 1000000 >= target_micro * (tp + fp))
+        |SELECT g.target_micro, p.s AS threshold_micro, p.tp, p.fp,
+        |  round(p.tp::DOUBLE / (p.tp + p.fp), 6) AS precision,
+        |  round(p.tp::DOUBLE / p.p_tot, 6) AS recall
+        |FROM vgrid g
+        |LEFT JOIN (SELECT * FROM vpass WHERE rk = 1) p
+        |  USING (target_micro)""".stripMargin,
 
     "v_auc_by" ->
       s"""WITH $nbEvalSql,

@@ -159,6 +159,49 @@ object Evaluation {
           .as("ap"))
   }
 
+  /** Precision-targeted threshold solver — "set the quality filter for
+    * 95% precision and tell me the recall I pay": for each target in
+    * the grid, the LOWEST score threshold (max recall) whose
+    * predict-positive-iff-score≥θ precision still clears the target.
+    * Pure integer arithmetic on the score census (precision ≥ t ⇔
+    * tp·10⁶ ≥ t_micro·(tp+fp) — no division), cumulatives two-phase.
+    * Output per target: (target_micro, threshold_micro, tp, fp,
+    * precision, recall) — nulls when no threshold qualifies.
+    */
+  def thresholdForPrecision(scored: DataFrame,
+                            targetsMicro: Seq[Long] = Seq(500000L, 800000L,
+                              900000L, 950000L),
+                            scoreCol: String = "score_micro",
+                            labelCol: String = "label",
+                            shards: Int = 32): DataFrame = {
+    require(targetsMicro.nonEmpty && targetsMicro.forall(t =>
+      t >= 0 && t <= 1000000L), s"targets must be micro in [0,1e6]")
+    val c = censusWithCumBelow(scoreCensus(scored, scoreCol, labelCol), shards)
+    val tot = c.agg(sum(col("n_pos")).as("p_tot"),
+      sum(col("n_neg")).as("n_tot"))
+    val grid = scored.sparkSession.range(1)
+      .select(explode(array(targetsMicro.map(lit): _*)).as("target_micro"))
+    val lev = c.crossJoin(broadcast(tot))
+      .select(col("s"), col("p_tot"), col("n_tot"),
+        (col("p_tot") - col("cumpos_below")).as("tp"),
+        (col("n_tot") - col("cumneg_below")).as("fp"))
+    val passing = lev.crossJoin(broadcast(grid))
+      .where(col("tp") * lit(1000000L) >=
+        col("target_micro") * (col("tp") + col("fp")))
+      // lowest qualifying threshold = max tp; ties to the LOWER score
+      .groupBy("target_micro")
+      .agg(max(struct(col("tp"), (-col("s")).as("_ns"), col("fp"),
+        col("p_tot"))).as("_best"))
+      .select(col("target_micro"),
+        (-col("_best._ns")).as("threshold_micro"),
+        col("_best.tp").as("tp"), col("_best.fp").as("fp"),
+        round(col("_best.tp").cast("double")
+          / (col("_best.tp") + col("_best.fp")), 6).as("precision"),
+        round(col("_best.tp").cast("double") / col("_best.p_tot"), 6)
+          .as("recall"))
+    grid.join(passing, Seq("target_micro"), "left_outer")
+  }
+
   /** Reliability diagram at fixed-width SCORE-bucket grain (integer
     * `div`, clamped to [loBin, hiBin] so the tails don't explode the
     * bin census): per bin the observed positive rate and the predicted

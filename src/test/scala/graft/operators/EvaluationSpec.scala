@@ -107,6 +107,25 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.rocAucBy(mono, col("grp")).head().isNullAt(3))
   }
 
+  test("precision-threshold solver picks the lowest qualifying bar") {
+    // scores desc: 10(+) 9(+) 8(−) 7(+) 6(−) 5(−)
+    // θ=7: tp 3 fp 1 → 0.75; θ=9: tp 2 fp 0 → 1.0
+    val df = scored(Seq((10L, true), (9L, true), (8L, false), (7L, true),
+      (6L, false), (5L, false)))
+    val out = Evaluation.thresholdForPrecision(df,
+        targetsMicro = Seq(700000L, 900000L, 1000000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(700000L) === ((7L, 3L, 1L))) // max recall at ≥0.7
+    assert(out(900000L) === ((9L, 2L, 0L)))
+    assert(out(1000000L) === ((9L, 2L, 0L)))
+    // an unreachable target on all-negative data → null row
+    val neg = scored(Seq((5L, false), (3L, false)))
+    val r = Evaluation.thresholdForPrecision(neg,
+      targetsMicro = Seq(500000L)).head()
+    assert(r.isNullAt(1))
+  }
+
   test("two-phase cumulative is shard-count invariant") {
     val rows = (0 until 200).map(i => (((i * 17) % 29).toLong, i % 3 == 0))
     val df = scored(rows)
