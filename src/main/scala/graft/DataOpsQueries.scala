@@ -1195,7 +1195,7 @@ object DataOpsQueries {
     // Dataset card with mergeable KLL quantiles: per-(lang, source)
     // doc-length p50/p90/p99 — exact mode at gate group sizes, so the
     // oracle replays the ⌈q·n⌉-th order statistic.
-    "a18_card_quantiles" -> ((s, dir) =>
+    "a21_card_quantiles" -> ((s, dir) =>
       CorpusStats.datasetCardQuantiles(Tables.documents(s, dir))),
 
     // Dataset-card summary per (lang, source): counts, token totals,
@@ -5026,7 +5026,7 @@ object DataOpsQueries {
         |SELECT grp, id, w, key_h, rank::BIGINT AS rank
         |FROM rk WHERE rank <= 5""".stripMargin,
 
-    "a18_card_quantiles" ->
+    "a21_card_quantiles" ->
       """WITH qr AS (
         |  SELECT lang, source, n_chars,
         |    row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,

@@ -261,7 +261,7 @@ object ScaleProbe {
       // per-offset equi-joins → vocabulary²-bounded census
       "t_cooc",
       // one partial-agg shuffle; O(k·log n) sketch state per group
-      "a18_card_quantiles",
+      "a21_card_quantiles",
       // cluster-partition rank windows over micro distances
       "e_embedding_outliers",
       // source-grain token census + broadcast total-weight row
