@@ -967,7 +967,101 @@ object DataOpsQueries {
       s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Bradley–Terry MM rounds unrolled as CTEs — replays
+    * [[operators.Preference.bradleyTerry]] exactly: integer micro
+    * strengths, round-half-up `//` divisions (non-negative, so floor ≡
+    * truncate ≡ Spark's `div`), ≥1-micro clamps, per-round
+    * normalization by the scalar total.
+    */
+  private def btChainSql(rounds: Int): String = {
+    val head =
+      """cmp AS (
+        |  SELECT x.l_suppkey AS item_a, y.l_suppkey AS item_b,
+        |    (x.l_extendedprice >= y.l_extendedprice) AS win_a
+        |  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_suppkey < y.l_suppkey),
+        |btpairs AS (
+        |  SELECT item_a, item_b, count(*)::BIGINT AS n_games,
+        |    sum(CASE WHEN win_a THEN 1 ELSE 0 END)::BIGINT AS wins_a
+        |  FROM cmp GROUP BY 1, 2),
+        |btitems AS (
+        |  SELECT item, sum(w)::BIGINT AS wins, sum(n)::BIGINT AS games FROM (
+        |    SELECT item_a AS item, wins_a AS w, n_games AS n FROM btpairs
+        |    UNION ALL
+        |    SELECT item_b, n_games - wins_a, n_games FROM btpairs) u GROUP BY 1),
+        |btp0 AS (SELECT item, 1000000::BIGINT AS p_micro FROM btitems)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""btt$r AS MATERIALIZED (
+         |  SELECT item, sum(term)::BIGINT AS s_micro FROM (
+         |    SELECT pr.item_a AS item,
+         |      (2 * (pr.n_games * 1000000000000) + (pa.p_micro + pb.p_micro))
+         |        // (2 * (pa.p_micro + pb.p_micro)) AS term
+         |    FROM btpairs pr
+         |    JOIN btp${r - 1} pa ON pr.item_a = pa.item
+         |    JOIN btp${r - 1} pb ON pr.item_b = pb.item
+         |    UNION ALL
+         |    SELECT pr.item_b,
+         |      (2 * (pr.n_games * 1000000000000) + (pa.p_micro + pb.p_micro))
+         |        // (2 * (pa.p_micro + pb.p_micro))
+         |    FROM btpairs pr
+         |    JOIN btp${r - 1} pa ON pr.item_a = pa.item
+         |    JOIN btp${r - 1} pb ON pr.item_b = pb.item) u GROUP BY 1),
+         |btraw$r AS (
+         |  SELECT i.item,
+         |    greatest(1, (2 * (i.wins * 1000000000000) + t.s_micro)
+         |      // (2 * t.s_micro)) AS raw_micro
+         |  FROM btitems i JOIN btt$r t ON i.item = t.item),
+         |btp$r AS MATERIALIZED (
+         |  SELECT item, greatest(1, (2 * (raw_micro * 1000000) + tot)
+         |    // (2 * tot)) AS p_micro
+         |  FROM btraw$r, (SELECT sum(raw_micro)::BIGINT AS tot FROM btraw$r) z)""".stripMargin
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Bradley–Terry preference strengths on supplier head-to-heads
+    // synthesized from lineitem (two suppliers in one order compare on
+    // price). 5 MM rounds, all integer-micro — the oracle unrolls every
+    // round as CTEs and matches bit-for-bit.
+    "x_bradley_terry" -> ((s, dir) => {
+      val pairs = operators.Preference.pairCensus(
+        operators.Preference.supplierComparisons(Tables.lineitem(s, dir)))
+      operators.Preference.bradleyTerry(pairs, rounds = 5)
+    }),
+
+    // Grouped top-k through the custom planner stack (logical node +
+    // partial/final heap execs, plans/GroupedTopK.scala): per-language
+    // k longest documents. The (n_chars desc, doc_id asc) order is
+    // total, so the oracle's row_number window replays it exactly.
+    "x_grouped_topk" -> ((s, dir) =>
+      operators.TopK.groupedTopK(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        Seq("lang"), Seq(("n_chars", false), ("doc_id", true)), 5)),
+
+    // Same operator at high group cardinality (supplier grain on
+    // lineitem) — the regime where the map-side partial pass k-bounds
+    // the shuffle per (group × partition).
+    "x_grouped_topk_hi" -> ((s, dir) =>
+      operators.TopK.groupedTopK(
+        Tables.lineitem(s, dir)
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_suppkey"),
+        Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)), 3)),
+
+    // The REWRITE path: this gate deliberately writes the declarative
+    // row_number-filter window spelling; InferGroupedTopK (injected via
+    // GraftExtensions) turns it into the heap operator with the rank
+    // preserved, so the driver exercises rewrite + rank emission
+    // end-to-end against the window-replay oracle.
+    "x_topk_rewrite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+    }),
+
     // Text analysis: token/char/BPE-ish subtoken counts (oracle).
     "t_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
@@ -4217,6 +4311,32 @@ object DataOpsQueries {
       |  FROM walk WHERE ord > 0 GROUP BY word)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    "x_grouped_topk" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t WHERE rn <= 5""".stripMargin,
+
+    "x_bradley_terry" ->
+      s"""WITH ${btChainSql(5)}
+        |SELECT i.item, p.p_micro, i.wins, i.games
+        |FROM btitems i JOIN btp5 p ON i.item = p.item""".stripMargin,
+
+    "x_topk_rewrite" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents) t WHERE rank <= 4""".stripMargin,
+
+    "x_grouped_topk_hi" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t WHERE rn <= 3""".stripMargin,
+
     "t_wordpiece" ->
       s"""WITH RECURSIVE $wordPieceChainSql
         |SELECT word, encoded, n_pieces FROM wpenc""".stripMargin,

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fuse the portable-uniform md5 idiom into the native long kernel
     ext.injectOptimizerRule(_ => graft.plans.FuseMd5Uniform)
     ext.injectOptimizerRule(_ => graft.plans.FuseShingleDistinct)
+    // grouped top-k: logical node -> partial/final heap execs, plus the
+    // rewrite that turns the row_number-filter window spelling into it
+    ext.injectOptimizerRule(_ => graft.plans.InferGroupedTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }
 

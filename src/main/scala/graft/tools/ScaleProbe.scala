@@ -277,7 +277,13 @@ object ScaleProbe {
       // shingle df census join, never doc×doc
       "t_distinctness",
       // FS pair scoring + large-star/small-star closure on match edges
-      "d_fs_entities")
+      "d_fs_entities",
+      // custom heap exec: shuffle carries ≤ k rows per (group ×
+      // partition) after the partial pass — no sort anywhere
+      "x_grouped_topk_hi",
+      // MM rounds on the pair/item censuses; rounds fixed, censuses
+      // grow with distinct pairs (suppliers fixed here -> near-flat)
+      "x_bradley_terry")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

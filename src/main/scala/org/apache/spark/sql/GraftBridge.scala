@@ -16,4 +16,17 @@ object GraftBridge {
     */
   def registerFunctions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** The analyzed logical plan behind a DataFrame — the child a custom
+    * logical node wraps.
+    */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame (Dataset.ofRows is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

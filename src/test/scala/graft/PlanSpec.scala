@@ -302,9 +302,11 @@ class PlanSpec extends SparkSpec {
 
   test("s_source_cap: salted pre-rank bounds the hot-group window") {
     val p = executed("s_source_cap")
-    // two Window nodes: the salted (group, bucket) local top-k, then the
-    // exact per-group rank over ≤ salt·cap survivors
-    assert(p.linesIterator.count(_.contains("Window [")) >= 2, p)
+    // two ranked phases: the salted (group, bucket) local top-k, then
+    // the exact per-group rank over ≤ salt·cap survivors — each phase
+    // is a Window or (since InferGroupedTopK) a heap top-k pair
+    assert(p.linesIterator.count(l =>
+      l.contains("Window [") || l.contains("GroupedTopK [")) >= 2, p)
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -516,15 +518,17 @@ class PlanSpec extends SparkSpec {
     // the latest-per-key window exists once per consumer branch (anti
     // key list + upsert payloads) and ONLY over the changeset — every
     // Window node must order by seq DESC, a column the snapshot lacks
-    val wins = "Window \\[".r.findAllIn(p).toSeq
-    assert(wins.size <= 2, s"unexpected extra Window nodes:\n$p")
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("seq#")),
-      s"every window must order by the changeset seq:\n${specs.mkString("\n")}")
-    // Spark's rank-limit pushdown prunes to 1 row/key BEFORE the
-    // shuffle — the property that keeps latest-per-key cheap at scale
-    assert(p.contains("WindowGroupLimit"),
-      s"expected partial rank-limit pushdown on the changeset window:\n$p")
+    val ranked = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") || l.contains("GroupedTopK [")).toSeq
+    assert(ranked.nonEmpty && ranked.forall(_.contains("seq#")),
+      s"every ranked node must order by the changeset seq:\n${ranked.mkString("\n")}")
+    // rows must be pruned to 1/key BEFORE the shuffle — either Spark's
+    // WindowGroupLimit pushdown or the partial GroupedTopK heap pass
+    // (printed with partial=true), the property that keeps
+    // latest-per-key cheap at scale
+    assert(p.contains("WindowGroupLimit") ||
+      p.linesIterator.exists(l => l.contains("GroupedTopK [") && l.contains(", true")),
+      s"expected a partial rank limit below the changeset shuffle:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -662,9 +666,10 @@ class PlanSpec extends SparkSpec {
     val p = executed("g_lpa")
     assert(p.contains("partial_count"),
       s"neighbor-vote census must map-side combine:\n$p")
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(s => s.contains("node#") || s.contains("label#")),
-      s"argmax windows must be node-partitioned:\n${specs.mkString("\n")}")
+    val ranked = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") || l.contains("GroupedTopK [")).toSeq
+    assert(ranked.nonEmpty && ranked.forall(s => s.contains("node#") || s.contains("label#")),
+      s"argmax ranking must be node-partitioned:\n${ranked.mkString("\n")}")
   }
 
   test("x_ipf_raking: cell-grain partial aggs, totals broadcast") {
@@ -693,9 +698,10 @@ class PlanSpec extends SparkSpec {
     val p = executed("r_vsm_topk")
     assert(!p.contains("CartesianProduct"),
       s"VSM scoring must never go doc×query:\n$p")
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("query_id#")),
-      s"top-k window must partition by query:\n${specs.mkString("\n")}")
+    val ranked = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") || l.contains("GroupedTopK [")).toSeq
+    assert(ranked.nonEmpty && ranked.forall(_.contains("query_id#")),
+      s"top-k ranking must partition by query:\n${ranked.mkString("\n")}")
   }
 
   test("x_moving_avg and x_transitions: windows partition by user") {
@@ -735,9 +741,10 @@ class PlanSpec extends SparkSpec {
     val p = executed("r_mmr")
     assert(!p.contains("CartesianProduct"),
       s"relevance pass must broadcast the query side:\n$p")
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty && specs.forall(_.contains("query_id#")),
-      s"every MMR window must partition by query:\n${specs.mkString("\n")}")
+    val ranked = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") || l.contains("GroupedTopK [")).toSeq
+    assert(ranked.nonEmpty && ranked.forall(_.contains("query_id#")),
+      s"every MMR ranking must partition by query:\n${ranked.mkString("\n")}")
   }
 
   test("x_pareto: suffix max is sharded (no single-partition window), verdict broadcast") {
@@ -749,10 +756,17 @@ class PlanSpec extends SparkSpec {
       s"the (x, M) verdict table must broadcast back to the corpus:\n$p")
   }
 
-  test("top-k windows ride WindowGroupLimit: partial per-partition limit before the exchange") {
+  test("top-k spelling plans the heap operator: partial limit before the exchange, no sort") {
     val p = executed("e_cosine_topk")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"rank<=k must push a partial group limit below the shuffle:\n$p")
+    // InferGroupedTopK upgrades the row_number filter past Spark's own
+    // WindowGroupLimit: partial heap (k rows per group × partition)
+    // below the exchange, final heap above, and NO sort anywhere
+    assert(p.linesIterator.exists(l => l.contains("GroupedTopK [") && l.contains(", true")),
+      s"rank<=k must plan a partial heap below the shuffle:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("GroupedTopK [") && l.contains(", false")),
+      s"rank<=k must plan the final heap above the shuffle:\n$p")
+    assert(!p.contains("WindowExec") && !p.linesIterator.exists(_.trim.startsWith("Sort ")),
+      s"the heap plan must not sort:\n$p")
   }
 
   test("t_dsir_sample: the fused md5 uniform kernel is in the executed plan") {
