@@ -53,7 +53,13 @@ object InferGroupedTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Kill switch: `SET spark.graft.topk.rewrite=false` keeps the plain
+    * window plan (escape hatch for plan-shape debugging / A-B timing).
+    */
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.topk.rewrite", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           part, order, child, _))
