@@ -1019,7 +1019,85 @@ object DataOpsQueries {
     (head +: roundCtes).mkString(",\n")
   }
 
+  /** Shared CTE chain replaying [[operators.Bleu]]: normalization +
+    * every-7th-token candidate drop, per-n gram censuses with the
+    * len ≥ n guard, clipped-match join, and the per-pair integer frame
+    * `bper` (the BLEU double chain itself lives in the two selects).
+    */
+  private val bleuChainSql: String = {
+    def sideCensus(name: String, toks: String, len: String): String = {
+      val perN = (1 to 4).map { n =>
+        s"""SELECT pair_id, $n AS n,
+           |  unnest([array_to_string($toks[i:i + ${n - 1}], ' ')
+           |          FOR i IN range(1, len($toks) - ${n - 1} + 1)]) AS gram
+           |FROM blen WHERE $len >= $n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$name AS (
+         |  SELECT pair_id, n, gram, count(*)::BIGINT AS cnt FROM (
+         |$perN) u GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val mt = (1 to 4).map(n =>
+      s"""coalesce(max(CASE WHEN m.n = $n THEN m.m END), 0)::BIGINT AS m$n,
+         |    greatest(0, l.c_len - $n + 1)::BIGINT AS t$n""".stripMargin)
+      .mkString(",\n    ")
+    s"""bnorm AS (
+       |  SELECT doc_id AS pair_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS r_norm
+       |  FROM documents),
+       |btok AS (
+       |  SELECT pair_id, CASE WHEN r_norm = '' THEN []::VARCHAR[]
+       |    ELSE regexp_split_to_array(r_norm, ' ') END AS r_toks
+       |  FROM bnorm),
+       |bcand AS (
+       |  SELECT pair_id, r_toks,
+       |    [r_toks[i] FOR i IN range(1, len(r_toks) + 1) IF i % 7 != 0] AS c_toks
+       |  FROM btok),
+       |blen AS (
+       |  SELECT pair_id, c_toks, r_toks,
+       |    len(c_toks) AS c_len, len(r_toks) AS r_len FROM bcand),
+       |${sideCensus("bcg", "c_toks", "c_len")},
+       |${sideCensus("brg", "r_toks", "r_len")},
+       |bm AS (
+       |  SELECT pair_id, n, sum(least(c.cnt, r.cnt))::BIGINT AS m
+       |  FROM bcg c JOIN brg r USING (pair_id, n, gram) GROUP BY 1, 2),
+       |bper AS (
+       |  SELECT l.pair_id, l.c_len::BIGINT AS c_len, l.r_len::BIGINT AS r_len,
+       |    $mt
+       |  FROM blen l LEFT JOIN bm m ON l.pair_id = m.pair_id
+       |  GROUP BY l.pair_id, l.c_len, l.r_len)""".stripMargin
+  }
+
+  /** The BLEU double chain over integer columns (DuckDB spelling). */
+  private def bleuSelectSql(prefix: String = ""): String =
+    s"""CASE WHEN ${prefix}c_len = 0 OR least(m1, m2, m3, m4) = 0 THEN 0.0::DOUBLE
+       |ELSE round((CASE WHEN ${prefix}c_len >= ${prefix}r_len THEN 1.0
+       |    ELSE exp(1.0 - ${prefix}r_len::DOUBLE / ${prefix}c_len::DOUBLE) END)
+       |  * exp((ln(m1::DOUBLE / t1::DOUBLE) + ln(m2::DOUBLE / t2::DOUBLE)
+       |       + ln(m3::DOUBLE / t3::DOUBLE) + ln(m4::DOUBLE / t4::DOUBLE)) / 4), 6)
+       |END AS bleu""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // BLEU generation eval: candidate = the doc with every 7th token
+    // dropped, reference = the doc — per-pair clipped-match censuses
+    // and the one rounded double chain, fully replayed by the oracle.
+    "x_bleu" -> ((s, dir) => {
+      val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
+      operators.Bleu.sentenceBleu(Tables.documents(s, dir).select(
+        col("doc_id").as("pair_id"),
+        array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
+        col("text").as("reference")))
+    }),
+
+    // Corpus BLEU: matches/totals summed over pairs BEFORE the chain —
+    // the standard corpus statistic. One row.
+    "x_bleu_corpus" -> ((s, dir) => {
+      val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
+      operators.Bleu.corpusBleu(Tables.documents(s, dir).select(
+        col("doc_id").as("pair_id"),
+        array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
+        col("text").as("reference")))
+    }),
+
     // Bradley–Terry preference strengths on supplier head-to-heads
     // synthesized from lineitem (two suppliers in one order compare on
     // price). 5 MM rounds, all integer-micro — the oracle unrolls every
@@ -4317,6 +4395,25 @@ object DataOpsQueries {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t WHERE rn <= 5""".stripMargin,
+
+    "x_bleu" ->
+      s"""WITH $bleuChainSql
+        |SELECT pair_id, c_len, r_len, m1, t1, m2, t2, m3, t3, m4, t4,
+        |${bleuSelectSql()}
+        |FROM bper""".stripMargin,
+
+    "x_bleu_corpus" ->
+      s"""WITH $bleuChainSql,
+        |bcorp AS (
+        |  SELECT sum(c_len)::BIGINT AS c_len, sum(r_len)::BIGINT AS r_len,
+        |    sum(m1)::BIGINT AS m1, sum(t1)::BIGINT AS t1,
+        |    sum(m2)::BIGINT AS m2, sum(t2)::BIGINT AS t2,
+        |    sum(m3)::BIGINT AS m3, sum(t3)::BIGINT AS t3,
+        |    sum(m4)::BIGINT AS m4, sum(t4)::BIGINT AS t4
+        |  FROM bper)
+        |SELECT c_len, r_len, m1, t1, m2, t2, m3, t3, m4, t4,
+        |${bleuSelectSql()}
+        |FROM bcorp""".stripMargin,
 
     "x_bradley_terry" ->
       s"""WITH ${btChainSql(5)}

@@ -283,7 +283,9 @@ object ScaleProbe {
       "x_grouped_topk_hi",
       // MM rounds on the pair/item censuses; rounds fixed, censuses
       // grow with distinct pairs (suppliers fixed here -> near-flat)
-      "x_bradley_terry")
+      "x_bradley_terry",
+      // gram censuses + one clipped-match equi-join per pair
+      "x_bleu")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
