@@ -1067,6 +1067,69 @@ object DataOpsQueries {
        |  GROUP BY l.pair_id, l.c_len, l.r_len)""".stripMargin
   }
 
+  /** chrF replay: candidate = every-7th-token drop, both sides reduced
+    * to space-free char streams, per-order char-gram censuses with the
+    * len ≥ n guard, clipped-match join, per-pair integer frame `cper`
+    * and the F_β chain (fixed n-ascending adds, round once).
+    */
+  private val chrfChainSql: String = {
+    def sideCensus(name: String, txt: String): String = {
+      val perN = (1 to 6).map { n =>
+        s"""SELECT pair_id, $n AS n,
+           |  unnest([substr($txt, i, $n) FOR i IN range(1, length($txt) - $n + 2)]) AS gram
+           |FROM cbase WHERE length($txt) >= $n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$name AS (
+         |  SELECT pair_id, n, gram, count(*)::BIGINT AS cnt FROM (
+         |$perN) u GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val mtr = (1 to 6).map(n =>
+      s"""coalesce(max(CASE WHEN cm.n = $n THEN cm.m END), 0)::BIGINT AS m$n,
+         |    greatest(0, length(b.c_txt) - $n + 1)::BIGINT AS t$n,
+         |    greatest(0, length(b.r_txt) - $n + 1)::BIGINT AS rt$n""".stripMargin)
+      .mkString(",\n    ")
+    s"""cnorm AS (
+       |  SELECT doc_id AS pair_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS r_norm
+       |  FROM documents),
+       |ctok AS (
+       |  SELECT pair_id, CASE WHEN r_norm = '' THEN []::VARCHAR[]
+       |    ELSE regexp_split_to_array(r_norm, ' ') END AS r_toks
+       |  FROM cnorm),
+       |cbase AS (
+       |  SELECT pair_id,
+       |    array_to_string([r_toks[i] FOR i IN range(1, len(r_toks) + 1) IF i % 7 != 0], '') AS c_txt,
+       |    array_to_string(r_toks, '') AS r_txt
+       |  FROM ctok),
+       |${sideCensus("ccg", "c_txt")},
+       |${sideCensus("crg", "r_txt")},
+       |cm AS (
+       |  SELECT pair_id, n, sum(least(c.cnt, r.cnt))::BIGINT AS m
+       |  FROM ccg c JOIN crg r USING (pair_id, n, gram) GROUP BY 1, 2),
+       |cper AS (
+       |  SELECT b.pair_id, length(b.c_txt)::BIGINT AS c_chars,
+       |    length(b.r_txt)::BIGINT AS r_chars,
+       |    $mtr
+       |  FROM cbase b LEFT JOIN cm ON b.pair_id = cm.pair_id
+       |  GROUP BY b.pair_id, b.c_txt, b.r_txt)""".stripMargin
+  }
+
+  /** The chrF F_β=2 chain over the cper integer columns. */
+  private val chrfSelectSql: String = {
+    def sumK(m: Int => String, t: Int => String): (String, String) = (
+      (1 to 6).map(n =>
+        s"(CASE WHEN ${t(n)} > 0 THEN ${m(n)}::DOUBLE / ${t(n)}::DOUBLE ELSE 0.0 END)")
+        .mkString(" + "),
+      (1 to 6).map(n => s"(CASE WHEN ${t(n)} > 0 THEN 1 ELSE 0 END)").mkString(" + "))
+    val (ps, pk) = sumK(n => s"m$n", n => s"t$n")
+    val (rs, rk) = sumK(n => s"m$n", n => s"rt$n")
+    s"""CASE WHEN ($pk) = 0 OR ($rk) = 0 THEN 0.0::DOUBLE
+       |WHEN (($ps) / ($pk)::DOUBLE + ($rs) / ($rk)::DOUBLE) = 0.0 THEN 0.0::DOUBLE
+       |ELSE round(5.0 * (($ps) / ($pk)::DOUBLE) * (($rs) / ($rk)::DOUBLE)
+       |  / (4.0 * (($ps) / ($pk)::DOUBLE) + (($rs) / ($rk)::DOUBLE)), 6)
+       |END AS chrf""".stripMargin
+  }
+
   /** The BLEU double chain over integer columns (DuckDB spelling). */
   private def bleuSelectSql(prefix: String = ""): String =
     s"""CASE WHEN ${prefix}c_len = 0 OR least(m1, m2, m3, m4) = 0 THEN 0.0::DOUBLE
@@ -1093,6 +1156,17 @@ object DataOpsQueries {
     "x_bleu_corpus" -> ((s, dir) => {
       val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
       operators.Bleu.corpusBleu(Tables.documents(s, dir).select(
+        col("doc_id").as("pair_id"),
+        array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
+        col("text").as("reference")))
+    }),
+
+    // chrF character F-score on the same engineered pairs — the
+    // recall-weighted companion metric; oracle replays the char-gram
+    // censuses and the F_2 chain.
+    "x_chrf" -> ((s, dir) => {
+      val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
+      operators.ChrF.chrF(Tables.documents(s, dir).select(
         col("doc_id").as("pair_id"),
         array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
         col("text").as("reference")))
@@ -4414,6 +4488,14 @@ object DataOpsQueries {
         |SELECT c_len, r_len, m1, t1, m2, t2, m3, t3, m4, t4,
         |${bleuSelectSql()}
         |FROM bcorp""".stripMargin,
+
+    "x_chrf" ->
+      s"""WITH $chrfChainSql
+        |SELECT pair_id, c_chars, r_chars,
+        |  m1, t1, rt1, m2, t2, rt2, m3, t3, rt3,
+        |  m4, t4, rt4, m5, t5, rt5, m6, t6, rt6,
+        |$chrfSelectSql
+        |FROM cper""".stripMargin,
 
     "x_bradley_terry" ->
       s"""WITH ${btChainSql(5)}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** chrF — character n-gram F-score (Popović, WMT 2015), the standard
+  * companion to [[Bleu]] for morphology-rich and whitespace-poor
+  * languages: precision/recall of character n-grams (n = 1..6, spaces
+  * removed), averaged over orders, combined as F_β with β = 2
+  * (recall-weighted).
+  *
+  * Same 100 TB census algebra as BLEU: per-side (pair, n, gram)
+  * partial-agg censuses (rows linear in characters × orders), clipped
+  * matches from ONE inner equi-join, totals derived from the char count
+  * with no gram pass. Per-order P_n = m_n/t_n and R_n = m_n/rt_n are
+  * averaged over orders with a non-zero denominator (fixed n-ascending
+  * add order, so the double chain is engine-identical), then one
+  * 6dp-rounded F_β. Sides shorter than n contribute nothing at that
+  * order.
+  */
+object ChrF {
+
+  val MaxN = 6
+  val Beta = 2.0
+
+  private def chars(text: Column): Column =
+    regexp_replace(TextAnalysis.normalized(text), " ", "")
+
+  /** (pair, n, gram, cnt) census of char n-grams, n = 1..MaxN. */
+  private def gramCensus(df: DataFrame, txtCol: String, lenCol: String): DataFrame =
+    df.select(col("pair_id"),
+        explode(array((1 to MaxN).map { n =>
+          struct(lit(n).as("n"),
+            when(col(lenCol) >= n,
+              transform(sequence(lit(1), col(lenCol) - n + 1),
+                i => col(txtCol).substr(i, lit(n))))
+              .otherwise(array().cast("array<string>")).as("grams"))
+        }: _*)).as("ng"))
+      .select(col("pair_id"), col("ng.n").as("n"), explode(col("ng.grams")).as("gram"))
+      .groupBy("pair_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+
+  /** Per-pair chrF. Input: `pair_id`, `candidate`, `reference` (raw
+    * text). Output: pair_id, c_chars, r_chars, m1..m6, t1..t6 (cand
+    * totals), rt1..rt6 (ref totals), chrf.
+    */
+  def chrF(pairs: DataFrame): DataFrame = {
+    val base = pairs.select(col("pair_id"),
+        chars(col("candidate")).as("c_txt"), chars(col("reference")).as("r_txt"))
+      .select(col("pair_id"), col("c_txt"), col("r_txt"),
+        length(col("c_txt")).as("c_chars"), length(col("r_txt")).as("r_chars"))
+
+    val cand = gramCensus(base, "c_txt", "c_chars")
+    val ref = gramCensus(base, "r_txt", "r_chars")
+    val matches = cand.as("c")
+      .join(ref.as("r"), Seq("pair_id", "n", "gram"))
+      .select(col("pair_id"), col("n"), least(col("c.cnt"), col("r.cnt")).as("m"))
+      .groupBy("pair_id")
+      .agg(sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
+        (2 to MaxN).map(n =>
+          sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m$n")): _*)
+
+    val per = base.select("pair_id", "c_chars", "r_chars")
+      .join(matches, Seq("pair_id"), "left")
+      .select(Seq(col("pair_id"), col("c_chars").cast("long").as("c_chars"),
+        col("r_chars").cast("long").as("r_chars")) ++
+        (1 to MaxN).flatMap(n => Seq(
+          coalesce(col(s"m$n"), lit(0L)).as(s"m$n"),
+          greatest(lit(0), col("c_chars") - n + 1).cast("long").as(s"t$n"),
+          greatest(lit(0), col("r_chars") - n + 1).cast("long").as(s"rt$n"))): _*)
+
+    per.withColumn("chrf", fChain(
+      (1 to MaxN).map(n => (col(s"m$n"), col(s"t$n"), col(s"rt$n")))))
+  }
+
+  /** Corpus chrF: censuses summed over pairs, then the same chain. */
+  def corpusChrF(pairs: DataFrame): DataFrame = {
+    val per = chrF(pairs).drop("chrf")
+    val agg = per.agg(sum("c_chars").as("c_chars"),
+      (Seq(sum("r_chars").as("r_chars")) ++
+        (1 to MaxN).flatMap(n => Seq(sum(s"m$n").as(s"m$n"),
+          sum(s"t$n").as(s"t$n"), sum(s"rt$n").as(s"rt$n")))): _*)
+    agg.withColumn("chrf", fChain(
+      (1 to MaxN).map(n => (col(s"m$n"), col(s"t$n"), col(s"rt$n")))))
+  }
+
+  /** F_β over order-averaged precision/recall; orders with a zero
+    * denominator are skipped from their average (fixed ascending add
+    * order). 0 when either average is undefined or both are 0.
+    */
+  private def fChain(mtr: Seq[(Column, Column, Column)]): Column = {
+    def avg(parts: Seq[(Column, Column)]): (Column, Column) = {
+      val s = parts.map { case (m, t) =>
+        when(t > 0, m.cast("double") / t.cast("double")).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val k = parts.map { case (_, t) => when(t > 0, 1).otherwise(0) }.reduce(_ + _)
+      (s, k)
+    }
+    val (pSum, pK) = avg(mtr.map { case (m, t, _) => (m, t) })
+    val (rSum, rK) = avg(mtr.map { case (m, _, rt) => (m, rt) })
+    val p = pSum / pK.cast("double")
+    val r = rSum / rK.cast("double")
+    val b2 = Beta * Beta
+    when(pK === 0 || rK === 0, lit(0.0))
+      .otherwise(when(p + r === 0.0, lit(0.0))
+        .otherwise(round(lit(1.0 + b2) * p * r / (lit(b2) * p + r), 6)))
+  }
+}

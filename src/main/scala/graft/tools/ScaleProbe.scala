@@ -285,7 +285,9 @@ object ScaleProbe {
       // grow with distinct pairs (suppliers fixed here -> near-flat)
       "x_bradley_terry",
       // gram censuses + one clipped-match equi-join per pair
-      "x_bleu")
+      "x_bleu",
+      // char-gram censuses (6 orders), same clipped-match join shape
+      "x_chrf")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
