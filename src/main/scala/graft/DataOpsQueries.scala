@@ -1172,6 +1172,31 @@ object DataOpsQueries {
         col("text").as("reference")))
     }),
 
+    // ROUGE-L LCS F-measure on engineered pairs: candidate = every-7th
+    // -token drop THEN adjacent-pair swap — the swap breaks the pure-
+    // subsequence degeneracy (a drop-only candidate has lcs == c_len by
+    // construction, which would never exercise the DP's max branches).
+    // Oracle replays the row-wise prefix-max DP as a recursive CTE.
+    "x_rouge_l" -> ((s, dir) => {
+      val norm = operators.TextAnalysis.normalized(col("text"))
+      val toks = when(norm === "", array().cast("array<string>"))
+        .otherwise(split(norm, " "))
+      val swapped = transform(col("kept"), (_, i0) => {
+        val i = i0 + 1 // 1-based, matching the oracle's list indexing
+        element_at(col("kept"),
+          when(i % 2 === 1 && i < size(col("kept")), i + 1)
+            .when(i % 2 === 0, i - 1)
+            .otherwise(i))
+      })
+      operators.Rouge.rougeL(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("pair_id"),
+            filter(toks, (_, i) => (i + 1) % 7 =!= 0).as("kept"),
+            col("text").as("reference"))
+          .select(col("pair_id"), array_join(swapped, " ").as("candidate"),
+            col("reference")))
+    }),
+
     // Bradley–Terry preference strengths on supplier head-to-heads
     // synthesized from lineitem (two suppliers in one order compare on
     // price). 5 MM rounds, all integer-micro — the oracle unrolls every
@@ -4496,6 +4521,52 @@ object DataOpsQueries {
         |  m4, t4, rt4, m5, t5, rt5, m6, t6, rt6,
         |$chrfSelectSql
         |FROM cper""".stripMargin,
+
+    // LCS via the row-wise prefix-max reformulation (dp[i][j] =
+    // max(prev[j], max_{k<=j, r_k=c_i} prev[k-1]+1) — the within-row
+    // dependency eliminated, so each recursive step is one pure list
+    // comprehension over the previous row).
+    "x_rouge_l" ->
+      """WITH RECURSIVE cnorm AS (
+        |  SELECT doc_id AS pair_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS r_norm
+        |  FROM documents),
+        |ctok AS (
+        |  SELECT pair_id, CASE WHEN r_norm = '' THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(r_norm, ' ') END AS r_toks
+        |  FROM cnorm),
+        |rb0 AS (
+        |  SELECT pair_id,
+        |    [r_toks[i] FOR i IN range(1, len(r_toks) + 1) IF i % 7 != 0] AS c0,
+        |    r_toks AS r
+        |  FROM ctok),
+        |rbase AS (
+        |  SELECT pair_id,
+        |    [c0[CASE WHEN i % 2 = 1 AND i < len(c0) THEN i + 1
+        |         WHEN i % 2 = 0 THEN i - 1 ELSE i END]
+        |      FOR i IN range(1, len(c0) + 1)] AS c,
+        |    r
+        |  FROM rb0),
+        |dp AS (
+        |  SELECT pair_id, c, r, 0 AS i,
+        |    [0 FOR j IN range(1, len(r) + 1)] AS row
+        |  FROM rbase
+        |  UNION ALL
+        |  SELECT pair_id, c, r, i + 1,
+        |    [ greatest(row[j],
+        |        coalesce(list_max([CASE WHEN r[k] = c[i + 1]
+        |          THEN (CASE WHEN k = 1 THEN 0 ELSE row[k - 1] END) + 1
+        |          ELSE 0 END FOR k IN range(1, j + 1)]), 0))
+        |      FOR j IN range(1, len(r) + 1) ]
+        |  FROM dp WHERE i < len(c)),
+        |rfin AS (
+        |  SELECT pair_id, len(c)::BIGINT AS c_len, len(r)::BIGINT AS r_len,
+        |    coalesce(list_max(row), 0)::BIGINT AS lcs
+        |  FROM dp WHERE i = len(c))
+        |SELECT pair_id, c_len, r_len, lcs,
+        |  CASE WHEN lcs = 0 THEN 0.0::DOUBLE
+        |    ELSE round(2.0 * lcs / (c_len + r_len), 6) END AS rouge_l
+        |FROM rfin""".stripMargin,
 
     "x_bradley_terry" ->
       s"""WITH ${btChainSql(5)}

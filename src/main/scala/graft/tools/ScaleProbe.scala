@@ -287,7 +287,9 @@ object ScaleProbe {
       // gram censuses + one clipped-match equi-join per pair
       "x_bleu",
       // char-gram censuses (6 orders), same clipped-match join shape
-      "x_chrf")
+      "x_chrf",
+      // shuffle-free projection; per-row O(m·n) DP in one native call
+      "x_rouge_l")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
