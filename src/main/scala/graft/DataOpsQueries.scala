@@ -1070,7 +1070,9 @@ object DataOpsQueries {
   /** chrF replay: candidate = every-7th-token drop, both sides reduced
     * to space-free char streams, per-order char-gram censuses with the
     * len ≥ n guard, clipped-match join, per-pair integer frame `cper`
-    * and the F_β chain (fixed n-ascending adds, round once).
+    * and the F_β chain (fixed n-ascending adds, round once). The census
+    * key is the SAME md5-prefix60 digest the operator shuffles (so a
+    * 60-bit collision merges identically in both engines).
     */
   private val chrfChainSql: String = {
     def sideCensus(name: String, txt: String): String = {
@@ -1080,7 +1082,8 @@ object DataOpsQueries {
            |FROM cbase WHERE length($txt) >= $n""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""$name AS (
-         |  SELECT pair_id, n, gram, count(*)::BIGINT AS cnt FROM (
+         |  SELECT pair_id, n, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g,
+         |    count(*)::BIGINT AS cnt FROM (
          |$perN) u GROUP BY 1, 2, 3)""".stripMargin
     }
     val mtr = (1 to 6).map(n =>
@@ -1105,7 +1108,7 @@ object DataOpsQueries {
        |${sideCensus("crg", "r_txt")},
        |cm AS (
        |  SELECT pair_id, n, sum(least(c.cnt, r.cnt))::BIGINT AS m
-       |  FROM ccg c JOIN crg r USING (pair_id, n, gram) GROUP BY 1, 2),
+       |  FROM ccg c JOIN crg r USING (pair_id, n, g) GROUP BY 1, 2),
        |cper AS (
        |  SELECT b.pair_id, length(b.c_txt)::BIGINT AS c_chars,
        |    length(b.r_txt)::BIGINT AS r_chars,
@@ -6429,8 +6432,8 @@ object DataOpsQueries {
         |vt AS (SELECT sum(n_pos)::BIGINT AS p_tot,
         |              sum(n_neg)::BIGINT AS n_tot FROM vcen),
         |vlev AS (
-        |  SELECT s, p_tot, p_tot - cumpos_below AS tp,
-        |    n_tot - cumneg_below AS fp
+        |  SELECT s, p_tot, (p_tot - cumpos_below)::BIGINT AS tp,
+        |    (n_tot - cumneg_below)::BIGINT AS fp
         |  FROM vcum CROSS JOIN vt),
         |vgrid AS (SELECT unnest([500000, 800000, 900000, 950000])::BIGINT
         |          AS target_micro),

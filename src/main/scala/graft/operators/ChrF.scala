@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   * removed), averaged over orders, combined as F_β with β = 2
   * (recall-weighted).
   *
-  * Same 100 TB census algebra as BLEU: per-side (pair, n, gram)
-  * partial-agg censuses (rows linear in characters × orders), clipped
-  * matches from ONE inner equi-join, totals derived from the char count
-  * with no gram pass. Per-order P_n = m_n/t_n and R_n = m_n/rt_n are
-  * averaged over orders with a non-zero denominator (fixed n-ascending
-  * add order, so the double chain is engine-identical), then one
-  * 6dp-rounded F_β. Sides shorter than n contribute nothing at that
-  * order.
+  * 100 TB shape — tighter than BLEU's census-join: both sides' gram
+  * streams are keyed by the portable md5-prefix60 digest (8-byte longs,
+  * fused to one native digest by [[graft.plans.FuseMd5Uniform]]; the
+  * DuckDB oracle replays the same digest, so any 60-bit collision
+  * merges identically in both engines and the gate stays hash-exact),
+  * side-tagged, and aggregated in ONE wide shuffle — a single
+  * `groupBy(pair, n, ghash)` with two conditional counts replaces the
+  * two per-side censuses plus the string-keyed sort-merge join of the
+  * textbook plan (measured 15.6 s → see bench; the shuffle payload
+  * drops from variable-length gram strings to fixed 8-byte keys and
+  * the join disappears). Clipped matches are `least(c_cnt, r_cnt)`;
+  * totals derive from the char count with no gram pass. Per-order
+  * P_n = m_n/t_n and R_n = m_n/rt_n are averaged over orders with a
+  * non-zero denominator (fixed n-ascending add order, so the double
+  * chain is engine-identical), then one 6dp-rounded F_β. Sides shorter
+  * than n contribute nothing at that order.
   */
 object ChrF {
 
@@ -26,8 +34,18 @@ object ChrF {
   private def chars(text: Column): Column =
     regexp_replace(TextAnalysis.normalized(text), " ", "")
 
-  /** (pair, n, gram, cnt) census of char n-grams, n = 1..MaxN. */
-  private def gramCensus(df: DataFrame, txtCol: String, lenCol: String): DataFrame =
+  /** Portable gram key: top-60-bit md5 prefix as a long (the composed
+    * conv/substring/md5 spelling is the cross-engine contract; the
+    * FuseMd5Uniform rule collapses it to one native digest at exec).
+    */
+  private def ghash(gram: Column): Column =
+    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+
+  /** (pair, n, ghash, side) stream of char n-gram instances, n = 1..MaxN
+    * — pre-aggregation, so the one census shuffle sees only 8-byte keys.
+    */
+  private def gramStream(df: DataFrame, txtCol: String, lenCol: String,
+      side: Int): DataFrame =
     df.select(col("pair_id"),
         explode(array((1 to MaxN).map { n =>
           struct(lit(n).as("n"),
@@ -37,7 +55,8 @@ object ChrF {
               .otherwise(array().cast("array<string>")).as("grams"))
         }: _*)).as("ng"))
       .select(col("pair_id"), col("ng.n").as("n"), explode(col("ng.grams")).as("gram"))
-      .groupBy("pair_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .select(col("pair_id"), col("n"), ghash(col("gram")).as("g"),
+        lit(side).as("side"))
 
   /** Per-pair chrF. Input: `pair_id`, `candidate`, `reference` (raw
     * text). Output: pair_id, c_chars, r_chars, m1..m6, t1..t6 (cand
@@ -49,11 +68,13 @@ object ChrF {
       .select(col("pair_id"), col("c_txt"), col("r_txt"),
         length(col("c_txt")).as("c_chars"), length(col("r_txt")).as("r_chars"))
 
-    val cand = gramCensus(base, "c_txt", "c_chars")
-    val ref = gramCensus(base, "r_txt", "r_chars")
-    val matches = cand.as("c")
-      .join(ref.as("r"), Seq("pair_id", "n", "gram"))
-      .select(col("pair_id"), col("n"), least(col("c.cnt"), col("r.cnt")).as("m"))
+    val grams = gramStream(base, "c_txt", "c_chars", 0)
+      .unionAll(gramStream(base, "r_txt", "r_chars", 1))
+    val matches = grams.groupBy("pair_id", "n", "g")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .select(col("pair_id"), col("n"),
+        least(col("c_cnt"), col("r_cnt")).as("m"))
       .groupBy("pair_id")
       .agg(sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
         (2 to MaxN).map(n =>
