@@ -28,6 +28,12 @@ import graft.functions.Md5Prefix60
   */
 object FuseMd5Uniform extends Rule[LogicalPlan] {
 
+  /** Kill switch: `SET spark.graft.fuse.md5=false` keeps the composed
+    * conv/substring/md5 plan (A-B timing / plan debugging).
+    */
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.fuse.md5", "true").toBoolean
+
   private object UniformConv {
     def unapply(e: Expression): Option[Expression] = e match {
       case Conv(Substring(Md5(inner), Literal(1, IntegerType),
@@ -38,7 +44,7 @@ object FuseMd5Uniform extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (!enabled) plan else plan.transformAllExpressions {
       case c @ Cast(UniformConv(inner), LongType, _, _)
           if c.child.isInstanceOf[Conv] => Md5Prefix60(inner)
       case c @ Cast(UniformConv(inner), DoubleType, _, _)

@@ -23,8 +23,14 @@ import graft.functions.NGramShingles
   */
 object FuseShingleDistinct extends Rule[LogicalPlan] {
 
+  /** Kill switch: `SET spark.graft.fuse.shingle=false` keeps the
+    * composed array_distinct plan (A-B timing / plan debugging).
+    */
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.fuse.shingle", "true").toBoolean
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (!enabled) plan else plan.transformAllExpressions {
       case ArrayDistinct(sh @ NGramShingles(_, _, false)) =>
         sh.copy(distinct = true)
       // distinct output is already duplicate-free — drop the walk

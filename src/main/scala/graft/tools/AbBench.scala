@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-rule A/B harness — times each gate under each optimizer-rule
+  * kill-switch variant and persists `target/ab.json`, so round-over-round
+  * rule wins/regressions are machine-comparable instead of living in
+  * commit messages (round-5 verdict ask #8).
+  *
+  * Variants (conf set per block, rules read conf at apply time):
+  *   baseline     — all graft rules on (what Verify/Bench run)
+  *   topk_off     — spark.graft.topk.rewrite=false
+  *   md5fuse_off  — spark.graft.fuse.md5=false
+  *   shingle_off  — spark.graft.fuse.shingle=false
+  *
+  * Per gate × variant: one untimed warm-up build + 3 timed
+  * `toRdd.count()` samples, median reported (same materialization and
+  * contention discipline as [[graft.Bench]]). `plan_differs` records,
+  * per gate, which variants actually change the executed-plan string —
+  * a variant that doesn't touch the plan times the same code twice, so
+  * its delta is pure noise and a reader can ignore it.
+  *
+  * Usage: AbBench [--dir sfDir] [--out path] [gate ...]
+  * Default gates: the rewrite-sensitive set (grouped top-k family) plus
+  * the round-5 drift watchlist.
+  */
+object AbBench {
+
+  val Variants: Seq[(String, Map[String, String])] = Seq(
+    "baseline" -> Map(),
+    "topk_off" -> Map("spark.graft.topk.rewrite" -> "false"),
+    "md5fuse_off" -> Map("spark.graft.fuse.md5" -> "false"),
+    "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"))
+
+  val AllSwitches: Seq[String] = Seq("spark.graft.topk.rewrite",
+    "spark.graft.fuse.md5", "spark.graft.fuse.shingle")
+
+  val DefaultGates: Seq[String] = Seq(
+    // rewritten by InferGroupedTopK / heap exec family
+    "x_grouped_topk", "x_grouped_topk_hi", "x_topk_rewrite", "g_lpa",
+    // round-5 bench-drift watchlist
+    "significant_pairs", "r_rrf_hybrid", "t_bpe_apply", "r_bm25_topk",
+    "t_trigram_kn",
+    // md5-fuse family representative
+    "s_hash_split",
+    // shingle-fuse representative
+    "d_minhash_neardup_fast")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.sliding(2).collectFirst { case Array("--dir", d) => d }
+      .getOrElse("/root/testdata/sf0.1")
+    val out = args.sliding(2).collectFirst { case Array("--out", o) => o }
+      .getOrElse("target/ab.json")
+    val listed = args.filterNot(_.startsWith("--"))
+      .filterNot(a => a == dir || a == out)
+    val gates = (if (listed.nonEmpty) listed.toSeq else DefaultGates)
+      .filter { g =>
+        val ok = SparkEntry.queries.contains(g)
+        if (!ok) System.err.println(s"[ab] unknown gate $g, skipped")
+        ok
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.session.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // expr-ids / plan-ids differ between two builds of the SAME query —
+    // strip them so plan_differs reflects structure, not counters
+    def planOf(g: String): String = {
+      val df = SparkEntry.queries(g)(spark, dir)
+      df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#").replaceAll("(plan_id|id)=\\d+", "$1=")
+        // per-build RNG seeds (rand/uuid pick a fresh seed every analysis)
+        .replaceAll("-?\\d{6,}", "§")
+    }
+    def timeOnce(g: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val times = scala.collection.mutable.Map[(String, String), Double]()
+    val plans = scala.collection.mutable.Map[(String, String), String]()
+    for ((vname, confs) <- Variants) {
+      AllSwitches.foreach(k => spark.conf.unset(k))
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      for (g <- gates) {
+        try {
+          plans((g, vname)) = planOf(g)
+          timeOnce(g) // warm-up: codegen + JIT for this plan shape
+          val xs = (1 to 3).map(_ => timeOnce(g)).sorted
+          times((g, vname)) = xs(1)
+        } catch { case e: Throwable =>
+          System.err.println(s"[ab] $g/$vname failed: ${e.getMessage}")
+        }
+      }
+    }
+    AllSwitches.foreach(k => spark.conf.unset(k))
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val gateJson = gates.map { g =>
+      val vs = Variants.collect { case (v, _) if times.contains((g, v)) =>
+        "\"" + v + "\":" + num(times((g, v))) }.mkString(",")
+      val differs = Variants.drop(1).collect {
+        case (v, _) if plans.get((g, v)).exists(p =>
+          plans.get((g, "baseline")).exists(_ != p)) => "\"" + v + "\""
+      }.mkString(",")
+      s""""$g":{$vs,"plan_differs":[$differs]}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"sf":"$dir","runs":3,"timing":"median-of-3 warm, toRdd materialization","gates":$gateJson}"""
+    println(json)
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[ab] could not write $out: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}
