@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -18,10 +18,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * attribute, so downstream references (`rank` kept in the output, or
   * residual predicates on it) bind unchanged.
   *
-  * Fires only on the exact-single-row_number shape:
-  *   - one window expression, `row_number()`, non-empty PARTITION BY
-  *     and ORDER BY (a global top-k has no partition to cluster on and
-  *     stays a window);
+  * Fires only on the exact-single-rank-function shape:
+  *   - one window expression, `row_number()` or `rank()` (the latter
+  *     maps to the node's ties-kept mode — `rank() <= k` keeps boundary
+  *     ties, so a group may emit more than k rows, exactly like the
+  *     window spelling), non-empty PARTITION BY and ORDER BY (a global
+  *     top-k has no partition to cluster on and stays a window);
   *   - at least one conjunct bounding the rank by an integer literal
   *     (`rn <= k`, `rn < k`, `rn = 1`, or the flipped spellings); the
   *     tightest bound wins, other conjuncts stay in a residual Filter
@@ -61,9 +63,13 @@ object InferGroupedTopK extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case f @ Filter(cond,
-        w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+        w @ Window(Seq(alias @ Alias(WindowExpression(fn, _), _)),
           part, order, child, _))
-        if part.nonEmpty && order.nonEmpty && !w.isStreaming =>
+        if part.nonEmpty && order.nonEmpty && !w.isStreaming &&
+          (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
+      // rank() <= k keeps boundary ties (a group may emit > k rows) —
+      // the node's ties mode; row_number() <= k is the strict heap path
+      val ties = fn.isInstanceOf[Rank]
       val rn = alias.toAttribute
       val cs = conjuncts(cond)
       val bounds = cs.flatMap(c => bound(c, rn).map(k => (c, k)))
@@ -72,7 +78,8 @@ object InferGroupedTopK extends Rule[LogicalPlan] {
       else {
         val consumed = bounds.filter(_._2 == k).map(_._1).take(1).toSet
         val residual = cs.filterNot(consumed)
-        val node = GroupedTopKNode(part, order, k, child, rankAttr = Some(rn))
+        val node = GroupedTopKNode(part, order, k, child,
+          rankAttr = Some(rn), ties = ties)
         residual.reduceOption(And).map(Filter(_, node)).getOrElse(node)
       }
   }

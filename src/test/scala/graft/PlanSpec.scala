@@ -769,6 +769,15 @@ class PlanSpec extends SparkSpec {
       s"the heap plan must not sort:\n$p")
   }
 
+  test("x_topk_rank: rank() spelling plans ties-mode heap pair, no window, no sort") {
+    val p = executed("x_topk_rank")
+    assert(p.linesIterator.count(_.contains("GroupedTopK [")) >= 2,
+      s"rank()<=k must plan the partial+final heap pair:\n$p")
+    assert(!p.contains("WindowExec") &&
+      !p.linesIterator.exists(_.trim.startsWith("Sort ")),
+      s"the ties-mode heap plan must not sort or window:\n$p")
+  }
+
   test("t_dsir_sample: the fused md5 uniform kernel is in the executed plan") {
     val p = executed("t_dsir_sample")
     assert(p.contains("md5_prefix60"),

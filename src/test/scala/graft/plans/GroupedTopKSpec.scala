@@ -105,14 +105,71 @@ class GroupedTopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     unfiltered.collect()
     assert(collect(unfiltered.queryExecution.executedPlan) {
       case e: GroupedTopKExec => e }.isEmpty)
-    // rank() (with ties) is NOT row_number -> no rewrite
-    val ranked = docs.withColumn("rank", rank().over(
+    // dense_rank() has no bounded-survivor contract -> no rewrite
+    val ranked = docs.withColumn("rank", dense_rank().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy($"grp").orderBy($"score".desc)))
       .filter($"rank" <= 3)
     ranked.collect()
     assert(collect(ranked.queryExecution.executedPlan) {
       case e: GroupedTopKExec => e }.isEmpty)
+  }
+
+  test("InferGroupedTopK rewrites rank() <= k with boundary ties kept") {
+    // score-only order on a frame engineered to tie at every boundary
+    val df = (1 to 600).map(i => (i.toLong, s"g${i % 7}", (i / 3) % 11))
+      .toDF("id", "grp", "score")
+    val ranked = df.withColumn("rank", rank().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"score".desc)))
+      .filter($"rank" <= 3)
+    val rows = ranked.collect()
+    assert(collect(ranked.queryExecution.executedPlan) {
+      case e: GroupedTopKExec => e }.exists(_.ties),
+      "rank() spelling should plan as ties-mode GroupedTopKExec")
+    assert(collect(ranked.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    // truth from the un-rewritten window plan
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try {
+      val w = df.withColumn("rank", rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp").orderBy($"score".desc)))
+        .filter($"rank" <= 3)
+      assert(collect(w.queryExecution.executedPlan) {
+        case e: GroupedTopKExec => e }.isEmpty)
+      val wd = w.collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet ==
+        wd.map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet)
+      assert(rows.length == wd.length)
+      // ties really happen: some group keeps more than k rows
+      assert(rows.groupBy(_.getString(1)).values.exists(_.length > 3))
+    } finally spark.conf.set("spark.graft.topk.rewrite", "true")
+  }
+
+  test("partial flush is byte-accounted: wide rows trip it and stay exact") {
+    val wide = (1 to 400).map { i =>
+      (i.toLong, s"g${i % 89}", i * 37 % 211, "x" * 2048)
+    }.toDF("id", "grp", "score", "payload")
+    spark.conf.set("spark.graft.topk.partial.flushBytes", "65536")
+    try {
+      val got = TopK.groupedTopK(wide, Seq("grp"),
+        Seq(("score", false), ("id", true)), 2)
+      val rows = got.collect()
+      val partials = collect(got.queryExecution.executedPlan) {
+        case e: GroupedTopKExec if e.partial => e
+      }
+      assert(partials.nonEmpty)
+      assert(partials.head.metrics("partialFlushes").value > 0,
+        "64 KiB ceiling over ~800 KiB of retained payload must flush")
+      val want = wide
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"grp").orderBy($"score".desc, $"id".asc)))
+        .filter($"rn" <= 2).drop("rn")
+      assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+        want.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+    } finally spark.conf.unset("spark.graft.topk.partial.flushBytes")
   }
 
   test("partial flush keeps the operator exact (flush smaller than a group)") {
