@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1242,6 +1242,21 @@ object DataOpsQueries {
         .filter(col("rank") <= 4)
     }),
 
+    // The rank() <= k spelling (ties KEPT — a group may emit more than
+    // k rows): InferGroupedTopK maps it to the node's ties mode, whose
+    // exec retains tie-classes and evicts a class only once ≥ k
+    // strictly-better rows are held. The n_chars-only order is
+    // deliberately non-total so boundary ties actually occur; survivor
+    // set + rank values are still deterministic (set semantics), which
+    // is what the window-replay oracle checks.
+    "x_topk_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc)
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        .withColumn("rank", rank().over(w))
+        .filter(col("rank") <= 4)
+    }),
+
     // Text analysis: token/char/BPE-ish subtoken counts (oracle).
     "t_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir))
@@ -1774,6 +1789,26 @@ object DataOpsQueries {
         .where(col("doc_id") % 10 =!= 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") - 1).as("doc_b"))
       ConnectedComponents.assign(edges)
+    }),
+
+    // Directed SCC on a spam-ring-shaped graph: each decade of doc_ids
+    // is a directed 10-cycle (one SCC), and even decades bridge ONE WAY
+    // into the next decade — the defining directed test: the bridge
+    // must NOT merge the two rings (an undirected CC would). doc_ids
+    // are 0-based and contiguous with complete decades at every SF, so
+    // the oracle is closed-form: component = the decade minimum.
+    "g_scc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      // ring edge u → u+1 (mod 10, within decade) plus a +3 chord — spam
+      // rings are dense, and the chords cut the propagation diameter
+      // (label rounds, the cluster cost driver) roughly in half
+      val base = (col("doc_id") - col("doc_id") % 10)
+      def ringEdge(off: Int): DataFrame = d.select(col("doc_id").as("src"),
+        (base + (col("doc_id") % 10 + off) % 10).as("dst"))
+      val bridges = d.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+        .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      Scc.assign(ringEdge(1).unionByName(ringEdge(3)).unionByName(bridges))
     }),
 
     // Incremental exact dedup (daily-batch pattern): batch = exact
@@ -4583,6 +4618,13 @@ object DataOpsQueries {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rank
         |  FROM documents) t WHERE rank <= 4""".stripMargin,
 
+    "x_topk_rank" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC) AS rank
+        |  FROM documents) t WHERE rank <= 4""".stripMargin,
+
     "x_grouped_topk_hi" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -4738,9 +4780,11 @@ object DataOpsQueries {
         |m AS (
         |  SELECT lang, source,
         |    CAST(cnt * 1000000 +
-        |      CAST(round((-(1.0 / 0.5) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))) * 1e6) AS BIGINT)
+        |      CAST(round((-(1.0 / 0.5) * sign(cc) * ln(1 - 2 * abs(cc))) * 1e6) AS BIGINT)
         |    AS BIGINT) AS noisy_micro
-        |  FROM n)
+        |  FROM (SELECT lang, source, cnt,
+        |          greatest(least(u - 0.5, 0.499999999), -0.499999999) AS cc
+        |        FROM n))
         |SELECT lang, source, noisy_micro,
         |  round(noisy_micro::DOUBLE / 1e6, 6) AS noisy_count
         |FROM m""".stripMargin,
@@ -6901,6 +6945,13 @@ object DataOpsQueries {
         |FROM documents
         |WHERE doc_id % 10 <> 0
         |   OR doc_id + 1 IN (SELECT doc_id FROM documents)""".stripMargin,
+
+    // every doc sits on its decade's directed cycle, so the node set is
+    // all docs and the SCC is exactly the decade — one-way bridges
+    // between decades must not appear in the result
+    "g_scc" ->
+      """SELECT doc_id AS node, (doc_id - doc_id % 10)::BIGINT AS component
+        |FROM documents""".stripMargin,
 
     "p_pack_greedy" ->
       """WITH RECURSIVE t AS (

@@ -175,8 +175,9 @@ object HistQuantile {
     * narrowing — the distributed-selection algorithm: each round
     * buckets the CURRENT value range into ≤ 2¹⁶ cells, one census
     * locates the cell containing rank k, and the range shrinks ×2¹⁶ —
-    * so any 64-bit domain resolves in ≤ 4 census passes with NO global
-    * sort and ≤ 2¹⁶ driver rows per round (vs orderBy + row_number's
+    * so any 64-bit domain resolves in ≤ 5 census passes (one extra
+    * sign-split round when hi − lo itself overflows a long) with NO
+    * global sort and ≤ 2¹⁶ driver rows per round (vs orderBy + row_number's
     * full shuffle sort, or the histogram estimate's one-bucket error).
     * The base frame is cached once; each round filters it.
     *
@@ -192,10 +193,27 @@ object HistQuantile {
     var hi = mm.getLong(1)
     var rank = k
     var frame = base
+    // full-64-bit domains: hi - lo can overflow a long (which would
+    // silently skip the narrowing loop and collect every distinct value
+    // to the driver). One sign-split census round restores hi - lo <
+    // 2^63, after which all range arithmetic below is exact.
+    val rangeOverflows =
+      try { Math.subtractExact(hi, lo); false }
+      catch { case _: ArithmeticException => true }
+    if (rangeOverflows) {
+      val negCount = frame.where(col("v") < 0).count()
+      if (rank <= negCount) { hi = -1L; frame = frame.where(col("v") < 0) }
+      else { rank -= negCount; lo = 0L; frame = frame.where(col("v") >= 0) }
+    }
     while (hi - lo >= 65536L) {
       val width = (hi - lo) / 65536L + 1L
+      // integer `div`, not `/`: double division on longs misbuckets
+      // boundary values once the range spans > 2^53. v - lo cannot
+      // overflow here (0 ≤ v - lo ≤ hi - lo < 2^63 after the split
+      // above), and both sides are non-negative so truncating div ==
+      // floor div.
       val census = frame
-        .groupBy(((col("v") - lit(lo)) / lit(width)).cast("long").as("b"))
+        .groupBy(expr(s"(v - ${lo}L) div ${width}L").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       var cum = 0L

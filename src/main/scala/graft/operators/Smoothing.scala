@@ -38,8 +38,16 @@ object Smoothing {
     require(alphaMicro > 0 && alphaMicro <= 1000000L,
       s"alphaMicro must be in (0, 1e6], got $alphaMicro")
     val a = alphaMicro
+    // ENFORCE the documented non-negative contract (div truncates, the
+    // oracle's // floors — they disagree on negatives, and the -1
+    // no-state sentinel in the fold below is only unambiguous when
+    // legitimate values can't be negative): fail loudly, don't mis-smooth
+    val xm = round(value * 1e6).cast("long")
+    val guarded = when(xm >= 0, xm).otherwise(raise_error(concat(
+      lit("Smoothing.ewma requires non-negative values, got micro="),
+      xm.cast("string"))))
     val series = df.select(key.as("k"), order.as("o"), tie.as("t"),
-        round(value * 1e6).cast("long").as("x"))
+        guarded.as("x"))
       .groupBy(col("k"))
       .agg(array_sort(collect_list(struct(col("o"), col("t"), col("x"))))
         .as("xs"))

@@ -38,6 +38,18 @@ object WeightedSample {
     conv(substring(md5(concat(lit(s"aes:$seed:"), id.cast("string"),
       lit(":"), j.cast("string"))), 1, 15), 16, 10).cast("long")
 
+  /** Weight-contract guard, enforced (not just documented): w = 0 in
+    * the integer path hits Spark's DESCENDING `sequence(1, 0)` =
+    * [1, 0] and draws TWICE (behaves like weight 2 instead of
+    * exclusion); a negative weight in the log path flips ln(u)/w
+    * positive and outranks every valid row. Fail loudly rather than
+    * silently mis-sample.
+    */
+  private def guardWeight(w: Column, ok: Column, contract: String,
+                          who: String): Column =
+    when(ok, w).otherwise(raise_error(concat(
+      lit(s"$who requires weight $contract, got "), w.cast("string"))))
+
   /** Exact-integer A-ES: weighted k-sample without replacement, key =
     * max of w 60-bit uniforms. Weights must be integers in
     * [1, maxWeight] (cost is O(Σ w) hash evaluations — use
@@ -47,7 +59,8 @@ object WeightedSample {
   def weightedTopK(df: DataFrame, id: Column, weight: Column, k: Int,
                    seed: Long = 42L, maxWeight: Long = 4096L): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
-      weight.cast("long").as("w"))
+      guardWeight(weight.cast("long"), weight.cast("long") >= 1,
+        ">= 1", "weightedTopK").as("w"))
     val keys = base
       .select(col("id"), col("w"),
         explode(sequence(lit(1L), least(col("w"), lit(maxWeight)))).as("j"))
@@ -64,7 +77,8 @@ object WeightedSample {
   def weightedTopKLog(df: DataFrame, id: Column, weight: Column, k: Int,
                       seed: Long = 42L): DataFrame = {
     val base = df.select(id.cast("long").as("id"),
-      weight.cast("double").as("w"))
+      guardWeight(weight.cast("double"), weight.cast("double") > 0,
+        "> 0", "weightedTopKLog").as("w"))
     val u = (h60(seed, col("id"), lit(0)).cast("double") + 0.5d) /
       1.152921504606846976e18d
     val keyed = base.withColumn("key_nano",
@@ -81,7 +95,9 @@ object WeightedSample {
                            weight: Column, k: Int, seed: Long = 42L,
                            maxWeight: Long = 4096L): DataFrame = {
     val base = df.select(grp.cast("string").as("grp"),
-      id.cast("long").as("id"), weight.cast("long").as("w"))
+      id.cast("long").as("id"),
+      guardWeight(weight.cast("long"), weight.cast("long") >= 1,
+        ">= 1", "weightedTopKPerGroup").as("w"))
     val keys = base
       .select(col("grp"), col("id"), col("w"),
         explode(sequence(lit(1L), least(col("w"), lit(maxWeight)))).as("j"))

@@ -283,13 +283,23 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[Long]) =>
           val sorted = rows.toIndexedSeq.sortBy(r => (r._3, r._2))
-          var prev = state.getOption.getOrElse(-1L)
+          // Option state, not a -1 sentinel: a sentinel would treat any
+          // legitimately negative smoothed value as "no state" and
+          // silently reset the recurrence every step. Negative inputs
+          // are rejected outright — the div-vs-floor portability
+          // contract (see Smoothing.ewma) only holds on non-negatives.
+          var prev: Option[Long] = state.getOption
           val out = sorted.map { case (_, eid, ts, x) =>
-            prev = if (prev < 0) x
-            else (a * x + (1000000L - a) * prev) / 1000000L
-            EventEwma(uid, eid, ts, x, prev)
+            require(x >= 0,
+              s"ewmaStream requires non-negative values, got micro=$x (user $uid)")
+            val next = prev match {
+              case None => x
+              case Some(p) => (a * x + (1000000L - a) * p) / 1000000L
+            }
+            prev = Some(next)
+            EventEwma(uid, eid, ts, x, next)
           }
-          state.update(prev)
+          prev.foreach(state.update)
           out.iterator
       }
   }

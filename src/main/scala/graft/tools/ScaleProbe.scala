@@ -289,7 +289,14 @@ object ScaleProbe {
       // char-gram censuses (6 orders), same clipped-match join shape
       "x_chrf",
       // shuffle-free projection; per-row O(m·n) DP in one native call
-      "x_rouge_l")
+      "x_rouge_l",
+      // round-6 surface
+      // rank()-ties heap rewrite: k+ties rows per (group × partition)
+      "x_topk_rank",
+      // trim/color/sweep rounds grow with color-chain depth, not data:
+      // at K× the decade rings multiply but the diameter is constant,
+      // so growth is per-round row volume only
+      "g_scc")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -37,6 +37,33 @@ class ExactKthSpec extends SparkSpec {
     }
   }
 
+  test("full 64-bit domain: hi - lo overflows a long, sign-split handles it") {
+    // Long.MinValue..Long.MaxValue — the range arithmetic would overflow
+    // and double-division bucketing would misbucket; both fixed paths
+    // must agree with the plain sort on every rank
+    val vals = Seq(Long.MinValue, Long.MinValue + 7L, -3L, 0L, 5L,
+      (1L << 62) + 11L, Long.MaxValue - 1L, Long.MaxValue)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    (1 to vals.size).foreach { k =>
+      assert(HistQuantile.exactKth(df, col("v"), k.toLong)
+        .head().getLong(2) === sorted(k - 1), s"k=$k")
+    }
+  }
+
+  test("values spanning > 2^53 within one narrowing round stay exact") {
+    // adjacent values around a bucket boundary in a > 2^53 range: the
+    // old double-division bucket index rounds these into the wrong cell
+    val base = 1L << 60
+    val vals = Seq(-base, -base + 1L, base - 1L, base, base + 1L, 0L, 1L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    (1 to vals.size).foreach { k =>
+      assert(HistQuantile.exactKth(df, col("v"), k.toLong)
+        .head().getLong(2) === sorted(k - 1), s"k=$k")
+    }
+  }
+
   test("moment censuses merge to the whole-corpus census") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Seq(i * 0.1, 1.0 - i * 0.01, 0.5)))

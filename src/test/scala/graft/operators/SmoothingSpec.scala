@@ -46,4 +46,13 @@ class SmoothingSpec extends SparkSpec {
       (3L, 9L, 4L, 0.0))
     assert(run(ev, 300000L).count() === ev.size.toLong)
   }
+
+  test("negative values are rejected, not silently mis-smoothed") {
+    // div truncates, the oracle's // floors — they only agree on
+    // non-negatives, so the contract is enforced with raise_error
+    val e = intercept[Exception] {
+      run(Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, -0.5)), 500000L).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }

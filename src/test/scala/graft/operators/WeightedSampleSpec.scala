@@ -72,4 +72,25 @@ class WeightedSampleSpec extends SparkSpec {
       assert(g.sortBy(_.getLong(4)).map(_.getLong(3)).toSeq === keys.toSeq)
     }
   }
+
+  test("invalid weights fail loudly instead of mis-sampling") {
+    // w = 0 would hit the descending sequence(1, 0) = [1, 0] and draw
+    // twice; a negative log-path weight would outrank everything
+    val zero = Seq((1L, 1L), (2L, 0L)).toDF("doc_id", "w")
+    val e1 = intercept[Exception] {
+      WeightedSample.weightedTopK(zero, col("doc_id"), col("w"), k = 2).collect()
+    }
+    assert(e1.getMessage.contains("weightedTopK requires weight >= 1"))
+    val neg = Seq((1L, 2.0), (2L, -1.0)).toDF("doc_id", "w")
+    val e2 = intercept[Exception] {
+      WeightedSample.weightedTopKLog(neg, col("doc_id"), col("w"), k = 2).collect()
+    }
+    assert(e2.getMessage.contains("weightedTopKLog requires weight > 0"))
+    val zg = Seq(("a", 1L, 1L), ("a", 2L, 0L)).toDF("lang", "doc_id", "w")
+    val e3 = intercept[Exception] {
+      WeightedSample.weightedTopKPerGroup(zg, col("lang"), col("doc_id"),
+        col("w"), k = 1).collect()
+    }
+    assert(e3.getMessage.contains("weightedTopKPerGroup requires weight >= 1"))
+  }
 }
