@@ -119,10 +119,43 @@ object StreamingQueries {
         .select(col("bucket"), col("cnt").as("n_expected"))
       EventStream.psiOfWindows(
         EventStream.windowedHistogram(ev, 0.0, 512.0, 64), baseline)
+    }),
+
+    // Exactly-once streamed sink: a REAL Structured Streaming query
+    // (file source, maxFilesPerTrigger=1 → two epochs) drains the
+    // events frame through foreachBatch + epoch-idempotent manifest
+    // commits, then the gate returns the COMMITTED snapshot — which
+    // must hash-equal the plain batch frame (the oracle). Fresh temp
+    // dirs per invocation keep Bench's repeated samples independent.
+    "st_manifest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stmanifest")
+      val srcDir = tmp.resolve("src")
+      java.nio.file.Files.createDirectories(srcDir)
+      def stage(df: DataFrame, name: String): Unit = {
+        val st = java.nio.file.Files.createTempDirectory("graft-stage")
+        df.coalesce(1).write.mode("overwrite").parquet(st.toString)
+        val part = st.toFile.listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .getOrElse(sys.error(s"no part file under $st"))
+        java.nio.file.Files.move(part.toPath, srcDir.resolve(name))
+      }
+      stage(ev.where(col("event_id") % 2 === 0), "a.parquet")
+      stage(ev.where(col("event_id") % 2 === 1), "b.parquet")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      graft.streaming.StreamCommit.runCommitted(stream,
+        tmp.resolve("table").toString, tmp.resolve("ckpt").toString)
+      graft.streaming.StreamCommit.readCommitted(s, tmp.resolve("table").toString)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // streamed-committed snapshot ≡ the batch frame
+    "st_manifest" ->
+      """SELECT event_id, user_id, event_type FROM events""".stripMargin,
+
     "st_quantile_cards" ->
       """WITH sq AS (
         |  SELECT coalesce(lang, 'unknown') AS lang, n_chars,

@@ -296,7 +296,11 @@ object ScaleProbe {
       // trim/color/sweep rounds grow with color-chain depth, not data:
       // at K× the decade rings multiply but the diameter is constant,
       // so growth is per-round row volume only
-      "g_scc")
+      "g_scc",
+      // real streaming drain (2 epochs) + manifest commits — cost is
+      // the partition-parallel parquet writes; the serial section is
+      // one local manifest rename per epoch
+      "st_manifest")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
