@@ -1117,6 +1117,21 @@ object DataOpsQueries {
        |  GROUP BY b.pair_id, b.c_txt, b.r_txt)""".stripMargin
   }
 
+  /** Standard-normal CDF replay — the EXACT chain of
+    * `Hypothesis.normCdf` (Abramowitz–Stegun 7.1.26 erf polynomial,
+    * literal-for-literal including the √2 double constant), so z → p
+    * maps are hash-identical across engines.
+    */
+  private def normCdfSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    val poly = s"($t * (0.254829592 + $t * (-0.284496736 + $t * " +
+      s"(1.421413741 + $t * (-1.453152027 + $t * 1.061405429)))))"
+    val erf = s"(1.0 - $poly * exp(-($x * $x)))"
+    s"(CASE WHEN ($z) >= 0 THEN 0.5 * (1.0 + $erf) " +
+      s"ELSE 0.5 * (1.0 - $erf) END)"
+  }
+
   /** The chrF F_β=2 chain over the cper integer columns. */
   private val chrfSelectSql: String = {
     def sumK(m: Int => String, t: Int => String): (String, String) = (
@@ -1527,6 +1542,26 @@ object DataOpsQueries {
       operators.Hypothesis.ksTest(
         d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
         col("n_chars"))
+    }),
+
+    // Mann–Whitney U on the same two samples as x_ks_test — the
+    // rank-based location test next to KS's ECDF-gap test: exact
+    // doubled-midrank integer core, tie-corrected normal z, A&S Φ.
+    "x_mann_whitney" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Hypothesis.mannWhitney(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        col("n_chars"))
+    }),
+
+    // Chi-square independence of lang × source (category drift): exact
+    // integer (O·n − r·c) core, Wilson–Hilferty p. Nulls pre-coalesced
+    // at the gate (null grid keys would drop from the equi-join).
+    "x_chi2_assoc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Hypothesis.chiSquareIndependence(d,
+        coalesce(col("lang"), lit("^null")),
+        coalesce(col("source"), lit("^null")))
     }),
 
     // The production composition: per-source KS drift fleet against
@@ -5547,6 +5582,77 @@ object DataOpsQueries {
         |FROM lps a JOIN lps b ON a.fp = b.fp AND a.split < b.split
         |GROUP BY 1, 2""".stripMargin
     },
+
+    "x_mann_whitney" -> {
+      val varSql = "(n_a::DOUBLE * n_b / 12.0) * ((n_a + n_b + 1.0) " +
+        "- ties::DOUBLE / ((n_a + n_b)::DOUBLE * (n_a + n_b - 1.0)))"
+      s"""WITH ma AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS na FROM documents
+        |  WHERE lang = 'en' GROUP BY 1),
+        |mb AS (
+        |  SELECT n_chars AS v, count(*)::BIGINT AS nb FROM documents
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |mc AS (
+        |  SELECT coalesce(ma.v, mb.v) AS v, coalesce(na, 0) AS na,
+        |    coalesce(na, 0) + coalesce(nb, 0) AS t
+        |  FROM ma FULL OUTER JOIN mb ON ma.v = mb.v),
+        |mcum AS (
+        |  SELECT v, na, t,
+        |    sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS before
+        |  FROM mc),
+        |mtot AS (SELECT sum(na)::BIGINT AS n_a,
+        |               (sum(t) - sum(na))::BIGINT AS n_b FROM mc),
+        |mr AS (SELECT sum(na * (2 * before + t + 1)) AS r2,
+        |              sum(t * t * t - t) AS ties FROM mcum),
+        |mu AS (SELECT n_a, n_b, (r2 - n_a * (n_a + 1))::BIGINT AS u2_a, ties
+        |       FROM mr CROSS JOIN mtot),
+        |mz AS (
+        |  SELECT n_a, n_b, u2_a,
+        |    CASE WHEN $varSql > 0 THEN
+        |      round((u2_a::DOUBLE / 2.0 - n_a::DOUBLE * n_b / 2.0)
+        |        / sqrt($varSql), 6) END AS z
+        |  FROM mu)
+        |SELECT n_a, n_b, u2_a, z,
+        |  CASE WHEN z IS NULL THEN NULL ELSE
+        |    round(least(1.0, 2.0 * (1.0 - ${normCdfSql("abs(z)")})), 6)
+        |  END AS p_value
+        |FROM mz""".stripMargin
+    },
+
+    "x_chi2_assoc" ->
+      s"""WITH cq AS (
+        |  SELECT coalesce(lang, '^null') AS a, coalesce(source, '^null') AS b
+        |  FROM documents),
+        |cc AS (SELECT a, b, count(*)::BIGINT AS o FROM cq GROUP BY 1, 2),
+        |cr AS (SELECT a, sum(o)::BIGINT AS r FROM cc GROUP BY 1),
+        |ccl AS (SELECT b, sum(o)::BIGINT AS c FROM cc GROUP BY 1),
+        |ct AS (SELECT sum(o)::BIGINT AS n FROM cc),
+        |cdfree AS (SELECT ((SELECT count(*) FROM cr) - 1)
+        |  * ((SELECT count(*) FROM ccl) - 1) AS df),
+        |cg AS (
+        |  SELECT cr.r, ccl.c, coalesce(cc.o, 0) AS o, ct.n
+        |  FROM cr CROSS JOIN ccl
+        |  LEFT JOIN cc ON cc.a = cr.a AND cc.b = ccl.b
+        |  CROSS JOIN ct),
+        |cterm AS (
+        |  SELECT n, CAST(round(
+        |    ((o * n - r * c)::DOUBLE * (o * n - r * c)::DOUBLE)
+        |      / (n::DOUBLE * r * c) * 1e9) AS BIGINT) AS term
+        |  FROM cg),
+        |cchi AS (SELECT max(n)::BIGINT AS n,
+        |  round(sum(term)::DOUBLE / 1e9, 6) AS chi2 FROM cterm),
+        |cz AS (
+        |  SELECT n, df::BIGINT AS df, chi2,
+        |    CASE WHEN df > 0 THEN
+        |      round((power(chi2 / df::DOUBLE, 0.3333333333333333)
+        |        - (1.0 - 2.0 / (9.0 * df))) / sqrt(2.0 / (9.0 * df)), 6)
+        |    END AS z
+        |  FROM cchi CROSS JOIN cdfree)
+        |SELECT n, df, chi2,
+        |  CASE WHEN z IS NULL THEN NULL ELSE
+        |    round(least(1.0, greatest(0.0, 1.0 - ${normCdfSql("z")})), 6)
+        |  END AS p_value
+        |FROM cz""".stripMargin,
 
     "x_ks_test" ->
       """WITH ka AS (

@@ -170,4 +170,153 @@ object Hypothesis {
       .select(col("key"), col("p_micro"), col("rank"),
         (col("rank") <= col("kstar")).as("discovery"))
   }
+
+  /** Standard-normal CDF via the Abramowitz–Stegun 7.1.26 erf
+    * polynomial (max abs error 1.5e-7 — below the 6dp output round):
+    * elementary functions only, so BOTH engines evaluate the identical
+    * chain and the result is hash-exact. One double chain; callers
+    * round once.
+    */
+  private def normCdf(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0d) / (lit(1.0d) + lit(0.3275911d) * x)
+    val poly = t * (lit(0.254829592d) + t * (lit(-0.284496736d) +
+      t * (lit(1.421413741d) + t * (lit(-1.453152027d) +
+        t * lit(1.061405429d)))))
+    val erf = lit(1.0d) - poly * exp(-(x * x))
+    when(z >= 0, lit(0.5d) * (lit(1.0d) + erf))
+      .otherwise(lit(0.5d) * (lit(1.0d) - erf))
+  }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) on an integer-valued
+    * column — the RANK-based drift test next to [[ksTest]]: sensitive to
+    * location shift where KS is sensitive to any ECDF gap, and the
+    * standard choice for heavy-tailed metric comparisons (latencies,
+    * quality scores) where a t-test's mean is meaningless.
+    *
+    * Exact integer core over the value census: with `before` = rows of
+    * both samples strictly below v and `t` = rows tied at v, every row
+    * at v has DOUBLED midrank 2·before + t + 1 (an integer — midranks
+    * themselves are half-integers), so R2 = Σ na·(2·before + t + 1) and
+    * the doubled statistic U2 = R2 − n_a(n_a+1) are exact DECIMAL(38,0)
+    * sums. The normal approximation with the standard tie correction
+    * (σ² = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))], Σ(t³−t) exact from
+    * the same census) and the A&S Φ give a 6dp p-value (two-sided, no
+    * continuity correction — documented contract, oracle replays the
+    * same chain). Cumulatives use the two-phase range-shard shape (no
+    * global window). Output one row: (n_a, n_b, u2_a, z, p_value).
+    */
+  def mannWhitney(a: DataFrame, b: DataFrame, value: Column,
+                  shards: Int = 32): DataFrame = {
+    val ca = a.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("na"))
+    val cb = b.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("nb"))
+    val census = ca.join(cb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val sharded = census.repartitionByRange(shards, col("v").asc)
+      .withColumn("_shard", spark_partition_id()).cache()
+    val totals = sharded.groupBy("_shard")
+      .agg(sum(col("na")).as("ta"), sum(col("t")).as("tt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def lookup(off: Array[(Int, Long)]): Column =
+      if (off.isEmpty) lit(0L)
+      else element_at(
+        map(off.flatMap { case (s, o) => Seq(lit(s), lit(o)) }: _*),
+        col("_shard"))
+    val offT = totals.map(_._1).zip(totals.map(_._3).scanLeft(0L)(_ + _))
+    val w = Window.partitionBy("_shard").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val na = totals.map(_._2).sum
+    val nb = totals.map(_._3).sum - na
+    val n = na + nb
+    val agg = sharded
+      .withColumn("before", lookup(offT) + sum(col("t")).over(w) - col("t"))
+      .agg(
+        sum(col("na").cast("decimal(38,0)") *
+          (lit(2L) * col("before") + col("t") + lit(1L))).as("r2"),
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t")
+          - col("t")).as("ties"))
+    agg.select(
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("r2") - lit(na) * (lit(na) + lit(1L)).cast("decimal(38,0)"))
+          .as("u2_a"),
+        col("ties"))
+      .withColumn("_ua", col("u2_a").cast("double") / 2.0d)
+      .withColumn("_var",
+        lit(na.toDouble * nb / 12.0d) *
+          (lit(n + 1.0d) - col("ties").cast("double")
+            / lit(n.toDouble * (n - 1.0d))))
+      .withColumn("z",
+        when(col("_var") > 0,
+          round((col("_ua") - lit(na.toDouble * nb / 2.0d))
+            / sqrt(col("_var")), 6)))
+      .withColumn("p_value",
+        when(col("z").isNull, lit(null).cast("double"))
+          .otherwise(round(least(lit(1.0d),
+            lit(2.0d) * (lit(1.0d) - normCdf(abs(col("z"))))), 6)))
+      .select(col("n_a"), col("n_b"), col("u2_a").cast("long").as("u2_a"),
+        col("z"), col("p_value"))
+  }
+
+  /** Chi-square test of independence between two categorical columns —
+    * the drift test for label × slice contingency ("did the language
+    * mix shift by source?"). χ² per cell from EXACT integer products:
+    * term = (O·n − r·c)² / (n·r·c) with O, r, c, n all census longs;
+    * each term nano-rounds before the association-order-free integer
+    * sum. The p-value uses the Wilson–Hilferty cube-root normal
+    * approximation (elementary functions only — χ² survival needs the
+    * incomplete gamma, which neither engine's SQL has; WH error is
+    * ~1e-2 at df = 1 shrinking fast with df, and the approximation is
+    * the DOCUMENTED contract the oracle replays). Cell census is category²-bounded —
+    * census grain by construction. Output one row:
+    * (n, df, chi2, p_value).
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: Column,
+                            bCol: Column): DataFrame = {
+    val cells = df.select(aCol.cast("string").as("a"),
+        bCol.cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols_ = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val nR = rows.count()
+    val nC = cols_.count()
+    val tot = cells.agg(sum(col("o")).as("n"))
+    // DENSE grid: absent cells have O = 0 but still contribute E
+    val grid = rows.crossJoin(cols_)
+      .join(cells, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+    val dfree = (nR - 1L) * (nC - 1L)
+    // the O·n − r·c difference is exact in DECIMAL(38,0); its square is
+    // taken in DOUBLE (squaring in decimal could overflow 38 digits at
+    // extreme n) — same order of operations in the oracle, so the 1-ulp
+    // double rounding is engine-identical
+    val terms = grid
+      .withColumn("_diff",
+        (col("o").cast("decimal(38,0)") * col("n")
+          - col("r").cast("decimal(38,0)") * col("c")).cast("double"))
+      .withColumn("_term",
+        round(col("_diff") * col("_diff")
+          / (col("n").cast("double") * col("r") * col("c")) * 1e9)
+          .cast("long"))
+    terms
+      .agg(max(col("n")).as("n"),
+        round(sum(col("_term")).cast("double") / 1e9, 6).as("chi2"))
+      .select(col("n"), lit(dfree).as("df"), col("chi2"))
+      .withColumn("_z",
+        when(lit(dfree) > 0,
+          // 6dp-rounded before Φ: pow/sqrt are libm — round the chain
+          // once so a 1-ulp cross-engine difference can't leak into p
+          round((pow(col("chi2") / lit(dfree.toDouble), lit(1.0d / 3))
+            - (lit(1.0d) - lit(2.0d) / (9.0d * dfree)))
+            / sqrt(lit(2.0d) / (9.0d * dfree)), 6)))
+      .withColumn("p_value",
+        when(col("_z").isNull, lit(null).cast("double"))
+          .otherwise(round(least(lit(1.0d), greatest(lit(0.0d),
+            lit(1.0d) - normCdf(col("_z")))), 6)))
+      .select(col("n"), col("df"), col("chi2"), col("p_value"))
+  }
 }

@@ -300,7 +300,10 @@ object ScaleProbe {
       // real streaming drain (2 epochs) + manifest commits — cost is
       // the partition-parallel parquet writes; the serial section is
       // one local manifest rename per epoch
-      "st_manifest")
+      "st_manifest",
+      // value-census integer cores + census-grain tails — FLAT like
+      // x_ks_test / category²-bounded like the raking censuses
+      "x_mann_whitney", "x_chi2_assoc")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -88,4 +88,54 @@ class HypothesisSpec extends SparkSpec {
     assert(out2 === Map("a" -> true, "b" -> true, "c" -> true,
       "d" -> false))
   }
+
+  test("Mann-Whitney: hand-computed doubled midranks, ties, z and p") {
+    // a = [1,2,3,3,5], b = [3,4,5,6]: doubled midranks give R2_a = 37,
+    // U2_a = 7 (U_a = 3.5); tie-corrected var → z = -1.626412,
+    // p = 0.103862 (matches scipy's asymptotic no-continuity path)
+    val a = Seq(1L, 2L, 3L, 3L, 5L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Hypothesis.mannWhitney(a, b, col("v")).head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 7L)
+    assert(r.getDouble(3) === -1.626412)
+    assert(r.getDouble(4) === 0.103862)
+  }
+
+  test("Mann-Whitney: symmetric inputs give z = 0, p = 1") {
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val r = Hypothesis.mannWhitney(a, a, col("v")).head()
+    assert(r.getDouble(3) === 0.0 && r.getDouble(4) === 1.0)
+  }
+
+  test("Mann-Whitney: all-tied values have zero variance -> null z") {
+    val a = Seq(7L, 7L).toDF("v")
+    val r = Hypothesis.mannWhitney(a, a, col("v")).head()
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("chi-square: hand-computed 2x2 table") {
+    // [[10,20],[30,40]] → chi2 = 0.793651 (exact 200/252), df = 1,
+    // Wilson-Hilferty p = 0.376715 (exact survival is 0.373; WH error
+    // ~1e-2 at df = 1 is the documented contract)
+    val df = (Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q")))
+      .toDF("a", "b")
+    val r = Hypothesis.chiSquareIndependence(df, col("a"), col("b")).head()
+    assert(r.getLong(0) === 100L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 0.793651)
+    assert(r.getDouble(3) === 0.376715)
+  }
+
+  test("chi-square: independent columns score ~0; absent cells count") {
+    val ind = (for (i <- 0 until 60) yield (s"a${i % 2}", s"b${i % 3}"))
+      .toDF("a", "b")
+    val r = Hypothesis.chiSquareIndependence(ind, col("a"), col("b")).head()
+    assert(r.getLong(1) === 2L && r.getDouble(2) === 0.0)
+    // a category pair that never co-occurs still contributes E > 0
+    val gap = Seq(("x", "p"), ("y", "q"), ("y", "p"), ("x", "p"))
+      .toDF("a", "b")
+    val g = Hypothesis.chiSquareIndependence(gap, col("a"), col("b")).head()
+    assert(g.getDouble(2) > 0.0)
+  }
 }
