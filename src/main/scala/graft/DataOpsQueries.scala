@@ -1117,6 +1117,49 @@ object DataOpsQueries {
        |  GROUP BY b.pair_id, b.c_txt, b.r_txt)""".stripMargin
   }
 
+  /** Multi-class hashed-NB (doc, class) score replay — the shared
+    * chain of `t_langid_nb` and `v_label_noise`: hashed features, class
+    * censuses, micro weights/floors/priors via the identical
+    * round(log10(·)·1e6) ops, exact integer per-(doc, class) totals.
+    * Ends at `alls(doc_id, cls, total, nf)`.
+    */
+  private def langNbScoresSql: String =
+    s"""$hashedFeatureSql,
+      |cls AS (
+      |  SELECT coalesce(lang, 'und') AS cls, count(*)::BIGINT AS nd
+      |  FROM documents GROUP BY 1),
+      |ctot AS (
+      |  SELECT (SELECT count(*) FROM documents)::BIGINT AS nn,
+      |         (SELECT count(*) FROM cls)::BIGINT AS nl),
+      |lcen AS (
+      |  SELECT coalesce(lang, 'und') AS cls, b, count(*)::BIGINT AS c
+      |  FROM fb GROUP BY 1, 2),
+      |ltot AS (SELECT cls, sum(c)::BIGINT AS ct FROM lcen GROUP BY 1),
+      |lw AS (
+      |  SELECT cls, b,
+      |    CAST(round(log10((c + 1.0) / (ct + 1024.0)) * 1e6) AS BIGINT) AS w
+      |  FROM lcen JOIN ltot USING (cls)),
+      |ldef AS (
+      |  SELECT cls, CAST(round(log10(1.0 / (ct + 1024.0)) * 1e6) AS BIGINT) AS d
+      |  FROM ltot),
+      |lpr AS (
+      |  SELECT cls.cls,
+      |    CAST(round(log10((nd + 1.0) / (nn + nl)) * 1e6) AS BIGINT) AS p
+      |  FROM cls CROSS JOIN ctot),
+      |dsc AS (
+      |  SELECT f.doc_id, l.cls,
+      |    sum(coalesce(w.w, dd.d, 0))::BIGINT AS fsum, count(*)::BIGINT AS nf
+      |  FROM fb f CROSS JOIN cls l
+      |  LEFT JOIN lw w ON w.cls = l.cls AND w.b = f.b
+      |  LEFT JOIN ldef dd ON dd.cls = l.cls
+      |  GROUP BY 1, 2),
+      |alls AS MATERIALIZED (
+      |  SELECT d.doc_id, c.cls,
+      |    (coalesce(s.fsum, 0) + p.p)::BIGINT AS total, coalesce(s.nf, 0) AS nf
+      |  FROM documents d CROSS JOIN cls c
+      |  JOIN lpr p ON p.cls = c.cls
+      |  LEFT JOIN dsc s ON s.doc_id = d.doc_id AND s.cls = c.cls)""".stripMargin
+
   /** Standard-normal CDF replay — the EXACT chain of
     * `Hypothesis.normCdf` (Abramowitz–Stegun 7.1.26 erf polynomial,
     * literal-for-literal including the √2 double constant), so z → p
@@ -1296,6 +1339,19 @@ object DataOpsQueries {
       val docs = Tables.documents(s, dir)
       operators.Classifier.classifyLanguage(docs,
         operators.Classifier.trainLanguageNB(docs, buckets = 1024))
+    }),
+
+    // Confident-learning label noise on the langid scores: per-class
+    // mean-score thresholds as exact (sum, count) pairs, membership by
+    // integer cross-multiply, confident argmax vs the lang label. The
+    // oracle replays the whole chain from the shared NB score frame.
+    "v_label_noise" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = operators.Classifier.trainLanguageNB(docs, buckets = 1024)
+      operators.Classifier.labelNoise(
+        operators.Classifier.classScores(docs, model),
+        docs.select(col("doc_id"),
+          coalesce(col("lang"), lit("und")).as("label")))
     }),
 
     // Repetition quality signal: duplicate 2-/3-gram fractions (oracle —
@@ -3274,6 +3330,21 @@ object DataOpsQueries {
         .select("node", "label", "community_size")
     }),
 
+    // Modularity of the LPA partition on the same graph — the quality
+    // score closing the community loop (Q ≈ 0 = no better than chance
+    // for the degree sequence): exact integer Σ(4m·e_c − d_c²)
+    // numerator, one rounded division. Oracle replays the 5 LPA rounds
+    // AND the modularity algebra.
+    "g_modularity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val labels = operators.LabelPropagation.propagate(edges, iterations = 5)
+      operators.GraphStats.modularity(edges, labels)
+    }),
+
     // Population Stability Index on the pinned l_extendedprice grid:
     // even-vs-odd orderkey halves (same distribution → psi ≈ 0) and
     // even-vs-10%-shifted (drift → psi ≫ 0). Per-bucket terms
@@ -5105,41 +5176,7 @@ object DataOpsQueries {
     // (doc, class) pair as an exact integer sum, argmax (score desc,
     // lang asc) — the struct-min tie rule the stateless server uses
     "t_langid_nb" ->
-      s"""WITH $hashedFeatureSql,
-        |cls AS (
-        |  SELECT coalesce(lang, 'und') AS cls, count(*)::BIGINT AS nd
-        |  FROM documents GROUP BY 1),
-        |ctot AS (
-        |  SELECT (SELECT count(*) FROM documents)::BIGINT AS nn,
-        |         (SELECT count(*) FROM cls)::BIGINT AS nl),
-        |lcen AS (
-        |  SELECT coalesce(lang, 'und') AS cls, b, count(*)::BIGINT AS c
-        |  FROM fb GROUP BY 1, 2),
-        |ltot AS (SELECT cls, sum(c)::BIGINT AS ct FROM lcen GROUP BY 1),
-        |lw AS (
-        |  SELECT cls, b,
-        |    CAST(round(log10((c + 1.0) / (ct + 1024.0)) * 1e6) AS BIGINT) AS w
-        |  FROM lcen JOIN ltot USING (cls)),
-        |ldef AS (
-        |  SELECT cls, CAST(round(log10(1.0 / (ct + 1024.0)) * 1e6) AS BIGINT) AS d
-        |  FROM ltot),
-        |lpr AS (
-        |  SELECT cls.cls,
-        |    CAST(round(log10((nd + 1.0) / (nn + nl)) * 1e6) AS BIGINT) AS p
-        |  FROM cls CROSS JOIN ctot),
-        |dsc AS (
-        |  SELECT f.doc_id, l.cls,
-        |    sum(coalesce(w.w, dd.d, 0))::BIGINT AS fsum, count(*)::BIGINT AS nf
-        |  FROM fb f CROSS JOIN cls l
-        |  LEFT JOIN lw w ON w.cls = l.cls AND w.b = f.b
-        |  LEFT JOIN ldef dd ON dd.cls = l.cls
-        |  GROUP BY 1, 2),
-        |alls AS (
-        |  SELECT d.doc_id, c.cls,
-        |    coalesce(s.fsum, 0) + p.p AS total, coalesce(s.nf, 0) AS nf
-        |  FROM documents d CROSS JOIN cls c
-        |  JOIN lpr p ON p.cls = c.cls
-        |  LEFT JOIN dsc s ON s.doc_id = d.doc_id AND s.cls = c.cls),
+      s"""WITH $langNbScoresSql,
         |lrk AS (
         |  SELECT doc_id, cls, total, nf,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, cls ASC) AS rn
@@ -5147,6 +5184,33 @@ object DataOpsQueries {
         |SELECT doc_id, nf::BIGINT AS n_feats, cls AS pred_lang,
         |  total::BIGINT AS score_micro
         |FROM lrk WHERE rn = 1""".stripMargin,
+
+    // Confident-learning label noise over the SAME (doc, class) score
+    // frame: per-class thresholds as exact (sum, count) pairs from
+    // own-class rows, candidate membership by integer cross-multiply
+    // s·n_k ≥ S_k, argmax among candidates (score desc, cls asc),
+    // flagged iff the confident suggestion disagrees with the label.
+    "v_label_noise" ->
+      s"""WITH $langNbScoresSql,
+        |vlab AS (SELECT doc_id, coalesce(lang, 'und') AS label FROM documents),
+        |vthr AS (
+        |  SELECT a.cls, sum(a.total)::BIGINT AS s_sum, count(*)::BIGINT AS s_n
+        |  FROM alls a JOIN vlab l ON l.doc_id = a.doc_id AND l.label = a.cls
+        |  GROUP BY 1),
+        |vcand AS (
+        |  SELECT a.doc_id, a.cls, a.total
+        |  FROM alls a JOIN vthr t ON t.cls = a.cls
+        |  WHERE a.total * t.s_n >= t.s_sum),
+        |vbest AS (
+        |  SELECT doc_id, cls AS suggested FROM (
+        |    SELECT doc_id, cls,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY total DESC, cls ASC) AS rn
+        |    FROM vcand) WHERE rn = 1)
+        |SELECT l.doc_id, l.label,
+        |  coalesce(b.suggested, l.label) AS suggested,
+        |  (b.suggested IS NOT NULL AND b.suggested <> l.label) AS flagged
+        |FROM vlab l LEFT JOIN vbest b ON b.doc_id = l.doc_id""".stripMargin,
 
     // leaked-span replay: same engineered test docs from token arrays,
     // train window-digest set, matched-window coverage, gaps-and-islands
@@ -8673,6 +8737,29 @@ object DataOpsQueries {
       s"""WITH ${lpaChainSql(5)}
         |SELECT node, label, count(*) OVER (PARTITION BY label) AS community_size
         |FROM l5""".stripMargin,
+
+    "g_modularity" ->
+      s"""WITH ${lpaChainSql(5)},
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |gm AS (SELECT count(*)::BIGINT AS m FROM und),
+        |gdeg AS (SELECT node, count(*)::BIGINT AS d FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY 1),
+        |gdc AS (SELECT l.label, sum(d)::BIGINT AS d_c
+        |        FROM gdeg g JOIN l5 l ON l.node = g.node GROUP BY 1),
+        |gec AS (SELECT la.label, count(*)::BIGINT AS e_c FROM und
+        |        JOIN l5 la ON la.node = und.u
+        |        JOIN l5 lb ON lb.node = und.v
+        |        WHERE la.label = lb.label GROUP BY 1),
+        |gt AS (SELECT coalesce(e_c, 0) AS e_c, d_c
+        |       FROM gdc LEFT JOIN gec USING (label))
+        |SELECT m, (SELECT count(*) FROM gt)::BIGINT AS n_communities,
+        |  CASE WHEN m > 0 THEN
+        |    round(sum(4 * m * e_c - d_c * d_c)::DOUBLE / (4.0 * m * m), 6)
+        |  END AS q
+        |FROM gt CROSS JOIN gm GROUP BY m""".stripMargin,
 
     "t_readability" ->
       """WITH raw AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),

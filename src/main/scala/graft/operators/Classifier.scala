@@ -277,6 +277,73 @@ object Classifier {
       .drop("_feats", "_best")
   }
 
+  /** The FULL (doc, class) score frame behind [[classifyLanguage]]'s
+    * argmax — one row per candidate × class, same stateless projection
+    * (dense-array lookups, exact integer micro sums, priors included).
+    * The frame [[labelNoise]] consumes. Output: (doc_id, cls,
+    * score_micro, n_feats).
+    */
+  def classScores(candidates: DataFrame, model: LangIdModel,
+                  textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val unis = filter(TextAnalysis.tokens(TextAnalysis.normalized(text)),
+      t => t =!= "")
+    val bis = filter(Dedup.shingles(text, 2), g => size(split(g, " ")) === 2)
+    val feats = when(text.isNull, array().cast("array<string>"))
+      .otherwise(concat(unis, bis))
+    val perClass = model.classes.map { cls =>
+      val warr = typedLit(model.weights(cls).toSeq)
+      val s = aggregate(
+        transform(col("_feats"), f =>
+          element_at(warr, (Dsir.featureBucket(f, model.buckets) + 1L).cast("int"))),
+        lit(0L), _ + _) + lit(model.priorsMicro(cls))
+      struct(lit(cls).as("cls"), s.as("score_micro"))
+    }
+    candidates
+      .withColumn("_feats", feats)
+      .select(col("doc_id"), size(col("_feats")).cast("long").as("n_feats"),
+        explode(array(perClass: _*)).as("sc"))
+      .select(col("doc_id"), col("sc.cls").as("cls"),
+        col("sc.score_micro").as("score_micro"), col("n_feats"))
+  }
+
+  /** Confident-learning label-noise detection (Northcutt et al.,
+    * "Confident Learning", JAIR 2021 — the simplest per-class-threshold
+    * variant): an example joins class k's CONFIDENT set when its score
+    * clears the class threshold t_k = mean score of examples LABELED k;
+    * the confident suggestion is the argmax over the classes it
+    * qualifies for, and the example is flagged iff that suggestion
+    * disagrees with its label. The training-data use: surface mislabeled
+    * seed-corpus rows (a "de" document that scores confidently "en")
+    * before they poison a filter model.
+    *
+    * Exactness: thresholds stay EXACT (sum, count) integer pairs and
+    * membership is the cross-multiplied s·n_k ≥ S_k (n_k > 0 preserves
+    * the inequality; DECIMAL(38,0) headroom) — no division anywhere, so
+    * the verdict frame is hash-exact. Shapes: one broadcast of the
+    * ≤L-row threshold census; candidate explode bounded by docs × L;
+    * argmax at doc grain. Output: (doc_id, label, suggested, flagged).
+    */
+  def labelNoise(scored: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("doc_id"), col("label"))
+    val thr = scored.join(lab, Seq("doc_id"))
+      .where(col("cls") === col("label"))
+      .groupBy("cls")
+      .agg(sum(col("score_micro")).as("s_sum"), count(lit(1)).as("s_n"))
+    val cand = scored.join(broadcast(thr), Seq("cls"))
+      .where(col("score_micro").cast("decimal(38,0)") * col("s_n")
+        >= col("s_sum").cast("decimal(38,0)"))
+    val best = cand.groupBy("doc_id")
+      .agg(min(struct((-col("score_micro")).as("neg"),
+        col("cls").as("cls"))).as("b"))
+      .select(col("doc_id"), col("b.cls").as("suggested"))
+    lab.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("suggested"), col("label")).as("suggested"),
+        (col("suggested").isNotNull &&
+          col("suggested") =!= col("label")).as("flagged"))
+  }
+
   /** Hard quality filter: keep candidates whose per-feature average
     * log-odds clears `minWPerFeat` (per-feature, not the raw sum, so
     * document length does not swamp the decision — the same reasoning as

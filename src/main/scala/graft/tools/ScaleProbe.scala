@@ -303,7 +303,10 @@ object ScaleProbe {
       "st_manifest",
       // value-census integer cores + census-grain tails — FLAT like
       // x_ks_test / category²-bounded like the raking censuses
-      "x_mann_whitney", "x_chi2_assoc")
+      "x_mann_whitney", "x_chi2_assoc",
+      // LPA rounds + label-grain censuses / docs×L scores + L-row
+      // broadcast thresholds
+      "g_modularity", "v_label_noise")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

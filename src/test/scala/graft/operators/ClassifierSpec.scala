@@ -107,4 +107,43 @@ class ClassifierSpec extends SparkSpec {
     val pEq = Classifier.classPrior(pos, neg).head().getLong(0)
     assert(pEq == 0L, "equal doc counts must give a zero prior")
   }
+
+  test("labelNoise: a planted mislabel is flagged with the right suggestion") {
+    // hand-built score frame: docs 1-3 labeled "en", doc 4 labeled "de"
+    // but scoring like the en docs. Thresholds: t_en over {1,2,3}'s en
+    // scores, t_de over {4}'s de score.
+    val scored = Seq(
+      (1L, "en", 100L), (1L, "de", -50L),
+      (2L, "en", 120L), (2L, "de", -60L),
+      (3L, "en", 80L), (3L, "de", -40L),
+      (4L, "en", 110L), (4L, "de", -500L) // mislabeled: en-like scores
+    ).toDF("doc_id", "cls", "score_micro")
+    val labels = Seq(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "de")
+      .toDF("doc_id", "label")
+    val out = Classifier.labelNoise(scored, labels).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    // t_en = 100 (mean of 100,120,80); t_de = -500 (mean of {-500})
+    // doc 4: en score 110 ≥ 100 AND de score -500 ≥ -500 → argmax en → flagged
+    assert(out(4L) === ("en", true))
+    // doc 3: en 80 < 100, de -40 ≥ -500 → suggested de?? No: doc 3's de
+    // score -40 clears t_de, and its en score misses t_en — the
+    // confident set is {de}, so it flags too (borderline examples near
+    // their class mean do that in the threshold variant)
+    assert(out(3L) === ("de", true))
+    // docs 1-2 clear t_en and also t_de; argmax = en = label → unflagged
+    assert(out(1L) === ("en", false))
+    assert(out(2L) === ("en", false))
+  }
+
+  test("labelNoise: empty confident set keeps the label unflagged") {
+    val scored = Seq(
+      (1L, "en", 100L), (2L, "en", 200L),
+      (1L, "de", 10L), (2L, "de", 20L)).toDF("doc_id", "cls", "score_micro")
+    // doc 1 misses both thresholds (t_en = 150 over both docs, t_de = 15)
+    val labels = Seq(1L -> "en", 2L -> "en").toDF("doc_id", "label")
+    val one = Classifier.labelNoise(scored, labels).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(one(1L) === ("en", false))
+    assert(one(2L) === ("en", false)) // de 20 ≥ ... no de-labeled docs → no t_de
+  }
 }
