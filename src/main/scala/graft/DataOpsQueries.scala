@@ -1268,6 +1268,33 @@ object DataOpsQueries {
       operators.Preference.bradleyTerry(pairs, rounds = 5)
     }),
 
+    // Elo over a subsampled, league-partitioned game log (every-50th
+    // order, league = order parity, arrival order = the total
+    // (ok, ln, ln, pk, pk, sk, sk) key): the ONLINE preference twin of
+    // x_bradley_terry. The oracle replays every zero-sum update as a
+    // per-league recursive CTE over parallel (items, ratings) lists.
+    "x_elo" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("pk"),
+          col("l_extendedprice").as("price"))
+      val g0 = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select((col("x.ok") % 2).as("league"),
+          when(col("x.price") >= col("y.price"), col("x.sk"))
+            .otherwise(col("y.sk")).as("winner"),
+          when(col("x.price") >= col("y.price"), col("y.sk"))
+            .otherwise(col("x.sk")).as("loser"),
+          col("x.ok").as("ok"), col("x.ln").as("xln"), col("y.ln").as("yln"),
+          col("x.pk").as("xpk"), col("y.pk").as("ypk"),
+          col("x.sk").as("xsk"), col("y.sk").as("ysk"))
+      val seqW = org.apache.spark.sql.expressions.Window.partitionBy("league")
+        .orderBy("ok", "xln", "yln", "xpk", "ypk", "xsk", "ysk")
+      operators.Preference.eloRatings(
+        g0.withColumn("seq", row_number().over(seqW))
+          .select("league", "seq", "winner", "loser"))
+    }),
+
     // Grouped top-k through the custom planner stack (logical node +
     // partial/final heap execs, plans/GroupedTopK.scala): per-language
     // k longest documents. The (n_chars desc, doc_id asc) order is
@@ -3377,6 +3404,25 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // CUPED variance-reduced A/B on the same events: pre-period
+    // covariate X = even-event value mass, experiment metric Y = odd-
+    // event value mass per user (correlated through per-user rates, so
+    // θ bites), user-parity arms. Exact decimal census sums, θ rounded
+    // once, per-unit adjustment micro-rounded back to longs, Welch z +
+    // A&S Φ — the whole chain replayed by the oracle.
+    "x_cuped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_id"), round(col("value") * 1e6).cast("long").as("vm"))
+      val units = ev.groupBy("user_id").agg(
+          sum(when(col("event_id") % 2 === 0, col("vm")).otherwise(0L))
+            .as("x_micro"),
+          sum(when(col("event_id") % 2 === 1, col("vm")).otherwise(0L))
+            .as("y_micro"))
+        .select((col("user_id") % 2).cast("int").as("arm"),
+          col("x_micro"), col("y_micro"))
+      operators.Cuped.zTest(units)
+    }),
+
     // Trailing-hour moving average per user: a RANGE (interval) window
     // frame — time-based, not row-based, so sparse/bursty users get the
     // same 1-hour semantics. Values micro-quantized to cents before the
@@ -4716,6 +4762,56 @@ object DataOpsQueries {
       s"""WITH ${btChainSql(5)}
         |SELECT i.item, p.p_micro, i.wins, i.games
         |FROM btitems i JOIN btp5 p ON i.item = p.item""".stripMargin,
+
+    "x_elo" -> {
+      val dExpr = "CAST(round(32000000 * (1.0 - 1.0 / (1.0 + power(10.0, " +
+        "(r.ratings[list_position(r.items, g.loser)] " +
+        "- r.ratings[list_position(r.items, g.winner)])::DOUBLE " +
+        "/ 1e6 / 400.0)))) AS BIGINT)"
+      s"""WITH RECURSIVE eli AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk, l_linenumber AS ln,
+        |    l_partkey AS pk, l_extendedprice AS price
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |eg AS MATERIALIZED (
+        |  SELECT league, winner, loser,
+        |    row_number() OVER (PARTITION BY league
+        |      ORDER BY ok, xln, yln, xpk, ypk, xsk, ysk) AS rn
+        |  FROM (
+        |    SELECT x.ok % 2 AS league,
+        |      CASE WHEN x.price >= y.price THEN x.sk ELSE y.sk END AS winner,
+        |      CASE WHEN x.price >= y.price THEN y.sk ELSE x.sk END AS loser,
+        |      x.ok AS ok, x.ln AS xln, y.ln AS yln, x.pk AS xpk,
+        |      y.pk AS ypk, x.sk AS xsk, y.sk AS ysk
+        |    FROM eli x JOIN eli y ON x.ok = y.ok AND x.sk < y.sk)),
+        |eitems AS MATERIALIZED (
+        |  SELECT league, list_sort(list(DISTINCT sk)) AS items FROM (
+        |    SELECT league, winner AS sk FROM eg
+        |    UNION ALL SELECT league, loser FROM eg) GROUP BY 1),
+        |emax AS (SELECT league, max(rn) AS mx FROM eg GROUP BY 1),
+        |erec AS (
+        |  SELECT league, 0::BIGINT AS rn, items,
+        |    [1500000000::BIGINT FOR x IN items] AS ratings,
+        |    [0::BIGINT FOR x IN items] AS played,
+        |    [0::BIGINT FOR x IN items] AS wins
+        |  FROM eitems
+        |  UNION ALL
+        |  SELECT r.league, r.rn + 1, r.items,
+        |    [CASE WHEN r.items[i] = g.winner THEN r.ratings[i] + $dExpr
+        |          WHEN r.items[i] = g.loser THEN r.ratings[i] - $dExpr
+        |          ELSE r.ratings[i] END
+        |     FOR i IN range(1, len(r.items) + 1)],
+        |    [r.played[i] + CASE WHEN r.items[i] = g.winner
+        |        OR r.items[i] = g.loser THEN 1 ELSE 0 END
+        |     FOR i IN range(1, len(r.items) + 1)],
+        |    [r.wins[i] + CASE WHEN r.items[i] = g.winner THEN 1 ELSE 0 END
+        |     FOR i IN range(1, len(r.items) + 1)]
+        |  FROM erec r JOIN eg g ON g.league = r.league AND g.rn = r.rn + 1)
+        |SELECT f.league, f.items[i] AS item, f.ratings[i] AS rating_micro,
+        |  f.played[i] AS games, f.wins[i] AS wins
+        |FROM erec f JOIN emax m ON m.league = f.league AND f.rn = m.mx,
+        |  unnest(range(1, len(f.items) + 1)) AS t(i)
+        |WHERE f.played[i] > 0""".stripMargin
+    },
 
     "x_topk_rewrite" ->
       """SELECT doc_id, source, n_chars, rank FROM (
@@ -8892,6 +8988,66 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_cuped" -> {
+      def armVar(n: String, s: String, q: String): String =
+        s"CASE WHEN $n >= 2 THEN ($n * $q - $s * $s)::DOUBLE " +
+          s"/ ($n::DOUBLE * ($n::DOUBLE - 1.0)) END"
+      def welchZ(sa: String, sb: String, va: String, vb: String): String =
+        s"""CASE WHEN ($va) IS NOT NULL AND ($vb) IS NOT NULL
+           |  AND ($va) / n_a + ($vb) / n_b > 0
+           |THEN round(($sa::DOUBLE / n_a - $sb::DOUBLE / n_b)
+           |  / sqrt(($va) / n_a + ($vb) / n_b), 6) END""".stripMargin
+      def pooled(va: String, vb: String): String =
+        s"""CASE WHEN ($va) IS NOT NULL AND ($vb) IS NOT NULL
+           |THEN ((n_a - 1) * ($va) + (n_b - 1) * ($vb)) / (n_a + n_b - 2)
+           |END""".stripMargin
+      val vra = armVar("n_a", "sra", "qra"); val vrb = armVar("n_b", "srb", "qrb")
+      val vaa = armVar("n_a", "saa", "qaa"); val vab = armVar("n_b", "sab", "qab")
+      s"""WITH cu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_id % 2 = 0
+        |      THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_id % 2 = 1
+        |      THEN CAST(round(value * 1e6) AS BIGINT) ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |cub AS (SELECT (user_id % 2) AS arm, x, y FROM cu),
+        |cp AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |       sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx FROM cub),
+        |cth AS (SELECT CASE WHEN n * sxx - sx * sx > 0
+        |  THEN round((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE, 6)
+        |  ELSE 0.0 END AS theta FROM cp),
+        |cadj AS (SELECT arm, y,
+        |  y - CAST(round(theta * x) AS BIGINT) AS yadj
+        |  FROM cub CROSS JOIN cth),
+        |cst AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 0 THEN y END) AS sra,
+        |    sum(CASE WHEN arm = 1 THEN y END) AS srb,
+        |    sum(CASE WHEN arm = 0 THEN y::HUGEINT * y END) AS qra,
+        |    sum(CASE WHEN arm = 1 THEN y::HUGEINT * y END) AS qrb,
+        |    sum(CASE WHEN arm = 0 THEN yadj END) AS saa,
+        |    sum(CASE WHEN arm = 1 THEN yadj END) AS sab,
+        |    sum(CASE WHEN arm = 0 THEN yadj::HUGEINT * yadj END) AS qaa,
+        |    sum(CASE WHEN arm = 1 THEN yadj::HUGEINT * yadj END) AS qab
+        |  FROM cadj),
+        |cz AS (
+        |  SELECT n_a, n_b,
+        |    ${welchZ("sra", "srb", vra, vrb)} AS z_raw,
+        |    ${welchZ("saa", "sab", vaa, vab)} AS z_adj,
+        |    ${pooled(vra, vrb)} AS vp_raw,
+        |    ${pooled(vaa, vab)} AS vp_adj
+        |  FROM cst)
+        |SELECT n_a, n_b, (SELECT theta FROM cth) AS theta, z_raw, z_adj,
+        |  CASE WHEN z_adj IS NOT NULL THEN
+        |    round(least(1.0, 2.0 * (1.0 - ${normCdfSql("abs(z_adj)")})), 6)
+        |  END AS p_adj,
+        |  CASE WHEN vp_raw > 0 AND vp_adj IS NOT NULL
+        |    THEN round(vp_adj / vp_raw, 6) END AS var_ratio
+        |FROM cz""".stripMargin
+    },
 
     "x_ab_test" ->
       """WITH u AS (

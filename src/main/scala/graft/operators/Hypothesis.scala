@@ -177,7 +177,7 @@ object Hypothesis {
     * chain and the result is hash-exact. One double chain; callers
     * round once.
     */
-  private def normCdf(z: Column): Column = {
+  private[operators] def normCdf(z: Column): Column = {
     val x = abs(z) / lit(math.sqrt(2.0))
     val t = lit(1.0d) / (lit(1.0d) + lit(0.3275911d) * x)
     val poly = t * (lit(0.254829592d) + t * (lit(-0.284496736d) +

@@ -118,4 +118,57 @@ object Preference {
       .select(col("x.sk").as("item_a"), col("y.sk").as("item_b"),
         (col("x.price") >= col("y.price")).as("win_a"))
   }
+
+  /** Elo ratings — the ONLINE cousin of [[bradleyTerry]]: the rating
+    * stream a live preference dashboard shows while the batch MM fit
+    * runs nightly. Zero-sum update per game in arrival order:
+    *
+    *   E_w = 1 / (1 + 10^((r_l − r_w) / 1e6 / 400)),
+    *   d = round(K · (1 − E_w)),  r_w += d,  r_l −= d
+    *
+    * with ratings in MICRO-points (init 1500 pts = 1.5e9). The
+    * sequential dependency is INHERENT to Elo (each update reads both
+    * players' current ratings) — no engine can order-free it — so the
+    * honest distributed shape is league-partitioned: games shuffle once
+    * on the league key and each league folds in arrival order inside
+    * its task (`flatMapGroups`), state = one (item → rating) map per
+    * league bounded by the league's roster. Cross-league ratings are
+    * independent by construction (leagues never share games — the
+    * caller's partitioning contract). d ≥ 0 always (E_w ≤ 1), so JVM
+    * and SQL round agree, and 10^x is the one libm call — its ulp
+    * noise is 7 orders below the rounding threshold (same budget as
+    * the NB log10 weights).
+    *
+    * Input: (league, seq, winner, loser) with seq a total order within
+    * the league. Output: (league, item, rating_micro, games, wins).
+    */
+  def eloRatings(games: DataFrame, kMicro: Long = 32000000L,
+                 initMicro: Long = 1500000000L): DataFrame = {
+    val spark = games.sparkSession
+    import spark.implicits._
+    games.select(col("league").cast("long"), col("seq").cast("long"),
+        col("winner").cast("long"), col("loser").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (league, it) =>
+        val sorted = it.toIndexedSeq.sortBy(_._2)
+        val rating = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        val played = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        val won = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for ((_, _, w, l) <- sorted) {
+          val rw = rating.getOrElse(w, initMicro)
+          val rl = rating.getOrElse(l, initMicro)
+          val ew = 1.0d / (1.0d +
+            math.pow(10.0d, (rl - rw).toDouble / 1e6 / 400.0d))
+          val d = Clustering.roundHalfAway(kMicro * (1.0d - ew))
+          rating(w) = rw + d
+          rating(l) = rl - d
+          played(w) += 1; played(l) += 1; won(w) += 1
+        }
+        rating.iterator.map { case (item, r) =>
+          (league, item, r, played(item), won(item))
+        }
+      }
+      .toDF("league", "item", "rating_micro", "games", "wins")
+  }
 }

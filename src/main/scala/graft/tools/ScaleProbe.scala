@@ -306,7 +306,10 @@ object ScaleProbe {
       "x_mann_whitney", "x_chi2_assoc",
       // LPA rounds + label-grain censuses / docs×L scores + L-row
       // broadcast thresholds
-      "g_modularity", "v_label_noise")
+      "g_modularity", "v_label_noise",
+      // unit-grain shuffle + census sums / league-partitioned arrival
+      // fold (games scale with subsampled orders)
+      "x_cuped", "x_elo")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
