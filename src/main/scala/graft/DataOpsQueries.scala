@@ -3096,6 +3096,13 @@ object DataOpsQueries {
     "v_calibration_ece" -> ((s, dir) =>
       operators.Evaluation.calibrationError(nbScored(s, dir))),
 
+    // Isotonic (PAV) recalibration of the same bins: integer
+    // cross-multiplied violation test, pooled-rate output via the
+    // shared round-half-up division; the oracle replays the pooling as
+    // an append-or-merge recursive CTE.
+    "v_isotonic" -> ((s, dir) =>
+      operators.Evaluation.isotonicCalibration(nbScored(s, dir))),
+
     // Confusion matrix + precision/recall/F1/accuracy at the NB
     // decision threshold (score > 0).
     "v_confusion" -> ((s, dir) =>
@@ -6816,6 +6823,51 @@ object DataOpsQueries {
         |    - CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
         |      AS BIGINT)) AS gap_micro
         |FROM vagg""".stripMargin,
+
+    "v_isotonic" ->
+      s"""WITH RECURSIVE $nbEvalSql,
+        |vbin AS (
+        |  SELECT greatest(-8, least(8, floor(s::DOUBLE / 1000000))) AS bin,
+        |    CASE WHEN label THEN 1 ELSE 0 END AS y
+        |  FROM vscored),
+        |vagg AS (
+        |  SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS n_pos
+        |  FROM vbin GROUP BY 1),
+        |vrk AS MATERIALIZED (
+        |  SELECT bin, n, n_pos, row_number() OVER (ORDER BY bin) AS rn
+        |  FROM vagg),
+        |vnb AS (SELECT count(*)::BIGINT AS nb FROM vrk),
+        |pav AS (
+        |  SELECT 0::BIGINT AS k, []::BIGINT[] AS ns, []::BIGINT[] AS ps,
+        |    []::BIGINT[] AS cs
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN p.viol THEN p.k ELSE p.k + 1 END,
+        |    CASE WHEN p.viol THEN p.ns[1:len(p.ns)-2] || [p.ns[-2] + p.ns[-1]]
+        |         ELSE p.ns || [nx.n] END,
+        |    CASE WHEN p.viol THEN p.ps[1:len(p.ps)-2] || [p.ps[-2] + p.ps[-1]]
+        |         ELSE p.ps || [nx.n_pos] END,
+        |    CASE WHEN p.viol THEN p.cs[1:len(p.cs)-2] || [p.cs[-2] + p.cs[-1]]
+        |         ELSE p.cs || [1::BIGINT] END
+        |  FROM (SELECT k, ns, ps, cs,
+        |          (len(ns) >= 2 AND ps[-2] * ns[-1] > ps[-1] * ns[-2]) AS viol
+        |        FROM pav) p
+        |  LEFT JOIN vrk nx ON (NOT p.viol) AND nx.rn = p.k + 1
+        |  WHERE p.viol OR p.k < (SELECT nb FROM vnb)),
+        |fin AS (
+        |  SELECT ns, ps, cs FROM (
+        |    SELECT *, (len(ns) >= 2 AND ps[-2] * ns[-1] > ps[-1] * ns[-2]) AS viol
+        |    FROM pav)
+        |  WHERE k = (SELECT nb FROM vnb) AND NOT viol),
+        |pools AS (
+        |  SELECT ns[j] AS pn, ps[j] AS pp,
+        |    coalesce(list_sum(cs[1:j-1]), 0) AS clo,
+        |    coalesce(list_sum(cs[1:j]), 0) AS chi
+        |  FROM fin, unnest(range(1, len(cs) + 1)) AS t(j))
+        |SELECT c.bin, c.n, c.n_pos,
+        |  ((2 * pp::HUGEINT * 1000000 + pn) // (2 * pn))::BIGINT AS iso_micro
+        |FROM vrk c JOIN pools p ON c.rn > p.clo AND c.rn <= p.chi""".stripMargin,
 
     "v_calibration_ece" ->
       s"""WITH $nbEvalSql,

@@ -244,6 +244,67 @@ object Evaluation {
       .select(col("n"), col("n_bins"),
         round(col("_gsum").cast("double") / col("n") / 1e6, 6).as("ece"))
 
+  /** Isotonic calibration via pool-adjacent-violators on the
+    * [[calibration]] bin census — the nonparametric recalibration that
+    * fixes what a reliability diagram only diagnoses: bin-wise observed
+    * rates forced monotone non-decreasing in score by merging adjacent
+    * violating pools, each bin's calibrated probability = its pool's
+    * pooled positive rate. Unlike Platt scaling there is no parametric
+    * form to mis-fit, which is why production score recalibration
+    * defaults to isotonic.
+    *
+    * Exactness: PAV runs ENTIRELY on integers — pools carry exact
+    * (n, n_pos) and the violation test is the cross-multiplied
+    * pos_prev·n_top > pos_top·n_prev; the output probability is the
+    * shared round-half-up integer division (2·pos·10⁶ + n) div (2n).
+    * The fold itself is census-grain by construction (≤ hiBin − loBin
+    * + 1 rows collected to the driver — the [[Pca]]/model-frame
+    * contract), while the corpus-sized work is the one bin-census
+    * shuffle. The oracle replays the pooling as a recursive CTE with
+    * one append-or-merge action per step (≤ 2·bins steps).
+    *
+    * Output: (bin, n, n_pos, iso_micro), iso monotone in bin.
+    */
+  def isotonicCalibration(scored: DataFrame,
+                          scoreCol: String = "score_micro",
+                          labelCol: String = "label",
+                          binWidthMicro: Long = 1000000L, loBin: Long = -8L,
+                          hiBin: Long = 8L): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val census = scored
+      .select(
+        greatest(lit(loBin), least(lit(hiBin),
+          floor(col(scoreCol) / lit(binWidthMicro)))).as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV: ascending-bin stack of pools; merge while the top's rate
+    // drops below its predecessor's (integer cross-multiply)
+    final case class Pool(n: Long, pos: Long, bins: Int)
+    val stack = scala.collection.mutable.ArrayBuffer[Pool]()
+    for ((_, n, pos) <- census) {
+      stack += Pool(n, pos, 1)
+      var merging = true
+      while (merging && stack.size >= 2) {
+        val top = stack(stack.size - 1); val prev = stack(stack.size - 2)
+        if (prev.pos * top.n > top.pos * prev.n) {
+          stack.remove(stack.size - 1); stack.remove(stack.size - 1)
+          stack += Pool(prev.n + top.n, prev.pos + top.pos,
+            prev.bins + top.bins)
+        } else merging = false
+      }
+    }
+    val iso = stack.iterator.flatMap { p =>
+      val v = (2L * p.pos * 1000000L + p.n) / (2L * p.n)
+      Iterator.fill(p.bins)(v)
+    }.toSeq
+    census.zip(iso).map { case ((bin, n, pos), v) => (bin, n, pos, v) }
+      .toSeq.toDF("bin", "n", "n_pos", "iso_micro")
+  }
+
   /** Confusion matrix + derived rates at a decision threshold
     * (predicted positive ⇔ score > threshold). One partial-agg shuffle
     * to ONE row: (tp, fp, fn, tn, precision, recall, f1, accuracy) —

@@ -309,7 +309,9 @@ object ScaleProbe {
       "g_modularity", "v_label_noise",
       // unit-grain shuffle + census sums / league-partitioned arrival
       // fold (games scale with subsampled orders)
-      "x_cuped", "x_elo")
+      "x_cuped", "x_elo",
+      // one bin-census shuffle + a <=17-row driver PAV fold
+      "v_isotonic")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

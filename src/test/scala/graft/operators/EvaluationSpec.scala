@@ -135,4 +135,42 @@ class EvaluationSpec extends SparkSpec {
     val d = Evaluation.averagePrecision(df, shards = 7).head().getDouble(2)
     assert(a === b && c === d)
   }
+
+  private def isoOf(rows: Seq[(Long, Boolean)]): Seq[(Long, Long)] =
+    Evaluation.isotonicCalibration(scored(rows))
+      .orderBy("bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toSeq
+
+  test("isotonic: textbook violator pooling") {
+    // bins 0,1,2 (scores 0.x, 1.x, 2.x micro-bins won't trigger... use
+    // scores in units of 1e6): rates 1/2, 0/2, 2/2 — bins 0 and 1
+    // violate and pool to 1/4; bin 2 stays 1.0
+    val rows = Seq(
+      (100000L, true), (200000L, false),       // bin 0: 1/2
+      (1100000L, false), (1200000L, false),    // bin 1: 0/2
+      (2100000L, true), (2200000L, true))      // bin 2: 2/2
+    assert(isoOf(rows) === Seq(0L -> 250000L, 1L -> 250000L, 2L -> 1000000L))
+  }
+
+  test("isotonic: already-monotone rates pass through untouched") {
+    val rows = Seq(
+      (100000L, false), (200000L, false),      // bin 0: 0/2
+      (1100000L, true), (1200000L, false),     // bin 1: 1/2
+      (2100000L, true), (2200000L, true))      // bin 2: 2/2
+    assert(isoOf(rows) === Seq(0L -> 0L, 1L -> 500000L, 2L -> 1000000L))
+  }
+
+  test("isotonic: cascading merge collapses a long decreasing run") {
+    val rows = Seq(
+      (100000L, true),                          // bin 0: 1/1
+      (1100000L, true), (1200000L, false),      // bin 1: 1/2 — violates 0
+      (2100000L, false), (2200000L, false))     // bin 2: 0/2 — cascades
+    // all pool: 2/5 = 0.4
+    assert(isoOf(rows) === Seq(0L -> 400000L, 1L -> 400000L, 2L -> 400000L))
+    // and the output is globally monotone on the NB fixture shape
+    val mixed = (0 until 300).map(i =>
+      (((i * 37) % 13 - 6).toLong * 1000000L + i % 7, (i * 31) % 5 < 2))
+    val iso = isoOf(mixed).map(_._2)
+    assert(iso === iso.sorted, "iso_micro must be non-decreasing in bin")
+  }
 }
