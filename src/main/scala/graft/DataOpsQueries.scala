@@ -3411,6 +3411,17 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // Seasonal-naive forecast eval (MASE) on the hourly event-count
+    // series: |y_t − y_{t−24}| vs |y_t − y_{t−1}| error masses as exact
+    // decimal sums over lag EQUI-JOINS (no global series window), one
+    // rounded ratio-of-means chain.
+    "x_forecast_eval" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("t"))
+        .agg(count(lit(1)).as("y"))
+      operators.Forecast.seasonalNaiveEval(series, season = 24L)
+    }),
+
     // CUPED variance-reduced A/B on the same events: pre-period
     // covariate X = even-event value mass, experiment metric Y = odd-
     // event value mass per user (correlated through per-user rates, so
@@ -9040,6 +9051,24 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_forecast_eval" ->
+      """WITH fs AS (
+        |  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS t,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |fse AS (
+        |  SELECT count(*)::BIGINT AS n_seasonal, sum(abs(a.y - b.y)) AS ss
+        |  FROM fs a JOIN fs b ON a.t = b.t + 24),
+        |fne AS (
+        |  SELECT count(*)::BIGINT AS n_naive, sum(abs(a.y - b.y)) AS sn
+        |  FROM fs a JOIN fs b ON a.t = b.t + 1),
+        |fn AS (SELECT count(*)::BIGINT AS n FROM fs)
+        |SELECT n, n_seasonal, n_naive,
+        |  CASE WHEN n_seasonal > 0 AND n_naive > 0 AND sn > 0 THEN
+        |    round((ss::DOUBLE / n_seasonal) / (sn::DOUBLE / n_naive), 6)
+        |  END AS mase
+        |FROM fn CROSS JOIN fse CROSS JOIN fne""".stripMargin,
 
     "x_cuped" -> {
       def armVar(n: String, s: String, q: String): String =

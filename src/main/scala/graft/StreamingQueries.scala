@@ -121,6 +121,13 @@ object StreamingQueries {
         EventStream.windowedHistogram(ev, 0.0, 512.0, 64), baseline)
     }),
 
+    // Per-window top-k heaviest users through the custom heap operator
+    // (the rate-limit dashboard staple): same aggregation batch and
+    // streamed; streaming ranks in foreachBatch (pinned in
+    // StreamingSpec), this twin is the oracle-checked batch path.
+    "st_top_talkers" -> ((s, dir) =>
+      EventStream.topTalkers(Tables.events(s, dir), k = 3)),
+
     // Exactly-once streamed sink: a REAL Structured Streaming query
     // (file source, maxFilesPerTrigger=1 → two epochs) drains the
     // events frame through foreachBatch + epoch-idempotent manifest
@@ -155,6 +162,17 @@ object StreamingQueries {
     // streamed-committed snapshot ≡ the batch frame
     "st_manifest" ->
       """SELECT event_id, user_id, event_type FROM events""".stripMargin,
+
+    "st_top_talkers" ->
+      """WITH tc AS (
+        |  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    user_id, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, n FROM (
+        |  SELECT window_start, user_id, n,
+        |    row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n DESC, user_id ASC) AS rn
+        |  FROM tc) WHERE rn <= 3""".stripMargin,
 
     "st_quantile_cards" ->
       """WITH sq AS (

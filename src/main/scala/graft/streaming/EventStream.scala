@@ -77,6 +77,34 @@ object EventStream {
         col("event_type"), col("n"), col("n_users"), col("min_value"), col("max_value"))
   }
 
+  /** Per-window top-k "talkers" (highest-volume users) — the rate-limit
+    * / abuse dashboard staple: hourly (window × user) counts, then the
+    * k heaviest users per window THROUGH THE CUSTOM HEAP OPERATOR
+    * ([[graft.operators.TopK.groupedTopK]] — partial heaps k-bound the
+    * shuffle, no sort, no window exec), total order (n desc, user_id
+    * asc). Batch and streaming run the same aggregation; the streaming
+    * composition puts the rank stage in `foreachBatch` (a top-k after a
+    * streaming agg can't chain inside one query — ranking is not an
+    * incremental operator; pinned in `StreamingSpec`).
+    * Output: (window_start, user_id, n).
+    */
+  def topTalkers(events: DataFrame, k: Int = 3,
+                 windowLength: String = "1 hour",
+                 watermark: String = "10 minutes"): DataFrame =
+    rankTalkers(
+      watermarked(events, watermark)
+        .groupBy(window(col("ts"), windowLength).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("user_id"), col("n")), k)
+
+  /** The rank stage of [[topTalkers]] — applied post-aggregation (in
+    * `foreachBatch` on the streaming side).
+    */
+  def rankTalkers(counts: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.groupedTopK(counts, Seq("window_start"),
+      Seq(("n", false), ("user_id", true)), k)
+
   /** Streaming drift monitoring, census half: the per-event-time-window
     * equi-width value histogram — ONE stateful aggregation whose state
     * is (windows × buckets) rows, never events. The PSI itself is

@@ -311,7 +311,10 @@ object ScaleProbe {
       // fold (games scale with subsampled orders)
       "x_cuped", "x_elo",
       // one bin-census shuffle + a <=17-row driver PAV fold
-      "v_isotonic")
+      "v_isotonic",
+      // (window x user) census + k-bounded heap rank / hour-census lag
+      // equi-joins
+      "st_top_talkers", "x_forecast_eval")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -554,4 +554,33 @@ class StreamingSpec extends SparkSpec {
     // would hijack later plan-pruning pins via the cache manager
     docs.unpersist()
   }
+
+  test("top talkers: streamed counts + post-aggregation heap rank equal batch") {
+    val batchEvents = graft.Tables.events(spark, eventsDir)
+    val expected = EventStream.topTalkers(batchEvents, k = 3)
+      .collect().map(_.toSeq).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-talkers")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStream.readStream(spark, streamDir.toString)
+    // the aggregation streams (complete mode); ranking is NOT an
+    // incremental operator, so it runs post-sink — the foreachBatch
+    // composition in its testable form
+    val q = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("user_id"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("talker_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = EventStream.rankTalkers(spark.table("talker_counts"), 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
