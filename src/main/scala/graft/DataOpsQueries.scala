@@ -3411,6 +3411,20 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // Off-policy evaluation (IPS/SNIPS/ESS) on an engineered logged-
+    // bandit view of events: logged action = event_type, deterministic
+    // propensities from the user ladder, candidate policy = click for
+    // even users / view for odd. Integer round-half-up weights, exact
+    // decimal accumulations, three rounded ratio chains.
+    "x_offpolicy" -> ((s, dir) => {
+      val logs = Tables.events(s, dir).select(
+        (col("event_type") === when(col("user_id") % 2 === 0, lit("click"))
+          .otherwise(lit("view"))).as("matched"),
+        (lit(200000L) + (col("user_id") % 5) * 100000L).as("propensity_micro"),
+        round(col("value") * 1e6).cast("long").as("reward_micro"))
+      operators.PolicyEval.offPolicyValue(logs)
+    }),
+
     // Seasonal-naive forecast eval (MASE) on the hourly event-count
     // series: |y_t − y_{t−24}| vs |y_t − y_{t−1}| error masses as exact
     // decimal sums over lag EQUI-JOINS (no global series window), one
@@ -9051,6 +9065,27 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_offpolicy" ->
+      """WITH ol AS (
+        |  SELECT
+        |    (event_type = CASE WHEN user_id % 2 = 0 THEN 'click' ELSE 'view' END) AS m,
+        |    (200000 + (user_id % 5) * 100000)::BIGINT AS p,
+        |    CAST(round(value * 1e6) AS BIGINT) AS r
+        |  FROM events),
+        |ow AS (SELECT m, r, (2 * 1000000000000 + p) // (2 * p) AS w FROM ol),
+        |oa AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+        |    sum(CASE WHEN m THEN w::HUGEINT * r ELSE 0 END) AS swr,
+        |    sum(CASE WHEN m THEN w::HUGEINT ELSE 0 END) AS sw,
+        |    sum(CASE WHEN m THEN w::HUGEINT * w ELSE 0 END) AS sww
+        |  FROM ow)
+        |SELECT n, n_matched,
+        |  CASE WHEN n > 0 THEN round(swr::DOUBLE / n / 1e12, 6) END AS ips,
+        |  CASE WHEN sw > 0 THEN round(swr::DOUBLE / sw::DOUBLE / 1e6, 6) END AS snips,
+        |  CASE WHEN sww > 0 THEN
+        |    round(sw::DOUBLE * sw::DOUBLE / sww::DOUBLE, 6) END AS ess
+        |FROM oa""".stripMargin,
 
     "x_forecast_eval" ->
       """WITH fs AS (

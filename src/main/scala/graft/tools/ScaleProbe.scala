@@ -314,7 +314,9 @@ object ScaleProbe {
       "v_isotonic",
       // (window x user) census + k-bounded heap rank / hour-census lag
       // equi-joins
-      "st_top_talkers", "x_forecast_eval")
+      "st_top_talkers", "x_forecast_eval",
+      // one partial-agg shuffle to a single row (integer weights)
+      "x_offpolicy")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
