@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,13 +12,56 @@ import org.apache.spark.sql.functions._
   * (`l.key = r.key AND r.t <= l.t`, then keep max r.t) is a
   * theta-join that degenerates to per-key cross products. This
   * implementation is the union + carry-forward pattern: tag both sides,
-  * union them, and run one `last(value, ignoreNulls)` window per carried
-  * column ordered by (time, side) within each key — right rows sort
-  * before left rows at equal times, so equality means "match". One
-  * shuffle on the key, O(n log n) per key for the sort, no row
-  * amplification — survives arbitrary key skew in the right side.
+  * union them, and carry the last non-null right-side value per key
+  * ordered by (time, side) — right rows sort before left rows at equal
+  * times, so equality means "match". One shuffle on the key, O(n log n)
+  * per key for the sort, no row amplification — survives arbitrary key
+  * skew in the right side.
+  *
+  * The carry runs through the custom single-pass
+  * [[graft.plans.CarryForwardNode]] operator by default (same exchange
+  * + sort, NO WindowExec group buffering — O(1) state instead of each
+  * key's rows in an ExternalAppendOnlyUnsafeRowArray; the win is
+  * marathon keys). `SET spark.graft.asof.native=false` falls back to
+  * the equivalent `last(_, ignoreNulls)` window spelling (also the
+  * path for sessions without GraftExtensions); both paths are
+  * contract-pinned identical in `AsOfSpec`.
   */
 object AsOf {
+
+  /** Route the carry through [[graft.plans.CarryForwardNode]] (native)
+    * or the window spelling, per conf.
+    */
+  private def carried(unioned: DataFrame, keys: Seq[String],
+                      timeAsc: Boolean): DataFrame = {
+    val spark = unioned.sparkSession
+    val native =
+      spark.conf.get("spark.graft.asof.native", "true").toBoolean
+    if (native) {
+      val child = GraftBridge.analyzed(unioned)
+      def attr(n: String): Attribute =
+        child.output.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(s"column $n missing"))
+      val dir = if (timeAsc) Ascending else Descending
+      GraftBridge.ofRows(spark, graft.plans.CarryForwardNode(
+        keys.map(attr),
+        Seq(SortOrder(attr("_t"), dir), SortOrder(attr("_side"), dir)),
+        attr("_carry"), child))
+    } else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      val frame =
+        if (timeAsc)
+          w.orderBy(col("_t"), col("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        else
+          w.orderBy(col("_t").asc, col("_side").asc)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val f =
+        if (timeAsc) last(col("_carry"), ignoreNulls = true).over(frame)
+        else first(col("_carry"), ignoreNulls = true).over(frame)
+      unioned.withColumn("_carry", f)
+    }
+  }
 
   /** @param left      probe side
     * @param right     reference side (its columns get carried forward)
@@ -64,13 +108,10 @@ object AsOf {
     // left rows around the window (their carry stays null) and drop
     // null-keyed right rows outright.
     val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.where(keyNotNull).unionByName(r.where(keyNotNull))
-      .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
-    val merged = carried.where(col("_side") === 1)
+    val carriedDf = carried(
+      l.where(keyNotNull).unionByName(r.where(keyNotNull)), keys,
+      timeAsc = true)
+    val merged = carriedDf.where(col("_side") === 1)
       .unionByName(l.where(!keyNotNull))
     carry.foldLeft(merged) { (df, c) =>
         df.withColumn(c, col("_carry").getField(c))
@@ -116,13 +157,10 @@ object AsOf {
     // matches nothing). The backward variant needs no such guard: nulls
     // first + a PRECEDING frame yields null naturally.
     val eligible = keyNotNull && col("_t").isNotNull
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = l.where(eligible).unionByName(r.where(keyNotNull))
-      .withColumn("_carry", first(col("_carry"), ignoreNulls = true).over(w))
-    val merged = carried.where(col("_side") === 0)
+    val carriedDf = carried(
+      l.where(eligible).unionByName(r.where(keyNotNull)), keys,
+      timeAsc = false)
+    val merged = carriedDf.where(col("_side") === 0)
       .unionByName(l.where(!eligible))
     carry.foldLeft(merged) { (df, c) =>
         df.withColumn(c, col("_carry").getField(c))

@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite that turns the row_number-filter window spelling into it
     ext.injectOptimizerRule(_ => graft.plans.InferGroupedTopK)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // single-pass as-of carry (no WindowExec group buffering)
+    ext.injectPlannerStrategy(_ => graft.plans.CarryForwardStrategy)
   }
 }
 

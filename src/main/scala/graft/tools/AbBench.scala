@@ -32,10 +32,12 @@ object AbBench {
     "baseline" -> Map(),
     "topk_off" -> Map("spark.graft.topk.rewrite" -> "false"),
     "md5fuse_off" -> Map("spark.graft.fuse.md5" -> "false"),
-    "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"))
+    "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"),
+    "asof_window" -> Map("spark.graft.asof.native" -> "false"))
 
   val AllSwitches: Seq[String] = Seq("spark.graft.topk.rewrite",
-    "spark.graft.fuse.md5", "spark.graft.fuse.shingle")
+    "spark.graft.fuse.md5", "spark.graft.fuse.shingle",
+    "spark.graft.asof.native")
 
   val DefaultGates: Seq[String] = Seq(
     // rewritten by InferGroupedTopK / heap exec family
@@ -46,7 +48,9 @@ object AbBench {
     // md5-fuse family representative
     "s_hash_split",
     // shingle-fuse representative
-    "d_minhash_neardup_fast")
+    "d_minhash_neardup_fast",
+    // as-of native-carry representatives
+    "j10_asof_join", "j12_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val dir = args.sliding(2).collectFirst { case Array("--dir", d) => d }
@@ -81,6 +85,10 @@ object AbBench {
         .replaceAll("#\\d+", "#").replaceAll("(plan_id|id)=\\d+", "$1=")
         // per-build RNG seeds (rand/uuid pick a fresh seed every analysis)
         .replaceAll("-?\\d{6,}", "§")
+        // Spark truncates long field lists at a width measured BEFORE
+        // exprId stripping, so the "..." cut point shifts per build —
+        // collapse any truncated token
+        .replaceAll("\\S*\\.\\.\\.", "§…")
     }
     def timeOnce(g: String): Double = {
       spark.catalog.clearCache()

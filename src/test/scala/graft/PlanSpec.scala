@@ -63,10 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("j10_asof_join: one shuffle, no join operator at all (window carry-forward)") {
+  test("j10_asof_join: one shuffle, no join, native single-pass carry") {
     val p = executed("j10_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
-    assert(p.contains("Window"))
+    // since r6 the carry is the CarryForward exec — same exchange+sort,
+    // no WindowExec group buffering
+    assert(p.contains("CarryForward ["), s"native carry missing:\n$p")
+    assert(!p.contains("Window ["), s"window buffering must be gone:\n$p")
     // union of the two sides shuffles once on the key
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }

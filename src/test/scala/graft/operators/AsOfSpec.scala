@@ -90,4 +90,42 @@ class AsOfSpec extends SparkSpec {
         Seq("sym"), "t", "q_t", Seq("px"))
     }
   }
+
+  test("native carry plans CarryForwardExec with no window, no buffering") {
+    val df = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CarryForward ["), s"native exec missing:\n$plan")
+    assert(!plan.contains("Window ["), s"window must be gone:\n$plan")
+  }
+
+  test("native and window paths are row-identical on skewed random data") {
+    val rng = new scala.util.Random(11)
+    // key 0 is a marathon key (80% of rows) — the regime the native
+    // pass exists for; duplicate times force the side tie-break
+    val lhs = (1 to 800).map { i =>
+      val k = if (rng.nextInt(5) > 0) 0L else rng.nextInt(9).toLong
+      (k, rng.nextInt(50).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val rhs = (1 to 400).map { i =>
+      val k = if (rng.nextInt(5) > 0) 0L else rng.nextInt(9).toLong
+      (k, rng.nextInt(50).toLong, i * 1000L)
+    }.toDF("k", "rt", "rv")
+    // a non-total right order (duplicate (k, rt)) makes the carried
+    // VALUE ambiguous; collapse to a deterministic reference side first
+    val rhsU = rhs.groupBy("k", "rt")
+      .agg(org.apache.spark.sql.functions.max("rv").as("rv"))
+    def run(): (Set[Seq[Any]], Set[Seq[Any]]) = (
+      AsOf.asOfJoin(lhs, rhsU, Seq("k"), "t", "rt", Seq("rv"))
+        .collect().map(_.toSeq).toSet,
+      AsOf.asOfJoinForward(lhs, rhsU, Seq("k"), "t", "rt", Seq("rv"))
+        .collect().map(_.toSeq).toSet)
+    val (nb, nf) = run()
+    spark.conf.set("spark.graft.asof.native", "false")
+    try {
+      val (wb, wf) = run()
+      assert(nb === wb, "backward: native must equal the window path")
+      assert(nf === wf, "forward: native must equal the window path")
+    } finally spark.conf.unset("spark.graft.asof.native")
+  }
 }
