@@ -1368,6 +1368,17 @@ object DataOpsQueries {
         operators.Classifier.trainLanguageNB(docs, buckets = 1024))
     }),
 
+    // Mondrian k-anonymity GENERALIZATION (vs v_kanon's audit and
+    // enforceKAnonymity's suppression): numeric QI census → greedy
+    // widest-dim median splits while both halves keep >= k; rows report
+    // their final partition's per-dim ranges. The oracle replays every
+    // split decision as a recursive CTE over member lists.
+    "v_mondrian" -> ((s, dir) => {
+      val qi = Tables.documents(s, dir).select(
+        expr("n_chars div 25").as("q_len"), (col("doc_id") % 20).as("q_grp"))
+      operators.Privacy.mondrian(qi, Seq("q_len", "q_grp"), k = 25)
+    }),
+
     // Confident-learning label noise on the langid scores: per-class
     // mean-score thresholds as exact (sum, count) pairs, membership by
     // integer cross-multiply, confident argmax vs the lang label. The
@@ -5318,6 +5329,66 @@ object DataOpsQueries {
     // own-class rows, candidate membership by integer cross-multiply
     // s·n_k ≥ S_k, argmax among candidates (score desc, cls asc),
     // flagged iff the confident suggestion disagrees with the label.
+    "v_mondrian" -> {
+      val k = 25
+      def ls(i: Int) =
+        s"list_sort([{'v': m.v$i, 'c': m.c} FOR m IN r.members])"
+      def med(i: Int) =
+        s"([${ls(i)}[j].v FOR j IN range(1, len(${ls(i)}) + 1) " +
+          s"IF coalesce(list_sum([s.c FOR s IN ${ls(i)}[1:j]]), 0) >= q.half])[1]"
+      s"""WITH RECURSIVE mdq AS MATERIALIZED (
+        |  SELECT (n_chars // 25)::BIGINT AS v1, (doc_id % 20)::BIGINT AS v2,
+        |    count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |mgw AS (SELECT greatest(max(v1) - min(v1), 1)::BIGINT AS g1,
+        |               greatest(max(v2) - min(v2), 1)::BIGINT AS g2 FROM mdq),
+        |mrec AS (
+        |  SELECT list({'v1': v1, 'v2': v2, 'c': c}) AS members, false AS fin
+        |  FROM mdq
+        |  UNION ALL
+        |  SELECT u.ms AS members, u.fin AS fin
+        |  FROM mrec r
+        |  CROSS JOIN mgw,
+        |  unnest([{'total': coalesce(list_sum([m.c FOR m IN r.members]), 0),
+        |           'w1': list_max([m.v1 FOR m IN r.members])
+        |             - list_min([m.v1 FOR m IN r.members]),
+        |           'w2': list_max([m.v2 FOR m IN r.members])
+        |             - list_min([m.v2 FOR m IN r.members])}]) AS s1(p),
+        |  unnest([{'first1': p.w1 * g2 >= p.w2 * g1,
+        |           'half': (p.total + 1) // 2}]) AS s2(q),
+        |  unnest([{'med1': ${med(1)}, 'med2': ${med(2)}}]) AS s3(w),
+        |  unnest([{'l1': list_filter(r.members, m -> m.v1 <= w.med1),
+        |           'l2': list_filter(r.members, m -> m.v2 <= w.med2)}]) AS s4(h),
+        |  unnest([{'ln1': coalesce(list_sum([m.c FOR m IN h.l1]), 0),
+        |           'ln2': coalesce(list_sum([m.c FOR m IN h.l2]), 0)}]) AS s5(t),
+        |  unnest([{'ok1': p.total >= 2 * $k AND t.ln1 >= $k
+        |             AND p.total - t.ln1 >= $k AND len(h.l1) < len(r.members),
+        |           'ok2': p.total >= 2 * $k AND t.ln2 >= $k
+        |             AND p.total - t.ln2 >= $k AND len(h.l2) < len(r.members)}])
+        |    AS s6(o),
+        |  unnest(CASE
+        |    WHEN (q.first1 AND o.ok1) OR (NOT q.first1 AND NOT o.ok2 AND o.ok1)
+        |      THEN [{'ms': h.l1, 'fin': false},
+        |            {'ms': list_filter(r.members, m -> m.v1 > w.med1),
+        |             'fin': false}]
+        |    WHEN (NOT q.first1 AND o.ok2) OR (q.first1 AND NOT o.ok1 AND o.ok2)
+        |      THEN [{'ms': h.l2, 'fin': false},
+        |            {'ms': list_filter(r.members, m -> m.v2 > w.med2),
+        |             'fin': false}]
+        |    ELSE [{'ms': r.members, 'fin': true}]
+        |  END) AS s7(u)
+        |  WHERE NOT r.fin)
+        |SELECT m.v1 AS q_len, m.v2 AS q_grp,
+        |  list_min([x.v1 FOR x IN r.members]) AS q_len_lo,
+        |  list_min([x.v2 FOR x IN r.members]) AS q_grp_lo,
+        |  list_max([x.v1 FOR x IN r.members]) AS q_len_hi,
+        |  list_max([x.v2 FOR x IN r.members]) AS q_grp_hi,
+        |  coalesce(list_sum([x.c FOR x IN r.members]), 0)::BIGINT AS ec_size,
+        |  coalesce(list_sum([x.c FOR x IN r.members]), 0) >= $k AS anonymous
+        |FROM mrec r, unnest(r.members) AS tt(m)
+        |WHERE r.fin""".stripMargin
+    },
+
     "v_label_noise" ->
       s"""WITH $langNbScoresSql,
         |vlab AS (SELECT doc_id, coalesce(lang, 'und') AS label FROM documents),

@@ -83,6 +83,122 @@ object Privacy {
     df.join(safe, quasi, "left_semi")
   }
 
+  /** Mondrian multidimensional k-anonymity (LeFevre, DeWitt,
+    * Ramakrishnan — ICDE 2006): GENERALIZE numeric quasi-identifiers
+    * into ranges instead of suppressing rows — the utility-preserving
+    * answer where [[enforceKAnonymity]] drops every rare combination.
+    * Greedy median partitioning: recursively split the partition on the
+    * widest (globally normalized) QI dimension at its weighted median,
+    * as long as both halves keep ≥ k rows; dimensions that cannot split
+    * fall through to the next-widest; a partition no dimension can
+    * split is final and every row in it reports the partition's
+    * [lo, hi] range per dimension.
+    *
+    * Determinism contract (what makes the recursion oracle-replayable):
+    * widths compare by exact cross-multiplication against the global
+    * domain widths (ties → lower dimension index); the weighted median
+    * is the smallest member value whose cumulative count reaches
+    * (total + 1) div 2; every quantity is an exact long.
+    *
+    * Scale shape: the recursion runs on the QI CENSUS (distinct tuples
+    * + counts) collected to the driver — the census is bounded by the
+    * QI domain product (quasi-identifiers are coarse by definition:
+    * age buckets, region codes; the [[graft.operators.Pca]]/model-frame
+    * driver contract), while the corpus-sized work is the one census
+    * shuffle and the broadcast map-back join the caller applies. A
+    * total below k yields one final (suppress-or-accept) partition
+    * flagged `anonymous = false`.
+    *
+    * Output: census grain — (qi dims..., dim_lo/dim_hi per dim,
+    * ec_size, anonymous).
+    */
+  def mondrian(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "mondrian needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val census: Array[(Array[Long], Long)] = df
+      .groupBy(quasi.map(c => col(c).cast("long").as(c)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (quasi.indices.map(i => r.getLong(i)).toArray,
+        r.getLong(quasi.length)))
+    val d = quasi.length
+    val globalW = Array.tabulate(d) { i =>
+      val vs = census.map(_._1(i))
+      math.max(vs.max - vs.min, 1L)
+    }
+    final case class Part(members: Array[(Array[Long], Long)]) {
+      val total: Long = members.map(_._2).sum
+      def width(i: Int): Long = {
+        val vs = members.map(_._1(i))
+        vs.max - vs.min
+      }
+    }
+    // try dims by (normalized width desc, index asc); split at the
+    // weighted median; both halves must keep >= k
+    def tryDim(p: Part, i: Int): Option[(Part, Part)] = {
+      val byV = p.members.sortBy(_._1(i))
+      val half = (p.total + 1) / 2
+      var cum = 0L
+      var med = byV.head._1(i)
+      var found = false
+      val it = byV.iterator
+      while (it.hasNext && !found) {
+        val m = it.next(); cum += m._2
+        if (cum >= half) { med = m._1(i); found = true }
+      }
+      val (lhs, rhs) = p.members.partition(_._1(i) <= med)
+      val ln = lhs.map(_._2).sum
+      if (ln >= k && p.total - ln >= k && rhs.nonEmpty)
+        Some((Part(lhs), Part(rhs)))
+      else None
+    }
+    def split(p: Part): Option[(Part, Part)] = {
+      if (p.total < 2L * k) return None
+      val order = (0 until d).sortWith { (a, b) =>
+        val cmp = p.width(a) * globalW(b) - p.width(b) * globalW(a)
+        if (cmp != 0) cmp > 0 else a < b
+      }
+      var res: Option[(Part, Part)] = None
+      val oi = order.iterator
+      while (res.isEmpty && oi.hasNext) res = tryDim(p, oi.next())
+      res
+    }
+    val finals = scala.collection.mutable.ArrayBuffer[Part]()
+    var work = List(Part(census))
+    while (work.nonEmpty) {
+      val p = work.head; work = work.tail
+      split(p) match {
+        case Some((a, b)) => work = a :: b :: work
+        case None => finals += p
+      }
+    }
+    val rows = finals.iterator.flatMap { p =>
+      val lo = Array.tabulate(d)(i => p.members.map(_._1(i)).min)
+      val hi = Array.tabulate(d)(i => p.members.map(_._1(i)).max)
+      p.members.iterator.map { case (vs, _) =>
+        (vs.toSeq ++ lo.toSeq ++ hi.toSeq ++
+          Seq(p.total, p.total >= k)).toSeq
+      }
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      quasi.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)) ++
+        quasi.map(c => org.apache.spark.sql.types.StructField(s"${c}_lo",
+          org.apache.spark.sql.types.LongType)) ++
+        quasi.map(c => org.apache.spark.sql.types.StructField(s"${c}_hi",
+          org.apache.spark.sql.types.LongType)) ++
+        Seq(org.apache.spark.sql.types.StructField("ec_size",
+          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("anonymous",
+            org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(org.apache.spark.sql.Row.fromSeq), 1),
+      schema)
+  }
+
   /** ε-DP noisy counts over `dims`: true count + Laplace(1/ε) noise
     * (sensitivity 1 for counting queries — one person changes one row by
     * at most 1... at DOCUMENT grain; per-user contributions need a

@@ -316,7 +316,9 @@ object ScaleProbe {
       // equi-joins
       "st_top_talkers", "x_forecast_eval",
       // one partial-agg shuffle to a single row (integer weights)
-      "x_offpolicy")
+      "x_offpolicy",
+      // QI-census shuffle + domain-bounded driver recursion
+      "v_mondrian")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
