@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, Bfs, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the documents + embeddings
@@ -1938,6 +1938,24 @@ object DataOpsQueries {
         .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
         .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
       Scc.assign(ringEdge(1).unionByName(ringEdge(3)).unionByName(bridges))
+    }),
+
+    // Multi-source BFS crawl depth: hop distance from the %1000==0 seed
+    // pages over a successor (+1) + doubling (*2) link graph, capped at
+    // 12 hops — the chain gives long shortest paths, the doubling edges
+    // give logarithmic shortcuts, so depths are genuinely non-trivial.
+    // The oracle replays the frontier expansion as a recursive CTE over
+    // (node, dist) pairs (UNION-deduped, depth-capped) and takes the
+    // per-node min — first arrival ≡ min over arrivals.
+    "g_bfs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      def edge(f: Column): DataFrame =
+        d.select(col("doc_id").as("src"), f.as("dst"))
+          .join(Tables.documents(s, dir).select(col("doc_id").as("dst")),
+            Seq("dst"), "left_semi")
+      val edges = edge(col("doc_id") + 1).unionByName(edge(col("doc_id") * 2))
+      val seeds = d.where(col("doc_id") % 1000 === 0)
+      Bfs.distances(edges, seeds, maxHops = 12)
     }),
 
     // Incremental exact dedup (daily-batch pattern): batch = exact
@@ -7366,6 +7384,22 @@ object DataOpsQueries {
     "g_scc" ->
       """SELECT doc_id AS node, (doc_id - doc_id % 10)::BIGINT AS component
         |FROM documents""".stripMargin,
+
+    "g_bfs" ->
+      """WITH RECURSIVE beds AS (
+        |  SELECT d.doc_id AS src, d.doc_id + 1 AS dst FROM documents d
+        |    JOIN documents n ON n.doc_id = d.doc_id + 1
+        |  UNION ALL
+        |  SELECT d.doc_id AS src, d.doc_id * 2 AS dst FROM documents d
+        |    JOIN documents n ON n.doc_id = d.doc_id * 2),
+        |bfsw AS (
+        |  SELECT doc_id::BIGINT AS node, 0::BIGINT AS dist
+        |  FROM documents WHERE doc_id % 1000 = 0
+        |  UNION
+        |  SELECT e.dst::BIGINT AS node, b.dist + 1 AS dist
+        |  FROM bfsw b JOIN beds e ON e.src = b.node
+        |  WHERE b.dist < 12)
+        |SELECT node, min(dist)::BIGINT AS dist FROM bfsw GROUP BY node""".stripMargin,
 
     "p_pack_greedy" ->
       """WITH RECURSIVE t AS (

@@ -318,7 +318,9 @@ object ScaleProbe {
       // one partial-agg shuffle to a single row (integer weights)
       "x_offpolicy",
       // QI-census shuffle + domain-bounded driver recursion
-      "v_mondrian")
+      "v_mondrian",
+      // 12 frontier-join rounds; per-round shuffle = frontier out-edges
+      "g_bfs")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
