@@ -3114,6 +3114,18 @@ object DataOpsQueries {
           Seq("doc_id")),
         col("source"))),
 
+    // Group fairness audit at the NB decision threshold: per-source
+    // positive rate / TPR / FPR with gaps vs the pooled rates and the
+    // equalized-odds gap max(|dTPR|,|dFPR|). Exact BIGINT counts; every
+    // rate one rounded double division; gaps re-rounded — bit-identical
+    // chains on both engines.
+    "v_fairness" -> ((s, dir) =>
+      operators.Evaluation.fairnessBy(
+        nbScored(s, dir).join(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          Seq("doc_id")),
+        col("source"))),
+
     // Reliability diagram at 1.0-log10-odds score-bucket grain:
     // observed positive rate vs base-10-logistic predicted probability,
     // both micro-rounded before the gap.
@@ -6902,6 +6914,41 @@ object DataOpsQueries {
         |    round(sum(n_pos * (2 * cb + n_neg))::DOUBLE
         |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
         |FROM gcum GROUP BY grp""".stripMargin,
+
+    "v_fairness" ->
+      s"""WITH $nbEvalSql,
+        |fgc AS (
+        |  SELECT d.source AS grp,
+        |    sum(CASE WHEN v.s > 0 AND v.label THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN v.s > 0 AND NOT v.label THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN v.s <= 0 AND v.label THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |    sum(CASE WHEN v.s <= 0 AND NOT v.label THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM vscored v JOIN documents d USING (doc_id) GROUP BY 1),
+        |fgr AS (
+        |  SELECT grp, (tp + fp + fn + tn)::BIGINT AS n, tp, fp, fn, tn,
+        |    CASE WHEN tp + fp + fn + tn > 0 THEN
+        |      round((tp + fp)::DOUBLE / (tp + fp + fn + tn), 6) END AS pos_rate,
+        |    CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn), 6) END AS tpr,
+        |    CASE WHEN fp + tn > 0 THEN round(fp::DOUBLE / (fp + tn), 6) END AS fpr
+        |  FROM fgc),
+        |fpl AS (
+        |  SELECT
+        |    CASE WHEN sum(tp + fp + fn + tn) > 0 THEN
+        |      round(sum(tp + fp)::DOUBLE / sum(tp + fp + fn + tn), 6) END AS p_pos,
+        |    CASE WHEN sum(tp + fn) > 0 THEN
+        |      round(sum(tp)::DOUBLE / sum(tp + fn), 6) END AS p_tpr,
+        |    CASE WHEN sum(fp + tn) > 0 THEN
+        |      round(sum(fp)::DOUBLE / sum(fp + tn), 6) END AS p_fpr
+        |  FROM fgc)
+        |SELECT grp, n, tp, fp, fn, tn, pos_rate, tpr, fpr,
+        |  round(pos_rate - p_pos, 6) AS dp_gap,
+        |  round(tpr - p_tpr, 6) AS tpr_gap,
+        |  round(fpr - p_fpr, 6) AS fpr_gap,
+        |  greatest(
+        |    coalesce(abs(round(tpr - p_tpr, 6)), abs(round(fpr - p_fpr, 6))),
+        |    coalesce(abs(round(fpr - p_fpr, 6)), abs(round(tpr - p_tpr, 6))))
+        |    AS eo_gap
+        |FROM fgr CROSS JOIN fpl""".stripMargin,
 
     "v_avg_precision" ->
       s"""WITH $nbEvalSql,

@@ -335,4 +335,61 @@ object Evaluation {
           / (col("tp") + col("fp") + col("fn") + col("tn")), 6)
           .as("accuracy"))
   }
+
+  /** Group fairness audit of a thresholded classifier — the governance
+    * twin of [[rocAucBy]]: per-slice POSITIVE RATE (demographic parity),
+    * TPR and FPR (equalized odds), each with its gap against the pooled
+    * population rate, and the equalized-odds gap max(|ΔTPR|, |ΔFPR|)
+    * (Hardt, Price, Srebro — NeurIPS 2016). A filtering model that
+    * admits one language or source at a far lower rate than the pool is
+    * exactly what this surfaces before a corpus ships.
+    *
+    * Determinism contract: counts are exact BIGINTs; each rate is ONE
+    * double division rounded at 6dp; each gap is the difference of two
+    * such rounded rates, rounded again at 6dp — identical bit-chains on
+    * any IEEE engine (the [[rocAucBy]] convention). Rates with empty
+    * denominators (a slice with no positives has no TPR) are null, and
+    * the EO gap degrades to the gap that exists (null only if both do).
+    *
+    * Scale shape: ONE partial-aggregable shuffle to slice grain (the
+    * census is |slices| rows — languages, sources: small by nature),
+    * then a broadcast cross join of the one-row pooled frame. No
+    * windows, no second pass over rows.
+    */
+  def fairnessBy(scored: DataFrame, group: Column,
+                 thresholdMicro: Long = 0L,
+                 scoreCol: String = "score_micro",
+                 labelCol: String = "label"): DataFrame = {
+    val pred = col(scoreCol) > lit(thresholdMicro)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def counts(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(cnt(pred && col(labelCol)).as("tp"),
+        cnt(pred && !col(labelCol)).as("fp"),
+        cnt(!pred && col(labelCol)).as("fn"),
+        cnt(!pred && !col(labelCol)).as("tn"))
+    def rate(num: Column, den: Column): Column =
+      when(den > 0L, round(num.cast("double") / den, 6))
+    def rates(df: DataFrame, p: String): DataFrame = df.select(
+      df.columns.map(col) :+
+        rate(col("tp") + col("fp"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as(p + "pos_rate") :+
+        rate(col("tp"), col("tp") + col("fn")).as(p + "tpr") :+
+        rate(col("fp"), col("fp") + col("tn")).as(p + "fpr"): _*)
+    val byGrp = rates(counts(scored.groupBy(group.as("grp"))), "")
+    val pool = rates(counts(scored.groupBy()), "pool_")
+      .select(col("pool_pos_rate"), col("pool_tpr"), col("pool_fpr"))
+    def gap(a: String, b: String): Column = round(col(a) - col(b), 6)
+    byGrp.crossJoin(broadcast(pool))
+      .select(col("grp"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        col("pos_rate"), col("tpr"), col("fpr"),
+        gap("pos_rate", "pool_pos_rate").as("dp_gap"),
+        gap("tpr", "pool_tpr").as("tpr_gap"),
+        gap("fpr", "pool_fpr").as("fpr_gap"),
+        greatest(
+          coalesce(abs(gap("tpr", "pool_tpr")), abs(gap("fpr", "pool_fpr"))),
+          coalesce(abs(gap("fpr", "pool_fpr")), abs(gap("tpr", "pool_tpr"))))
+          .as("eo_gap"))
+  }
 }

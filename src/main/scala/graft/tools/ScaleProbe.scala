@@ -320,7 +320,9 @@ object ScaleProbe {
       // QI-census shuffle + domain-bounded driver recursion
       "v_mondrian",
       // 12 frontier-join rounds; per-round shuffle = frontier out-edges
-      "g_bfs")
+      "g_bfs",
+      // slice-grain census + broadcast pooled row
+      "v_fairness")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
