@@ -1555,6 +1555,16 @@ object DataOpsQueries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "source", "split")),
 
+    // Purged temporal split: cut = exact 70th-percentile timestamp
+    // (k-th order statistic, k = n*7 div 10), 6-hour embargo gap
+    // excluded from both sides — the walk-forward leakage guard. The
+    // oracle finds the same cut by ORDER BY/OFFSET and replays the
+    // three-way CASE.
+    "s_temporal_split" -> ((s, dir) =>
+      HashSplit.temporalSplit(Tables.events(s, dir), col("ts"),
+          trainNum = 7L, trainDen = 10L, embargoMicros = 21600000000L)
+        .select("event_id", "split")),
+
     // Exact-count stratified split: per-language md5-rank ranges make
     // split sizes exact to the row (vs hash-split binomial jitter).
     "s_exact_split" -> ((s, dir) =>
@@ -5701,6 +5711,18 @@ object DataOpsQueries {
          |       WHEN substr(md5(source), 1, 8) < '${HashSplit.thresholdHex(0.9)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "s_temporal_split" ->
+      """WITH tse AS (
+        |  SELECT event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |tsc AS (
+        |  SELECT us AS cut FROM tse ORDER BY us
+        |  LIMIT 1 OFFSET (SELECT greatest(count(*) * 7 // 10, 1) - 1 FROM tse))
+        |SELECT event_id,
+        |  CASE WHEN us <= cut THEN 'train'
+        |       WHEN us <= cut + 21600000000 THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |FROM tse CROSS JOIN tsc""".stripMargin,
 
     "s_exact_split" ->
       """WITH xb AS (

@@ -309,4 +309,41 @@ object HashSplit {
       }
     ranked.select(col("id"), col("stratum"), expr.as("split"))
   }
+
+  /** Purged temporal split with an embargo gap (walk-forward split,
+    * López de Prado 2018 ch. 7): train = everything up to the cut time,
+    * test = everything AFTER cut + embargo, and the rows inside the gap
+    * are labeled `embargo` and belong to neither — the guard against
+    * look-ahead leakage through temporally-correlated labels and
+    * features (a label computed from a post-cut window, a rolling
+    * feature whose window straddles the cut) that the hash ladders
+    * above cannot express: their splits interleave in time by design.
+    *
+    * The cut is the EXACT k-th order statistic of the timestamp
+    * (k = n·num div den — integer arithmetic, no float fraction),
+    * found by [[HistQuantile.exactKth]]'s range-narrowing selection:
+    * ≤5 census passes, no global sort, ≤2¹⁶ driver rows per pass.
+    * Ties AT the cut timestamp all land in train (split on value, not
+    * rank), so the train fraction is exact up to cut-time ties.
+    * Assignment itself is one shuffle-free scan against two literals.
+    *
+    * Output: input columns + `split` ∈ train / embargo / test.
+    */
+  def temporalSplit(df: DataFrame, ts: Column, trainNum: Long,
+                    trainDen: Long, embargoMicros: Long): DataFrame = {
+    require(trainDen > 0 && trainNum > 0 && trainNum < trainDen,
+      s"train fraction must be in (0, 1): $trainNum/$trainDen")
+    require(embargoMicros >= 0, s"embargo must be >= 0, got $embargoMicros")
+    val us = unix_micros(ts)
+    val n = df.select(us.as("_us")).where(col("_us").isNotNull).count()
+    require(n > 0, "temporalSplit needs at least one non-null timestamp")
+    val k = math.max(1L, n * trainNum / trainDen)
+    val cut = HistQuantile.exactKth(df.select(us.as("_us")), col("_us"), k)
+      .select("kth").head().getLong(0)
+    df.withColumn("split",
+      when(us.isNull, lit(null).cast("string"))
+        .when(us <= lit(cut), "train")
+        .when(us <= lit(cut) + lit(embargoMicros), "embargo")
+        .otherwise("test"))
+  }
 }

@@ -322,7 +322,9 @@ object ScaleProbe {
       // 12 frontier-join rounds; per-round shuffle = frontier out-edges
       "g_bfs",
       // slice-grain census + broadcast pooled row
-      "v_fairness")
+      "v_fairness",
+      // one exactKth narrowing (≤5 censuses) + a literal-filter scan
+      "s_temporal_split")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

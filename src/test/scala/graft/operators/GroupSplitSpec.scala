@@ -51,4 +51,39 @@ class GroupSplitSpec extends SparkSpec {
     assert(run(42L) === run(42L))
     assert(run(42L) !== run(7L), "different seeds must reshuffle")
   }
+
+  private def tsFrame(micros: Seq[Long]) =
+    micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, new java.sql.Timestamp(us / 1000)) }
+      .toDF("id", "ts")
+
+  test("temporal split: train takes the exact k-th cut, embargo gap excluded") {
+    // 10 rows at second marks 0..9; k = 10*7 div 10 = 7 → cut = 7th
+    // smallest = t6; embargo 2s → t7, t8 embargoed, t9 test
+    val df = tsFrame((0 until 10).map(_ * 1000000L))
+    val out = HashSplit.temporalSplit(df, col("ts"), 7L, 10L, 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0 to 6).forall(i => out(i.toLong) == "train"))
+    assert(out(7L) === "embargo" && out(8L) === "embargo")
+    assert(out(9L) === "test")
+  }
+
+  test("temporal split: no row in test is within embargo of any train row") {
+    val df = tsFrame((0 until 97).map(i => (i.toLong * 31L + 7L) * 1000000L))
+    val out = HashSplit.temporalSplit(df, col("ts"), 4L, 5L, 60000000L)
+      .withColumn("us", unix_micros(col("ts")))
+      .collect().map(r => (r.getString(2), r.getAs[Long]("us")))
+    val trainMax = out.collect { case ("train", us) => us }.max
+    val testMin = out.collect { case ("test", us) => us }.min
+    assert(testMin > trainMax + 60000000L)
+  }
+
+  test("temporal split: ties at the cut all land in train") {
+    val df = tsFrame(Seq(0L, 1000000L, 1000000L, 1000000L, 2000000L, 3000000L))
+    // n=6, k = 6*1 div 2 = 3 → cut = 3rd smallest = 1s; all three ties ≤ cut
+    val out = HashSplit.temporalSplit(df, col("ts"), 1L, 2L, 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_) == "train"))
+    assert(out(4L) === "test" && out(5L) === "test")
+  }
 }
