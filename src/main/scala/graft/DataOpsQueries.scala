@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, Bfs, ConnectedComponents, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, Bfs, ConnectedComponents, ContentChunks, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1870,6 +1870,18 @@ object DataOpsQueries {
     "t_rolling_fp" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
+
+    // Content-defined chunking (Gear rolling hash): boundary walk on a
+    // %3 subset capped at 600 codepoints (the oracle replays the
+    // per-codepoint recurrence as a recursive CTE — iterations = max
+    // length, rows = Σ lengths, so the gate bounds both). minLen 32 /
+    // mask 6 bits (avg ~64) / maxLen 192.
+    "d_cdc_chunks" -> ((s, dir) =>
+      ContentChunks.chunks(
+        Tables.documents(s, dir)
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), substring(col("text"), 1, 600).as("text")),
+        col("doc_id"), col("text"), minLen = 32, maskBits = 6, maxLen = 192)),
 
     // Exact dedup groups over the duplicate-by-construction corpus (oracle).
     "d_exact_groups" -> ((s, dir) =>
@@ -7399,6 +7411,42 @@ object DataOpsQueries {
         |  (coalesce(a.w_sum_micro, 0) + p.prior_micro) > 0 AS pred_positive
         |FROM documents d LEFT JOIN nbagg a USING (doc_id) CROSS JOIN nbprior p
         |WHERE d.doc_id % 4 = 0""".stripMargin,
+
+    "d_cdc_chunks" ->
+      """WITH RECURSIVE cdocs AS (
+        |  SELECT doc_id, substr(text, 1, 600) AS txt FROM documents
+        |  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        |    AND length(substr(text, 1, 600)) > 0),
+        |cst AS (
+        |  SELECT doc_id, length(txt)::BIGINT AS n, 0::BIGINT AS i,
+        |    0::BIGINT AS h, 0::BIGINT AS last, []::BIGINT[] AS ends
+        |  FROM cdocs
+        |  UNION ALL
+        |  SELECT c.doc_id, c.n, c.i + 1, u.nh,
+        |    CASE WHEN u.b THEN c.i + 1 ELSE c.last END,
+        |    CASE WHEN u.b THEN c.ends || [c.i + 1] ELSE c.ends END
+        |  FROM cst c JOIN cdocs d USING (doc_id),
+        |  unnest([{'nh': (c.h * 2 + (ord(substr(d.txt, (c.i + 1)::INT, 1))
+        |      * 2654435761) % 4294967296) % 4294967296}]) AS s1(t),
+        |  unnest([{'nh': t.nh,
+        |           'b': (c.i + 1 - c.last) >= 32 AND
+        |             (t.nh % 64 = 0 OR (c.i + 1 - c.last) >= 192)}]) AS s2(u)
+        |  WHERE c.i < c.n),
+        |cfin AS (
+        |  SELECT s.doc_id, d.txt,
+        |    CASE WHEN s.last < s.n THEN s.ends || [s.n] ELSE s.ends END AS ends
+        |  FROM cst s JOIN cdocs d USING (doc_id) WHERE s.i = s.n),
+        |cexp AS (
+        |  SELECT doc_id, txt, ends,
+        |    generate_subscripts(ends, 1) AS g, unnest(ends) AS e
+        |  FROM cfin)
+        |SELECT doc_id AS id, (g - 1)::BIGINT AS chunk_idx,
+        |  (CASE WHEN g = 1 THEN 0 ELSE ends[g - 1] END)::BIGINT AS start_pos,
+        |  (e - CASE WHEN g = 1 THEN 0 ELSE ends[g - 1] END)::BIGINT AS chunk_len,
+        |  md5(substr(txt,
+        |    (CASE WHEN g = 1 THEN 0 ELSE ends[g - 1] END + 1)::INT,
+        |    (e - CASE WHEN g = 1 THEN 0 ELSE ends[g - 1] END)::INT)) AS chunk_md5
+        |FROM cexp""".stripMargin,
 
     "d_exact_groups" ->
       """WITH all_docs AS (

@@ -324,7 +324,9 @@ object ScaleProbe {
       // slice-grain census + broadcast pooled row
       "v_fairness",
       // one exactKth narrowing (≤5 censuses) + a literal-filter scan
-      "s_temporal_split")
+      "s_temporal_split",
+      // codegen projection, output-proportional chunk table
+      "d_cdc_chunks")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
