@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, Bfs, ConnectedComponents, ContentChunks, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
+import graft.operators.{ApplyChanges, BinaryQuantize, BloomIndex, Boilerplate, Clustering, Bfs, ConnectedComponents, ContentChunks, CorpusStats, DataPipeline, Decontaminate, Dedup, HashSplit, HistQuantile, Multimodal, MultiPattern, NegativeMining, Packing, Pca, QualityFilter, Quantize, Salience, Scc, SetCover, SetSimJoin, Similarity, SortedNeighborhood, SpanDedup, TextAnalysis, UnigramLm, WordPiece}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -3317,6 +3317,19 @@ object DataOpsQueries {
     // int8 vectors), so the oracle replays the full selection sequence.
     "e_kcenter" -> ((s, dir) =>
       operators.Coreset.kCenters(Tables.embeddings(s, dir), k = 8)),
+
+    // Greedy max-coverage panel: 8 docs jointly covering the most
+    // distinct long words (submodular (1-1/e) greedy; gains exact
+    // longs, ties to the lower id). The oracle replays all 8 argmax
+    // rounds as generated CTEs.
+    "e_setcover" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("w"))
+        .where(length(col("w")) >= 6)
+      operators.SetCover.greedyCoverage(toks, col("doc_id"), col("w"), k = 8)
+    }),
 
     // Exact top-k over QUANTIZED vectors — int dots are exact in double;
     // ranks order by the 6dp-rounded cosine + id tiebreak (the shared
@@ -9078,6 +9091,42 @@ object DataOpsQueries {
       s"""WITH ${kCenterChainSql(8)}
         |SELECT 1::BIGINT AS rank, (SELECT min(vec_id) FROM n2)::BIGINT AS vec_id, 0::BIGINT AS d2_sel
         |$picks""".stripMargin
+    },
+
+    "e_setcover" -> {
+      def sel(r: Int) = (0 until r).map(i => s"SELECT id FROM scw$i")
+        .mkString(" UNION ALL ")
+      val rounds = (1 to 8).map { r =>
+        s"""sccov$r AS (
+           |  SELECT DISTINCT w FROM scde WHERE id IN (${sel(r)})),
+           |scg$r AS (
+           |  SELECT d.id, count(*)::BIGINT AS gain FROM scde d
+           |  LEFT JOIN sccov$r c USING (w)
+           |  WHERE c.w IS NULL AND d.id NOT IN (${sel(r)}) GROUP BY d.id),
+           |sca$r AS (
+           |  SELECT i.id, coalesce(g.gain, 0)::BIGINT AS gain
+           |  FROM (SELECT DISTINCT id FROM scde WHERE id NOT IN (${sel(r)})) i
+           |  LEFT JOIN scg$r g USING (id)),
+           |scw$r AS MATERIALIZED (SELECT id, gain FROM sca$r
+           |  ORDER BY gain DESC, id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 8).map(r =>
+        s"SELECT ${r}::BIGINT AS rank, id, gain FROM scw$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH scnorm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |scde AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS id, w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(norm, '\\s+')) AS w
+        |    FROM scnorm WHERE norm <> '')
+        |  WHERE length(w) >= 6),
+        |scw0 AS (SELECT NULL::BIGINT AS id, 0::BIGINT AS gain WHERE false),
+        |$rounds
+        |SELECT rank, id, gain,
+        |  (sum(gain) OVER (ORDER BY rank))::BIGINT AS covered
+        |FROM ($union)""".stripMargin
     },
 
     "g_anchor_text" ->

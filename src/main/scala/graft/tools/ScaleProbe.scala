@@ -326,7 +326,9 @@ object ScaleProbe {
       // one exactKth narrowing (≤5 censuses) + a literal-filter scan
       "s_temporal_split",
       // codegen projection, output-proportional chunk table
-      "d_cdc_chunks")
+      "d_cdc_chunks",
+      // k bounded scans of the deduped element frame, 1 driver row/round
+      "e_setcover")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
