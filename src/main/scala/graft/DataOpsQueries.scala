@@ -3318,6 +3318,15 @@ object DataOpsQueries {
     "e_kcenter" -> ((s, dir) =>
       operators.Coreset.kCenters(Tables.embeddings(s, dir), k = 8)),
 
+    // KNN-Shapley data valuation: every training vector's exact Shapley
+    // value for a 5-NN classifier against the %50 held-out panel —
+    // int8-grid distances, micro-quantized rank coefficients, two-phase
+    // sharded ranks/suffix sums. The oracle replays the closed form
+    // with plain windows.
+    "e_knn_shapley" -> ((s, dir) =>
+      operators.KnnShapley.valueByKnn(Tables.embeddings(s, dir),
+        testPred = col("vec_id") % 50 === 0, k = 5)),
+
     // Greedy max-coverage panel: 8 docs jointly covering the most
     // distinct long words (submodular (1-1/e) greedy; gains exact
     // longs, ties to the lower id). The oracle replays all 8 argmax
@@ -3486,6 +3495,17 @@ object DataOpsQueries {
     "x_ab_test" -> ((s, dir) =>
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
+
+    // Anytime-valid e-process monitor: per-arm hourly census, log-E as
+    // integer-weighted success/failure counts (micro-quantized log-LR
+    // constants), sticky rejection at ln(1/alpha). True conversion rate
+    // ~0.40 vs H0 p<=0.35, so the monitor genuinely crosses.
+    "x_evalue" -> ((s, dir) =>
+      operators.Sequential.bernoulliEValue(Tables.events(s, dir),
+        arm = col("user_id") % 2,
+        bucket = expr("unix_micros(ts) div 3600000000"),
+        success = col("event_type").isin("click", "purchase"),
+        p0 = 0.35, p1 = 0.42, alpha = 0.05)),
 
     // Off-policy evaluation (IPS/SNIPS/ESS) on an engineered logged-
     // bandit view of events: logged action = event_type, deterministic
@@ -9093,6 +9113,60 @@ object DataOpsQueries {
         |$picks""".stripMargin
     },
 
+    // KNN-Shapley: the Jia et al. closed form replayed directly — global
+    // rank + suffix-sum windows per test (the oracle may window freely;
+    // the operator's two-phase shards must match it bit-for-bit)
+    "e_knn_shapley" ->
+      """WITH qm AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id, label, list_transform(ev, x ->
+        |    CASE WHEN ma = 0 THEN 0.0 ELSE round(x * 127.0 / ma) END) AS qv
+        |  FROM qm),
+        |n2 AS MATERIALIZED (
+        |  SELECT vec_id, label, qv, list_dot_product(qv, qv) AS sq FROM q),
+        |tst AS (SELECT * FROM n2 WHERE vec_id % 50 = 0),
+        |trn AS (SELECT * FROM n2 WHERE vec_id % 50 <> 0),
+        |pairs AS (
+        |  SELECT t.vec_id AS t_id, a.vec_id AS id, a.label AS lbl,
+        |    CAST(a.sq + t.sq - 2 * list_dot_product(a.qv, t.qv) AS BIGINT) AS d2,
+        |    (CASE WHEN a.label = t.label THEN 1 ELSE 0 END)::BIGINT AS ind
+        |  FROM trn a, tst t),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY d2, id) AS j,
+        |    count(*) OVER (PARTITION BY t_id) AS n
+        |  FROM pairs),
+        |cg AS (
+        |  SELECT *,
+        |    CAST(round(least(5, j) * 1000000.0 / (5.0 * j)) AS BIGINT) AS cmj,
+        |    CASE WHEN j >= 2 AND j < n THEN
+        |      ind * (CAST(round(least(5, j) * 1000000.0 / (5.0 * j)) AS BIGINT)
+        |           - CAST(round(least(5, j - 1) * 1000000.0 / (5.0 * (j - 1))) AS BIGINT))
+        |    ELSE 0 END AS g
+        |  FROM rk),
+        |suf AS (
+        |  SELECT *,
+        |    coalesce(sum(g) OVER (PARTITION BY t_id ORDER BY j
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)::BIGINT AS suffix
+        |  FROM cg),
+        |li AS (SELECT t_id, ind AS ind_n FROM suf WHERE j = n),
+        |sm AS (
+        |  SELECT s.id, s.lbl,
+        |    CASE WHEN s.j = s.n
+        |      THEN l.ind_n * CAST(round(1000000.0 / s.n) AS BIGINT)
+        |      ELSE s.ind * s.cmj + s.suffix
+        |        + l.ind_n * (CAST(round(1000000.0 / s.n) AS BIGINT)
+        |          - CAST(round(least(5, s.n - 1) * 1000000.0 / (5.0 * (s.n - 1))) AS BIGINT))
+        |    END AS s_micro
+        |  FROM suf s JOIN li l USING (t_id))
+        |SELECT id AS vec_id, min(lbl)::BIGINT AS label,
+        |  sum(s_micro)::BIGINT AS value_micro,
+        |  sum(s_micro)::DOUBLE
+        |    / (1000000.0 * (SELECT count(*) FROM tst)) AS value
+        |FROM sm GROUP BY id""".stripMargin,
+
     "e_setcover" -> {
       def sel(r: Int) = (0 until r).map(i => s"SELECT id FROM scw$i")
         .mkString(" UNION ALL ")
@@ -9336,6 +9410,34 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    // E-process monitor: same micro log-LR integers baked from
+    // Sequential.constants, so the weighted counts match by
+    // construction; the only doubles died on the driver.
+    "x_evalue" -> {
+      val c = operators.Sequential.constants(0.35, 0.42, 0.05)
+      s"""WITH census AS (
+        |  SELECT user_id % 2 AS arm,
+        |    epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type IN ('click','purchase')
+        |        THEN 1 ELSE 0 END)::BIGINT AS successes
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT arm, bucket, n, successes,
+        |    (sum(successes * ${c.winMicro}
+        |         + (n - successes) * ${c.loseMicro})
+        |       OVER (PARTITION BY arm ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    )::BIGINT AS loge_micro
+        |  FROM census)
+        |SELECT arm, bucket, n, successes, loge_micro,
+        |  max(CASE WHEN loge_micro >= ${c.threshMicro} THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY arm ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    AS rejected
+        |FROM cum""".stripMargin
+    },
 
     "x_offpolicy" ->
       """WITH ol AS (

@@ -328,7 +328,11 @@ object ScaleProbe {
       // codegen projection, output-proportional chunk table
       "d_cdc_chunks",
       // k bounded scans of the deduped element frame, 1 driver row/round
-      "e_setcover")
+      "e_setcover",
+      // (arm x hour) census shuffle + a census-grain cumulative window
+      "x_evalue",
+      // corpus x panel pairs, two-phase sharded ranks/suffix sums
+      "e_knn_shapley")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
