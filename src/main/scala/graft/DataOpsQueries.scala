@@ -1641,6 +1641,14 @@ object DataOpsQueries {
     // Two-sample Kolmogorov–Smirnov test: en vs non-en document-length
     // distributions — integer D statistic over the value census,
     // asymptotic Kolmogorov-series p (100 nano-rounded terms).
+    // Wasserstein-1 drift per source slice: how far (in characters)
+    // the en length distribution sits from the non-en one — the
+    // bin-free, magnitude-carrying companion to KS/PSI.
+    "x_wasserstein" -> ((s, dir) =>
+      operators.Wasserstein.w1ByGroup(Tables.documents(s, dir),
+        group = col("source"), value = col("n_chars"),
+        sideB = col("lang") =!= "en")),
+
     "x_ks_test" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       operators.Hypothesis.ksTest(
@@ -6013,6 +6021,35 @@ object DataOpsQueries {
         |    round(least(1.0, greatest(0.0, 1.0 - ${normCdfSql("z")})), 6)
         |  END AS p_value
         |FROM cz""".stripMargin,
+
+    "x_wasserstein" ->
+      """WITH cen AS (
+        |  SELECT source AS key, n_chars AS v,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS nb
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT key, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b
+        |  FROM cen GROUP BY 1),
+        |cum AS (
+        |  SELECT key, v,
+        |    sum(na) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(nb) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    coalesce(lead(v) OVER (PARTITION BY key ORDER BY v) - v, 0)
+        |      AS gap
+        |  FROM cen),
+        |num AS (
+        |  SELECT c.key,
+        |    sum(abs(c.cuma::HUGEINT * t.n_b - c.cumb::HUGEINT * t.n_a)
+        |        * c.gap) AS nm
+        |  FROM cum c JOIN tot t USING (key) GROUP BY c.key)
+        |SELECT n.key, t.n_a, t.n_b,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |    THEN round(n.nm::DOUBLE / (t.n_a::DOUBLE * t.n_b), 6)
+        |  END AS w1
+        |FROM num n JOIN tot t USING (key)""".stripMargin,
 
     "x_ks_test" ->
       """WITH ka AS (

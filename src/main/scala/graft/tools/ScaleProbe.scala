@@ -332,7 +332,9 @@ object ScaleProbe {
       // (arm x hour) census shuffle + a census-grain cumulative window
       "x_evalue",
       // corpus x panel pairs, two-phase sharded ranks/suffix sums
-      "e_knn_shapley")
+      "e_knn_shapley",
+      // (group x value) census + census-grain cumulative windows
+      "x_wasserstein")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
