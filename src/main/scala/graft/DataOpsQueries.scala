@@ -3724,6 +3724,18 @@ object DataOpsQueries {
     // degree-ordered node-iterator: oriented wedges from the
     // lowest-degree corner only (hub never pivots), one closing-edge
     // equi-join. Pure integer joins — full oracle replay.
+    // Adamic-Adar link prediction on the triangle gate's pseudo graph:
+    // every non-edge scored by its shared neighbors, each weighted
+    // round(1e6/ln(degree)) at the degree census.
+    "g_adamic_adar" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.LinkPrediction.adamicAdar(edges)
+    }),
+
     "g_triangles" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val edges = d.select(col("doc_id").as("src"),
@@ -10052,6 +10064,33 @@ object DataOpsQueries {
     // a<b<c triangle enumeration (each triangle once), credited to all
     // three corners — equivalent by construction to the Spark side's
     // degree-ordered pivot enumeration
+    "g_adamic_adar" ->
+      """WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |nbrs AS (
+        |  SELECT a AS w, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |wts AS (
+        |  SELECT w, count(*)::BIGINT AS degree,
+        |    CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS w_micro
+        |  FROM nbrs GROUP BY w
+        |  HAVING count(*) >= 2 AND count(*) <= 65536),
+        |nb AS (SELECT n.w, n.n, t.w_micro FROM nbrs n JOIN wts t USING (w)),
+        |cand AS (
+        |  SELECT x.n AS a, y.n AS b, x.w_micro
+        |  FROM nb x JOIN nb y ON x.w = y.w AND x.n < y.n),
+        |sc AS (
+        |  SELECT a, b, count(*)::BIGINT AS cn,
+        |    sum(w_micro)::BIGINT AS aa_micro
+        |  FROM cand GROUP BY a, b)
+        |SELECT s.a, s.b, s.cn, s.aa_micro,
+        |  s.aa_micro::DOUBLE / 1000000.0 AS aa
+        |FROM sc s LEFT JOIN und u ON u.a = s.a AND u.b = s.b
+        |WHERE u.a IS NULL""".stripMargin,
+
     "g_triangles" ->
       """WITH e0 AS (
         |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents

@@ -334,7 +334,9 @@ object ScaleProbe {
       // corpus x panel pairs, two-phase sharded ranks/suffix sums
       "e_knn_shapley",
       // (group x value) census + census-grain cumulative windows
-      "x_wasserstein")
+      "x_wasserstein",
+      // degree-capped wedge joins + pair-grain partial agg
+      "g_adamic_adar")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
