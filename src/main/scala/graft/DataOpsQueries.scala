@@ -3171,6 +3171,32 @@ object DataOpsQueries {
     // cross-multiplied violation test, pooled-rate output via the
     // shared round-half-up division; the oracle replays the pooling as
     // an append-or-merge recursive CTE.
+    // Split conformal intervals around a per-part mean-price predictor:
+    // 3-way orderkey split (train/cal/test), exact cent residuals,
+    // finite-sample ceil((1-alpha)(n+1)) rank via exactKth, test
+    // coverage in one literal-filter scan. alpha = 0.1.
+    "v_conformal" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val train = li.where(col("l_orderkey") % 3 === 0)
+      def fit(df: org.apache.spark.sql.DataFrame) = df
+        .agg(round(sum("cents").cast("double") / count(lit(1)))
+          .cast("long"))
+      val model = train.groupBy("l_partkey")
+        .agg(round(sum("cents").cast("double") / count(lit(1)))
+          .cast("long").as("pred_part"))
+      val g = fit(train).toDF("pred_g")
+      def withPred(df: org.apache.spark.sql.DataFrame) = df
+        .join(broadcast(model), Seq("l_partkey"), "left_outer")
+        .crossJoin(broadcast(g))
+        .withColumn("pred", coalesce(col("pred_part"), col("pred_g")))
+      operators.Conformal.splitConformal(
+        withPred(li.where(col("l_orderkey") % 3 === 1)),
+        withPred(li.where(col("l_orderkey") % 3 === 2)),
+        pred = col("pred"), actual = col("cents"), alphaMicro = 100000L)
+    }),
+
     "v_isotonic" -> ((s, dir) =>
       operators.Evaluation.isotonicCalibration(nbScored(s, dir))),
 
@@ -7100,6 +7126,49 @@ object DataOpsQueries {
         |    - CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
         |      AS BIGINT)) AS gap_micro
         |FROM vagg""".stripMargin,
+
+    "v_conformal" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |train AS (SELECT * FROM li WHERE l_orderkey % 3 = 0),
+        |model AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(cents)::DOUBLE / count(*)) AS BIGINT) AS pred_part
+        |  FROM train GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(round(sum(cents)::DOUBLE / count(*)) AS BIGINT)
+        |    AS pred_g
+        |  FROM train),
+        |cal AS (
+        |  SELECT abs(l.cents
+        |    - coalesce(m.pred_part, (SELECT pred_g FROM g))) AS s
+        |  FROM li l LEFT JOIN model m USING (l_partkey)
+        |  WHERE l.l_orderkey % 3 = 1),
+        |tst AS (
+        |  SELECT abs(l.cents
+        |    - coalesce(m.pred_part, (SELECT pred_g FROM g))) AS s
+        |  FROM li l LEFT JOIN model m USING (l_partkey)
+        |  WHERE l.l_orderkey % 3 = 2),
+        |nk AS (
+        |  SELECT count(*)::BIGINT AS n_cal,
+        |    (((1000000 - 100000) * (count(*) + 1) + 999999) // 1000000
+        |    )::BIGINT AS k
+        |  FROM cal),
+        |q AS (
+        |  SELECT (SELECT s FROM (
+        |      SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal) r
+        |    WHERE r.rn = (SELECT k FROM nk))::BIGINT AS qhat),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_test,
+        |    sum(CASE WHEN (SELECT qhat FROM q) IS NULL
+        |             OR s <= (SELECT qhat FROM q)
+        |        THEN 1 ELSE 0 END)::BIGINT AS covered
+        |  FROM tst)
+        |SELECT nk.n_cal, nk.k, q.qhat, t.n_test, t.covered,
+        |  t.covered::DOUBLE / t.n_test AS coverage
+        |FROM nk, q, t""".stripMargin,
 
     "v_isotonic" ->
       s"""WITH RECURSIVE $nbEvalSql,

@@ -336,7 +336,9 @@ object ScaleProbe {
       // (group x value) census + census-grain cumulative windows
       "x_wasserstein",
       // degree-capped wedge joins + pair-grain partial agg
-      "g_adamic_adar")
+      "g_adamic_adar",
+      // exactKth narrowing censuses + one literal-filter coverage scan
+      "v_conformal")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
