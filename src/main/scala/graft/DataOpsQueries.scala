@@ -3663,6 +3663,22 @@ object DataOpsQueries {
     // integer rank sums, one double chain), Shannon entropy of the
     // language mix (per-term micro rounds before the sum), and the
     // top-20 source coverage curve.
+    // Benford first-digit audit over price cents: string first digit
+    // (never log10), exact expected micro counts, chi2 as exact micro
+    // sums over the densified 9-digit census.
+    "k_benford" -> ((s, dir) =>
+      operators.Benford.firstDigit(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100))),
+
+    // Difference-in-differences on a mid-month rollout view of events:
+    // treated = odd users, post = Jan 16+; exact 2x2 decimal census,
+    // Welch-form SE, A&S-Phi p.
+    "x_did" -> ((s, dir) =>
+      operators.Did.estimate(Tables.events(s, dir),
+        treated = col("user_id") % 2 === 1,
+        post = unix_micros(col("ts")) >= 1705363200000000L,
+        outcome = round(col("value") * 100))),
+
     "k_gini" -> ((s, dir) =>
       operators.Concentration.gini(
         operators.Concentration.census(Tables.documents(s, dir), col("source")))),
@@ -9803,6 +9819,101 @@ object DataOpsQueries {
         |  round(2.0 * sum(i * cnt) / (count(*) * sum(cnt))
         |    - (count(*) + 1)::DOUBLE / count(*), 6) AS gini
         |FROM r""".stripMargin,
+
+    "k_benford" -> {
+      val pcase = operators.Benford.expectedMicro.toSeq.sortBy(_._1)
+        .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+      s"""WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |pos AS (
+        |  SELECT CAST(substr(v::VARCHAR, 1, 1) AS INT) AS digit
+        |  FROM v WHERE v > 0),
+        |census AS (SELECT digit, count(*)::BIGINT AS n FROM pos GROUP BY 1),
+        |dense AS (
+        |  SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n
+        |  FROM (SELECT unnest(range(1, 10))::INT AS digit) d
+        |  LEFT JOIN census c USING (digit)),
+        |exc AS (
+        |  SELECT sum(CASE WHEN v <= 0 OR v IS NULL THEN 1 ELSE 0 END
+        |    )::BIGINT AS n_excluded
+        |  FROM v),
+        |tot AS (SELECT sum(n)::BIGINT AS n_total FROM dense),
+        |tm AS (
+        |  SELECT digit, n, t.n_total, e.n_excluded,
+        |    (CASE digit $pcase END)::BIGINT AS p_exp_micro,
+        |    t.n_total * (CASE digit $pcase END)::BIGINT AS e_micro,
+        |    CASE WHEN t.n_total * (CASE digit $pcase END) > 0 THEN
+        |      CAST(round(
+        |        ((n * 1000000 - t.n_total * (CASE digit $pcase END)
+        |         )::HUGEINT
+        |         * (n * 1000000 - t.n_total * (CASE digit $pcase END))
+        |        )::DOUBLE
+        |        / (t.n_total * (CASE digit $pcase END))::DOUBLE)
+        |      AS BIGINT) END AS term_micro
+        |  FROM dense, tot t, exc e)
+        |SELECT digit, n, n_total, n_excluded, p_exp_micro, e_micro,
+        |  term_micro::DOUBLE / 1000000.0 AS chi2_term,
+        |  (sum(term_micro) OVER ())::DOUBLE / 1000000.0 AS chi2
+        |FROM tm""".stripMargin
+    },
+
+    "x_did" ->
+      s"""WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+        |    CASE WHEN epoch_us(ts::TIMESTAMP) >= 1705363200000000
+        |      THEN 1 ELSE 0 END AS p,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |c AS (
+        |  SELECT g, p, count(*)::BIGINT AS n,
+        |    sum(y::HUGEINT) AS s, sum(y::HUGEINT * y) AS q
+        |  FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT
+        |    max(CASE WHEN g=0 AND p=0 THEN n END) AS n_c0,
+        |    max(CASE WHEN g=0 AND p=1 THEN n END) AS n_c1,
+        |    max(CASE WHEN g=1 AND p=0 THEN n END) AS n_t0,
+        |    max(CASE WHEN g=1 AND p=1 THEN n END) AS n_t1,
+        |    max(CASE WHEN g=0 AND p=0 THEN s END) AS s_c0,
+        |    max(CASE WHEN g=0 AND p=1 THEN s END) AS s_c1,
+        |    max(CASE WHEN g=1 AND p=0 THEN s END) AS s_t0,
+        |    max(CASE WHEN g=1 AND p=1 THEN s END) AS s_t1,
+        |    max(CASE WHEN g=0 AND p=0 THEN q END) AS q_c0,
+        |    max(CASE WHEN g=0 AND p=1 THEN q END) AS q_c1,
+        |    max(CASE WHEN g=1 AND p=0 THEN q END) AS q_t0,
+        |    max(CASE WHEN g=1 AND p=1 THEN q END) AS q_t1
+        |  FROM c),
+        |m AS (
+        |  SELECT n_c0, n_c1, n_t0, n_t1,
+        |    CAST(round(s_c0::DOUBLE * 1000000.0 / n_c0::DOUBLE) AS BIGINT) AS m_c0,
+        |    CAST(round(s_c1::DOUBLE * 1000000.0 / n_c1::DOUBLE) AS BIGINT) AS m_c1,
+        |    CAST(round(s_t0::DOUBLE * 1000000.0 / n_t0::DOUBLE) AS BIGINT) AS m_t0,
+        |    CAST(round(s_t1::DOUBLE * 1000000.0 / n_t1::DOUBLE) AS BIGINT) AS m_t1,
+        |    CASE WHEN n_c0 >= 2 THEN (n_c0::HUGEINT * q_c0 - s_c0 * s_c0)::DOUBLE
+        |      / (n_c0::DOUBLE * (n_c0::DOUBLE - 1.0)) END AS v_c0,
+        |    CASE WHEN n_c1 >= 2 THEN (n_c1::HUGEINT * q_c1 - s_c1 * s_c1)::DOUBLE
+        |      / (n_c1::DOUBLE * (n_c1::DOUBLE - 1.0)) END AS v_c1,
+        |    CASE WHEN n_t0 >= 2 THEN (n_t0::HUGEINT * q_t0 - s_t0 * s_t0)::DOUBLE
+        |      / (n_t0::DOUBLE * (n_t0::DOUBLE - 1.0)) END AS v_t0,
+        |    CASE WHEN n_t1 >= 2 THEN (n_t1::HUGEINT * q_t1 - s_t1 * s_t1)::DOUBLE
+        |      / (n_t1::DOUBLE * (n_t1::DOUBLE - 1.0)) END AS v_t1
+        |  FROM r),
+        |dd AS (
+        |  SELECT *, (m_t1 - m_t0) - (m_c1 - m_c0) AS did_micro,
+        |    sqrt(v_c0 / n_c0 + v_c1 / n_c1 + v_t0 / n_t0 + v_t1 / n_t1)
+        |      AS se_raw
+        |  FROM m),
+        |zz AS (
+        |  SELECT *, CASE WHEN se_raw > 0 THEN
+        |    round(did_micro::DOUBLE / 1000000.0 / se_raw, 6) END AS z
+        |  FROM dd)
+        |SELECT n_c0, n_c1, n_t0, n_t1, m_c0, m_c1, m_t0, m_t1, did_micro,
+        |  round(se_raw, 6) AS se, z,
+        |  CASE WHEN z IS NOT NULL THEN
+        |    round(least(1.0, 2.0 * (1.0 - ${normCdfSql("abs(z)")})), 6)
+        |  END AS p_value
+        |FROM zz""".stripMargin,
 
     "k_entropy" ->
       """WITH c AS (

@@ -338,7 +338,9 @@ object ScaleProbe {
       // degree-capped wedge joins + pair-grain partial agg
       "g_adamic_adar",
       // exactKth narrowing censuses + one literal-filter coverage scan
-      "v_conformal")
+      "v_conformal",
+      // 9-row digit census / 4-cell decimal census
+      "k_benford", "x_did")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
