@@ -3530,6 +3530,16 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // Association rules over user-day baskets of event types: directed
+    // a->b rules with support/confidence/lift/leverage/conviction,
+    // thresholds as exact integer cross-multiplications.
+    "x_assoc_rules" -> ((s, dir) =>
+      operators.AssociationRules.rules(Tables.events(s, dir),
+        basket = concat_ws(":", col("user_id"),
+          expr("unix_micros(ts) div 86400000000")),
+        item = col("event_type"),
+        minSupportMicro = 140000L, minConfidenceMicro = 360000L)),
+
     // Anytime-valid e-process monitor: per-arm hourly census, log-E as
     // integer-weighted success/failure counts (micro-quantized log-LR
     // constants), sticky rejection at ln(1/alpha). True conversion rate
@@ -9544,6 +9554,40 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_assoc_rules" ->
+      """WITH tx AS (
+        |  SELECT DISTINCT user_id::VARCHAR || ':'
+        |      || (epoch_us(ts::TIMESTAMP) // 86400000000)::VARCHAR AS bk,
+        |    event_type AS it
+        |  FROM events),
+        |b AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM tx),
+        |items AS (SELECT it, count(*)::BIGINT AS n_it FROM tx GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.it AS ia, y.it AS ib, count(*)::BIGINT AS n_both
+        |  FROM tx x JOIN tx y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+        |  UNION ALL SELECT ib, ia, n_both FROM pairs),
+        |j AS (
+        |  SELECT d.antecedent, d.consequent, b.n_baskets,
+        |    a.n_it AS n_ante, c.n_it AS n_cons, d.n_both
+        |  FROM dir d JOIN items a ON a.it = d.antecedent
+        |    JOIN items c ON c.it = d.consequent, b)
+        |SELECT antecedent, consequent, n_baskets, n_ante, n_cons, n_both,
+        |  n_both::DOUBLE / n_baskets AS support,
+        |  n_both::DOUBLE / n_ante AS confidence,
+        |  n_both::DOUBLE * n_baskets / (n_ante::DOUBLE * n_cons) AS lift,
+        |  round(n_both::DOUBLE / n_baskets
+        |    - (n_ante::DOUBLE / n_baskets) * (n_cons::DOUBLE / n_baskets),
+        |    6) AS leverage,
+        |  CASE WHEN n_both <> n_ante THEN
+        |    round((1.0 - n_cons::DOUBLE / n_baskets)
+        |      / (1.0 - n_both::DOUBLE / n_ante), 6) END AS conviction
+        |FROM j
+        |WHERE n_both * 1000000 >= 140000 * n_baskets
+        |  AND n_both * 1000000 >= 360000 * n_ante""".stripMargin,
 
     // E-process monitor: same micro log-LR integers baked from
     // Sequential.constants, so the weighted counts match by

@@ -340,7 +340,9 @@ object ScaleProbe {
       // exactKth narrowing censuses + one literal-filter coverage scan
       "v_conformal",
       // 9-row digit census / 4-cell decimal census
-      "k_benford", "x_did")
+      "k_benford", "x_did",
+      // presence distinct + per-basket self-join (vocab-bounded fanout)
+      "x_assoc_rules")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
