@@ -1641,6 +1641,13 @@ object DataOpsQueries {
     // Two-sample Kolmogorov–Smirnov test: en vs non-en document-length
     // distributions — integer D statistic over the value census,
     // asymptotic Kolmogorov-series p (100 nano-rounded terms).
+    // Hill tail-index of the document length distribution: exact
+    // (n-k)-th threshold via exactKth, per-row micro log terms, exact
+    // long tail sum, ties-at-threshold excluded.
+    "x_hill" -> ((s, dir) =>
+      operators.TailIndex.hill(Tables.documents(s, dir),
+        col("n_chars"), k = 200L)),
+
     // Wasserstein-1 drift per source slice: how far (in characters)
     // the en length distribution sits from the non-en one — the
     // bin-free, magnitude-carrying companion to KS/PSI.
@@ -6085,6 +6092,30 @@ object DataOpsQueries {
         |    round(least(1.0, greatest(0.0, 1.0 - ${normCdfSql("z")})), 6)
         |  END AS p_value
         |FROM cz""".stripMargin,
+
+    "x_hill" ->
+      """WITH v AS (
+        |  SELECT n_chars::BIGINT AS v FROM documents WHERE n_chars > 0),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        |th AS (
+        |  SELECT v AS t FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v) r
+        |  WHERE rn = (SELECT n - 200 FROM nn)),
+        |tail AS (
+        |  SELECT CAST(round(1000000.0
+        |    * ln(v::DOUBLE / (SELECT t::DOUBLE FROM th))) AS BIGINT)
+        |    AS term
+        |  FROM v WHERE v > (SELECT t FROM th)),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS m, sum(term)::BIGINT AS sum_micro
+        |  FROM tail)
+        |SELECT (SELECT n FROM nn) AS n, 200::BIGINT AS k,
+        |  (SELECT t FROM th)::BIGINT AS threshold, m,
+        |  CASE WHEN m > 0 THEN
+        |    sum_micro::DOUBLE / (1000000.0 * m::DOUBLE) END AS gamma,
+        |  CASE WHEN m > 0 AND sum_micro > 0 THEN
+        |    1000000.0 * m::DOUBLE / sum_micro::DOUBLE END AS alpha
+        |FROM agg""".stripMargin,
 
     "x_wasserstein" ->
       """WITH cen AS (

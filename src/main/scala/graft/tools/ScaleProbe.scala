@@ -342,7 +342,9 @@ object ScaleProbe {
       // 9-row digit census / 4-cell decimal census
       "k_benford", "x_did",
       // presence distinct + per-basket self-join (vocab-bounded fanout)
-      "x_assoc_rules")
+      "x_assoc_rules",
+      // exactKth narrowing + one literal-filter tail scan
+      "x_hill")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
