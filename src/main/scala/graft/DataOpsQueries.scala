@@ -3537,6 +3537,20 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // DTW of each event type's daily-volume curve against the 'view'
+    // reference series (band 3): exact long min-plus DP in one native
+    // codegen'd expression, series densified to the reference grid.
+    "x_dtw" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      operators.Dtw.toReference(ev,
+        group = col("event_type"),
+        bucket = expr("unix_micros(ts) div 86400000000"),
+        value = lit(1L),
+        ref = ev.where(col("event_type") === "view"),
+        refBucket = expr("unix_micros(ts) div 86400000000"),
+        refValue = lit(1L), band = 3)
+    }),
+
     // Association rules over user-day baskets of event types: directed
     // a->b rules with support/confidence/lift/leverage/conviction,
     // thresholds as exact integer cross-multiplications.
@@ -9585,6 +9599,73 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    // DTW oracle: the whole banded min-plus DP replayed ONE CELL PER
+    // ITERATION in row-major order, carrying a ring buffer of the last
+    // n+1 cells as LIST state (diag = ring[1], up = ring[2], left =
+    // ring[n+1]); INF sentinel propagates band/boundary infeasibility.
+    "x_dtw" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type,
+        |    epoch_us(ts::TIMESTAMP) // 86400000000 AS b
+        |  FROM events),
+        |refc AS (
+        |  SELECT b, count(*)::BIGINT AS v FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |grid AS (SELECT b FROM refc),
+        |yy AS (SELECT list(v ORDER BY b) AS ys, count(*)::INT AS n
+        |  FROM refc),
+        |gv AS (
+        |  SELECT event_type AS key, b, count(*)::BIGINT AS v
+        |  FROM ev GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT k.key, g.b, coalesce(v.v, 0)::BIGINT AS v
+        |  FROM (SELECT DISTINCT key FROM gv) k
+        |  CROSS JOIN grid g
+        |  LEFT JOIN gv v ON v.key = k.key AND v.b = g.b),
+        |xx AS (
+        |  SELECT key, list(v ORDER BY b) AS xs, count(*)::INT AS m
+        |  FROM dense GROUP BY key),
+        |rec AS (
+        |  SELECT x.key, x.xs, y.ys, x.m, y.n, 0::BIGINT AS t,
+        |    list_transform(range(0, y.n + 1),
+        |      i -> 1000000000000000::BIGINT) AS ring
+        |  FROM xx x, yy y
+        |  UNION ALL
+        |  SELECT key, xs, ys, m, n, t + 1,
+        |    list_concat(ring[2:],
+        |      [CASE WHEN abs((t // n + 1) - (t % n + 1)) > 3
+        |            THEN 1000000000000000
+        |        ELSE CASE WHEN (CASE
+        |          WHEN t // n + 1 = 1 AND t % n + 1 = 1 THEN 0
+        |          ELSE least(
+        |            CASE WHEN t // n + 1 > 1 AND t % n + 1 > 1
+        |                 THEN ring[1] ELSE 1000000000000000 END,
+        |            CASE WHEN t // n + 1 > 1
+        |                 THEN ring[2] ELSE 1000000000000000 END,
+        |            CASE WHEN t % n + 1 > 1
+        |                 THEN ring[n + 1] ELSE 1000000000000000 END)
+        |          END) >= 1000000000000000 THEN 1000000000000000
+        |        ELSE (CASE
+        |          WHEN t // n + 1 = 1 AND t % n + 1 = 1 THEN 0
+        |          ELSE least(
+        |            CASE WHEN t // n + 1 > 1 AND t % n + 1 > 1
+        |                 THEN ring[1] ELSE 1000000000000000 END,
+        |            CASE WHEN t // n + 1 > 1
+        |                 THEN ring[2] ELSE 1000000000000000 END,
+        |            CASE WHEN t % n + 1 > 1
+        |                 THEN ring[n + 1] ELSE 1000000000000000 END)
+        |          END) + abs(xs[(t // n + 1)::INT] - ys[(t % n + 1)::INT])
+        |        END
+        |      END::BIGINT])
+        |  FROM rec WHERE t < m::BIGINT * n)
+        |SELECT key, m AS len,
+        |  CASE WHEN ring[n + 1] >= 1000000000000000 THEN NULL
+        |       ELSE ring[n + 1] END AS dtw,
+        |  (CASE WHEN ring[n + 1] >= 1000000000000000 THEN NULL
+        |        ELSE ring[n + 1] END)::DOUBLE
+        |    / (m + n)::DOUBLE AS dtw_per_step
+        |FROM rec WHERE t = m::BIGINT * n""".stripMargin,
 
     "x_assoc_rules" ->
       """WITH tx AS (

@@ -344,7 +344,9 @@ object ScaleProbe {
       // presence distinct + per-basket self-join (vocab-bounded fanout)
       "x_assoc_rules",
       // exactKth narrowing + one literal-filter tail scan
-      "x_hill")
+      "x_hill",
+      // (group x day) census + codegen'd banded min-plus DP projection
+      "x_dtw")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
