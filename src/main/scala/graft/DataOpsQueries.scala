@@ -3537,6 +3537,25 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // RBO@10 (p=0.9) between two per-source document rankings: exact
+    // chars-desc vs decade-coarsened chars — high-but-imperfect overlap
+    // exercises the whole depth-weight curve. Rankings come from the
+    // row_number spelling, so they ride the GroupedTopK rewrite.
+    "r_rbo" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def topk(order: Column*) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(order: _*)
+        d.select(col("source").as("query"), col("doc_id").as("item"),
+            row_number().over(w).as("rank"))
+          .where(col("rank") <= 10)
+      }
+      operators.Rbo.rboAtK(
+        topk(col("n_chars").desc, col("doc_id").asc),
+        topk(expr("n_chars div 10").desc, col("doc_id").asc),
+        k = 10, pMicro = 900000L)
+    }),
+
     // DTW of each event type's daily-volume curve against the 'view'
     // reference series (band 3): exact long min-plus DP in one native
     // codegen'd expression, series densified to the reference grid.
@@ -9599,6 +9618,53 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "r_rbo" -> {
+      val (wd, pk) = operators.Rbo.weights(10, 900000L)
+      val wcase = wd.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+      s"""WITH a AS (
+        |  SELECT source AS query, doc_id AS item,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents QUALIFY rank <= 10),
+        |b AS (
+        |  SELECT source AS query, doc_id AS item,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars // 10 DESC, doc_id) AS rank
+        |  FROM documents QUALIFY rank <= 10),
+        |q AS (SELECT DISTINCT query FROM (
+        |  SELECT query FROM a UNION ALL SELECT query FROM b)),
+        |mc AS (
+        |  SELECT a.query, greatest(a.rank, b.rank) AS m,
+        |    count(*)::BIGINT AS nm
+        |  FROM a JOIN b ON a.query = b.query AND a.item = b.item
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT q.query, d FROM q
+        |  CROSS JOIN (SELECT unnest(range(1, 11))::BIGINT AS d)),
+        |dep AS (
+        |  SELECT g.query, g.d, coalesce(mc.nm, 0)::BIGINT AS nm
+        |  FROM grid g LEFT JOIN mc ON mc.query = g.query AND mc.m = g.d),
+        |cum AS (
+        |  SELECT query, d,
+        |    (sum(nm) OVER (PARTITION BY query ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    )::BIGINT AS ov
+        |  FROM dep),
+        |tm AS (
+        |  SELECT query, d, ov,
+        |    CAST(round((CASE d $wcase END)::DOUBLE * ov / d) AS BIGINT)
+        |      AS term_nano,
+        |    CASE WHEN d = 10 THEN
+        |      CAST(round($pk::DOUBLE * ov / d) AS BIGINT)
+        |    ELSE 0 END AS ext_nano
+        |  FROM cum)
+        |SELECT query, max(CASE WHEN d = 10 THEN ov END)::BIGINT
+        |    AS overlap_k,
+        |  (sum(term_nano) + sum(ext_nano))::DOUBLE / 1000000000.0 AS rbo
+        |FROM tm GROUP BY query""".stripMargin
+    },
 
     // DTW oracle: the whole banded min-plus DP replayed ONE CELL PER
     // ITERATION in row-major order, carrying a ring buffer of the last

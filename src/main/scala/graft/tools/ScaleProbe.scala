@@ -346,7 +346,9 @@ object ScaleProbe {
       // exactKth narrowing + one literal-filter tail scan
       "x_hill",
       // (group x day) census + codegen'd banded min-plus DP projection
-      "x_dtw")
+      "x_dtw",
+      // two top-k frames (heap-rewritten windows) + depth-census join
+      "r_rbo")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
