@@ -4015,6 +4015,44 @@ object DataOpsQueries {
           max(col("event_id")).as("max_event"))
     }),
 
+    // The SAME containment join spelled the naive way every user writes
+    // it (pure theta join, no equi key) — driven end-to-end through the
+    // InferBucketedRangeJoin rule: conf scoped by eager materialization,
+    // rewrite pinned by the _graft_bkt attrs in the executed plan.
+    "j13_rangejoin_rewrite" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val iv = ev.groupBy(col("user_id").as("iv_user"))
+        .agg(min(col("p_us")).as("start_us"))
+        .where(col("iv_user") % 7 === 0)
+        .withColumn("end_us", col("start_us") + lit(1800000000L))
+        .select("iv_user", "start_us", "end_us")
+      // respect an externally-set width (AbBench's rangejoin_off=0
+      // variant times the nested-loop path through this same gate)
+      val pre = s.conf.getOption("spark.graft.rangejoin.bucketWidth")
+      if (pre.isEmpty)
+        s.conf.set("spark.graft.rangejoin.bucketWidth", "600000000")
+      try {
+        val base = ev.join(iv,
+            col("p_us") >= col("start_us") && col("p_us") < col("end_us"))
+          .groupBy("iv_user", "start_us")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("min_event"),
+            max(col("event_id")).as("max_event"))
+        if (s.conf.get("spark.graft.rangejoin.bucketWidth").toLong > 0) {
+          val plan = base.queryExecution.executedPlan.toString
+          require(plan.contains("_graft_bkt"),
+            s"range-join rewrite did not fire:\n$plan")
+          require(!plan.contains("BroadcastNestedLoopJoin"),
+            "rewrite left a nested-loop join in the plan")
+        }
+        base.localCheckpoint() // materialize while the rule is active
+      } finally {
+        if (pre.isEmpty) s.conf.unset("spark.graft.rangejoin.bucketWidth")
+      }
+    }),
+
     // WARC container parse on REAL bytes (the Common Crawl ingestion
     // path): every document becomes a 2-record WARC blob (warcinfo +
     // resource) and the parser genuinely walks headers/Content-Length/
@@ -10983,5 +11021,8 @@ object DataOpsQueries {
     "m_phash_png" -> oraclesBase("m_phash"),
     // the bloom tier's whole contract is result-identity with the plain
     // anti-join — same oracle, different physical route
-    "d_incremental_exact_bloom" -> oraclesBase("d_incremental_exact"))
+    "d_incremental_exact_bloom" -> oraclesBase("d_incremental_exact"),
+    // the rewrite's whole contract is result-identity with the
+    // hand-bucketed range join — same oracle, rule-generated plan
+    "j13_rangejoin_rewrite" -> oraclesBase("j11_range_join"))
 }

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // grouped top-k: logical node -> partial/final heap execs, plus the
     // rewrite that turns the row_number-filter window spelling into it
     ext.injectOptimizerRule(_ => graft.plans.InferGroupedTopK)
+    // naive range-join spelling -> bucketed equi-join (opt-in by
+    // spark.graft.rangejoin.bucketWidth > 0)
+    ext.injectOptimizerRule(_ => graft.plans.InferBucketedRangeJoin)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     // single-pass as-of carry (no WindowExec group buffering)
     ext.injectPlannerStrategy(_ => graft.plans.CarryForwardStrategy)

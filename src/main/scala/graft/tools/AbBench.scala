@@ -33,11 +33,12 @@ object AbBench {
     "topk_off" -> Map("spark.graft.topk.rewrite" -> "false"),
     "md5fuse_off" -> Map("spark.graft.fuse.md5" -> "false"),
     "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"),
-    "asof_window" -> Map("spark.graft.asof.native" -> "false"))
+    "asof_window" -> Map("spark.graft.asof.native" -> "false"),
+    "rangejoin_off" -> Map("spark.graft.rangejoin.bucketWidth" -> "0"))
 
   val AllSwitches: Seq[String] = Seq("spark.graft.topk.rewrite",
     "spark.graft.fuse.md5", "spark.graft.fuse.shingle",
-    "spark.graft.asof.native")
+    "spark.graft.asof.native", "spark.graft.rangejoin.bucketWidth")
 
   val DefaultGates: Seq[String] = Seq(
     // rewritten by InferGroupedTopK / heap exec family
@@ -50,7 +51,9 @@ object AbBench {
     // shingle-fuse representative
     "d_minhash_neardup_fast",
     // as-of native-carry representatives
-    "j10_asof_join", "j12_asof_forward")
+    "j10_asof_join", "j12_asof_forward",
+    // range-join rewrite representative (rangejoin_off = BNLJ path)
+    "j13_rangejoin_rewrite")
 
   def main(args: Array[String]): Unit = {
     val dir = args.sliding(2).collectFirst { case Array("--dir", d) => d }
