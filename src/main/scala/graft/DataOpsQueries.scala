@@ -4659,6 +4659,25 @@ object DataOpsQueries {
     // Keys divisible by 21 carry BOTH a day-2 upsert and a day-3 delete,
     // so the gate pins last-writer-wins. Increment-proportional: only the
     // changeset is windowed; the snapshot sees one equi-join.
+    // Snapshot diff on engineered before/after views of orders: window
+    // shift adds/removes key ranges, %7 price bumps and %13 status
+    // flips exercise per-column change attribution.
+    "i_table_diff" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+      val before = base.where(col("o_orderkey") % 100 < 50)
+      val after = base
+        .where(col("o_orderkey") % 100 >= 2 && col("o_orderkey") % 100 < 52)
+        .withColumn("cents", col("cents")
+          + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L))
+        .withColumn("st",
+          when(col("o_orderkey") % 13 === 0, lit("X")).otherwise(col("st")))
+      operators.TableDiff.diff(before, after, Seq("o_orderkey"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+    }),
+
     "i_apply_changes" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
       val up = o.where(col("o_orderkey") % 3 === 0)
@@ -5137,6 +5156,41 @@ object DataOpsQueries {
     // CDC family: the change log is rebuilt verbatim in SQL (day-1 full
     // upsert, day-2 +100 re-price on keys %3, day-3 tombstone on keys
     // %7), then the merge / lead-window / as-of kernels are replayed.
+    "i_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |b AS (SELECT * FROM base WHERE k % 100 < 50),
+        |a AS (
+        |  SELECT k, o_custkey,
+        |    cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS cents,
+        |    CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st
+        |  FROM base WHERE k % 100 >= 2 AND k % 100 < 52)
+        |SELECT * FROM (
+        |  SELECT coalesce(b.k, a.k) AS o_orderkey,
+        |    CASE WHEN b.k IS NULL THEN 'added'
+        |         WHEN a.k IS NULL THEN 'removed'
+        |         WHEN b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+        |          AND b.cents IS NOT DISTINCT FROM a.cents
+        |          AND b.st IS NOT DISTINCT FROM a.st THEN NULL
+        |         ELSE 'changed' END AS change,
+        |    CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+        |          AND NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+        |            AND b.cents IS NOT DISTINCT FROM a.cents
+        |            AND b.st IS NOT DISTINCT FROM a.st) THEN
+        |      array_to_string(list_filter([
+        |        CASE WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+        |             THEN 'o_custkey' END,
+        |        CASE WHEN b.cents IS DISTINCT FROM a.cents
+        |             THEN 'cents' END,
+        |        CASE WHEN b.st IS DISTINCT FROM a.st THEN 'st' END],
+        |        x -> x IS NOT NULL), ',')
+        |    END AS changed_cols
+        |  FROM b FULL JOIN a ON b.k = a.k)
+        |WHERE change IS NOT NULL""".stripMargin,
+
     "i_apply_changes" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
         |chg AS (

@@ -348,7 +348,11 @@ object ScaleProbe {
       // (group x day) census + codegen'd banded min-plus DP projection
       "x_dtw",
       // two top-k frames (heap-rewritten windows) + depth-census join
-      "r_rbo")
+      "r_rbo",
+      // one full-outer key join, change-volume-bounded output
+      "i_table_diff",
+      // bucketed equi-join via the optimizer rewrite
+      "j13_rangejoin_rewrite")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
