@@ -3537,6 +3537,20 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // Cross-correlation lead-lag: each event type's daily counts vs
+    // the 'view' reference over lags -5..5; exact long dot products,
+    // smallest-shift tie-break, zero-overlap lags densified in.
+    "x_xcorr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      operators.CrossCorrelation.bestLag(ev,
+        group = col("event_type"),
+        bucket = expr("unix_micros(ts) div 86400000000"),
+        value = lit(1L),
+        ref = ev.where(col("event_type") === "view"),
+        refBucket = expr("unix_micros(ts) div 86400000000"),
+        refValue = lit(1L), maxLag = 5)
+    }),
+
     // RBO@10 (p=0.9) between two per-source document rankings: exact
     // chars-desc vs decade-coarsened chars — high-but-imperfect overlap
     // exercises the whole depth-weight curve. Rankings come from the
@@ -9710,6 +9724,36 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_xcorr" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_us(ts::TIMESTAMP) // 86400000000 AS b
+        |  FROM events),
+        |gx AS (
+        |  SELECT event_type AS key, b, count(*)::BIGINT AS x
+        |  FROM ev GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT b AS rb, count(*)::BIGINT AS y FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lags AS (SELECT unnest(range(-5, 6))::BIGINT AS lag),
+        |sc AS (
+        |  SELECT g.key, l.lag, count(*)::BIGINT AS n_overlap,
+        |    sum(g.x * r.y)::BIGINT AS dot
+        |  FROM gx g CROSS JOIN lags l
+        |  JOIN ry r ON r.rb = g.b - l.lag
+        |  GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT k.key, l.lag,
+        |    coalesce(s.n_overlap, 0)::BIGINT AS n_overlap,
+        |    coalesce(s.dot, 0)::BIGINT AS dot
+        |  FROM (SELECT DISTINCT key FROM gx) k
+        |  CROSS JOIN lags l
+        |  LEFT JOIN sc s ON s.key = k.key AND s.lag = l.lag)
+        |SELECT key, lag, n_overlap, dot,
+        |  row_number() OVER (PARTITION BY key
+        |    ORDER BY dot DESC, abs(lag), lag) = 1 AS is_best
+        |FROM dense""".stripMargin,
 
     "r_rbo" -> {
       val (wd, pk) = operators.Rbo.weights(10, 900000L)

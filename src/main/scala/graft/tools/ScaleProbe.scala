@@ -352,7 +352,9 @@ object ScaleProbe {
       // one full-outer key join, change-volume-bounded output
       "i_table_diff",
       // bucketed equi-join via the optimizer rewrite
-      "j13_rangejoin_rewrite")
+      "j13_rangejoin_rewrite",
+      // lag-grid broadcast x group census, pair-grain partial agg
+      "x_xcorr")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
