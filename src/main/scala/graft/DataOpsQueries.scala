@@ -3102,6 +3102,19 @@ object DataOpsQueries {
     // expression drops into a readStream. Scores every 4th doc under
     // the full-corpus model; MUST equal the join-based path bit for bit
     // (same oracle chain, filtered).
+    // Exact per-doc NB attribution: top-5 tokens by |n_occ * w(bucket)|
+    // for every %4 doc — linearity makes the decomposition exact (no
+    // SHAP sampling); rides the GroupedTopK rewrite.
+    "v_nb_explain" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Classifier.explain(
+        d.where(col("doc_id") % 4 === 0),
+        operators.Classifier.trainNaiveBayes(
+          d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+          buckets = 1024),
+        k = 5, buckets = 1024)
+    }),
+
     "t_nb_stateless" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       operators.Classifier.scoreStateless(
@@ -7365,6 +7378,24 @@ object DataOpsQueries {
         |SELECT nk.n_cal, nk.k, q.qhat, t.n_test, t.covered,
         |  t.covered::DOUBLE / t.n_test AS coverage
         |FROM nk, q, t""".stripMargin,
+
+    "v_nb_explain" ->
+      s"""WITH $nbScoreSql,
+        |xfbt AS (
+        |  SELECT doc_id, t,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b
+        |  FROM feats WHERE doc_id % 4 = 0),
+        |xcon AS (
+        |  SELECT f.doc_id, f.t, min(f.b)::BIGINT AS b,
+        |    count(*)::BIGINT AS n_occ,
+        |    sum(w.w_micro)::BIGINT AS contrib_micro
+        |  FROM xfbt f JOIN w ON w.b = f.b
+        |  GROUP BY f.doc_id, f.t
+        |  HAVING sum(w.w_micro) <> 0)
+        |SELECT doc_id, t, b, n_occ, contrib_micro, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY abs(contrib_micro) DESC, t ASC) AS rank
+        |  FROM xcon) WHERE rank <= 5""".stripMargin,
 
     "v_isotonic" ->
       s"""WITH RECURSIVE $nbEvalSql,

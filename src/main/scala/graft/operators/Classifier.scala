@@ -353,6 +353,48 @@ object Classifier {
   def filterByClassifier(candidates: DataFrame, positive: DataFrame,
                          negative: DataFrame, minWPerFeat: Double = 0.0,
                          buckets: Int = 4096,
+                         textCol: String = "text"): DataFrame =
+    filterByClassifierImpl(candidates, positive, negative, minWPerFeat,
+      buckets, textCol)
+
+  /** Per-document decision explanation — NB's log-odds score is a SUM,
+    * so its exact attribution is free: each token's contribution is
+    * n_occurrences · w(bucket), and the top-k by absolute weight ARE
+    * the "why" ("this doc scored spam because of these 5 tokens") — the
+    * model-side explainability twin of [[KnnShapley]]'s data-side
+    * values, with none of SHAP's sampling because linearity makes the
+    * decomposition exact. Tokens whose buckets carry no trained weight
+    * (or exactly cancel to 0) contribute nothing and are dropped.
+    *
+    * Scale shape: the feature explode + ONE broadcast model join
+    * (model ≤ buckets rows by construction) + (doc × token) partial
+    * agg; the top-k is the row_number spelling, so it rides the
+    * GroupedTopK heap rewrite — shuffle k-bounded per doc × partition.
+    *
+    * Output: (doc_id, t, b, n_occ, contrib_micro, rank), rank 1..k by
+    * (|contrib| desc, token asc) — a total order, so deterministic.
+    */
+  def explain(candidates: DataFrame, model: DataFrame, k: Int,
+              buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val feats = Dsir.featureRows(candidates, textCol)
+      .select(col("doc_id"), col("t"),
+        Dsir.featureBucket(col("t"), buckets).as("b"))
+    val contrib = feats.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "t")
+      .agg(first(col("b")).as("b"), count(lit(1)).as("n_occ"),
+        sum(col("w_micro")).as("contrib_micro"))
+      .where(col("contrib_micro") =!= 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(abs(col("contrib_micro")).desc, col("t").asc)
+    contrib.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  private def filterByClassifierImpl(candidates: DataFrame, positive: DataFrame,
+                         negative: DataFrame, minWPerFeat: Double = 0.0,
+                         buckets: Int = 4096,
                          textCol: String = "text"): DataFrame = {
     val kept = scoreAgainst(candidates, positive, negative, buckets, textCol)
       .where(col("n_feats") > 0 && col("w_per_feat") >= minWPerFeat)

@@ -354,7 +354,9 @@ object ScaleProbe {
       // bucketed equi-join via the optimizer rewrite
       "j13_rangejoin_rewrite",
       // lag-grid broadcast x group census, pair-grain partial agg
-      "x_xcorr")
+      "x_xcorr",
+      // feature explode + broadcast model join + heap top-k
+      "v_nb_explain")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -146,4 +146,32 @@ class ClassifierSpec extends SparkSpec {
     assert(one(1L) === ("en", false))
     assert(one(2L) === ("en", false)) // de 20 ≥ ... no de-labeled docs → no t_de
   }
+
+  test("explain: attributions sum to the score minus the prior") {
+    val model = Classifier.trainNaiveBayes(pos, neg, buckets = 1024)
+    val cand = Seq((21L, "cat purr market cat")).toDF("doc_id", "text")
+    val exp = Classifier.explain(cand, model, k = 100, buckets = 1024)
+      .collect().map(r => r.getString(1) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // n_occ carries multiplicity: 'cat' appears twice
+    assert(exp("cat")._1 === 2L)
+    assert(exp("cat")._2 > 0 && exp("purr")._2 > 0)
+    assert(exp("market")._2 < 0)
+    val scored = Classifier.score(cand, model,
+      Classifier.classPrior(pos, neg), buckets = 1024).head()
+    val prior = Classifier.classPrior(pos, neg).head().getLong(0)
+    assert(exp.values.map(_._2).sum === scored.getLong(2) - prior,
+      "exact decomposition: contributions must reconstruct the score")
+  }
+
+  test("explain: top-k ranks by |contribution|, ties by token") {
+    val model = Classifier.trainNaiveBayes(pos, neg, buckets = 1024)
+    val cand = Seq((22L, "cat cat cat market soft")).toDF("doc_id", "text")
+    val rows = Classifier.explain(cand, model, k = 2, buckets = 1024)
+      .orderBy("rank").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getInt(5)).toSeq === Seq(1, 2))
+    // triple 'cat' must out-rank everything by magnitude
+    assert(rows.head.getString(1) === "cat")
+  }
 }
