@@ -3191,6 +3191,29 @@ object DataOpsQueries {
     // cross-multiplied violation test, pooled-rate output via the
     // shared round-half-up division; the oracle replays the pooling as
     // an append-or-merge recursive CTE.
+    // Pinball (quantile) loss ladder: per-type mean-cents predictor
+    // scored at tau 0.1/0.5/0.9 — exact long terms, decimal-safe sums.
+    "v_pinball" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val m = ev.groupBy("event_type")
+        .agg(round(sum("cents").cast("double") / count(lit(1)))
+          .cast("long").as("pred"))
+      operators.Pinball.loss(ev.join(broadcast(m), Seq("event_type")),
+        col("event_type"), col("cents"), col("pred"),
+        Seq(100000L, 500000L, 900000L))
+    }),
+
+    // ROLLUP surface (Catalyst Expand): hierarchy totals with
+    // grouping_id, the OLAP subtotal spelling.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_cents"),
+          grouping_id().cast("long").as("gid"))),
+
     // Split conformal intervals around a per-part mean-price predictor:
     // 3-way orderkey split (train/cal/test), exact cent residuals,
     // finite-sample ceil((1-alpha)(n+1)) rank via exactKth, test
@@ -7335,6 +7358,38 @@ object DataOpsQueries {
         |    - CAST(round(1e6 / (1.0 + pow(10, -(ssum::DOUBLE / n / 1e6))))
         |      AS BIGINT)) AS gap_micro
         |FROM vagg""".stripMargin,
+
+    "v_pinball" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(round(sum(cents)::DOUBLE / count(*)) AS BIGINT) AS pred
+        |  FROM ev GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type AS key, e.cents - m.pred AS d
+        |  FROM ev e JOIN m USING (event_type)),
+        |t AS (SELECT unnest([100000, 500000, 900000])::BIGINT
+        |  AS tau_micro),
+        |s AS (
+        |  SELECT key, tau_micro, count(*)::BIGINT AS n,
+        |    sum(greatest(tau_micro * d, (tau_micro - 1000000) * d)
+        |      )::BIGINT AS loss_sum_micro
+        |  FROM b CROSS JOIN t GROUP BY 1, 2)
+        |SELECT key, tau_micro, n, loss_sum_micro,
+        |  loss_sum_micro::DOUBLE / (1000000.0 * n::DOUBLE) AS loss
+        |FROM s""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |    AS sum_cents,
+        |  (2 * GROUPING(l_returnflag) + GROUPING(l_linestatus))::BIGINT
+        |    AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "v_conformal" ->
       """WITH li AS (

@@ -356,7 +356,9 @@ object ScaleProbe {
       // lag-grid broadcast x group census, pair-grain partial agg
       "x_xcorr",
       // feature explode + broadcast model join + heap top-k
-      "v_nb_explain")
+      "v_nb_explain",
+      // tau-ladder cross + one partial agg / Expand + hash agg
+      "v_pinball", "q_rollup")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
