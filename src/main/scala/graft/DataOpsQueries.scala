@@ -3240,6 +3240,13 @@ object DataOpsQueries {
         pred = col("pred"), actual = col("cents"), alphaMicro = 100000L)
     }),
 
+    // Platt sigmoid calibration of the NB scores: 5 Newton rounds on
+    // the score census, micro-snapped (A, B) between rounds, smoothed
+    // Platt targets; every round replayed by the oracle.
+    "v_platt" -> ((s, dir) =>
+      operators.Platt.fit(nbScored(s, dir), col("score_micro"),
+        col("label"), rounds = 5)),
+
     "v_isotonic" -> ((s, dir) =>
       operators.Evaluation.isotonicCalibration(nbScored(s, dir))),
 
@@ -7433,6 +7440,85 @@ object DataOpsQueries {
         |SELECT nk.n_cal, nk.k, q.qhat, t.n_test, t.covered,
         |  t.covered::DOUBLE / t.n_test AS coverage
         |FROM nk, q, t""".stripMargin,
+
+    // Platt: init from counts, then every Newton round unrolled — per
+    // round one sums CTE (micro-rounded per census row and class,
+    // count-weighted exact sums) and one 1-row (am, bm) update CTE;
+    // the 1e6 scalings cancel in the 2x2 solve so the ratio reads the
+    // micro longs directly.
+    "v_platt" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""pp$r AS (
+           |  SELECT c.sm, c.np, c.nn, c.sm::DOUBLE / 1000000.0 AS sv,
+           |    1.0 / (1.0 + exp(-(a.am::DOUBLE / 1000000.0
+           |      * (c.sm::DOUBLE / 1000000.0)
+           |      + a.bm::DOUBLE / 1000000.0))) AS p,
+           |    t.tp, t.tn
+           |  FROM pcen c, pab${r - 1} a, ptgt t),
+           |psum$r AS (
+           |  SELECT
+           |    sum(CAST(round(((p - tp) * sv) * 1000000.0) AS BIGINT) * np
+           |      + CAST(round(((p - tn) * sv) * 1000000.0) AS BIGINT) * nn
+           |      )::BIGINT AS g1,
+           |    sum(CAST(round((p - tp) * 1000000.0) AS BIGINT) * np
+           |      + CAST(round((p - tn) * 1000000.0) AS BIGINT) * nn
+           |      )::BIGINT AS g2,
+           |    sum(CAST(round((p * (1.0 - p) * sv * sv) * 1000000.0)
+           |        AS BIGINT) * (np + nn))::BIGINT AS h11,
+           |    sum(CAST(round((p * (1.0 - p) * sv) * 1000000.0)
+           |        AS BIGINT) * (np + nn))::BIGINT AS h12,
+           |    sum(CAST(round((p * (1.0 - p)) * 1000000.0)
+           |        AS BIGINT) * (np + nn))::BIGINT AS h22
+           |  FROM pp$r),
+           |pab$r AS (
+           |  SELECT
+           |    CASE WHEN det = 0.0 THEN am
+           |      ELSE CAST(round((am::DOUBLE / 1000000.0
+           |        - (h22::DOUBLE * g1::DOUBLE - h12::DOUBLE * g2::DOUBLE)
+           |          / det) * 1000000.0) AS BIGINT) END AS am,
+           |    CASE WHEN det = 0.0 THEN bm
+           |      ELSE CAST(round((bm::DOUBLE / 1000000.0
+           |        - (h11::DOUBLE * g2::DOUBLE - h12::DOUBLE * g1::DOUBLE)
+           |          / det) * 1000000.0) AS BIGINT) END AS bm
+           |  FROM (SELECT a.am, a.bm, s.*,
+           |      (s.h11::DOUBLE * s.h22::DOUBLE
+           |        - s.h12::DOUBLE * s.h12::DOUBLE) AS det
+           |    FROM pab${r - 1} a, psum$r s))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nbEvalSql,
+        |pcen AS (
+        |  SELECT s AS sm,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS nn
+        |  FROM vscored GROUP BY s),
+        |pa AS (
+        |  SELECT sum(np)::BIGINT AS npos, sum(nn)::BIGINT AS nneg
+        |  FROM pcen),
+        |ptgt AS (
+        |  SELECT (npos + 1.0) / (npos + 2.0) AS tp,
+        |    1.0 / (nneg + 2.0) AS tn
+        |  FROM pa),
+        |pab0 AS (
+        |  SELECT 0::BIGINT AS am,
+        |    CAST(round(ln((nneg + 1.0) / (npos + 1.0)) * 1000000.0)
+        |      AS BIGINT) AS bm
+        |  FROM pa),
+        |$rounds,
+        |pfin AS (
+        |  SELECT c.np, c.nn,
+        |    1.0 / (1.0 + exp(-(a.am::DOUBLE / 1000000.0
+        |      * (c.sm::DOUBLE / 1000000.0)
+        |      + a.bm::DOUBLE / 1000000.0))) AS p
+        |  FROM pcen c, pab5 a)
+        |SELECT pa.npos AS n_pos, pa.nneg AS n_neg,
+        |  (SELECT am FROM pab5) AS a_micro,
+        |  (SELECT bm FROM pab5) AS b_micro,
+        |  (SELECT sum(CAST(round(-ln(p) * 1000000.0) AS BIGINT) * np
+        |     + CAST(round(-ln(1.0 - p) * 1000000.0) AS BIGINT) * nn)
+        |   FROM pfin)::DOUBLE
+        |    / (1000000.0 * (pa.npos + pa.nneg)::DOUBLE) AS logloss
+        |FROM pa""".stripMargin
+    },
 
     "v_nb_explain" ->
       s"""WITH $nbScoreSql,

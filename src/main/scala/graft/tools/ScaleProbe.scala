@@ -358,7 +358,9 @@ object ScaleProbe {
       // feature explode + broadcast model join + heap top-k
       "v_nb_explain",
       // tau-ladder cross + one partial agg / Expand + hash agg
-      "v_pinball", "q_rollup")
+      "v_pinball", "q_rollup",
+      // score-census Newton rounds, 5 longs to the driver per round
+      "v_platt")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
