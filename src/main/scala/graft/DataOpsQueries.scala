@@ -3873,6 +3873,19 @@ object DataOpsQueries {
     // degree-ordered node-iterator: oriented wedges from the
     // lowest-degree corner only (hub never pivots), one closing-edge
     // equi-join. Pure integer joins — full oracle replay.
+    // DeepWalk-style walk corpus on the pseudo graph: 2 walks x 4 steps
+    // per node, md5-uniform out-edge choices, sinks stop early. Feeds
+    // SkipGram (walks are the sentences).
+    "g_walks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      operators.RandomWalk.walks(edges, walksPerNode = 2, length = 4,
+        seed = 42L)
+    }),
+
     // Adamic-Adar link prediction on the triangle gate's pseudo graph:
     // every non-edge scored by its shared neighbors, each weighted
     // round(1e6/ln(degree)) at the degree census.
@@ -10774,6 +10787,42 @@ object DataOpsQueries {
     // a<b<c triangle enumeration (each triangle once), credited to all
     // three corners — equivalent by construction to the Spark side's
     // degree-ordered pivot enumeration
+    "g_walks" -> {
+      val steps = (1 to 4).map { t =>
+        s"""rwf$t AS (
+           |  SELECT f.start, f.wid, i.dst AS cur
+           |  FROM rwf${t - 1} f
+           |  JOIN rwd d ON d.cur = f.cur
+           |  JOIN rwi i ON i.cur = f.cur
+           |   AND i.idx = 1 + ('0x' || substr(md5(
+           |     'rw:42:' || f.start::VARCHAR || ':' ||
+           |     f.wid::VARCHAR || ':$t'), 1, 15))::BIGINT % d.deg)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 to 4).map(t =>
+        s"SELECT start, wid, $t AS step, cur AS node FROM rwf$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+        |rwe AS (SELECT DISTINCT src, dst FROM e0),
+        |rwi AS (
+        |  SELECT src AS cur, dst,
+        |    (row_number() OVER (PARTITION BY src ORDER BY dst))::BIGINT
+        |      AS idx
+        |  FROM rwe),
+        |rwd AS (SELECT src AS cur, count(*)::BIGINT AS deg
+        |  FROM rwe GROUP BY 1),
+        |rwn AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM rwe UNION ALL SELECT dst FROM rwe)),
+        |rww AS (SELECT unnest([1, 2])::BIGINT AS wid),
+        |rwf0 AS (
+        |  SELECT n.node AS start, w.wid, n.node AS cur
+        |  FROM rwn n CROSS JOIN rww w),
+        |$steps
+        |$out""".stripMargin
+    },
+
     "g_adamic_adar" ->
       """WITH e0 AS (
         |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst FROM documents

@@ -360,7 +360,9 @@ object ScaleProbe {
       // tau-ladder cross + one partial agg / Expand + hash agg
       "v_pinball", "q_rollup",
       // score-census Newton rounds, 5 longs to the driver per round
-      "v_platt")
+      "v_platt",
+      // L frontier equi-joins, walk-volume-proportional output
+      "g_walks")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
