@@ -835,6 +835,47 @@ object DataOpsQueries {
     * `nbagg` with per-doc (n_feats, w_sum_micro) plus the one-row
     * `nbprior`.
     */
+  /** The g_walks chain: pseudo-graph edges, rank-indexed out-edges,
+    * degree census, and all 4 md5-uniform walk steps unrolled —
+    * shared by the walk gate and the composed DeepWalk pipeline.
+    */
+  private val randomWalkChainSql: String = {
+    val steps = (1 to 4).map { t =>
+      s"""rwf$t AS (
+         |  SELECT f.start, f.wid, i.dst AS cur
+         |  FROM rwf${t - 1} f
+         |  JOIN rwd d ON d.cur = f.cur
+         |  JOIN rwi i ON i.cur = f.cur
+         |   AND i.idx = 1 + ('0x' || substr(md5(
+         |     'rw:42:' || f.start::VARCHAR || ':' ||
+         |     f.wid::VARCHAR || ':$t'), 1, 15))::BIGINT % d.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst
+      |  FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
+      |rwe AS (SELECT DISTINCT src, dst FROM e0),
+      |rwi AS (
+      |  SELECT src AS cur, dst,
+      |    (row_number() OVER (PARTITION BY src ORDER BY dst))::BIGINT
+      |      AS idx
+      |  FROM rwe),
+      |rwd AS (SELECT src AS cur, count(*)::BIGINT AS deg
+      |  FROM rwe GROUP BY 1),
+      |rwn AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM rwe UNION ALL SELECT dst FROM rwe)),
+      |rww AS (SELECT unnest([1, 2])::BIGINT AS wid),
+      |rwf0 AS (
+      |  SELECT n.node AS start, w.wid, n.node AS cur
+      |  FROM rwn n CROSS JOIN rww w),
+      |$steps""".stripMargin
+  }
+
+  private val randomWalkUnionSql: String =
+    (0 to 4).map(t =>
+      s"SELECT start, wid, $t AS step, cur AS node FROM rwf$t")
+      .mkString("\nUNION ALL ")
+
   private val nbScoreSql: String =
     hashedFeatureSql + """,
       |pc AS (SELECT b, count(*) AS cp FROM fb WHERE lang = 'en' GROUP BY b),
@@ -3884,6 +3925,28 @@ object DataOpsQueries {
           expr("(doc_id div 10) * 10").as("dst")))
       operators.RandomWalk.walks(edges, walksPerNode = 2, length = 4,
         seed = 42L)
+    }),
+
+    // The composed DeepWalk pipeline: walk corpus -> walk sentences ->
+    // GloVe 1/d-weighted co-occurrence census — the node-embedding
+    // training input, end to end.
+    "g_deepwalk_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % 409).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          expr("(doc_id div 10) * 10").as("dst")))
+      val walks = operators.RandomWalk.walks(edges, walksPerNode = 2,
+        length = 4, seed = 42L)
+      val sentences = walks
+        .groupBy(col("start"), col("wid"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("step"), col("node")))),
+            x => x.getField("node").cast("string")), " ").as("text"))
+        .select((col("start") * 10 + col("wid")).as("doc_id"),
+          col("text"))
+      operators.SkipGram.weightedCooccurrence(sentences, window = 2)
     }),
 
     // Adamic-Adar link prediction on the triangle gate's pseudo graph:
@@ -10787,41 +10850,26 @@ object DataOpsQueries {
     // a<b<c triangle enumeration (each triangle once), credited to all
     // three corners — equivalent by construction to the Spark side's
     // degree-ordered pivot enumeration
-    "g_walks" -> {
-      val steps = (1 to 4).map { t =>
-        s"""rwf$t AS (
-           |  SELECT f.start, f.wid, i.dst AS cur
-           |  FROM rwf${t - 1} f
-           |  JOIN rwd d ON d.cur = f.cur
-           |  JOIN rwi i ON i.cur = f.cur
-           |   AND i.idx = 1 + ('0x' || substr(md5(
-           |     'rw:42:' || f.start::VARCHAR || ':' ||
-           |     f.wid::VARCHAR || ':$t'), 1, 15))::BIGINT % d.deg)""".stripMargin
-      }.mkString(",\n")
-      val out = (0 to 4).map(t =>
-        s"SELECT start, wid, $t AS step, cur AS node FROM rwf$t")
-        .mkString("\nUNION ALL ")
-      s"""WITH e0 AS (
-        |  SELECT doc_id AS src, (doc_id * 7 + 3) % 409 AS dst
-        |  FROM documents
-        |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
-        |rwe AS (SELECT DISTINCT src, dst FROM e0),
-        |rwi AS (
-        |  SELECT src AS cur, dst,
-        |    (row_number() OVER (PARTITION BY src ORDER BY dst))::BIGINT
-        |      AS idx
-        |  FROM rwe),
-        |rwd AS (SELECT src AS cur, count(*)::BIGINT AS deg
-        |  FROM rwe GROUP BY 1),
-        |rwn AS (SELECT DISTINCT node FROM (
-        |  SELECT src AS node FROM rwe UNION ALL SELECT dst FROM rwe)),
-        |rww AS (SELECT unnest([1, 2])::BIGINT AS wid),
-        |rwf0 AS (
-        |  SELECT n.node AS start, w.wid, n.node AS cur
-        |  FROM rwn n CROSS JOIN rww w),
-        |$steps
-        |$out""".stripMargin
-    },
+    "g_walks" ->
+      s"""WITH $randomWalkChainSql
+        |${randomWalkUnionSql}""".stripMargin,
+
+    "g_deepwalk_pairs" ->
+      s"""WITH $randomWalkChainSql,
+        |wall AS (
+        |${randomWalkUnionSql.linesIterator.map("  " + _).mkString("\n")}),
+        |wsent AS (
+        |  SELECT start * 10 + wid AS doc_id, step AS pos,
+        |    node::VARCHAR AS term
+        |  FROM wall)
+        |SELECT a.term AS center, b.term AS context,
+        |  count(*)::BIGINT AS n_pairs,
+        |  sum(CAST(round(1000000.0 / abs(b.pos - a.pos)) AS BIGINT)
+        |    )::BIGINT AS x_micro
+        |FROM wsent a JOIN wsent b
+        |  ON a.doc_id = b.doc_id AND a.pos <> b.pos
+        |  AND abs(b.pos - a.pos) <= 2
+        |GROUP BY 1, 2""".stripMargin,
 
     "g_adamic_adar" ->
       """WITH e0 AS (

@@ -362,7 +362,9 @@ object ScaleProbe {
       // score-census Newton rounds, 5 longs to the driver per round
       "v_platt",
       // L frontier equi-joins, walk-volume-proportional output
-      "g_walks")
+      "g_walks",
+      // the composed walks -> sentences -> co-oc census pipeline
+      "g_deepwalk_pairs")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
