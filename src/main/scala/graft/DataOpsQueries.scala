@@ -1403,6 +1403,16 @@ object DataOpsQueries {
     // (per-class dense weight arrays, integer micro sums, struct-min
     // argmax). The oracle retrains from the same censuses and replays
     // every per-doc class score and the (score desc, lang asc) argmax.
+    // Segment-grain language mixing: classify 8-token windows with the
+    // trained langid, roll up per doc — the code-switch / boilerplate-
+    // concatenation detector a whole-doc langid averages away.
+    "t_code_switch" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Classifier.codeSwitching(d,
+        operators.Classifier.trainLanguageNB(d, buckets = 1024),
+        segTokens = 8)
+    }),
+
     "t_langid_nb" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       operators.Classifier.classifyLanguage(docs,
@@ -5736,6 +5746,64 @@ object DataOpsQueries {
     // priors with the identical round(log10(·)·1e6) ops, score every
     // (doc, class) pair as an exact integer sum, argmax (score desc,
     // lang asc) — the struct-min tie rule the stateless server uses
+    // code-switch oracle: the shared langid model chain, then segment
+    // slices re-enter the same feature/score/argmax arithmetic
+    "t_code_switch" ->
+      s"""WITH $langNbScoresSql,
+        |csg AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, (len(toks) - 1) // 8 + 1))::BIGINT AS seg,
+        |    toks
+        |  FROM toks WHERE len(toks) > 0),
+        |cst AS (
+        |  SELECT doc_id, seg,
+        |    list_slice(toks, (seg * 8 + 1)::INT, (seg * 8 + 8)::INT)
+        |      AS stoks
+        |  FROM csg),
+        |csf AS (
+        |  SELECT doc_id, seg, t FROM (
+        |    SELECT doc_id, seg, unnest(stoks) AS t FROM cst)
+        |  WHERE t <> ''
+        |  UNION ALL
+        |  SELECT doc_id, seg, g FROM (
+        |    SELECT doc_id, seg,
+        |      unnest([array_to_string(stoks[i:i+1], ' ')
+        |        FOR i IN range(1, len(stoks))]) AS g
+        |    FROM cst WHERE len(stoks) >= 2)),
+        |csb AS (
+        |  SELECT doc_id, seg,
+        |    ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b
+        |  FROM csf),
+        |css AS (
+        |  SELECT f.doc_id, f.seg, l.cls,
+        |    sum(coalesce(w.w, dd.d, 0))::BIGINT AS fsum
+        |  FROM csb f CROSS JOIN cls l
+        |  LEFT JOIN lw w ON w.cls = l.cls AND w.b = f.b
+        |  LEFT JOIN ldef dd ON dd.cls = l.cls
+        |  GROUP BY 1, 2, 3),
+        |cspick AS (
+        |  SELECT doc_id, seg, cls FROM (
+        |    SELECT s.doc_id, s.seg, s.cls,
+        |      row_number() OVER (PARTITION BY s.doc_id, s.seg
+        |        ORDER BY (s.fsum + p.p) DESC, s.cls ASC) AS rn
+        |    FROM css s JOIN lpr p ON p.cls = s.cls)
+        |  WHERE rn = 1),
+        |cscen AS (
+        |  SELECT doc_id, cls AS pred_lang, count(*)::BIGINT AS n
+        |  FROM cspick GROUP BY 1, 2),
+        |csrk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, pred_lang ASC) AS rn
+        |  FROM cscen)
+        |SELECT doc_id, sum(n)::BIGINT AS n_segs,
+        |  count(*)::BIGINT AS n_langs,
+        |  max(CASE WHEN rn = 1 THEN pred_lang END) AS majority_lang,
+        |  max(CASE WHEN rn = 1 THEN n END)::BIGINT AS n_majority,
+        |  max(CASE WHEN rn = 1 THEN n END)::DOUBLE / sum(n)
+        |    AS majority_share,
+        |  count(*) > 1 AS switched
+        |FROM csrk GROUP BY doc_id""".stripMargin,
+
     "t_langid_nb" ->
       s"""WITH $langNbScoresSql,
         |lrk AS (

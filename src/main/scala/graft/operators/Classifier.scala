@@ -392,6 +392,61 @@ object Classifier {
       .where(col("rank") <= k)
   }
 
+  /** Code-switching / language-mixing detection — classify fixed-size
+    * TOKEN SEGMENTS of each document with the trained [[LangIdModel]]
+    * and report per-doc mixing: a doc whose segments disagree is
+    * code-switched (or a concatenation artifact — crawl boilerplate
+    * glued to body text), which a whole-doc language id by construction
+    * cannot see (it averages the evidence away). The mixing share is
+    * the cleanup trigger: split, re-route, or drop.
+    *
+    * Segments re-enter the standard feature path (slice the normalized
+    * token stream, re-join, re-tokenize — idempotent on normalized
+    * text), so segment predictions use the EXACT stateless-serving
+    * arithmetic and tie rule. Zero-token docs carry no segments and are
+    * excluded.
+    *
+    * Scale shape: segmentation is a projection; scoring is the
+    * stateless dense-array path (no join); the per-doc rollup is one
+    * partial-agg shuffle at (doc × lang ≤ segments) grain with a
+    * doc-grain argmax window. `segTokens ≥ 1`; synthetic segment ids
+    * assume < 100k segments per doc (8-token segments → 800k-token
+    * docs; enforce upstream).
+    */
+  def codeSwitching(docs: DataFrame, model: LangIdModel, segTokens: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
+          .as("toks"))
+      .where(size(col("toks")) > 0)
+    val segRows = toks
+      .select(col("doc_id"), explode(sequence(lit(0L),
+        expr(s"(size(toks) - 1) div $segTokens"))).as("seg"),
+        col("toks"))
+      .select((col("doc_id") * 100000L + col("seg")).as("doc_id"),
+        array_join(slice(col("toks"),
+          (col("seg") * segTokens + 1).cast("int"), lit(segTokens)), " ")
+          .as("text"))
+    val seg = classifyLanguage(segRows, model, "text")
+      .select(expr("doc_id div 100000").as("doc_id"), col("pred_lang"))
+    val census = seg.groupBy("doc_id", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("n").desc, col("pred_lang").asc)
+    census
+      .withColumn("_rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_segs"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("_rn") === 1, col("pred_lang"))).as("majority_lang"),
+        max(when(col("_rn") === 1, col("n"))).as("n_majority"))
+      .withColumn("majority_share",
+        col("n_majority").cast("double") / col("n_segs"))
+      .withColumn("switched", col("n_langs") > 1L)
+  }
+
   private def filterByClassifierImpl(candidates: DataFrame, positive: DataFrame,
                          negative: DataFrame, minWPerFeat: Double = 0.0,
                          buckets: Int = 4096,

@@ -364,7 +364,9 @@ object ScaleProbe {
       // L frontier equi-joins, walk-volume-proportional output
       "g_walks",
       // the composed walks -> sentences -> co-oc census pipeline
-      "g_deepwalk_pairs")
+      "g_deepwalk_pairs",
+      // segment projection + stateless dense-array scoring + doc rollup
+      "t_code_switch")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

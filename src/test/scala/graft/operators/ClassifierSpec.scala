@@ -164,6 +164,34 @@ class ClassifierSpec extends SparkSpec {
       "exact decomposition: contributions must reconstruct the score")
   }
 
+  test("codeSwitching flags mixed docs a whole-doc langid averages away") {
+    val labeled = pos.withColumn("lang", lit("cat"))
+      .unionByName(neg.withColumn("lang", lit("fin")))
+    val model = Classifier.trainLanguageNB(labeled, buckets = 1024)
+    val mixed = "cat kitten purr whiskers feline cat purr cat " +
+      "stock market index futures bond yield trading bond"
+    val pure = "cat kitten purr whiskers feline cat purr cat"
+    val out = Classifier.codeSwitching(
+      Seq((50L, mixed), (51L, pure)).toDF("doc_id", "text"),
+      model, segTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out(50L) === ((2L, 2L, "cat", 0.5, true)))
+    assert(out(51L) === ((1L, 1L, "cat", 1.0, false)))
+  }
+
+  test("codeSwitching: segment count is ceil(tokens/segTokens)") {
+    val labeled = pos.withColumn("lang", lit("cat"))
+      .unionByName(neg.withColumn("lang", lit("fin")))
+    val model = Classifier.trainLanguageNB(labeled, buckets = 1024)
+    val nine = "cat cat cat cat cat cat cat cat cat" // 9 tokens, seg=4
+    val r = Classifier.codeSwitching(
+      Seq((60L, nine)).toDF("doc_id", "text"), model, segTokens = 4)
+      .head()
+    assert(r.getLong(1) === 3L) // segments of 4, 4, 1 tokens
+  }
+
   test("explain: top-k ranks by |contribution|, ties by token") {
     val model = Classifier.trainNaiveBayes(pos, neg, buckets = 1024)
     val cand = Seq((22L, "cat cat cat market soft")).toDF("doc_id", "text")
