@@ -1403,6 +1403,18 @@ object DataOpsQueries {
     // (per-class dense weight arrays, integer micro sums, struct-min
     // argmax). The oracle retrains from the same censuses and replays
     // every per-doc class score and the (score desc, lang asc) argmax.
+    // Trending terms: top-20 long tokens of the even-doc period vs the
+    // odd-doc period — arrivals, departures, and rank moves.
+    "t_trending" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " "))
+            .as("w"))
+        .where(length(col("w")) >= 4)
+      operators.Trending.topChanges(toks, col("w"),
+        col("doc_id") % 2 === 1, k = 20)
+    }),
+
     // Segment-grain language mixing: classify 8-token windows with the
     // trained langid, roll up per doc — the code-switch / boilerplate-
     // concatenation detector a whole-doc langid averages away.
@@ -5746,6 +5758,42 @@ object DataOpsQueries {
     // priors with the identical round(log10(·)·1e6) ops, score every
     // (doc, class) pair as an exact integer sum, argmax (score desc,
     // lang asc) — the struct-min tie rule the stateless server uses
+    "t_trending" ->
+      """WITH tnorm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tf AS (
+        |  SELECT CASE WHEN doc_id % 2 = 1 THEN 'b' ELSE 'a' END AS p,
+        |    w AS item
+        |  FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(norm, '\s+')) AS w
+        |    FROM tnorm)
+        |  WHERE length(w) >= 4),
+        |cen AS (SELECT p, item, count(*)::BIGINT AS n
+        |  FROM tf GROUP BY 1, 2),
+        |top AS (
+        |  SELECT p, item,
+        |    row_number() OVER (PARTITION BY p ORDER BY n DESC, item ASC)
+        |      AS rank
+        |  FROM cen QUALIFY rank <= 20),
+        |ta AS (SELECT item, rank AS rank_a FROM top WHERE p = 'a'),
+        |tb AS (SELECT item, rank AS rank_b FROM top WHERE p = 'b'),
+        |ca AS (SELECT item, n AS n_a FROM cen WHERE p = 'a'),
+        |cb AS (SELECT item, n AS n_b FROM cen WHERE p = 'b')
+        |SELECT coalesce(ta.item, tb.item) AS item,
+        |  coalesce(ca.n_a, 0)::BIGINT AS n_a,
+        |  coalesce(cb.n_b, 0)::BIGINT AS n_b,
+        |  ta.rank_a, tb.rank_b,
+        |  CASE WHEN ta.rank_a IS NULL THEN 'new'
+        |       WHEN tb.rank_b IS NULL THEN 'dropped'
+        |       WHEN tb.rank_b < ta.rank_a THEN 'up'
+        |       WHEN tb.rank_b > ta.rank_a THEN 'down'
+        |       ELSE 'flat' END AS status
+        |FROM ta FULL JOIN tb ON ta.item = tb.item
+        |LEFT JOIN ca ON ca.item = coalesce(ta.item, tb.item)
+        |LEFT JOIN cb ON cb.item = coalesce(ta.item, tb.item)""".stripMargin,
+
     // code-switch oracle: the shared langid model chain, then segment
     // slices re-enter the same feature/score/argmax arithmetic
     "t_code_switch" ->

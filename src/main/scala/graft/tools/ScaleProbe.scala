@@ -366,7 +366,9 @@ object ScaleProbe {
       // the composed walks -> sentences -> co-oc census pipeline
       "g_deepwalk_pairs",
       // segment projection + stateless dense-array scoring + doc rollup
-      "t_code_switch")
+      "t_code_switch",
+      // (period x item) census + two heap top-ks + a <=2k-row join
+      "t_trending")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
