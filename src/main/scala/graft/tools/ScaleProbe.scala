@@ -368,7 +368,9 @@ object ScaleProbe {
       // segment projection + stateless dense-array scoring + doc rollup
       "t_code_switch",
       // (period x item) census + two heap top-ks + a <=2k-row join
-      "t_trending")
+      "t_trending",
+      // AA wedges on the train split + the score-census AUC
+      "g_linkpred_auc")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

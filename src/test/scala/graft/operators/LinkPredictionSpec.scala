@@ -37,6 +37,26 @@ class LinkPredictionSpec extends SparkSpec {
     assert(out((1L, 4L))._1 === 1L && out((2L, 4L))._1 === 1L)
   }
 
+  test("held-out-edge AUC protocol: transitive graph scores high") {
+    // path 4th power on 0..40: hold out (a+b)%5 edges, score the rest
+    val edges = (0L until 40L).flatMap(d =>
+      (1 to 4).map(k => (d, d + k))).filter(_._2 <= 40L)
+    val canon = edges.toDF("src", "dst")
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val test = canon.where((col("a") + col("b")) % 5 === 0)
+    val train = canon.where((col("a") + col("b")) % 5 =!= 0)
+    val cand = LinkPrediction.adamicAdar(
+        train.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("a"), col("b"), col("aa_micro"))
+    val labeled = cand
+      .join(test.withColumn("_t", lit(1)), Seq("a", "b"), "full_outer")
+      .select(coalesce(col("aa_micro"), lit(0L)).as("score_micro"),
+        col("_t").isNotNull.as("label"))
+    val auc = Evaluation.rocAuc(labeled).head().getDouble(2)
+    assert(auc > 0.8, s"AUC $auc should reflect real transitivity")
+  }
+
   test("maxDegree drops hub pivots but keeps the rest") {
     // star hub 0 touches 1..5 (degree 5); 1-6 and 2-6 give 6 a real pivot
     val star = (1L to 5L).map(n => (0L, n))
