@@ -1403,6 +1403,17 @@ object DataOpsQueries {
     // (per-class dense weight arrays, integer micro sums, struct-min
     // argmax). The oracle retrains from the same censuses and replays
     // every per-doc class score and the (score desc, lang asc) argmax.
+    // Term burstiness: variance-to-mean dispersion of per-doc counts —
+    // content words clump, glue spreads, templates repeat in lockstep.
+    "t_burstiness" -> ((s, dir) =>
+      operators.TermStats.burstiness(Tables.documents(s, dir),
+        minTf = 10L)),
+
+    // Good-Turing adjusted counts from the freq-of-freq census, with
+    // the r=0 unseen-mass row and honest nulls at census holes.
+    "t_good_turing" -> ((s, dir) =>
+      operators.TermStats.goodTuring(Tables.documents(s, dir))),
+
     // Trending terms: top-20 long tokens of the even-doc period vs the
     // odd-doc period — arrivals, departures, and rank moves.
     "t_trending" -> ((s, dir) => {
@@ -5788,6 +5799,56 @@ object DataOpsQueries {
     // priors with the identical round(log10(·)·1e6) ops, score every
     // (doc, class) pair as an exact integer sum, argmax (score desc,
     // lang asc) — the struct-min tie rule the stateless server uses
+    "t_burstiness" ->
+      """WITH bno AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |btk AS (
+        |  SELECT doc_id, t FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(norm, '\s+')) AS t FROM bno)
+        |  WHERE t <> ''),
+        |bpd AS (
+        |  SELECT t, doc_id, count(*)::BIGINT AS x
+        |  FROM btk GROUP BY 1, 2),
+        |bnd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        |SELECT t, count(*)::BIGINT AS n_docs_with, sum(x)::BIGINT AS tf,
+        |  round((d.n_docs::HUGEINT * sum(x::HUGEINT * x)
+        |      - sum(x)::HUGEINT * sum(x))::DOUBLE
+        |    / (d.n_docs::DOUBLE * sum(x)::DOUBLE), 6) AS dispersion
+        |FROM bpd, bnd d
+        |GROUP BY t, d.n_docs
+        |HAVING sum(x) >= 10""".stripMargin,
+
+    "t_good_turing" ->
+      """WITH gno AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |gtk AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(regexp_split_to_array(norm, '\s+')) AS t
+        |    FROM gno)
+        |  WHERE t <> ''),
+        |gtr AS (SELECT t, count(*)::BIGINT AS r FROM gtk GROUP BY 1),
+        |gff AS (SELECT r, count(*)::BIGINT AS n_r FROM gtr GROUP BY 1),
+        |gtt AS (SELECT sum(r)::BIGINT AS total FROM gtr),
+        |gl AS (
+        |  SELECT r, n_r, lead(r) OVER (ORDER BY r) AS nr2,
+        |    lead(n_r) OVER (ORDER BY r) AS nn2
+        |  FROM gff)
+        |SELECT r, n_r,
+        |  CASE WHEN nr2 = r + 1 THEN
+        |    round((r + 1)::DOUBLE * nn2 / n_r, 6) END AS r_star,
+        |  CASE WHEN nr2 = r + 1 THEN
+        |    CAST(round((r + 1)::DOUBLE * nn2 / n_r * 1000000.0 / t.total)
+        |      AS BIGINT) END AS p_micro
+        |FROM gl, gtt t
+        |UNION ALL
+        |SELECT 0::BIGINT, 0::BIGINT,
+        |  round(n_r::DOUBLE / t.total, 6),
+        |  CAST(round(n_r::DOUBLE * 1000000.0 / t.total) AS BIGINT)
+        |FROM gff, gtt t WHERE r = 1""".stripMargin,
+
     "t_trending" ->
       """WITH tnorm AS (
         |  SELECT doc_id,

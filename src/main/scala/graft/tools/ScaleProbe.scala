@@ -370,7 +370,9 @@ object ScaleProbe {
       // (period x item) census + two heap top-ks + a <=2k-row join
       "t_trending",
       // AA wedges on the train split + the score-census AUC
-      "g_linkpred_auc")
+      "g_linkpred_auc",
+      // (term x doc) census + term-grain agg / census-of-census lead
+      "t_burstiness", "t_good_turing")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
