@@ -3654,6 +3654,15 @@ object DataOpsQueries {
       operators.EventAnalytics.abTest(Tables.events(s, dir),
         col("event_type") === "click" && col("value") > 150.0)),
 
+    // Seasonal-naive anomalies: daily counts per type vs the same
+    // weekday last week, robust median/MAD band at 3 MADs, integer
+    // cross-multiplied verdicts.
+    "x_seasonal_anomaly" -> ((s, dir) =>
+      operators.SeasonalAnomaly.detect(Tables.events(s, dir),
+        group = col("event_type"),
+        bucket = expr("unix_micros(ts) div 86400000000"),
+        value = lit(1L), period = 7, kMicro = 3000000L)),
+
     // Cross-correlation lead-lag: each event type's daily counts vs
     // the 'view' reference over lags -5..5; exact long dot products,
     // smallest-shift tie-break, zero-overlap lags densified in.
@@ -10179,6 +10188,36 @@ object DataOpsQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |  round(c.n::DOUBLE / t.t, 6) AS p
         |FROM census c JOIN tot t USING (from_type)""".stripMargin,
+
+    "x_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type AS key,
+        |    epoch_us(ts::TIMESTAMP) // 86400000000 AS b
+        |  FROM events),
+        |cen AS (
+        |  SELECT key, b, count(*)::BIGINT AS v FROM ev GROUP BY 1, 2),
+        |res AS (
+        |  SELECT c.key, c.b, c.v, l.v AS v_lag, c.v - l.v AS r
+        |  FROM cen c JOIN cen l ON l.key = c.key AND l.b = c.b - 7),
+        |m1 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN r END)
+        |      OVER (PARTITION BY key) AS med
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY key ORDER BY r, b) AS rn,
+        |      count(*) OVER (PARTITION BY key) AS n
+        |    FROM res)),
+        |m2 AS (
+        |  SELECT key, b, v, v_lag, r, med, abs(r - med) AS dev FROM m1),
+        |m3 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY key) AS mad
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY key ORDER BY dev, b) AS rn,
+        |      count(*) OVER (PARTITION BY key) AS n
+        |    FROM m2))
+        |SELECT key, b, v, v_lag, r, med, mad,
+        |  dev * 1000000 > 3000000 * mad AS anomaly
+        |FROM m3""".stripMargin,
 
     "x_xcorr" ->
       """WITH ev AS (

@@ -372,7 +372,9 @@ object ScaleProbe {
       // AA wedges on the train split + the score-census AUC
       "g_linkpred_auc",
       // (term x doc) census + term-grain agg / census-of-census lead
-      "t_burstiness", "t_good_turing")
+      "t_burstiness", "t_good_turing",
+      // (group x day) census + shifted self-join + two rank windows
+      "x_seasonal_anomaly")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
