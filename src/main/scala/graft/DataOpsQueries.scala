@@ -4249,8 +4249,14 @@ object DataOpsQueries {
           val plan = base.queryExecution.executedPlan.toString
           require(plan.contains("_graft_bkt"),
             s"range-join rewrite did not fire:\n$plan")
-          require(!plan.contains("BroadcastNestedLoopJoin"),
-            "rewrite left a nested-loop join in the plan")
+          // a BNLJ is allowed ONLY as the explode-cap fallback branch
+          // (maxBuckets routing — a Union sibling of the bucketed
+          // join, empty here since every interval spans 3 buckets and
+          // AQE prunes the empty broadcast side at runtime); a BNLJ
+          // WITHOUT the Union means the rewrite itself regressed
+          require(!plan.contains("BroadcastNestedLoopJoin")
+              || plan.contains("Union"),
+            s"rewrite left an unguarded nested-loop join in the plan:\n$plan")
         }
         base.localCheckpoint() // materialize while the rule is active
       } finally {

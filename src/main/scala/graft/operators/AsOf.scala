@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   * skew in the right side.
   *
   * The carry runs through the custom single-pass
-  * [[graft.plans.CarryForwardNode]] operator by default (same exchange
-  * + sort, NO WindowExec group buffering — O(1) state instead of each
-  * key's rows in an ExternalAppendOnlyUnsafeRowArray; the win is
-  * marathon keys). `SET spark.graft.asof.native=false` falls back to
-  * the equivalent `last(_, ignoreNulls)` window spelling (also the
-  * path for sessions without GraftExtensions); both paths are
+  * [[graft.plans.CarryForwardNode]] operator when the session can plan
+  * it (same exchange + sort, NO WindowExec group buffering — O(1)
+  * state instead of each key's rows in an
+  * ExternalAppendOnlyUnsafeRowArray; the win is marathon keys).
+  * `spark.graft.asof.native` defaults to `auto`: the native node is
+  * used iff [[graft.plans.CarryForwardStrategy]] is actually injected
+  * into this session's planner (GraftExtensions installed), otherwise
+  * the equivalent `last(_, ignoreNulls)` window spelling plans on any
+  * plain session. `false` forces the window path; `true` forces the
+  * native node and FAILS AT PLANNING on a session without
+  * GraftExtensions (explicit opt-in only). Both paths are
   * contract-pinned identical in `AsOfSpec`.
   */
 object AsOf {
@@ -36,7 +41,11 @@ object AsOf {
                       timeAsc: Boolean): DataFrame = {
     val spark = unioned.sparkSession
     val native =
-      spark.conf.get("spark.graft.asof.native", "true").toBoolean
+      spark.conf.get("spark.graft.asof.native", "auto") match {
+        case "auto" => org.apache.spark.sql.GraftBridge
+          .hasStrategy(spark, graft.plans.CarryForwardStrategy)
+        case v => v.toBoolean
+      }
     if (native) {
       val child = GraftBridge.analyzed(unioned)
       def attr(n: String): Attribute =

@@ -121,8 +121,20 @@ object Privacy {
       .groupBy(quasi.map(c => col(c).cast("long").as(c)): _*)
       .agg(count(lit(1)).as("cnt"))
       .collect()
-      .map(r => (quasi.indices.map(i => r.getLong(i)).toArray,
-        r.getLong(quasi.length)))
+      .map { r =>
+        // fail fast with the offending columns: groupBy happily emits a
+        // null-QI group, and r.getLong on it would NPE deep in the
+        // recursion with no hint which column was unclean (the
+        // audit/suppression paths tolerate null groups; generalization
+        // into [lo, hi] ranges has no meaningful range for null —
+        // callers must impute or filter upstream)
+        val nulls = quasi.indices.filter(r.isNullAt)
+        require(nulls.isEmpty,
+          s"mondrian: null quasi-identifier value(s) in column(s) " +
+            s"${nulls.map(quasi).mkString(", ")} — filter or impute " +
+            "null QI values before generalization")
+        (quasi.indices.map(i => r.getLong(i)).toArray, r.getLong(quasi.length))
+      }
     val d = quasi.length
     val globalW = Array.tabulate(d) { i =>
       val vs = census.map(_._1(i))
@@ -157,8 +169,13 @@ object Privacy {
     def split(p: Part): Option[(Part, Part)] = {
       if (p.total < 2L * k) return None
       val order = (0 until d).sortWith { (a, b) =>
-        val cmp = p.width(a) * globalW(b) - p.width(b) * globalW(a)
-        if (cmp != 0) cmp > 0 else a < b
+        // exact cross-multiplication in BigInt: raw long products
+        // overflow silently for wide 64-bit QI domains (width ~ 2^32
+        // suffices), corrupting the widest-dimension choice and thus
+        // the deterministic split order the oracle replays; this is
+        // driver-side census-grain code, so BigInt cost is irrelevant
+        val cmp = BigInt(p.width(a)) * globalW(b) - BigInt(p.width(b)) * globalW(a)
+        if (cmp.signum != 0) cmp.signum > 0 else a < b
       }
       var res: Option[(Part, Part)] = None
       val oi = order.iterator

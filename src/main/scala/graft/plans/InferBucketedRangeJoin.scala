@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan, LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Explode, Expression, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, LessThan, LessThanOrEqual, Literal, Not, Remainder, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Catalyst rewrite: the naive range-join spelling
   *
@@ -34,6 +34,22 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * is exactly why Spark cannot plan this generically and the knob must
   * come from the user. Width 0 (default) = rule off.
   *
+  * EXPLODE CAP (`spark.graft.rangejoin.maxBuckets`, default 4096):
+  * intervals spanning more buckets than the cap — open-ended sentinel
+  * bounds being the real-world case — are routed by a span filter to a
+  * fallback branch that keeps the ORIGINAL un-exploded join, and the
+  * two branches union. Without the cap one sentinel row makes
+  * `sequence()` attempt billions of elements (hard failure or OOM)
+  * where the original nested-loop join was merely slow. The fallback
+  * costs one extra scan of the points side in the static plan, but
+  * with AQE on (the engine default) an EMPTY wide-interval side —
+  * the common case — collapses the fallback join to an empty relation
+  * at runtime, pruning that scan entirely. The sequence's end bound
+  * additionally collapses to the start for wide rows (an If on the
+  * span predicate) so the inferred size(sequence(...)) > 0 Generate
+  * filter can never evaluate a giant sequence regardless of conjunct
+  * order.
+  *
   * Fires only on: batch INNER joins, no existing cross-side equality
   * conjunct (those already hash-join; also makes the rewrite
   * idempotent — its own output joins on the bucket equality), integral
@@ -48,6 +64,39 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
   private def width: Long =
     conf.getConfString("spark.graft.rangejoin.bucketWidth", "0").toLong
 
+  /** Per-interval explode cap. One open-ended/sentinel interval (e.g.
+    * e = Long.MaxValue) against a small width would otherwise ask
+    * `sequence()` for billions of elements — a hard failure (sequence
+    * length cap) or OOM where the original nested-loop join was merely
+    * slow. Intervals spanning more than this many buckets are routed,
+    * by a span filter, to a FALLBACK branch that keeps the original
+    * un-exploded join; the two branches union. ≤ 0 disables the cap
+    * (every interval explodes).
+    */
+  private def maxBuckets: Long =
+    conf.getConfString("spark.graft.rangejoin.maxBuckets", "4096").toLong
+
+  /** The fallback branch keeps a join with no cross-side equality — the
+    * exact shape this rule matches — so without a guard the rewrite
+    * would re-fire on its own output every fixed-point pass until the
+    * optimizer's max-iterations error. The guard is structural: the
+    * fallback (and narrow) interval side carries a span filter built
+    * around `Cast(IntegralDivide(…), Double)` — a shape nothing else in
+    * the engine or in user predicates produces (users write arithmetic
+    * on values, not double-cast integral divisions of them) — and the
+    * filter is semantically load-bearing, so no later rule can remove
+    * it. Conservative by construction: a false positive only means the
+    * rule declines to fire.
+    */
+  private def hasSpanGuard(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case f: Filter if f.condition.exists {
+        case Cast(e, DoubleType, _, _) =>
+          e.exists { case _: IntegralDivide => true; case _ => false }
+        case _ => false
+      } => f
+    }.isDefined
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
@@ -61,10 +110,22 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** Sign-safe floor division: (a − pmod(a, w)) div w. */
+  /** Wrap-safe floor division: truncating `div`, minus 1 when the
+    * dividend is negative with a nonzero remainder. The previous
+    * `(a − pmod(a, w)) div w` spelling wrapped for values in the lowest
+    * width-band above Long.MinValue (silently wrong bucket in non-ANSI
+    * mode, runtime error under ANSI); `a div w` with w > 0 cannot
+    * overflow anywhere in the long domain, and the −1 adjustment only
+    * fires when `a div w > Long.MinValue`.
+    */
   private def floorDiv(a: Expression, w: Long): Expression = {
     val al = asLong(a)
-    IntegralDivide(Subtract(al, Pmod(al, Literal(w))), Literal(w))
+    val q = IntegralDivide(al, Literal(w))
+    val adj = If(
+      And(LessThan(al, Literal(0L)),
+        Not(EqualTo(Remainder(al, Literal(w)), Literal(0L)))),
+      Literal(1L), Literal(0L))
+    Subtract(q, adj)
   }
 
   // which input a pure one-side expression belongs to
@@ -137,7 +198,7 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
             }
           case _ => false
         }
-        val pair = if (hasCrossEqui) None
+        val pair = if (hasCrossEqui || hasSpanGuard(left) || hasSpanGuard(right)) None
         else {
           val los = cs.flatMap(lower(_, left, right))
           val ups = cs.flatMap(upper(_, left, right))
@@ -151,6 +212,7 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
         pair match {
           case None => j
           case Some((p, s, e, inclusive, pSide)) =>
+            val maxB = maxBuckets
             val (points, intervals) = pSide match {
               case L => (left, right)
               case R => (right, left)
@@ -162,24 +224,73 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
               else GreaterThan(asLong(e), asLong(s))
             val eAdj = if (inclusive) asLong(e)
               else Subtract(asLong(e), Literal(1L))
+            // Span-in-buckets as a DOUBLE difference: wrap-free for any
+            // bound pair (a long subtraction could overflow on
+            // sentinel-vs-negative bounds), deterministic, and only a
+            // ROUTING decision — both branches compute identical
+            // results, the residual predicate re-checks every pair — so
+            // double rounding at the boundary is harmless. Null-bound
+            // intervals fail BOTH the narrow predicate and its
+            // negation, dropping from both branches: correct, since a
+            // null bound never satisfies the original comparison.
+            val spanNarrow = LessThan(
+              Subtract(Cast(floorDiv(eAdj, w), DoubleType),
+                Cast(floorDiv(s, w), DoubleType)),
+              Literal(maxB.toDouble))
             // Sequence is TimeZoneAwareExpression: without an explicit
-            // zone it stays unresolved (ResolveTimeZone already ran)
+            // zone it stays unresolved (ResolveTimeZone already ran).
+            // The end bound COLLAPSES TO THE START for wide rows (an
+            // If on the span predicate): the span Filter already drops
+            // them, but InferFiltersFromGenerate infers a
+            // size(sequence(...)) > 0 conjunct into the SAME Filter
+            // with no guaranteed evaluation order against the span
+            // conjunct — an unclamped sequence() on a sentinel
+            // interval would throw its length cap from inside that
+            // inferred predicate before the span filter ever ran.
+            val seqEnd =
+              if (maxB <= 0) floorDiv(eAdj, w)
+              else If(spanNarrow, floorDiv(eAdj, w), floorDiv(s, w))
             val bkts = Alias(
-              Sequence(floorDiv(s, w), floorDiv(eAdj, w), None,
+              Sequence(floorDiv(s, w), seqEnd, None,
                 Some(conf.sessionLocalTimeZone)), "_graft_bkts")()
-            val iProj = Project(intervals.output :+ bkts,
-              Filter(satisfiable, intervals))
-            val iBkt = AttributeReference("_graft_bkt_i", LongType,
-              nullable = true)()
-            val gen = Generate(Explode(bkts.toAttribute), Seq.empty,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(iBkt), child = iProj)
-            val newCond = And(EqualTo(pBkt.toAttribute, iBkt), cond)
-            val (nl, nr) = pSide match {
-              case L => (pProj: LogicalPlan, gen: LogicalPlan)
-              case R => (gen: LogicalPlan, pProj: LogicalPlan)
+            def branch(extraFilter: Option[Expression]): LogicalPlan = {
+              val filt = extraFilter
+                .map(And(satisfiable, _)).getOrElse(satisfiable)
+              val iProj = Project(intervals.output :+ bkts.newInstance(),
+                Filter(filt, intervals))
+              val bAttr = iProj.projectList.last.toAttribute
+              val iBkt = AttributeReference("_graft_bkt_i", LongType,
+                nullable = true)()
+              val gen = Generate(Explode(bAttr), Seq.empty,
+                outer = false, qualifier = None,
+                generatorOutput = Seq(iBkt), child = iProj)
+              val newCond = And(EqualTo(pBkt.toAttribute, iBkt), cond)
+              val (nl, nr) = pSide match {
+                case L => (pProj: LogicalPlan, gen: LogicalPlan)
+                case R => (gen: LogicalPlan, pProj: LogicalPlan)
+              }
+              Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
             }
-            Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+            if (maxB <= 0) branch(None)
+            else {
+              // wide (≥ maxB buckets) intervals keep the ORIGINAL
+              // un-exploded join — slow but bounded, never a
+              // billion-element sequence(); hasSpanGuard keeps this
+              // branch from re-matching on the next fixed-point pass
+              val wideJoin = {
+                val iWide = Filter(And(satisfiable, Not(spanNarrow)),
+                  intervals)
+                val (nl, nr) = pSide match {
+                  case L => (points, iWide: LogicalPlan)
+                  case R => (iWide: LogicalPlan, points)
+                }
+                Project(j.output, Join(nl, nr, Inner, Some(cond), hint))
+              }
+              logInfo(s"range-join rewrite on ${j.simpleString(40)}: " +
+                s"intervals spanning >= $maxB buckets routed to a " +
+                "fallback nested-loop branch (spark.graft.rangejoin.maxBuckets)")
+              Union(Seq(branch(Some(spanNarrow)), wideJoin))
+            }
         }
     }
   }

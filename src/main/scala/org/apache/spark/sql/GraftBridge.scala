@@ -29,4 +29,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Whether `strategy` is among this session's injected planner
+    * strategies — lets operators that build custom logical nodes
+    * (e.g. [[graft.operators.AsOf]] → CarryForwardNode) auto-detect a
+    * plain session (GraftExtensions not installed) and fall back to a
+    * built-in spelling instead of failing at planning time.
+    */
+  def hasStrategy(spark: SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.planner.strategies
+      .contains(strategy)
 }

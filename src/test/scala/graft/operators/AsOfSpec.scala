@@ -128,4 +128,23 @@ class AsOfSpec extends SparkSpec {
       assert(nf === wf, "forward: native must equal the window path")
     } finally spark.conf.unset("spark.graft.asof.native")
   }
+
+  test("auto mode detects the injected strategy; a session without it would fall back") {
+    import org.apache.spark.sql.GraftBridge
+    // this suite's session has GraftExtensions: detection must be true,
+    // and 'auto' (the default) must pick the native exec
+    assert(GraftBridge.hasStrategy(spark, graft.plans.CarryForwardStrategy))
+    // a strategy NOT injected into the session reads false — the signal
+    // the auto path uses to route a plain session to the window spelling
+    object NotInjected extends org.apache.spark.sql.execution.SparkStrategy {
+      override def apply(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = Nil
+    }
+    assert(!GraftBridge.hasStrategy(spark, NotInjected))
+    spark.conf.set("spark.graft.asof.native", "auto")
+    try {
+      val df = AsOf.asOfJoin(trades, quotes, Seq("sym"), "t", "q_t", Seq("bid"))
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("CarryForward ["))
+    } finally spark.conf.unset("spark.graft.asof.native")
+  }
 }

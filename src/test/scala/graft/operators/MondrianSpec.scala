@@ -51,4 +51,35 @@ class MondrianSpec extends SparkSpec {
     val aRanges = out.map(r => (r.getLong(2), r.getLong(4))).distinct
     assert(aRanges.length > 1, "dimension a must have been cut")
   }
+
+  test("a null quasi-identifier fails fast with the offending column named") {
+    val df = Seq(Some(1L), Some(2L), None, Some(4L)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.mondrian(df, Seq("v"), k = 2)
+    }
+    assert(e.getMessage.contains("null quasi-identifier") &&
+      e.getMessage.contains("v"), e.getMessage)
+  }
+
+  test("wide 64-bit QI domains order dimensions without overflow") {
+    // widths ~2^42 and ~2^41: the old raw-long cross-multiplication
+    // width(a)*globalW(b) overflowed (2^83), flipping the
+    // widest-dimension choice nondeterministically. dim a is twice as
+    // wide as b, so with equal global widths... a must split first —
+    // assert a genuinely splits and the recursion completes.
+    val wa = 1L << 42
+    val wb = 1L << 41
+    val df = (0 until 64).map(i => ((i % 8) * (wa / 7), (i % 4) * (wb / 3)))
+      .toDF("a", "b")
+    val out = Privacy.mondrian(df, Seq("a", "b"), k = 16).collect()
+    // (i%8, i%4) has only 8 distinct tuples (i%4 = (i%8)%4) and the
+    // output is census grain: one row per distinct QI tuple
+    assert(out.length === 8)
+    val aRanges = out.map(r => (r.getLong(2), r.getLong(4))).distinct
+    assert(aRanges.length > 1, "the wide dimension must have been cut")
+    val classes = out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))).distinct
+    assert(classes.forall(_._5 >= 16L))
+    assert(classes.map(_._5).sum === 64L)
+  }
 }

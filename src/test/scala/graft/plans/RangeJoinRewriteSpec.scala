@@ -77,6 +77,50 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("sentinel-wide intervals route to the fallback branch, not a giant sequence()") {
+    // e = Long.MaxValue with width 4 would ask sequence() for ~2^61
+    // elements — hard failure before the cap. With the cap the wide
+    // interval joins through the un-exploded fallback branch and the
+    // result still matches the naive plan.
+    val pt = points(1L, 5L, 12L, 1000000L)
+    val iv = intervals((0L, 10L, "narrow"), (3L, Long.MaxValue, "open"))
+    val c = col("p") >= col("s") && col("p") < col("e")
+    val naive = pt.join(iv, c).orderBy("p", "tag").collect().map(_.toSeq).toSeq
+    withWidth(4L) {
+      val fast = pt.join(iv, c)
+      val plan = planOf(fast)
+      assert(plan.contains("Union"), plan) // two-branch routing present
+      assert(fast.orderBy("p", "tag").collect().map(_.toSeq).toSeq === naive)
+    }
+  }
+
+  test("mixed wide/narrow intervals stay exactly-once (rule does not re-fire on its own fallback)") {
+    val pt = points((-3L to 40L): _*)
+    val iv = intervals((0L, 10L, "a"), (-100L, 120L, "wide1"),
+      (5L, 500L, "wide2"), (8L, 12L, "b"))
+    val c = col("p") >= col("s") && col("p") <= col("e")
+    val naive = pt.join(iv, c).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    spark.conf.set("spark.graft.rangejoin.maxBuckets", "8")
+    try withWidth(3L) {
+      // a re-fire on the fallback branch would union in another copy of
+      // the wide matches — row counts, not just sets, must agree
+      val fast = pt.join(iv, c).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(fast === naive)
+    } finally spark.conf.unset("spark.graft.rangejoin.maxBuckets")
+  }
+
+  test("lowest width-band above Long.MinValue buckets correctly (wrap-safe floorDiv)") {
+    val lo = Long.MinValue
+    val pt = points(lo + 1L, lo + 3L, 0L)
+    val iv = intervals((lo + 1L, lo + 5L, "band"), (-2L, 3L, "zero"))
+    val c = col("p") >= col("s") && col("p") < col("e")
+    val naive = pt.join(iv, c).orderBy("p", "tag").collect().map(_.toSeq).toSeq
+    val fast = withWidth(4L) {
+      pt.join(iv, c).orderBy("p", "tag").collect().map(_.toSeq).toSeq
+    }
+    assert(fast === naive && naive.size === 3)
+  }
+
   test("null bounds and null points match nothing, as in the naive plan") {
     val pt = Seq(Some(5L), None).toDF("p")
     val iv = Seq((Some(0L), Some(10L)), (None, Some(10L)),
