@@ -91,6 +91,61 @@ object Bench {
       case (n, s) if s > 2.0 && med(n) > 1.0 => n
     }.toSeq.sorted
 
+    // ISOLATED TIER (round-6 verdict #1): the suite JVM inflates
+    // per-gate numbers ~3× (x_chrf 11.5 s in-suite vs 4.0 s fresh-JVM,
+    // both measured in round 6), so the headline subset is re-measured
+    // in FRESH SUBPROCESS JVMs — top-K by suite median plus every
+    // contended gate — and persisted as an `isolated` map alongside
+    // the suite numbers. Cross-round perf comparisons and the 2×
+    // BASELINE gate should read `isolated` where present; the suite
+    // median remains the coverage-wide number. SPARK_GRAFT_ISOLATED=0
+    // disables; SPARK_GRAFT_ISOLATED_TOP resizes the subset.
+    val isolated = scala.collection.mutable.Map[String, Double]()
+    val isolatedBest = scala.collection.mutable.Map[String, Double]()
+    if (sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") != "0") {
+      val topK = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_TOP", "15").toInt
+      val subset = (med.toSeq.sortBy(-_._2).take(topK).map(_._1)
+        ++ contended).distinct.sorted
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val cp = sys.props("java.class.path")
+      val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util",
+        "java.util.concurrent", "java.util.concurrent.atomic",
+        "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      for (gate <- subset) {
+        val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+          "-Xmx" + sys.env.getOrElse("SPARK_GRAFT_ISOLATED_MEM", "8g"),
+          "-Dspark.ui.enabled=false", "-cp", cp,
+          "graft.tools.IsolatedGate", gate, sfDir, cpus)).toArray
+        try {
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val ok = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+          if (!ok) proc.destroyForcibly()
+          val line = out.linesIterator.toSeq.reverse
+            .find(_.startsWith("ISOLATED"))
+          line.foreach { l =>
+            val m = """"median":([0-9.]+),"best":([0-9.]+)""".r
+              .findFirstMatchIn(l)
+            m.foreach { g =>
+              isolated(gate) = g.group(1).toDouble
+              isolatedBest(gate) = g.group(2).toDouble
+            }
+          }
+          if (line.isEmpty)
+            System.err.println(s"[bench] isolated $gate produced no " +
+              s"ISOLATED line (exit=${proc.exitValue()}):\n" + out.takeRight(800))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $gate failed: ${e.getMessage}")
+        }
+      }
+    }
+
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -103,7 +158,9 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson,"flaky":$flakyJson}"""
+    val isoSpread = isolated.keys.map(g =>
+      g -> (if (isolatedBest(g) > 0) isolated(g) / isolatedBest(g) else 1.0)).toMap
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"timing":"median-of-$runs, randomized order per run, toRdd materialization, cache cleared per sample; isolated = fresh-subprocess-JVM median-of-3 after one untimed warm-up (top-15 by suite median + contended)","best":${jmap(best)},"spread":${jmap(spread)},"contended":$contendedJson,"isolated":${jmap(isolated.toMap)},"isolated_best":${jmap(isolatedBest.toMap)},"isolated_spread":${jmap(isoSpread)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"failed":$failedJson,"flaky":$flakyJson}"""
     println(fullJson)
     // Persist the complete per-query map too (round-4 verdict #3): the
     // driver's tail capture truncates the big stdout line, so
@@ -120,7 +177,7 @@ object Bench {
     // BENCH_r03 lost its own total that way. This short LAST line always
     // survives, so the headline numbers are readable even when "parsed"
     // is null on the big line.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"full":"target/bench.json"}""")
+    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"isolated":${jmap(isolated.toMap)},"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"full":"target/bench.json"}""")
     spark.stop()
   }
 }

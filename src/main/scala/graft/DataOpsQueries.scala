@@ -902,11 +902,30 @@ object DataOpsQueries {
     * clusters carry the previous micro coordinate (the snap-to-grid
     * contract of `Clustering.refineCentroids`).
     */
-  private def kmeansWarmSql(rounds: Int): String = {
-    val head =
+  private def kmeansWarmSql(rounds: Int): String =
+    kmeansRoundsSql(
       """cv0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        |        FROM embeddings WHERE vec_id < 8),
-        |wv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |        FROM embeddings WHERE vec_id < 8)""".stripMargin, rounds)
+
+  /** Cold-seeding head for [[kmeansRoundsSql]]: the md5 "seed:" ladder
+    * over vec ids, micro-snapped — replays Clustering.kmeansCold's
+    * deterministic seed draw (cluster_id = ladder order).
+    */
+  private def kmeansColdHeadSql(k: Int): String =
+    s"""cv0 AS (SELECT cid - 1 AS cid,
+       |          list_transform(ev, x -> round(x * 1e6) / 1e6) AS cv
+       |        FROM (
+       |          SELECT row_number() OVER (
+       |              ORDER BY md5('seed:' || vec_id), vec_id) AS cid,
+       |            embedding::DOUBLE[] AS ev
+       |          FROM embeddings QUALIFY cid <= $k))""".stripMargin
+
+  /** The unrolled Lloyd-round CTE chain shared by the warm and cold
+    * k-means oracles: `head` must define cv0 AS (cid, cv DOUBLE[]).
+    */
+  private def kmeansRoundsSql(head: String, rounds: Int): String = {
+    val prelude =
+      """wv AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         |p1 AS (SELECT cid, generate_subscripts(cv, 1) - 1 AS pos,
         |         CAST(round(unnest(cv) * 1e6) AS BIGINT) AS prev_cm
         |       FROM cv0)""".stripMargin
@@ -937,7 +956,7 @@ object DataOpsQueries {
          |cv$r AS (SELECT cid, list(cm::DOUBLE / 1e6 ORDER BY pos) AS cv
          |         FROM r$r GROUP BY cid)""".stripMargin
     }
-    (head +: parts).mkString(",\n")
+    (head +: prelude +: parts).mkString(",\n")
   }
 
   /** Labeled NB scores + score-grain census with strict-below
@@ -2552,39 +2571,15 @@ object DataOpsQueries {
         Clustering.assign(emb, fin).select("vec_id", "cluster_id"))
     }),
 
-    // Full Lloyd's k-means on a planted corpus (8 anchors × 60 perturbed
-    // members): self-asserting — every planted member must land in the
-    // same cluster as its anchor (purity 1.0 required on this separation;
-    // floor 0.95 leaves margin for boundary noise). No SQL oracle
-    // (iterative refinement); the assertion IS the check.
-    "e_kmeans_cluster" -> ((s, dir) => {
-      val anchors = Tables.embeddings(s, dir).where(col("vec_id") < 8)
-        .select(col("vec_id").as("group_id"), col("embedding"))
-      val planted = anchors
-        .select(col("group_id"), col("embedding"),
-          explode(sequence(lit(1), lit(60))).as("j"))
-        .select(col("group_id"),
-          transform(col("embedding"), (x, i) =>
-            (x + sin(col("group_id") * 31 + col("j") * 17 + i) * lit(0.03))
-              .cast("float")).as("embedding"))
-        .cache()
-      planted.count()
-      val res = Clustering.kmeans(planted, k = 8, maxIter = 15, seed = 7L)
-      val out = Clustering.assign(planted, res.centroids)
-        .groupBy("group_id", "cluster_id").agg(count(lit(1)).as("n"))
-        .cache()
-      // purity: fraction of members in their group's majority cluster
-      val purity = {
-        val total = out.agg(sum("n")).head().getLong(0).toDouble
-        val major = out.groupBy("group_id").agg(max("n").as("m"))
-          .agg(sum("m")).head().getLong(0).toDouble
-        major / total
-      }
-      require(purity >= 0.95,
-        f"k-means purity regression: $purity%.3f < 0.95 on planted clusters")
-      planted.unpersist(false)
-      out
-    }),
+    // COLD-start k-means, fully oracle-replayed (round-6 verdict #3):
+    // deterministic md5-"seed:"-ladder seeding snapped to the micro
+    // grid, then 3 exact Lloyd rounds — the oracle replays the seed
+    // draw AND every round from the embeddings table alone, so the
+    // formerly rows-only gate is now rows+schema+hash green. The
+    // farthest-first quality seeding (Clustering.kmeans) keeps its
+    // planted-corpus purity pin in ClusteringSpec.
+    "e_kmeans_cluster" -> ((s, dir) =>
+      Clustering.kmeansCold(Tables.embeddings(s, dir), k = 8, rounds = 3)),
 
     // SemDeDup within-cluster pairs at tau=0.3 over the raw corpus:
     // cluster-bucketed self-join (never all-pairs), cosine rounded 6dp
@@ -9404,6 +9399,15 @@ object DataOpsQueries {
         s"""SELECT $r::INT AS round, cid::INT AS cluster_id, pos::INT AS pos,
            |  cm AS c_micro, n FROM r$r""".stripMargin).mkString("\nUNION ALL\n")
       s"WITH ${kmeansWarmSql(3)}\n$sel"
+    },
+
+    // cold k-means: the same unrolled-rounds machinery, seeded by the
+    // replayable md5 ladder instead of the persisted-centroid fixture
+    "e_kmeans_cluster" -> {
+      val sel = (1 to 3).map(r =>
+        s"""SELECT $r::INT AS round, cid::INT AS cluster_id, pos::INT AS pos,
+           |  cm AS c_micro, n FROM r$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"WITH ${kmeansRoundsSql(kmeansColdHeadSql(8), 3)}\n$sel"
     },
 
     "e_embedding_outliers" ->

@@ -237,6 +237,45 @@ object Clustering {
     KMeansResult(centroids, it, moved <= tol)
   }
 
+  /** COLD-START replayable k-means — [[kmeans]]'s farthest-first
+    * seeding maximizes cluster quality but its driver-side max-min
+    * traversal over a hashed pool has no SQL replay, so its gate could
+    * only ever be self-asserting. This variant trades the seeding
+    * heuristic for full oracle replay: seeds are the `k` rows with the
+    * smallest `md5("seed:" || id)` (the repo's portable-uniform
+    * ladder — a deterministic uniform draw over the WHOLE corpus both
+    * engines can compute, ties → id), snapped to the micro grid so the
+    * carried state equals what an oracle reconstructs, then `rounds`
+    * exact Lloyd rounds through [[refineCentroids]] (micro M-step,
+    * snap-to-grid empty clusters). Output = the refineCentroids census
+    * frame, (round, cluster_id, pos, c_micro, n), cluster_id = ladder
+    * order.
+    *
+    * Scale: the seed draw is a TakeOrdered (per-partition top-k by the
+    * md5 key + driver merge of k rows — no sort, no extra shuffle);
+    * everything after is refineCentroids' one partial-agg census
+    * shuffle per round. Random seeding can land two seeds in one true
+    * cluster where farthest-first would not — when cluster quality
+    * matters more than replayability, use [[kmeans]]; when the DAILY
+    * loop matters, cold-start once and [[refineCentroids]] from
+    * yesterday's centroids thereafter.
+    */
+  def kmeansCold(corpus: DataFrame, k: Int, rounds: Int = 3,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seeds = corpus
+      .select(col(idCol).cast("string").as("_id"), col(vecCol))
+      .orderBy(md5(concat(lit("seed:"), col("_id"))), col("_id"))
+      .limit(k).collect()
+    require(seeds.length == k, s"corpus has fewer than k=$k vectors")
+    val init: Array[Array[Double]] = seeds.map(
+      _.getSeq[AnyRef](1).map(n =>
+        roundHalfAway(n.asInstanceOf[Number].doubleValue() * 1e6)
+          .toDouble / 1e6).toArray)
+    refineCentroids(corpus, init, rounds, vecCol)
+  }
+
   /** Round-half-away-from-zero — matches SQL round() (Spark and DuckDB
     * both round away from zero) where Scala's math.round is
     * floor(x+0.5) and disagrees on NEGATIVE exact halves (-1.5 → -1 vs

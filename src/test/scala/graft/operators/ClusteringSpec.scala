@@ -74,6 +74,40 @@ class ClusteringSpec extends SparkSpec {
     assert(res.centroids.forall(_.forall(d => !d.isNaN)))
   }
 
+  test("kmeansCold: md5-ladder seeding is deterministic and matches a manual replay") {
+    val df = planted
+    val out = Clustering.kmeansCold(df, k = 3, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    // deterministic: a second invocation is identical
+    val again = Clustering.kmeansCold(df, k = 3, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(out === again)
+    assert(out.map(_._1).distinct === Seq(1, 2))
+    assert(out.map(_._2).distinct.sorted === Seq(0, 1, 2))
+    // seed order replays the ladder: cluster 0's round-1 census must
+    // come from seeding at the vec with the smallest md5("seed:"||id)
+    val ladder = df.select(col("vec_id").cast("string").as("id"))
+      .withColumn("h", md5(concat(lit("seed:"), col("id"))))
+      .orderBy("h", "id").limit(3).collect().map(_.getString(0))
+    val manualSeed = df.where(col("vec_id") === ladder.head.toLong)
+      .select("embedding").head().getSeq[Float](0)
+      .map(x => Clustering.roundHalfAway(x.toDouble * 1e6).toDouble / 1e6)
+      .toArray
+    // round-1 assignment from the manual seeds = kmeansCold's round 1
+    val seeds = ladder.map(id =>
+      df.where(col("vec_id") === id.toLong).select("embedding").head()
+        .getSeq[Float](0)
+        .map(x => Clustering.roundHalfAway(x.toDouble * 1e6).toDouble / 1e6)
+        .toArray)
+    assert(seeds.head.toSeq === manualSeed.toSeq)
+    val manualR1 = Clustering.refineCentroids(df, seeds, rounds = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(out.filter(_._1 == 1) === manualR1)
+  }
+
   test("semanticPrunePairs only pairs within a cluster and above tau") {
     // two clusters; in cluster 0 two near-identical docs + one far one
     val df = vecsDf(Seq(
