@@ -4551,14 +4551,20 @@ object DataOpsQueries {
     "e_pca_cov" -> ((s, dir) =>
       Pca.momentsMicro(Tables.embeddings(s, dir).select("vec_id", "embedding"))),
 
-    // PCA serving, self-asserting (eigenvectors have no SQL replay):
-    // top-8 PCs must capture at least the variance of the best 8 raw
-    // coordinates (PCA optimality — a deterministic floor, not a
-    // tuning), whitened outputs must come out ~unit-variance and
-    // decorrelated. Output: per-component eigenvalue + whitened moment
-    // summary.
+    // PCA serving, FULLY oracle-replayed (round-6 verdict #4): the
+    // pico-snapped Jacobi iteration is deterministic integer-grid
+    // arithmetic both engines execute identically, so the DuckDB
+    // oracle replays the moment census, the covariance assembly, EVERY
+    // Jacobi rotation (recursive CTE), the descending-eigenvalue sort,
+    // the largest-|coordinate|-positive sign convention, the whitening
+    // scale, and the per-row projection — then both sides collapse to
+    // an integer micro census per component. The former self-asserts
+    // (PCA optimality floor; whitened variance ~1) remain as requires
+    // on the driver. 16-dim slice: keeps the rotation replay tractable
+    // (the operator is dimension-generic; e_pca_cov pins the full 64).
     "e_pca_project" -> ((s, dir) => {
-      val embs = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val embs = Tables.embeddings(s, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
       val k = 8
       val model = Pca.fit(embs, k)
       val momentRows = Pca.momentsMicro(embs).where(col("i") === col("j")).collect()
@@ -4567,22 +4573,28 @@ object DataOpsQueries {
         (r.getLong(5) / n - math.pow(r.getLong(3) / n, 2)) / 1e12
       }.sorted.reverse.take(k).sum
       val captured = model.eigenvalues.sum
-      require(captured >= coordVar - 1e-9,
+      require(captured >= coordVar - 1e-6,
         f"PCA optimality violated: top-$k PCs capture $captured%.6f < " +
           f"best-$k coordinates $coordVar%.6f")
       val out = Pca.project(embs, model, whiten = true)
         .select(posexplode(col("projected")).as(Seq("component", "x")))
+        .select(col("component"), round(col("x") * 1e6).cast("long").as("xm"))
         .groupBy("component")
-        .agg(count(lit(1)).as("n"),
-          round(avg("x"), 6).as("mean"),
-          round(avg(col("x") * col("x")) - avg("x") * avg("x"), 4).as("variance"))
-        .withColumn("eigenvalue",
-          round(element_at(
-            array(model.eigenvalues.map(lit): _*), col("component") + 1), 9))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("s1_micro"),
+          sum(col("xm") * col("xm")).as("s2_micro"))
+        .withColumn("eigenvalue_nano",
+          element_at(array(model.eigenvalues.map(e =>
+            lit(Clustering.roundHalfAway(e * 1e9))): _*), col("component") + 1))
         .cache()
-      val vars = out.select("variance").collect().map(_.getDouble(0))
-      require(vars.length == k && vars.forall(v => math.abs(v - 1.0) < 0.05),
-        s"whitened variances must be ~1, got ${vars.toSeq}")
+      val rows = out.collect()
+      require(rows.length == k, s"expected $k components, got ${rows.length}")
+      rows.foreach { r =>
+        val cn = r.getLong(1).toDouble
+        val mean = r.getLong(2) / cn / 1e6
+        val variance = r.getLong(3) / cn / 1e12 - mean * mean
+        require(math.abs(variance - 1.0) < 0.05,
+          f"whitened variance must be ~1, component ${r.getInt(0)} has $variance%.4f")
+      }
       out
     }),
 
@@ -11557,6 +11569,107 @@ object DataOpsQueries {
         |  CAST(sum(vi) AS BIGINT) AS s_i, CAST(sum(vj) AS BIGINT) AS s_j,
         |  CAST(sum(vi * vj) AS BIGINT) AS s_ij
         |FROM p GROUP BY i, j""".stripMargin,
+
+    // PCA projection: full pico-snapped Jacobi replay — moment census,
+    // covariance assembly, every rotation as one recursive-CTE step
+    // (chained unnest-struct lets; indexed list_transform lambdas over
+    // the matrix lists — a range()-sourced lambda loses outer refs),
+    // eigen sort, sign convention, whitening, projection, micro census
+    "e_pca_project" ->
+      """WITH RECURSIVE
+        |pe AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding[1:16]] AS ev FROM embeddings),
+        |pm AS (SELECT vec_id, [CAST(round(x * 1e6) AS BIGINT) FOR x IN ev] AS mv FROM pe),
+        |pcell AS (
+        |  SELECT i.r AS i, j.r AS j, count(*)::BIGINT AS n,
+        |    CAST(sum(mv[i.r + 1]) AS BIGINT) AS s_i,
+        |    CAST(sum(mv[j.r + 1]) AS BIGINT) AS s_j,
+        |    CAST(sum(mv[i.r + 1] * mv[j.r + 1]) AS BIGINT) AS s_ij
+        |  FROM pm CROSS JOIN range(16) i(r) CROSS JOIN range(16) j(r)
+        |  WHERE j.r >= i.r GROUP BY 1, 2),
+        |pcnt AS (SELECT max(n)::DOUBLE AS nn FROM pcell),
+        |pcov AS (
+        |  SELECT r, c,
+        |    round((s_ij::DOUBLE / nn - (s_i::DOUBLE / nn) * (s_j::DOUBLE / nn)) / 1e12 * 1e12) / 1e12 AS cv
+        |  FROM (SELECT i AS r, j AS c, s_i, s_j, s_ij FROM pcell
+        |        UNION ALL
+        |        SELECT j AS r, i AS c, s_j AS s_i, s_i AS s_j, s_ij FROM pcell WHERE i <> j),
+        |    pcnt),
+        |amat AS (SELECT list(cv ORDER BY r * 16 + c) AS a FROM pcov),
+        |vmat AS (SELECT [CASE WHEN x // 16 = x % 16 THEN 1.0 ELSE 0.0 END::DOUBLE FOR x IN range(256)] AS v),
+        |jac AS (
+        |  SELECT 0 AS sweep, 0 AS p, 1 AS q, 0.0::DOUBLE AS off, a, v, false AS done
+        |  FROM amat, vmat
+        |  UNION ALL
+        |  SELECT e9.sweep2::INT, e9.p2::INT, e9.q2::INT, e9.off3, e7.a2, e7.v2, e9.done2
+        |  FROM jac r,
+        |  unnest([{'app': r.a[r.p * 16 + r.p + 1], 'aqq': r.a[r.q * 16 + r.q + 1],
+        |           'apq': r.a[r.p * 16 + r.q + 1],
+        |           'p': r.p, 'q': r.q, 'aa': r.a, 'vv': r.v}]) AS s1(e0),
+        |  unnest([{'off2': r.off + e0.apq * e0.apq,
+        |           'rot': abs(e0.apq) > 1e-300}]) AS s2(e1),
+        |  unnest([{'theta': CASE WHEN e1.rot THEN (e0.aqq - e0.app) / (2.0 * e0.apq) ELSE 0.0 END}]) AS s3(e2),
+        |  unnest([{'t': CASE WHEN e2.theta = 0.0 THEN 1.0
+        |                ELSE (CASE WHEN e2.theta < 0 THEN -1.0 ELSE 1.0 END)
+        |                  / (abs(e2.theta) + sqrt(e2.theta * e2.theta + 1.0)) END}]) AS s4(e3),
+        |  unnest([{'cs': 1.0 / sqrt(e3.t * e3.t + 1.0)}]) AS s5(e4),
+        |  unnest([{'sn': e3.t * e4.cs}]) AS s6(e5),
+        |  unnest([{'a1': CASE WHEN e1.rot THEN
+        |      list_transform(e0.aa, (el, x) -> CASE WHEN (x - 1) % 16 = e0.p
+        |            THEN e4.cs * e0.aa[((x - 1) // 16) * 16 + e0.p + 1] - e5.sn * e0.aa[((x - 1) // 16) * 16 + e0.q + 1]
+        |            WHEN (x - 1) % 16 = e0.q
+        |            THEN e5.sn * e0.aa[((x - 1) // 16) * 16 + e0.p + 1] + e4.cs * e0.aa[((x - 1) // 16) * 16 + e0.q + 1]
+        |            ELSE el END)
+        |      ELSE r.a END}]) AS s7(e6),
+        |  unnest([{'a2': CASE WHEN e1.rot THEN
+        |      list_transform(e6.a1, (el, x) -> round((CASE WHEN (x - 1) // 16 = e0.p
+        |              THEN e4.cs * e6.a1[e0.p * 16 + (x - 1) % 16 + 1] - e5.sn * e6.a1[e0.q * 16 + (x - 1) % 16 + 1]
+        |              WHEN (x - 1) // 16 = e0.q
+        |              THEN e5.sn * e6.a1[e0.p * 16 + (x - 1) % 16 + 1] + e4.cs * e6.a1[e0.q * 16 + (x - 1) % 16 + 1]
+        |              ELSE el END) * 1e12) / 1e12)
+        |      ELSE r.a END,
+        |    'v2': CASE WHEN e1.rot THEN
+        |      list_transform(e0.vv, (el, x) -> round((CASE WHEN (x - 1) % 16 = e0.p
+        |              THEN e4.cs * e0.vv[((x - 1) // 16) * 16 + e0.p + 1] - e5.sn * e0.vv[((x - 1) // 16) * 16 + e0.q + 1]
+        |              WHEN (x - 1) % 16 = e0.q
+        |              THEN e5.sn * e0.vv[((x - 1) // 16) * 16 + e0.p + 1] + e4.cs * e0.vv[((x - 1) // 16) * 16 + e0.q + 1]
+        |              ELSE el END) * 1e12) / 1e12)
+        |      ELSE r.v END}]) AS s8(e7),
+        |  unnest([{'atEnd': r.p = 14 AND r.q = 15}]) AS s9(e8),
+        |  unnest([{'done2': e8.atEnd AND (e1.off2 <= 1e-12 OR r.sweep + 1 >= 64),
+        |           'sweep2': CASE WHEN e8.atEnd THEN r.sweep + 1 ELSE r.sweep END,
+        |           'p2': CASE WHEN e8.atEnd THEN 0 WHEN r.q = 15 THEN r.p + 1 ELSE r.p END,
+        |           'q2': CASE WHEN e8.atEnd THEN 1 WHEN r.q = 15 THEN r.p + 2 ELSE r.q + 1 END,
+        |           'off3': CASE WHEN e8.atEnd THEN 0.0 ELSE e1.off2 END}]) AS s10(e9)
+        |  WHERE NOT r.done),
+        |jfin AS (SELECT a, v FROM jac WHERE done),
+        |jord AS (
+        |  SELECT i, ev, row_number() OVER (ORDER BY ev DESC, i ASC) AS rk
+        |  FROM (SELECT t.i AS i, f.a[t.i * 16 + t.i + 1] AS ev
+        |        FROM jfin f, unnest(range(16)) AS t(i))),
+        |jcomp AS (
+        |  SELECT (o.rk - 1)::INT AS component,
+        |    CAST(round(o.ev * 1e9) AS BIGINT) AS eigenvalue_nano,
+        |    list_transform(cv1.cvec, y ->
+        |      (CASE WHEN cv1.cvec[list_position(list_transform(cv1.cvec, z -> abs(z)),
+        |         list_max(list_transform(cv1.cvec, z -> abs(z))))] < 0
+        |        THEN -1.0 ELSE 1.0 END * y)
+        |       * (1.0 / sqrt(greatest(o.ev, 0.0) + 1e-9))) AS comp
+        |  FROM jord o, jfin f,
+        |    unnest([{'cvec': list_transform(f.v[1:16], (el, rr) -> f.v[(rr - 1) * 16 + o.i + 1])}]) AS sc(cv1)
+        |  WHERE o.rk <= 8),
+        |jmean AS (
+        |  SELECT list(s_i::DOUBLE / nn / 1e6 ORDER BY i) AS mean
+        |  FROM pcell, pcnt WHERE i = j),
+        |jproj AS (
+        |  SELECT c.component, c.eigenvalue_nano,
+        |    CAST(round(list_dot_product(
+        |      list_transform(pe.ev, (el, t) -> el - m.mean[t]), c.comp) * 1e6) AS BIGINT) AS xm
+        |  FROM pe, jmean m, jcomp c)
+        |SELECT component, count(*)::BIGINT AS n,
+        |  CAST(sum(xm) AS BIGINT) AS s1_micro,
+        |  CAST(sum(xm * xm) AS BIGINT) AS s2_micro,
+        |  eigenvalue_nano
+        |FROM jproj GROUP BY component, eigenvalue_nano ORDER BY component""".stripMargin,
 
     "e_pca_moments_merge" ->
       """WITH e AS (

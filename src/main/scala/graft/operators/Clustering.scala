@@ -282,7 +282,7 @@ object Clustering {
     * -2). Centroid means can be negative, so a replayable driver-side
     * rounding must use this, not math.round.
     */
-  private[operators] def roundHalfAway(x: Double): Long =
+  private[graft] def roundHalfAway(x: Double): Long =
     if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 
   /** Warm-start Lloyd refresh — the DAILY-LOOP clustering update: run

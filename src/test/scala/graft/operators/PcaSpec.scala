@@ -10,12 +10,14 @@ class PcaSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => x * y }.sum
 
   test("jacobiEigen: hand-checked 2x2, orthonormal vectors, descending values") {
-    // [[2,1],[1,2]] → eigenvalues 3, 1 with vectors (1,1)/√2, (1,-1)/√2
+    // [[2,1],[1,2]] → eigenvalues 3, 1 with vectors (1,1)/√2, (1,-1)/√2.
+    // Tolerance 1e-9, not 1e-12: the state is pico-snapped per rotation
+    // (the oracle-replay contract), so norms carry ~1e-12 grid error.
     val (vals, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
-    assert(math.abs(vals(0) - 3.0) < 1e-12 && math.abs(vals(1) - 1.0) < 1e-12)
-    assert(math.abs(math.abs(dot(vecs(0), Array(1, 1).map(_ / math.sqrt(2)))) - 1.0) < 1e-12)
-    assert(math.abs(dot(vecs(0), vecs(1))) < 1e-12)
-    assert(math.abs(dot(vecs(0), vecs(0)) - 1.0) < 1e-12)
+    assert(math.abs(vals(0) - 3.0) < 1e-9 && math.abs(vals(1) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(dot(vecs(0), Array(1, 1).map(_ / math.sqrt(2)))) - 1.0) < 1e-9)
+    assert(math.abs(dot(vecs(0), vecs(1))) < 1e-9)
+    assert(math.abs(dot(vecs(0), vecs(0)) - 1.0) < 1e-9)
   }
 
   test("fit recovers a planted dominant direction") {
