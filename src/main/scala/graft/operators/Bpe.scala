@@ -60,6 +60,44 @@ object Bpe {
   private def initSyms(word: Column): Column =
     concat(regexp_replace(word, "(.)", "$1 "), lit("</w>"))
 
+  /** GPT-2-style byte↔unicode table (Radford et al. 2019, encoder.py
+    * `bytes_to_unicode`): the 188 printable latin-1 bytes map to
+    * themselves, the other 68 map to U+0100+n in byte order — a
+    * bijection that renders EVERY byte as one printable, non-space BMP
+    * character, so byte sequences ride through the space-separated
+    * merge machinery unchanged. This is what production LLM tokenizers
+    * (GPT-2/LLaMA family) train over: merges operate on UTF-8 BYTES,
+    * which diverges from char-level merges on any non-ASCII corpus
+    * (one 'ä' = two byte symbols).
+    */
+  private[graft] val byteToChar: Array[String] = {
+    val printable = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (printable(b)) b.toChar.toString
+      else { val s = (256 + n).toChar.toString; n += 1; s }
+    }.toArray
+  }
+
+  /** Byte-level initial symbolization: UTF-8 bytes of the word, each
+    * rendered through [[byteToChar]], space-joined + the `</w>` marker.
+    * Byte extraction is hex-pair splitting (`hex(encode(..))` is
+    * engine-portable where binary indexing is not); the 256-entry map
+    * ships as one literal in the plan.
+    */
+  private def byteInitSyms(word: Column): Column = {
+    val m = typedLit((0 until 256).map(b => f"$b%02X" -> byteToChar(b)).toMap)
+    concat(array_join(transform(
+      split(trim(regexp_replace(
+        // qualified: Bpe.encode (the serving method) shadows functions.encode
+        hex(org.apache.spark.sql.functions.encode(word, "UTF-8")),
+        "(..)", "$1 ")), " "),
+      h => element_at(m, h)), " "), lit(" </w>"))
+  }
+
+  private def symbolize(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) byteInitSyms(word) else initSyms(word)
+
   /** Adjacent-pair census of the current symbolization, weighted by
     * word frequency: (g = "left right", cnt).
     */
@@ -74,10 +112,11 @@ object Bpe {
     * rounds, so a silent early stop would diverge.
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
-            checkpointEvery: Int = 8): BpeResult = {
+            checkpointEvery: Int = 8, byteLevel: Boolean = false): BpeResult = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var words = wordCensus(docs, textCol)
-      .select(col("word"), col("freq"), initSyms(col("word")).as("syms"))
+      .select(col("word"), col("freq"),
+        symbolize(col("word"), byteLevel).as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var i = 0
@@ -131,9 +170,9 @@ object Bpe {
     * applies — the defining property of BPE serving.
     */
   def encodeWords(merges: Seq[(String, String, Long)],
-                  words: DataFrame): DataFrame =
+                  words: DataFrame, byteLevel: Boolean = false): DataFrame =
     merges.foldLeft(
-      words.select(col("word"), initSyms(col("word")).as("syms"))) {
+      words.select(col("word"), symbolize(col("word"), byteLevel).as("syms"))) {
       case (df, (l, r, _)) => df.withColumn("syms",
         trim(replace(concat(lit(" "), col("syms"), lit(" ")),
           lit(s" $l $r "), lit(s" ${l + r} "))))
@@ -149,12 +188,12 @@ object Bpe {
     * with no words (empty/null text) keep a row with zero counts.
     */
   def encode(merges: Seq[(String, String, Long)], docs: DataFrame,
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text", byteLevel: Boolean = false): DataFrame = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))
     val stream = docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
       .where(col("word") =!= "")
-    val encoded = encodeWords(merges, stream.select("word").distinct())
+    val encoded = encodeWords(merges, stream.select("word").distinct(), byteLevel)
     val agg = stream.join(encoded, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * [[Bpe]] trick). Quantization error vs float PageRank is < 1e-6 per
   * term per round — irrelevant for ranking, decisive for replayability.
   *
-  * DANGLING NODES (no out-edges) leak their mass — ranks sum to less
-  * than 1. The usual redistribute-variant needs a global aggregate per
-  * round; rankings rarely change, so the simple variant is the default
-  * and the contract is documented here. Self-loops are allowed and
-  * contribute to their own node like any edge.
+  * DANGLING NODES (no out-edges) leak their mass by default — ranks sum
+  * to less than 1; rankings rarely change, so the leak is the cheap
+  * default contract. `redistributeDangling = true` adds the classic
+  * correction real crawl ranking wants: each round the total dangling
+  * mass (one integer partial-agg over the previous ranks, broadcast as
+  * a 1-row frame — NO driver traffic) is shared uniformly,
+  * round(d·dm/N) micro per node — one more double chain per node per
+  * round, same replay contract, and total mass is conserved to within
+  * the per-term rounding (±0.5 micro × N × rounds bound, spec-pinned).
+  * Self-loops are allowed and contribute to their own node like any
+  * edge.
   *
   * 100 TB shape: the Pregel shape without Pregel — per round one
   * partial-aggregated shuffle of edge contributions keyed on dst and
@@ -46,7 +52,8 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                checkpointEvery: Int = 3,
-               initRanks: Option[DataFrame] = None): DataFrame = {
+               initRanks: Option[DataFrame] = None,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
@@ -78,11 +85,26 @@ object PageRank {
         .select(col("dst").as("node"),
           round(lit(damping) * col("pr") / col("out")).cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(cnt))
-        .select(col("node"),
-          (round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
-            + coalesce(col("s"), lit(0L))).as("pr"))
+      val base = round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
+      pr = if (redistributeDangling) {
+        // exact integer partial agg of the previous round's dangling
+        // mass → 1-row broadcast; the share is ONE double chain,
+        // round(d·dm/N), so the oracle replays it verbatim
+        val dm = pr
+          .join(od.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+        nodes.join(contrib, Seq("node"), "left_outer")
+          .crossJoin(broadcast(cnt))
+          .crossJoin(broadcast(dm))
+          .select(col("node"),
+            (base + round(lit(damping) * col("dm") / col("nn")).cast("long")
+              + coalesce(col("s"), lit(0L))).as("pr"))
+      } else {
+        nodes.join(contrib, Seq("node"), "left_outer")
+          .crossJoin(broadcast(cnt))
+          .select(col("node"),
+            (base + coalesce(col("s"), lit(0L))).as("pr"))
+      }
       if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
       i += 1
     }

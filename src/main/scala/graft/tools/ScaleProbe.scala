@@ -374,7 +374,22 @@ object ScaleProbe {
       // (term x doc) census + term-grain agg / census-of-census lead
       "t_burstiness", "t_good_turing",
       // (group x day) census + shifted self-join + two rank windows
-      "x_seasonal_anomaly")
+      "x_seasonal_anomaly",
+      // round-7 surface
+      // quotient-graph closure: contraction joins at batch grain, the
+      // iterative closure runs on contracted edges only
+      "g_cc_incremental",
+      // one extra 1-row dangling-mass broadcast agg per round
+      "g_pagerank_dangling",
+      // byte symbolization is a per-distinct-word projection (the map
+      // is a plan literal); rounds = the same vocabulary-grain censuses
+      "t_bpe_bytes", "t_bpe_bytes_apply",
+      // TakeOrdered seed draw + 3 census rounds (the warm shape + one
+      // ladder scan)
+      "e_kmeans_cluster",
+      // moment census + driver Jacobi (d-bounded) + shuffle-free
+      // projection scan to a k-row census
+      "e_pca_project")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

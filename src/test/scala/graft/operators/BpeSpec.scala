@@ -85,4 +85,43 @@ class BpeSpec extends SparkSpec {
     assert(r.merges.head._3 == 2L)
     assert(Bpe.subwordCensus(r).count() == 2)
   }
+
+  test("byte↔unicode table is the GPT-2 bijection") {
+    val t = Bpe.byteToChar
+    assert(t.length == 256 && t.distinct.length == 256, "must be a bijection")
+    assert(t('A'.toInt) == "A" && t('~'.toInt) == "~" && t(0xFF) == "ÿ")
+    // non-printables map into U+0100.. in byte order: byte 0 is the
+    // first, space (0x20) the 33rd
+    assert(t(0) == "Ā" && t(' '.toInt) == "Ġ")
+    assert(t.forall(c => c.length == 1 && !c.charAt(0).isWhitespace))
+  }
+
+  test("byte-level merges diverge from char-level on non-ASCII text") {
+    // 'ä' is ONE char but TWO UTF-8 bytes (C3 A4 → 'Ã' '¤')
+    val d = Seq((1L, "hää hää hää bä")).toDF("doc_id", "text")
+    val charR = Bpe.train(d, nMerges = 2)
+    val byteR = Bpe.train(d, nMerges = 2, byteLevel = true)
+    // char level: top pair is (ä, </w>) count 4 (3×hää + 1×bä)
+    assert(charR.merges.head == (("ä", "</w>", 4L)),
+      s"unexpected char merges: ${charR.merges}")
+    // byte level: the intra-character byte pair (Ã, ¤) dominates (count
+    // 7 — every ä occurrence) before any cross-character pair
+    assert(byteR.merges.head == (("Ã", "¤", 7L)),
+      s"unexpected byte merges: ${byteR.merges}")
+    assert(charR.merges.map(m => (m._1, m._2)) !=
+      byteR.merges.map(m => (m._1, m._2)))
+  }
+
+  test("byte-level encode reproduces the training segmentation; unseen bytes fall back") {
+    val d = Seq((1L, "hää hää bä")).toDF("doc_id", "text")
+    val r = Bpe.train(d, nMerges = 3, byteLevel = true)
+    val enc = Bpe.encodeWords(r.merges,
+        Seq("hää", "bä", "xyz").toDF("word"), byteLevel = true)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val trained = r.words.collect()
+      .map(x => x.getString(0) -> x.getString(2)).toMap
+    assert(enc("hää") == trained("hää") && enc("bä") == trained("bä"))
+    // unseen ascii word stays at byte symbols wherever no merge applies
+    assert(enc("xyz").startsWith("x y z"))
+  }
 }

@@ -81,6 +81,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(rel == got(edges))
   }
 
+  test("incremental ≡ cold on appended edges; a new edge bridges two old components") {
+    // old graph: two chains 0-1-2-3 and 10-11-12, one isolated pair 20-21
+    val oldE = Seq((1L, 0L), (2L, 1L), (3L, 2L), (11L, 10L), (12L, 11L),
+      (21L, 20L))
+    val prev = ConnectedComponents.assign(oldE.toDF("doc_a", "doc_b"))
+    // batch: a BRIDGE between the two old components (3-10), an edge
+    // internal to an old component (0-2, must be a no-op), a new node
+    // attaching to an old component (21-30), and a fully-new pair (40-41)
+    val batch = Seq((3L, 10L), (0L, 2L), (21L, 30L), (40L, 41L))
+    val inc = ConnectedComponents
+      .incremental(prev, batch.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = got(oldE ++ batch)
+    assert(inc === cold, s"incremental diverged from cold:\n$inc\nvs\n$cold")
+    // the bridge genuinely merged: both old chains now label at 0
+    assert(inc(10L) === 0L && inc(12L) === 0L && inc(3L) === 0L)
+    // new node joined the old 20-component; the new pair stands alone
+    assert(inc(30L) === 20L && inc(40L) === 40L && inc(41L) === 40L)
+  }
+
+  test("incremental with an all-internal batch changes nothing") {
+    val oldE = Seq((1L, 0L), (2L, 1L), (11L, 10L))
+    val prev = ConnectedComponents.assign(oldE.toDF("doc_a", "doc_b"))
+    val inc = ConnectedComponents
+      .incremental(prev, Seq((2L, 0L), (10L, 11L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === base)
+  }
+
   test("dedupClusters: every doc gets exactly one cluster; copies collapse") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -93,4 +93,29 @@ class PageRankSpec extends SparkSpec {
     val got = ranks(Seq((1L, 1L), (2L, 1L)), iters = 3)
     assert(got(1L) > got(2L), s"self-looping sink must dominate: $got")
   }
+
+  test("redistributeDangling conserves rank mass to rounding") {
+    import spark.implicits._
+    // star into a dangling sink + a side chain: heavy dangling mass
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (1L, 2L), (5L, 6L))
+      .toDF("src", "dst")
+    val iters = 8
+    val got = PageRank.pageRank(e, iterations = iters,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = got.size
+    val total = got.values.sum
+    // per round each node's value carries ≤1 micro of rounding (base +
+    // share + per-edge terms), so total drift is bounded by ~3·N·iters
+    val bound = 3L * n * iters
+    assert(math.abs(total - 1000000L) <= bound,
+      s"mass not conserved: total=$total (bound ±$bound)")
+    // and WITHOUT the flag the same graph leaks far more than the bound
+    val leaky = PageRank.pageRank(e, iterations = iters)
+      .collect().map(_.getLong(1)).sum
+    assert(1000000L - leaky > 10L * bound,
+      s"fixture must leak without the flag: $leaky")
+    // the dangling sink still ranks highest (it receives the star)
+    assert(got(9L) === got.values.max)
+  }
 }
