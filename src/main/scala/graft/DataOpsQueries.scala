@@ -2158,6 +2158,32 @@ object DataOpsQueries {
       Scc.assign(ringEdge(1).unionByName(ringEdge(3)).unionByName(bridges))
     }),
 
+    // Incremental SCC: yesterday's decade-ring SCCs (the g_scc graph)
+    // persisted as map + condensation DAG; today's batch adds REVERSE
+    // bridges on every second block (closing a directed cycle between
+    // the two rings of that block — the pair must merge) plus one-way
+    // edges from brand-new nodes (must stay singletons). The closure
+    // re-runs on condensation ∪ contracted batch only — the ring
+    // interiors never re-enter. Closed-form oracle.
+    "g_scc_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id")
+      val base = (col("doc_id") - col("doc_id") % 10)
+      def ringEdge(off: Int): DataFrame = d.select(col("doc_id").as("src"),
+        (base + (col("doc_id") % 10 + off) % 10).as("dst"))
+      val bridges = d.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 10).as("dst"))
+        .join(d.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+      val oldEdges = ringEdge(1).unionByName(ringEdge(3)).unionByName(bridges)
+      val prev = Scc.assign(oldEdges).localCheckpoint()
+      val cond = Scc.condensation(oldEdges, prev)
+      val reverse = d.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10).as("src"), col("doc_id").as("dst"))
+        .join(d.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      val attach = d.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("src"), col("doc_id").as("dst"))
+      Scc.incremental(prev, cond, reverse.unionByName(attach))
+    }),
+
     // Multi-source BFS crawl depth: hop distance from the %1000==0 seed
     // pages over a successor (+1) + doubling (*2) link graph, capped at
     // 12 hops — the chain gives long shortest paths, the doubling edges
@@ -8472,6 +8498,22 @@ object DataOpsQueries {
     "g_scc" ->
       """SELECT doc_id AS node, (doc_id - doc_id % 10)::BIGINT AS component
         |FROM documents""".stripMargin,
+
+    // closed-form: a reverse bridge exists for block roots ≡0 (mod 40)
+    // whose second decade exists (dense ids → guaranteed below any
+    // second-decade member), closing the forward-bridge cycle → the
+    // block's two rings merge at the block minimum; every other node
+    // keeps its decade; the %100 attach edges are one-way, so the new
+    // source nodes are singletons
+    "g_scc_incremental" ->
+      """SELECT doc_id AS node,
+        |  CASE WHEN doc_id % 40 >= 10 AND doc_id % 40 <= 19
+        |       THEN (doc_id - doc_id % 40)::BIGINT
+        |       ELSE (doc_id - doc_id % 10)::BIGINT END AS component
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS node, (doc_id + 1000000)::BIGINT AS component
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
 
     "g_bfs" ->
       """WITH RECURSIVE beds AS (

@@ -173,6 +173,80 @@ object Scc {
         .limit(0))
   }
 
+  /** Condensation edge list of a solved graph — the persisted companion
+    * of [[assign]]'s (node → component) map for the incremental path:
+    * DISTINCT cross-component edges at COMPONENT grain. Intra-SCC edges
+    * (the dense ring mass) vanish here, so the persisted state is the
+    * DAG skeleton, not the raw graph.
+    */
+  def condensation(edges: DataFrame, sccMap: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val m = sccMap.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
+      .join(m.select(col("node").as("s"), col("component").as("cs")), Seq("s"))
+      .join(m.select(col("node").as("d"), col("component").as("cd")), Seq("d"))
+      .where(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+  }
+
+  /** INCREMENTAL SCC — the directed sibling of
+    * [[ConnectedComponents.incremental]], with one honest difference in
+    * the cost contract: merging directed components needs the paths
+    * BETWEEN them, so the persisted state is the (node → component) map
+    * PLUS the [[condensation]] DAG, and the re-run closure works on
+    * condensation ∪ contracted batch — DAG-skeleton-proportional, not
+    * batch-proportional. The win over cold is still decisive: the
+    * intra-SCC edge mass (the dense spam rings that drive cold peel
+    * cost) never re-enters, the quotient is a DAG plus the handful of
+    * batch edges, and TRIM collapses everything except the cycles the
+    * batch actually created — typically one peel, no propagation over
+    * ring interiors.
+    *
+    * Exactly ≡ cold (spec-pinned, including a batch edge that closes a
+    * cycle between two old SCCs): SCC(G ∪ B) lifts from
+    * SCC(condensation(G) ∪ contract(B)) — mutual reachability between
+    * old components factors through component-grain paths — and old
+    * component ids are their min member ids, so quotient min-labels are
+    * global mins.
+    */
+  def incremental(prev: DataFrame, prevCondensation: DataFrame,
+                  newEdges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst", maxPeels: Int = 40,
+                  maxProp: Int = 100, reliable: Boolean = false): DataFrame = {
+    val p = prev.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val b = newEdges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
+    val contracted = b
+      .join(p.select(col("node").as("s"), col("component").as("cs")),
+        Seq("s"), "left_outer")
+      .join(p.select(col("node").as("d"), col("component").as("cd")),
+        Seq("d"), "left_outer")
+      .select(coalesce(col("cs"), col("s")).as("src"),
+        coalesce(col("cd"), col("d")).as("dst"))
+    val quotient = prevCondensation.select(col("src"), col("dst"))
+      .unionByName(contracted)
+    val delta = assign(quotient, maxPeels = maxPeels, maxProp = maxProp,
+      reliable = reliable).localCheckpoint(true)
+    val updatedPrev = p
+      .join(delta.select(col("node").as("component"), col("component").as("_nc")),
+        Seq("component"), "left_outer")
+      .select(col("node"), coalesce(col("_nc"), col("component")).as("component"))
+    val newNodes = b.select(col("s").as("node"))
+      .unionByName(b.select(col("d").as("node")))
+      .distinct()
+      .join(p.select("node"), Seq("node"), "left_anti")
+    val assignedNew = newNodes
+      .join(delta.select(col("node"), col("component").as("_nc")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("_nc"), col("node")).as("component"))
+    updatedPrev.unionByName(assignedNew)
+  }
+
   /** Monotone-map fixpoint: checkpoint + fingerprint per relax round.
     *
     * `RoundsPerSync` > 1 (several relax rounds as pure transformations

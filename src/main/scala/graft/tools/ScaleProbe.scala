@@ -389,7 +389,10 @@ object ScaleProbe {
       "e_kmeans_cluster",
       // moment census + driver Jacobi (d-bounded) + shuffle-free
       // projection scan to a k-row census
-      "e_pca_project")
+      "e_pca_project",
+      // quotient SCC on condensation ∪ contracted batch — the ring
+      // interiors never re-enter; trim collapses the DAG skeleton
+      "g_scc_incremental")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -64,4 +64,35 @@ class SccSpec extends SparkSpec {
     val got = run(cycle ++ cycle ++ Seq((3L, 20L)))
     assert(got == ((0L until 8L).map(i => i -> 0L) :+ (20L -> 20L)).toMap)
   }
+
+  test("incremental ≡ cold; a batch edge closing a cycle between old SCCs merges them") {
+    // old: 2-cycle {1,2}, 2-cycle {10,11}, one-way DAG edge 2→10
+    val oldE = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L), (2L, 10L))
+    val prev = Scc.assign(oldE.toDF("src", "dst")).localCheckpoint()
+    assert(prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    val cond = Scc.condensation(oldE.toDF("src", "dst"), prev)
+    // the persisted DAG skeleton is exactly the contracted one-way edge
+    assert(cond.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L)))
+    // batch: 11→1 closes the cycle through the old DAG edge (the two
+    // old SCCs MUST merge — the case a contraction without the
+    // condensation edges would get wrong), plus a one-way edge from a
+    // brand-new node (stays singleton)
+    val batch = Seq((11L, 1L), (50L, 10L))
+    val inc = Scc.incremental(prev, cond, batch.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = run(oldE ++ batch)
+    assert(inc === cold, s"incremental diverged from cold:\n$inc\nvs\n$cold")
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 50L -> 50L))
+  }
+
+  test("incremental: a batch edge that does NOT close a cycle merges nothing") {
+    val oldE = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val prev = Scc.assign(oldE.toDF("src", "dst")).localCheckpoint()
+    val cond = Scc.condensation(oldE.toDF("src", "dst"), prev)
+    val inc = Scc.incremental(prev, cond, Seq((1L, 10L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
