@@ -364,6 +364,62 @@ object DataOpsQueries {
       |  UNION ALL SELECT doc_id, (doc_id // 10) * 10 FROM documents),
       |${pageRankRoundsSql(n)}""".stripMargin
 
+  /** Shared ALS interaction fixture: customer×(part mod 101) with the
+    * order-line count as the implicit rating — every user/item has ≥1
+    * interaction by construction.
+    */
+  private def alsRatings(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_partkey") % 101).cast("long").as("item"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey").cast("long").as("user"))
+    li.join(o, Seq("l_orderkey")).groupBy("user", "item")
+      .agg(count(lit(1)).as("r"))
+  }
+
+  /** Rank-2 ALS oracle chain mirroring `Als.solveSide` verbatim: the
+    * ratings fixture, the exact-integer q0 seed, then `rounds`
+    * alternations — each half-round the exact normal-equation sums
+    * (BIGINT products, HUGEINT-widened sums cast back) feeding the ONE
+    * double Cramer chain, snapped to micro. Ends at p$rounds (users) /
+    * q$rounds (items).
+    */
+  private def alsChainSql(rounds: Int): String = {
+    def solve(out: String, from: String, solveKey: String,
+              fixedKey: String): String =
+      s"""$out AS MATERIALIZED (
+        |  SELECT id,
+        |    CAST(round((a22*b1 - a12*b2) / (a11*a22 - a12*a12) * 1e6) AS BIGINT) AS f1,
+        |    CAST(round((a11*b2 - a12*b1) / (a11*a22 - a12*a12) * 1e6) AS BIGINT) AS f2
+        |  FROM (
+        |    SELECT id, s11::DOUBLE / 1e12 + 0.1::DOUBLE AS a11,
+        |      s12::DOUBLE / 1e12 AS a12, s22::DOUBLE / 1e12 + 0.1::DOUBLE AS a22,
+        |      sb1::DOUBLE / 1e6 AS b1, sb2::DOUBLE / 1e6 AS b2
+        |    FROM (
+        |      SELECT r.$solveKey AS id,
+        |        sum(f.f1 * f.f1)::BIGINT AS s11, sum(f.f1 * f.f2)::BIGINT AS s12,
+        |        sum(f.f2 * f.f2)::BIGINT AS s22, sum(f.f1 * r.r)::BIGINT AS sb1,
+        |        sum(f.f2 * r.r)::BIGINT AS sb2
+        |      FROM rat r JOIN $from f ON f.id = r.$fixedKey GROUP BY 1)))"""
+        .stripMargin
+    val chain = (1 to rounds).flatMap { i =>
+      Seq(solve(s"p$i", s"q${i - 1}", "usr", "item"),
+        solve(s"q$i", s"p$i", "item", "usr"))
+    }.mkString(",\n")
+    s"""rat AS MATERIALIZED (
+      |  SELECT o.o_custkey::BIGINT AS usr, (l.l_partkey % 101)::BIGINT AS item,
+      |    count(*)::BIGINT AS r
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2),
+      |q0 AS MATERIALIZED (
+      |  SELECT item AS id, 1000000::BIGINT AS f1,
+      |    ('0x' || substr(md5('als:' || item), 1, 15))::BIGINT % 1000000 AS f2
+      |  FROM (SELECT DISTINCT item FROM rat)),
+      |$chain""".stripMargin
+  }
+
   /** Dangling-redistribution oracle chain: the functional graph
     * restricted to src % 3 ≠ 0, so nodes ≡ 0 (mod 3) genuinely dangle;
     * each round adds round(0.85·dm/N) with dm = the previous round's
@@ -3818,6 +3874,28 @@ object DataOpsQueries {
         topk(col("n_chars").desc, col("doc_id").asc),
         topk(expr("n_chars div 10").desc, col("doc_id").asc),
         k = 10, pMicro = 900000L)
+    }),
+
+    // Rank-2 ALS over the customer×part interaction matrix (ratings =
+    // order-line counts on a 101-item catalog): item factors seed from
+    // the exact md5 integer draw, then 3 alternating ridge rounds of
+    // exact-integer normal equations + one double Cramer chain per
+    // entity, snapped to micro — the oracle replays every half-round.
+    "r_als_factors" -> ((s, dir) => {
+      val (uf, itf) = operators.Als.factorize(alsRatings(s, dir), rounds = 3)
+      uf.select(lit("u").as("side"), col("id"), col("f1").as("f1_micro"),
+          col("f2").as("f2_micro"))
+        .unionByName(itf.select(lit("i").as("side"), col("id"),
+          col("f1").as("f1_micro"), col("f2").as("f2_micro")))
+    }),
+
+    // ALS serving path: top-3 UNRATED items per user by the exact
+    // integer micro² dot product (ties on item id) — broadcast item
+    // catalog, rated-pair anti-join, GroupedTopK-rewritable rank.
+    "r_als_recommend" -> ((s, dir) => {
+      val ratings = alsRatings(s, dir)
+      val (uf, itf) = operators.Als.factorize(ratings, rounds = 3)
+      operators.Als.recommend(ratings, uf, itf, k = 3)
     }),
 
     // DTW of each event type's daily-volume curve against the 'view'
@@ -10511,6 +10589,29 @@ object DataOpsQueries {
         |  (sum(term_nano) + sum(ext_nano))::DOUBLE / 1000000000.0 AS rbo
         |FROM tm GROUP BY query""".stripMargin
     },
+
+    "r_als_factors" ->
+      s"""WITH ${alsChainSql(3)}
+        |SELECT 'u' AS side, id, f1 AS f1_micro, f2 AS f2_micro FROM p3
+        |UNION ALL
+        |SELECT 'i' AS side, id, f1 AS f1_micro, f2 AS f2_micro FROM q3"""
+        .stripMargin,
+
+    "r_als_recommend" ->
+      s"""WITH ${alsChainSql(3)},
+        |sc AS (
+        |  SELECT u.id AS usr, i.id AS item,
+        |    u.f1 * i.f1 + u.f2 * i.f2 AS score_micro2
+        |  FROM p3 u CROSS JOIN q3 i
+        |  WHERE NOT EXISTS (SELECT 1 FROM rat r
+        |                    WHERE r.usr = u.id AND r.item = i.id)),
+        |rk AS (
+        |  SELECT usr, item, score_micro2,
+        |    row_number() OVER (PARTITION BY usr
+        |      ORDER BY score_micro2 DESC, item) AS rk
+        |  FROM sc)
+        |SELECT usr AS "user", item, score_micro2, rk
+        |FROM rk WHERE rk <= 3""".stripMargin,
 
     // DTW oracle: the whole banded min-plus DP replayed ONE CELL PER
     // ITERATION in row-major order, carrying a ring buffer of the last

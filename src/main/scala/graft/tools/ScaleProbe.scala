@@ -392,7 +392,10 @@ object ScaleProbe {
       "e_pca_project",
       // quotient SCC on condensation ∪ contracted batch — the ring
       // interiors never re-enter; trim collapses the DAG skeleton
-      "g_scc_incremental")
+      "g_scc_incremental",
+      // 6 half-rounds x (one ratings equi-join + one entity-grain
+      // partial-agg shuffle); factor tables entity-grain
+      "r_als_factors")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
