@@ -379,6 +379,101 @@ object DataOpsQueries {
       .agg(count(lit(1)).as("r"))
   }
 
+  /** Decision-tree fixture: documents with a label ("mentions 'join'")
+    * and four integer features of mixed signal strength.
+    */
+  private def treeDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+      coalesce(col("text"), lit("")).as("_t"))
+
+  private def treeLabel: Column = expr("instr(_t, 'join') > 0")
+
+  private def treeFeatures: Seq[(Column, Long, Long)] = Seq(
+    (col("n_chars"), 0L, 800L),
+    (expr("length(_t) - length(replace(_t, 'e', ''))"), 0L, 80L),
+    (expr("length(_t) - length(replace(_t, 'jo', ''))"), 0L, 40L),
+    (col("doc_id") % 97, 0L, 97L))
+
+  /** CART oracle chain mirroring `DecisionTree.train` level for level:
+    * per level the (node × feature × bin) histogram census, dense
+    * prefix-sum split candidates, the one-double-chain Gini cost with
+    * (cost, f, t) argmin, the strict parent-gain test, and the
+    * reassignment CASE. Ends with the `tree` CTE (split rows from
+    * s1..s$depth + leaf census from the final assignment) and
+    * `a${depth+1}` (terminal leaf per row).
+    */
+  private def treeChainSql(depth: Int, bins: Int, minLeaf: Int): String = {
+    def bin(x: String, lo: Long, hi: Long) =
+      s"((least(greatest($x, $lo), ${hi - 1}) - $lo) * $bins) // ${hi - lo}"
+    val levels = (1 to depth).map { l =>
+      val low = 1L << (l - 1); val high = 1L << l
+      s"""cen$l AS MATERIALIZED (
+        |  SELECT node, f, bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM (
+        |    SELECT node, 0 AS f, b0 AS bin, y FROM a$l
+        |    UNION ALL SELECT node, 1, b1, y FROM a$l
+        |    UNION ALL SELECT node, 2, b2, y FROM a$l
+        |    UNION ALL SELECT node, 3, b3, y FROM a$l)
+        |  WHERE node >= $low AND node < $high
+        |  GROUP BY 1, 2, 3),
+        |tot$l AS MATERIALIZED (
+        |  SELECT node, sum(n)::BIGINT AS n, sum(p)::BIGINT AS p
+        |  FROM cen$l WHERE f = 0 GROUP BY 1),
+        |cand$l AS (
+        |  SELECT node, f, bin AS t,
+        |    (sum(n) OVER w)::BIGINT AS nl, (sum(p) OVER w)::BIGINT AS pl
+        |  FROM cen$l
+        |  WINDOW w AS (PARTITION BY node, f ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  QUALIFY bin <= ${bins - 2}),
+        |cost$l AS (
+        |  SELECT *, (al * nr + ar * nl)::DOUBLE / (nl * nr) AS costd,
+        |    (n * n - p * p - (n - p) * (n - p))::DOUBLE / n AS parentd
+        |  FROM (
+        |    SELECT c.node, c.f, c.t, c.nl, c.pl, t2.n, t2.p,
+        |      t2.n - c.nl AS nr, t2.p - c.pl AS pr,
+        |      c.nl*c.nl - c.pl*c.pl - (c.nl-c.pl)*(c.nl-c.pl) AS al,
+        |      (t2.n-c.nl)*(t2.n-c.nl) - (t2.p-c.pl)*(t2.p-c.pl)
+        |        - ((t2.n-c.nl)-(t2.p-c.pl))*((t2.n-c.nl)-(t2.p-c.pl)) AS ar
+        |    FROM cand$l c JOIN tot$l t2 USING (node)
+        |    WHERE c.nl >= $minLeaf AND t2.n - c.nl >= $minLeaf
+        |      AND t2.p > 0 AND t2.p < t2.n AND t2.n >= ${2 * minLeaf})),
+        |s$l AS MATERIALIZED (
+        |  SELECT node, f, t, nl, pl, n, p FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY costd, f, t) AS rk
+        |    FROM cost$l WHERE costd < parentd)
+        |  WHERE rk = 1),
+        |a${l + 1} AS MATERIALIZED (
+        |  SELECT r.b0, r.b1, r.b2, r.b3, r.y,
+        |    CASE WHEN s.node IS NULL THEN r.node
+        |      ELSE 2*r.node + CASE WHEN (CASE s.f WHEN 0 THEN r.b0
+        |        WHEN 1 THEN r.b1 WHEN 2 THEN r.b2 ELSE r.b3 END) <= s.t
+        |        THEN 0 ELSE 1 END
+        |    END AS node
+        |  FROM a$l r LEFT JOIN s$l s ON s.node = r.node)""".stripMargin
+    }.mkString(",\n")
+    val splitRows = (1 to depth).map(l =>
+      s"""SELECT node, 'split' AS kind, f::BIGINT AS feature, t::BIGINT AS bin,
+        |    n, p AS pos FROM s$l""".stripMargin).mkString("\n  UNION ALL ")
+    s"""a1 AS MATERIALIZED (
+      |  SELECT ${bin("n_chars", 0, 800)} AS b0,
+      |    ${bin("length(t) - length(replace(t, 'e', ''))", 0, 80)} AS b1,
+      |    ${bin("length(t) - length(replace(t, 'jo', ''))", 0, 40)} AS b2,
+      |    ${bin("doc_id % 97", 0, 97)} AS b3,
+      |    (CASE WHEN strpos(t, 'join') > 0 THEN 1 ELSE 0 END)::BIGINT AS y,
+      |    1::BIGINT AS node
+      |  FROM (SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+      |        coalesce(text, '') AS t FROM documents)),
+      |$levels,
+      |tree AS (
+      |  $splitRows
+      |  UNION ALL
+      |  SELECT node, 'leaf' AS kind, -1::BIGINT, -1::BIGINT,
+      |    count(*)::BIGINT, sum(y)::BIGINT
+      |  FROM a${depth + 1} GROUP BY node)""".stripMargin
+  }
+
   /** Rank-2 ALS oracle chain mirroring `Als.solveSide` verbatim: the
     * ratings fixture, the exact-integer q0 seed, then `rounds`
     * alternations — each half-round the exact normal-equation sums
@@ -3896,6 +3991,38 @@ object DataOpsQueries {
       val ratings = alsRatings(s, dir)
       val (uf, itf) = operators.Als.factorize(ratings, rounds = 3)
       operators.Als.recommend(ratings, uf, itf, k = 3)
+    }),
+
+    // Level-wise binned CART: predict "document mentions 'join'" from
+    // one predictive feature (the 'jo' bigram length-diff), one
+    // correlated ('e' count), one weak (n_chars), one noise
+    // (doc_id mod 97). Each level is ONE (node × feature × bin) census
+    // shuffle; the driver folds the bounded census into argmin splits;
+    // the oracle replays every level's histogram, Gini argmin, gain
+    // test, and reassignment.
+    "v_tree_train" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val tree = operators.DecisionTree.train(d, label = treeLabel,
+        features = treeFeatures, depth = 3, bins = 16, minLeaf = 10)
+      operators.DecisionTree.treeFrame(s, tree)
+        .select(col("node"), col("kind"), col("feature"), col("bin"),
+          col("n"), col("pos"))
+    }),
+
+    // CART serving path: the codegen'd nested-CASE leaf router over the
+    // binned features (shuffle-free scan), then a per-leaf label-rate
+    // census — the "which quality stratum is this document in" shape.
+    "v_tree_leaf_rate" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val tree = operators.DecisionTree.train(d, label = treeLabel,
+        features = treeFeatures, depth = 3, bins = 16, minLeaf = 10)
+      operators.DecisionTree.score(d, treeFeatures, tree, bins = 16)
+        .groupBy("leaf")
+        .agg(count(lit(1)).as("n"),
+          sum(treeLabel.cast("boolean").cast("long")).as("pos"))
+        .select(col("leaf"), col("n"), col("pos"),
+          round(col("pos").cast("double") * 1e6 / col("n")).cast("long")
+            .as("rate_micro"))
     }),
 
     // DTW of each event type's daily-volume curve against the 'view'
@@ -10589,6 +10716,16 @@ object DataOpsQueries {
         |  (sum(term_nano) + sum(ext_nano))::DOUBLE / 1000000000.0 AS rbo
         |FROM tm GROUP BY query""".stripMargin
     },
+
+    "v_tree_train" ->
+      s"""WITH ${treeChainSql(3, 16, 10)}
+        |SELECT node, kind, feature, bin, n, pos FROM tree""".stripMargin,
+
+    "v_tree_leaf_rate" ->
+      s"""WITH ${treeChainSql(3, 16, 10)}
+        |SELECT node AS leaf, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+        |  CAST(round(sum(y)::DOUBLE * 1e6 / count(*)) AS BIGINT) AS rate_micro
+        |FROM a4 GROUP BY node""".stripMargin,
 
     "r_als_factors" ->
       s"""WITH ${alsChainSql(3)}

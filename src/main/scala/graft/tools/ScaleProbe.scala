@@ -395,7 +395,10 @@ object ScaleProbe {
       "g_scc_incremental",
       // 6 half-rounds x (one ratings equi-join + one entity-grain
       // partial-agg shuffle); factor tables entity-grain
-      "r_als_factors")
+      "r_als_factors",
+      // depth censuses bounded by nodes x features x bins regardless
+      // of rows; scoring is a shuffle-free codegen CASE scan
+      "v_tree_train", "v_tree_leaf_rate")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
