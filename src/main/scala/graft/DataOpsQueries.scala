@@ -403,9 +403,24 @@ object DataOpsQueries {
     * s1..s$depth + leaf census from the final assignment) and
     * `a${depth+1}` (terminal leaf per row).
     */
-  private def treeChainSql(depth: Int, bins: Int, minLeaf: Int): String = {
+  /** The shared binned-document fixture of the tree/boost oracles:
+    * (b0..b3, y) mirroring `treeDocs` + `treeFeatures` + `treeLabel`
+    * through the exact clamp-and-divide binning.
+    */
+  private def treeFixtureSql(bins: Int): String = {
     def bin(x: String, lo: Long, hi: Long) =
       s"((least(greatest($x, $lo), ${hi - 1}) - $lo) * $bins) // ${hi - lo}"
+    s"""SELECT ${bin("n_chars", 0, 800)} AS b0,
+      |    ${bin("length(t) - length(replace(t, 'e', ''))", 0, 80)} AS b1,
+      |    ${bin("length(t) - length(replace(t, 'jo', ''))", 0, 40)} AS b2,
+      |    ${bin("doc_id % 97", 0, 97)} AS b3,
+      |    (CASE WHEN strpos(t, 'join') > 0 THEN 1 ELSE 0 END)::BIGINT AS y,
+      |    doc_id
+      |  FROM (SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+      |        coalesce(text, '') AS t FROM documents)""".stripMargin
+  }
+
+  private def treeChainSql(depth: Int, bins: Int, minLeaf: Int): String = {
     val levels = (1 to depth).map { l =>
       val low = 1L << (l - 1); val high = 1L << l
       s"""cen$l AS MATERIALIZED (
@@ -457,14 +472,8 @@ object DataOpsQueries {
       s"""SELECT node, 'split' AS kind, f::BIGINT AS feature, t::BIGINT AS bin,
         |    n, p AS pos FROM s$l""".stripMargin).mkString("\n  UNION ALL ")
     s"""a1 AS MATERIALIZED (
-      |  SELECT ${bin("n_chars", 0, 800)} AS b0,
-      |    ${bin("length(t) - length(replace(t, 'e', ''))", 0, 80)} AS b1,
-      |    ${bin("length(t) - length(replace(t, 'jo', ''))", 0, 40)} AS b2,
-      |    ${bin("doc_id % 97", 0, 97)} AS b3,
-      |    (CASE WHEN strpos(t, 'join') > 0 THEN 1 ELSE 0 END)::BIGINT AS y,
-      |    1::BIGINT AS node
-      |  FROM (SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
-      |        coalesce(text, '') AS t FROM documents)),
+      |  SELECT b0, b1, b2, b3, y, 1::BIGINT AS node FROM (
+      |  ${treeFixtureSql(bins)})),
       |$levels,
       |tree AS (
       |  $splitRows
@@ -472,6 +481,74 @@ object DataOpsQueries {
       |  SELECT node, 'leaf' AS kind, -1::BIGINT, -1::BIGINT,
       |    count(*)::BIGINT, sum(y)::BIGINT
       |  FROM a${depth + 1} GROUP BY node)""".stripMargin
+  }
+
+  /** β-form AdaBoost oracle chain mirroring `Boost.train` verbatim —
+    * the loop is ENTIRELY integer: per round the weighted (feature ×
+    * bin) census, a DENSE (feature × threshold) candidate grid (the
+    * driver iterates empty bins too, so the oracle must), the exact
+    * integer (E, f, t) argmin with majority side classes, the 2·E < W
+    * weak-learner stop, the integer half-up β, and the clamped
+    * multiplicative weight update. Ends with st1..st$rounds and
+    * w$rounds; `stumps` unions the non-empty rounds.
+    */
+  private def boostChainSql(rounds: Int, bins: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""tot$r AS (
+        |  SELECT sum(w)::BIGINT AS tw,
+        |    sum(CASE WHEN y = 1 THEN w ELSE 0 END)::BIGINT AS twp
+        |  FROM w${r - 1}),
+        |cen$r AS MATERIALIZED (
+        |  SELECT f, bin, sum(w)::BIGINT AS sw,
+        |    sum(CASE WHEN y = 1 THEN w ELSE 0 END)::BIGINT AS swp FROM (
+        |    SELECT 0 AS f, b0 AS bin, y, w FROM w${r - 1}
+        |    UNION ALL SELECT 1, b1, y, w FROM w${r - 1}
+        |    UNION ALL SELECT 2, b2, y, w FROM w${r - 1}
+        |    UNION ALL SELECT 3, b3, y, w FROM w${r - 1})
+        |  GROUP BY 1, 2),
+        |cand$r AS (
+        |  SELECT g.f, g.t,
+        |    coalesce(sum(c.sw), 0)::BIGINT AS wl,
+        |    coalesce(sum(c.swp), 0)::BIGINT AS wpl
+        |  FROM grid g LEFT JOIN cen$r c ON c.f = g.f AND c.bin <= g.t
+        |  GROUP BY 1, 2),
+        |st$r AS MATERIALIZED (
+        |  SELECT $r AS rnd, f, t, cl, cr, e, tw,
+        |    greatest(1, (2*e*1000000 + (tw - e)) // (2*(tw - e))) AS beta
+        |  FROM (
+        |    SELECT *, row_number() OVER (ORDER BY e, f, t) AS rk FROM (
+        |      SELECT c.f, c.t,
+        |        CASE WHEN 2*c.wpl >= c.wl THEN 1 ELSE 0 END AS cl,
+        |        CASE WHEN 2*(t1.twp - c.wpl) >= (t1.tw - c.wl)
+        |          THEN 1 ELSE 0 END AS cr,
+        |        (least(c.wpl, c.wl - c.wpl)
+        |          + least(t1.twp - c.wpl,
+        |              (t1.tw - c.wl) - (t1.twp - c.wpl)))::BIGINT AS e,
+        |        t1.tw
+        |      FROM cand$r c, tot$r t1))
+        |  WHERE rk = 1 AND 2*e < tw),
+        |w$r AS MATERIALIZED (
+        |  SELECT b0, b1, b2, b3, y, doc_id,
+        |    CASE WHEN s.f IS NULL THEN w
+        |      WHEN (CASE WHEN (CASE s.f WHEN 0 THEN b0 WHEN 1 THEN b1
+        |          WHEN 2 THEN b2 ELSE b3 END) <= s.t
+        |        THEN s.cl ELSE s.cr END) = y
+        |      THEN greatest(1, (w * s.beta) // 1000000)
+        |      ELSE w END AS w
+        |  FROM w${r - 1} LEFT JOIN st$r s ON true)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM st$r")
+      .mkString("\n  UNION ALL ")
+    s"""grid AS (
+      |  SELECT ff.f, tt.t
+      |  FROM (SELECT unnest(range(0, 4))::BIGINT AS f) ff,
+      |       (SELECT unnest(range(0, ${bins - 1}))::BIGINT AS t) tt),
+      |w0 AS MATERIALIZED (
+      |  SELECT b0, b1, b2, b3, y, doc_id, 1000000::BIGINT AS w FROM (
+      |  ${treeFixtureSql(bins)})),
+      |$roundsSql,
+      |stumps AS (
+      |  $union)""".stripMargin
   }
 
   /** Rank-2 ALS oracle chain mirroring `Als.solveSide` verbatim: the
@@ -4023,6 +4100,31 @@ object DataOpsQueries {
         .select(col("leaf"), col("n"), col("pos"),
           round(col("pos").cast("double") * 1e6 / col("n")).cast("long")
             .as("rate_micro"))
+    }),
+
+    // β-form AdaBoost over decision stumps on the tree fixture: the
+    // whole 5-round training loop is exact integer arithmetic (micro
+    // weight censuses, integer (E, f, t) argmin, integer half-up β,
+    // clamped multiplicative update) — replayed verbatim in SQL.
+    "x_boost_train" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val stumps = operators.Boost.train(d, treeLabel, treeFeatures,
+        rounds = 5, bins = 16)
+      operators.Boost.stumpFrame(s, stumps)
+        .select(col("round").cast("long").as("round"), col("feature"),
+          col("bin"), col("cl"), col("cr"), col("errW").as("err_w"),
+          col("totW").as("tot_w"), col("betaMicro").as("beta_micro"))
+    }),
+
+    // Boost serving: per-document ensemble margin Σ ±α in exact micro
+    // units (α once per round from the integer β, micro-rounded libm) —
+    // a codegen'd shuffle-free CASE-sum scan.
+    "x_boost_margin" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val stumps = operators.Boost.train(d, treeLabel, treeFeatures,
+        rounds = 5, bins = 16)
+      operators.Boost.margin(d, treeFeatures, stumps, bins = 16)
+        .select(col("doc_id"), col("margin_micro"), col("pred"))
     }),
 
     // DTW of each event type's daily-volume curve against the 'view'
@@ -10716,6 +10818,30 @@ object DataOpsQueries {
         |  (sum(term_nano) + sum(ext_nano))::DOUBLE / 1000000000.0 AS rbo
         |FROM tm GROUP BY query""".stripMargin
     },
+
+    "x_boost_train" ->
+      s"""WITH ${boostChainSql(5, 16)}
+        |SELECT rnd AS "round", f::BIGINT AS feature, t::BIGINT AS bin,
+        |  cl::BIGINT AS cl, cr::BIGINT AS cr, e AS err_w, tw AS tot_w,
+        |  beta AS beta_micro
+        |FROM stumps""".stripMargin,
+
+    "x_boost_margin" ->
+      s"""WITH ${boostChainSql(5, 16)},
+        |al AS (
+        |  SELECT f, t, cl, cr,
+        |    CAST(round(ln(1e6 / beta) * 1e6) AS BIGINT) AS alpha
+        |  FROM stumps),
+        |m AS (
+        |  SELECT d.doc_id,
+        |    sum(CASE WHEN (CASE WHEN (CASE a.f WHEN 0 THEN d.b0
+        |          WHEN 1 THEN d.b1 WHEN 2 THEN d.b2 ELSE d.b3 END) <= a.t
+        |        THEN a.cl ELSE a.cr END) = 1
+        |      THEN a.alpha ELSE -a.alpha END)::BIGINT AS margin_micro
+        |  FROM w0 d CROSS JOIN al a GROUP BY 1)
+        |SELECT doc_id, margin_micro,
+        |  (CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+        |FROM m""".stripMargin,
 
     "v_tree_train" ->
       s"""WITH ${treeChainSql(3, 16, 10)}

@@ -398,7 +398,10 @@ object ScaleProbe {
       "r_als_factors",
       // depth censuses bounded by nodes x features x bins regardless
       // of rows; scoring is a shuffle-free codegen CASE scan
-      "v_tree_train", "v_tree_leaf_rate")
+      "v_tree_train", "v_tree_leaf_rate",
+      // rounds x one weighted census shuffle + narrow weight updates;
+      // the integer argmin folds a 64-row census on the driver
+      "x_boost_train")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
