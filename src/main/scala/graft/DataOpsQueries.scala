@@ -4102,6 +4102,25 @@ object DataOpsQueries {
             .as("rate_micro"))
     }),
 
+    // The whole-partition window spelling ("attach the per-user
+    // statistic to every row"), kept AS the window idiom on purpose:
+    // RewriteWholePartitionWindow turns it into a census + null-safe
+    // join (no sort, no partition buffering) — the oracle pins the
+    // values, PlanSpec pins the plan, AbBench A/Bs the kill switch.
+    "w_window_rewrite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          count(lit(1)).over(w).as("user_events"),
+          sum(length(col("event_type")).cast("long")).over(w).as("sum_len"),
+          max(col("event_type")).over(w).as("max_type"),
+          size(collect_set(col("event_type")).over(w)).cast("long")
+            .as("n_types"))
+        .where(col("event_type") === "view")
+        .groupBy("user_events", "sum_len", "max_type", "n_types")
+        .agg(count(lit(1)).as("n_view_rows"))
+    }),
+
     // β-form AdaBoost over decision stumps on the tree fixture: the
     // whole 5-round training loop is exact integer arithmetic (micro
     // weight censuses, integer (E, f, t) argmin, integer half-up β,
@@ -10818,6 +10837,20 @@ object DataOpsQueries {
         |  (sum(term_nano) + sum(ext_nano))::DOUBLE / 1000000000.0 AS rbo
         |FROM tm GROUP BY query""".stripMargin
     },
+
+    "w_window_rewrite" ->
+      """WITH u AS (
+        |  SELECT user_id, event_type,
+        |    count(*) OVER w AS user_events,
+        |    sum(length(event_type)) OVER w AS sum_len,
+        |    max(event_type) OVER w AS max_type,
+        |    count(DISTINCT event_type) OVER w AS n_types
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id))
+        |SELECT user_events::BIGINT AS user_events, sum_len::BIGINT AS sum_len,
+        |  max_type, n_types::BIGINT AS n_types, count(*)::BIGINT AS n_view_rows
+        |FROM u WHERE event_type = 'view'
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "x_boost_train" ->
       s"""WITH ${boostChainSql(5, 16)}

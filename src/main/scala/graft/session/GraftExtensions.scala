@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // naive range-join spelling -> bucketed equi-join (opt-in by
     // spark.graft.rangejoin.bucketWidth > 0)
     ext.injectOptimizerRule(_ => graft.plans.InferBucketedRangeJoin)
+    // whole-partition aggregate windows -> census + null-safe join (no
+    // sort, no whole-partition row buffering)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWholePartitionWindow)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     // single-pass as-of carry (no WindowExec group buffering)
     ext.injectPlannerStrategy(_ => graft.plans.CarryForwardStrategy)

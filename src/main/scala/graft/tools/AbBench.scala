@@ -34,11 +34,13 @@ object AbBench {
     "md5fuse_off" -> Map("spark.graft.fuse.md5" -> "false"),
     "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"),
     "asof_window" -> Map("spark.graft.asof.native" -> "false"),
-    "rangejoin_off" -> Map("spark.graft.rangejoin.bucketWidth" -> "0"))
+    "rangejoin_off" -> Map("spark.graft.rangejoin.bucketWidth" -> "0"),
+    "window_off" -> Map("spark.graft.window.rewrite" -> "false"))
 
   val AllSwitches: Seq[String] = Seq("spark.graft.topk.rewrite",
     "spark.graft.fuse.md5", "spark.graft.fuse.shingle",
-    "spark.graft.asof.native", "spark.graft.rangejoin.bucketWidth")
+    "spark.graft.asof.native", "spark.graft.rangejoin.bucketWidth",
+    "spark.graft.window.rewrite")
 
   val DefaultGates: Seq[String] = Seq(
     // rewritten by InferGroupedTopK / heap exec family
@@ -53,7 +55,10 @@ object AbBench {
     // as-of native-carry representatives
     "j10_asof_join", "j12_asof_forward",
     // range-join rewrite representative (rangejoin_off = BNLJ path)
-    "j13_rangejoin_rewrite")
+    "j13_rangejoin_rewrite",
+    // whole-partition-window rewrite representatives (window_off =
+    // WindowExec sort + whole-partition buffering)
+    "llr_pairs_windowed", "w_window_rewrite")
 
   def main(args: Array[String]): Unit = {
     val dir = args.sliding(2).collectFirst { case Array("--dir", d) => d }

@@ -401,7 +401,10 @@ object ScaleProbe {
       "v_tree_train", "v_tree_leaf_rate",
       // rounds x one weighted census shuffle + narrow weight updates;
       // the integer argmin folds a 64-row census on the driver
-      "x_boost_train")
+      "x_boost_train",
+      // whole-partition windows rewritten to census joins: no sort, no
+      // partition buffering — scales by scan, not by max group size
+      "w_window_rewrite")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

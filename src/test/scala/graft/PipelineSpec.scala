@@ -94,11 +94,21 @@ class PipelineSpec extends SparkSpec {
     assert(!defaultPlan.contains("Window"),
       s"default pairGrain must not plan windowed marginals:\n$defaultPlan")
     // (pairGrain's compat output eagerly checkpoints, which truncates the
-    // printable plan — assert on the windowed stage compat is built from)
+    // printable plan — assert on the windowed stage compat is built from.)
+    // Since round 7 the compat path keeps the reference's windowed
+    // SPELLING but RewriteWholePartitionWindow plans it as the census
+    // join by default; the kill switch restores the literal plan.
     val compatPlan = graft.operators.Contingency.summaryStatisticsWindowed(clean)
       .queryExecution.optimizedPlan.toString
-    assert(compatPlan.contains("Window"),
-      s"compat path must plan the reference's windowed marginals:\n$compatPlan")
+    assert(!compatPlan.contains("Window"),
+      s"compat windows should ride the census-join rewrite:\n$compatPlan")
+    spark.conf.set("spark.graft.window.rewrite", "false")
+    try {
+      val literal = graft.operators.Contingency.summaryStatisticsWindowed(clean)
+        .queryExecution.optimizedPlan.toString
+      assert(literal.contains("Window"),
+        s"kill switch must restore the reference's windowed plan:\n$literal")
+    } finally spark.conf.unset("spark.graft.window.rewrite")
   }
 
   test("stratified sample: subset of raw reports, tagged seriousnessdeath=1") {

@@ -801,6 +801,21 @@ class PlanSpec extends SparkSpec {
       s"PCM fingerprints must never shuffle payload bytes:\n$p")
   }
 
+  test("w_window_rewrite: whole-partition windows become a census join — no WindowExec, no sort") {
+    val p = executed("w_window_rewrite")
+    assert(!p.contains("Window ["),
+      s"RewriteWholePartitionWindow must remove WindowExec:\n$p")
+    assert(!p.toLowerCase.contains("sort ["),
+      s"the census-join plan never sorts:\n$p")
+    assert(p.contains("HashAggregate"), s"census aggregate missing:\n$p")
+  }
+
+  test("llr_pairs_windowed: the compat windows also ride the census-join rewrite") {
+    val p = executed("llr_pairs_windowed")
+    assert(!p.contains("Window ["),
+      s"the three compat windows should rewrite:\n$p")
+  }
+
   test("v_constraints: the whole suite is ONE aggregation pass over one scan") {
     val p = executed("v_constraints")
     // a per-check job would show N scans; the suite folds into a single
