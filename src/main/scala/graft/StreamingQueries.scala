@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StatefulSessions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,14 @@ object StreamingQueries {
       EventStream.dailyRollup(Tables.events(s, dir))),
     "st_session_counts" -> ((s, dir) =>
       EventStream.sessionCounts(Tables.events(s, dir))),
+
+    // transformWithState (arbitrary-state v2) gap sessionizer, batch
+    // analog: closed sessions only — each user's LAST session stays
+    // open by contract (in streaming the event-time timer emits it; in
+    // batch timers cannot fire). The oracle mirrors exactly that.
+    "st_sessions_tws" -> ((s, dir) =>
+      StatefulSessions.sessionSummaries(Tables.events(s, dir),
+        gapMinutes = 30).toDF()),
 
     // Streaming dedup analog: duplicate-by-construction input (events ∪
     // events) → unique-id survivors; rows carry identical values, so the
@@ -228,6 +236,33 @@ object StreamingQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    // closed sessions only (drop each user's last session): the exact
+    // batch-analog contract of the transformWithState sessionizer
+    "st_sessions_tws" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    CAST(round(coalesce(value, 0) * 1e6) AS BIGINT) AS vmicro
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR
+        |      ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid,
+        |    epoch_us(min(ts))::BIGINT AS start_us,
+        |    epoch_us(max(ts))::BIGINT AS end_us,
+        |    count(*)::BIGINT AS n_events,
+        |    sum(vmicro)::BIGINT AS sum_value_micro
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, start_us, end_us, n_events, sum_value_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY sid DESC) AS rk FROM agg)
+        |WHERE rk > 1""".stripMargin,
 
     "st_dedup_events" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events""",

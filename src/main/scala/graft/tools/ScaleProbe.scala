@@ -404,7 +404,10 @@ object ScaleProbe {
       "x_boost_train",
       // whole-partition windows rewritten to census joins: no sort, no
       // partition buffering — scales by scan, not by max group size
-      "w_window_rewrite")
+      "w_window_rewrite",
+      // transformWithState: one fixed-width state row per ACTIVE user,
+      // one keyed shuffle; RocksDB-backed in streaming
+      "st_sessions_tws")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);

@@ -11,6 +11,18 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint
+    * (`StreamingQueryManager.stateStoreCoordinator` is private[sql]).
+    * BATCH transformWithState still loads a state store whose executor
+    * side resolves this endpoint; in a session that never ran a
+    * streaming query it would not exist yet.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.streams match {
+      case m: classic.StreamingQueryManager => m.stateStoreCoordinator
+      case _ => // non-classic session: coordinator managed elsewhere
+    }
+
   /** Apply an extensions object's injected functions to a live session's
     * registry (SparkSessionExtensions.registerFunctions is private[sql]).
     */
