@@ -483,6 +483,131 @@ object DataOpsQueries {
       |  FROM a${depth + 1} GROUP BY node)""".stripMargin
   }
 
+  /** Random-forest oracle chain mirroring `Forest.train`/`vote`: per
+    * tree a PREFIXED copy of the CART level replay restricted to the
+    * tree's md5-Bernoulli row bag and its driver-computed feature
+    * subset (interpolated — shared with the plan by construction),
+    * plus a full-corpus leaf ROUTE through the same split tables, the
+    * bagged-leaf majority classes, and the vote/OOB tallies. Ends with
+    * `forest` (global-feature-indexed tree rows) and `votes`.
+    */
+  private def forestChainSql(nTrees: Int, perTree: Int, depth: Int,
+                             bins: Int, minLeaf: Int,
+                             bagMicro: Long): String = {
+    val subsets = operators.Forest.featureSubsets(nTrees, 4, perTree)
+    def featCase(feats: Seq[String], qual: String): String =
+      s"CASE s.f ${feats.zipWithIndex.map { case (c, i) =>
+        s"WHEN $i THEN $qual$c" }.mkString(" ")} END"
+    def assign(out: String, from: String, split: String,
+               feats: Seq[String]): String =
+      s"""$out AS MATERIALIZED (
+        |  SELECT r.b0, r.b1, r.b2, r.b3, r.y, r.doc_id,
+        |    CASE WHEN s.node IS NULL THEN r.node
+        |      ELSE 2*r.node + CASE WHEN (${featCase(feats, "r.")}) <= s.t
+        |        THEN 0 ELSE 1 END
+        |    END AS node
+        |  FROM $from r LEFT JOIN $split s ON s.node = r.node)""".stripMargin
+    def lvl(p: String, feats: Seq[String], l: Int): String = {
+      val low = 1L << (l - 1); val high = 1L << l
+      val unions = feats.zipWithIndex.map { case (c, i) =>
+        if (i == 0) s"SELECT node, 0 AS f, $c AS bin, y FROM ${p}a$l"
+        else s"UNION ALL SELECT node, $i, $c, y FROM ${p}a$l"
+      }.mkString("\n    ")
+      s"""${p}cen$l AS MATERIALIZED (
+        |  SELECT node, f, bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS p FROM (
+        |    $unions)
+        |  WHERE node >= $low AND node < $high
+        |  GROUP BY 1, 2, 3),
+        |${p}tot$l AS MATERIALIZED (
+        |  SELECT node, sum(n)::BIGINT AS n, sum(p)::BIGINT AS p
+        |  FROM ${p}cen$l WHERE f = 0 GROUP BY 1),
+        |${p}cand$l AS (
+        |  SELECT node, f, bin AS t,
+        |    (sum(n) OVER w)::BIGINT AS nl, (sum(p) OVER w)::BIGINT AS pl
+        |  FROM ${p}cen$l
+        |  WINDOW w AS (PARTITION BY node, f ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  QUALIFY bin <= ${bins - 2}),
+        |${p}cost$l AS (
+        |  SELECT *, (al * nr + ar * nl)::DOUBLE / (nl * nr) AS costd,
+        |    (n * n - p * p - (n - p) * (n - p))::DOUBLE / n AS parentd
+        |  FROM (
+        |    SELECT c.node, c.f, c.t, c.nl, c.pl, t2.n, t2.p,
+        |      t2.n - c.nl AS nr, t2.p - c.pl AS pr,
+        |      c.nl*c.nl - c.pl*c.pl - (c.nl-c.pl)*(c.nl-c.pl) AS al,
+        |      (t2.n-c.nl)*(t2.n-c.nl) - (t2.p-c.pl)*(t2.p-c.pl)
+        |        - ((t2.n-c.nl)-(t2.p-c.pl))*((t2.n-c.nl)-(t2.p-c.pl)) AS ar
+        |    FROM ${p}cand$l c JOIN ${p}tot$l t2 USING (node)
+        |    WHERE c.nl >= $minLeaf AND t2.n - c.nl >= $minLeaf
+        |      AND t2.p > 0 AND t2.p < t2.n AND t2.n >= ${2 * minLeaf})),
+        |${p}s$l AS MATERIALIZED (
+        |  SELECT node, f, t, nl, pl, n, p FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY costd, f, t) AS rk
+        |    FROM ${p}cost$l WHERE costd < parentd)
+        |  WHERE rk = 1),
+        |${assign(s"${p}a${l + 1}", s"${p}a$l", s"${p}s$l", feats)}"""
+        .stripMargin
+    }
+    def bag(t: Int): String =
+      s"(('0x' || substr(md5('rfbag:$t:' || doc_id), 1, 15))::BIGINT" +
+        s" % 1000000) < $bagMicro"
+    val chains = (0 until nTrees).map { t =>
+      val fs = subsets(t); val feats = fs.map(i => s"b$i"); val p = s"t$t"
+      val levels = (1 to depth).map(l => lvl(p, feats, l)).mkString(",\n")
+      val routes = (1 to depth).map(l =>
+        assign(s"${p}r${l + 1}", s"${p}r$l", s"${p}s$l", feats))
+        .mkString(",\n")
+      s"""${p}a1 AS MATERIALIZED (
+        |  SELECT b0, b1, b2, b3, y, doc_id, 1::BIGINT AS node FROM fx
+        |  WHERE ${bag(t)}),
+        |$levels,
+        |${p}r1 AS (
+        |  SELECT b0, b1, b2, b3, y, doc_id, 1::BIGINT AS node FROM fx),
+        |$routes,
+        |${p}cls AS MATERIALIZED (
+        |  SELECT node,
+        |    CASE WHEN 2*sum(y) >= count(*) THEN 1 ELSE 0 END::BIGINT AS cls
+        |  FROM ${p}a${depth + 1} GROUP BY node),
+        |${p}pred AS MATERIALIZED (
+        |  SELECT r.doc_id, c.cls AS pred,
+        |    CASE WHEN ${bag(t)} THEN 1 ELSE 0 END::BIGINT AS inbag
+        |  FROM ${p}r${depth + 1} r JOIN ${p}cls c ON c.node = r.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val forestRows = (0 until nTrees).flatMap { t =>
+      val fs = subsets(t); val p = s"t$t"
+      val globalF = s"CASE f ${fs.zipWithIndex.map { case (g, i) =>
+        s"WHEN $i THEN $g" }.mkString(" ")} END"
+      (1 to depth).map(l =>
+        s"""SELECT $t::BIGINT AS tree, node, 'split' AS kind,
+          |    ($globalF)::BIGINT AS feature, t::BIGINT AS bin, n, p AS pos
+          |  FROM ${p}s$l""".stripMargin) :+
+        s"""SELECT $t::BIGINT, node, 'leaf', -1::BIGINT, -1::BIGINT,
+          |    count(*)::BIGINT, sum(y)::BIGINT
+          |  FROM ${p}a${depth + 1} GROUP BY node""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val joins = (1 until nTrees)
+      .map(t => s"JOIN t${t}pred p$t USING (doc_id)").mkString(" ")
+    val vp = (0 until nTrees).map(t => s"p$t.pred").mkString(" + ")
+    val ov = (0 until nTrees).map(t => s"(1 - p$t.inbag)").mkString(" + ")
+    val op = (0 until nTrees)
+      .map(t => s"p$t.pred * (1 - p$t.inbag)").mkString(" + ")
+    s"""fx AS MATERIALIZED (
+      |  ${treeFixtureSql(bins)}),
+      |$chains,
+      |forest AS (
+      |  $forestRows),
+      |votes AS (
+      |  SELECT p0.doc_id, ($vp)::BIGINT AS votes_pos,
+      |    (CASE WHEN 2*($vp) >= $nTrees THEN 1 ELSE 0 END)::BIGINT AS pred,
+      |    ($ov)::BIGINT AS oob_votes, ($op)::BIGINT AS oob_pos,
+      |    CASE WHEN ($ov) = 0 THEN NULL
+      |      ELSE (CASE WHEN 2*($op) >= ($ov) THEN 1 ELSE 0 END)::BIGINT
+      |    END AS oob_pred
+      |  FROM t0pred p0 $joins)""".stripMargin
+  }
+
   /** β-form AdaBoost oracle chain mirroring `Boost.train` verbatim —
     * the loop is ENTIRELY integer: per round the weighted (feature ×
     * bin) census, a DENSE (feature × threshold) candidate grid (the
@@ -4119,6 +4244,33 @@ object DataOpsQueries {
         .where(col("event_type") === "view")
         .groupBy("user_events", "sum_len", "max_type", "n_types")
         .agg(count(lit(1)).as("n_view_rows"))
+    }),
+
+    // Random forest on the tree fixture: 3 members, each on an md5
+    // Bernoulli row bag (70%) and a 2-of-4 md5-ranked feature subset —
+    // every member's level replay, the full-corpus leaf routing, and
+    // the vote/OOB tallies mirror in SQL.
+    "v_forest_train" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val forest = operators.Forest.train(d, treeLabel, treeFeatures,
+        col("doc_id"), nTrees = 3, perTree = 2, depth = 2, bins = 16,
+        minLeaf = 10, bagMicro = 700000L)
+      operators.Forest.forestFrame(s, forest)
+    }),
+
+    // Forest serving + the no-holdout validation estimate: majority
+    // vote over all members and the OOB vote over members that never
+    // saw the row (null when the row was in every bag).
+    "v_forest_vote" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val forest = operators.Forest.train(d, treeLabel, treeFeatures,
+        col("doc_id"), nTrees = 3, perTree = 2, depth = 2, bins = 16,
+        minLeaf = 10, bagMicro = 700000L)
+      operators.Forest.vote(d, treeFeatures, forest, col("doc_id"),
+          bins = 16, bagMicro = 700000L)
+        .select(col("doc_id"), col("votes_pos"), col("pred"),
+          col("oob_votes"), col("oob_pos"), col("oob_pred"),
+          treeLabel.cast("boolean").cast("long").as("y"))
     }),
 
     // β-form AdaBoost over decision stumps on the tree fixture: the
@@ -10851,6 +11003,17 @@ object DataOpsQueries {
         |  max_type, n_types::BIGINT AS n_types, count(*)::BIGINT AS n_view_rows
         |FROM u WHERE event_type = 'view'
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "v_forest_train" ->
+      s"""WITH ${forestChainSql(3, 2, 2, 16, 10, 700000L)}
+        |SELECT tree, node, kind, feature, bin, n, pos FROM forest"""
+        .stripMargin,
+
+    "v_forest_vote" ->
+      s"""WITH ${forestChainSql(3, 2, 2, 16, 10, 700000L)}
+        |SELECT v.doc_id, v.votes_pos, v.pred, v.oob_votes, v.oob_pos,
+        |  v.oob_pred, f.y
+        |FROM votes v JOIN fx f USING (doc_id)""".stripMargin,
 
     "x_boost_train" ->
       s"""WITH ${boostChainSql(5, 16)}

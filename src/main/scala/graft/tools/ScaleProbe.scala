@@ -407,7 +407,9 @@ object ScaleProbe {
       "w_window_rewrite",
       // transformWithState: one fixed-width state row per ACTIVE user,
       // one keyed shuffle; RocksDB-backed in streaming
-      "st_sessions_tws")
+      "st_sessions_tws",
+      // nTrees x depth bounded censuses; vote/OOB one codegen scan
+      "v_forest_vote")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
