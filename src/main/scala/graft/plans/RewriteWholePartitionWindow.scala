@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualNullSafe, Expression, UnboundedFollowing, UnboundedPreceding, SpecifiedWindowFrame, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualNullSafe, ExprId, Expression, NamedExpression, Size, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, CollectSet, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project, Window}
@@ -52,6 +52,14 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * uses null-safe equality. Output attribute ids are restored via
   * aliases, so parent references bind unchanged. The aggregate side's
   * outputs are all fresh, keeping the self-join's outputs disjoint.
+  *
+  * SIZE-FUSION: `size(collect_set(x) OVER w)` — the exact windowed
+  * distinct-count spelling (Spark rejects DISTINCT window functions,
+  * so this is how users write it) — fuses to `count(DISTINCT x)` in
+  * the census when the set is consumed ONLY via size(): the join then
+  * ships an 8-byte count per group instead of the materialized set
+  * (a hot key's set is unbounded — the count is not). A set also
+  * consumed raw keeps the collect_set aggregate.
   */
 object RewriteWholePartitionWindow extends Rule[LogicalPlan] {
 
@@ -83,33 +91,97 @@ object RewriteWholePartitionWindow extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  private def eligible(w: Window): Boolean =
+    !w.isStreaming && w.windowExpressions.nonEmpty &&
+      w.partitionSpec.forall(_.deterministic) &&
+      w.windowExpressions.forall {
+        case Alias(WindowExpression(ae: AggregateExpression, spec), _) =>
+          !ae.isDistinct && ae.filter.isEmpty && ae.deterministic &&
+            orderFree(ae.aggregateFunction) && wholePartition(spec) &&
+            spec.partitionSpec == w.partitionSpec
+        case _ => false
+      }
+
+  /** ids of collect_set window expressions (the size-fusion candidates). */
+  private def collectSetIds(w: Window): Seq[ExprId] =
+    w.windowExpressions.collect {
+      case a @ Alias(WindowExpression(ae: AggregateExpression, _), _)
+          if ae.aggregateFunction.isInstanceOf[CollectSet] => a.exprId
+    }
+
+  /** Does `e` reference attribute `id` anywhere EXCEPT as the direct
+    * child of size(...)?
+    */
+  private def usedOutsideSize(e: Expression, id: ExprId): Boolean = e match {
+    case Size(a: Attribute, _) if a.exprId == id => false
+    case a: Attribute => a.exprId == id
+    case other => other.children.exists(usedOutsideSize(_, id))
+  }
+
+  /** The census + null-safe join for `w`. Window expressions whose id is
+    * in `fuse` (collect_set consumed only via size) aggregate as
+    * count(DISTINCT child) instead of materializing the set. Returns the
+    * join, the original-id restore aliases for NON-fused expressions,
+    * and the fused-id -> count-attribute map.
+    */
+  private def rewrite(w: Window, fuse: Set[ExprId])
+      : (LogicalPlan, Seq[NamedExpression], Map[ExprId, Attribute]) = {
+    val exprs = w.windowExpressions
+    val parts = w.partitionSpec
+    val child = w.child
+    val keyAliases = parts.zipWithIndex.map { case (p, i) =>
+      Alias(p, s"_gwk$i")()
+    }
+    val aggAliases = exprs.map {
+      case a @ Alias(WindowExpression(ae: AggregateExpression, _), name) =>
+        if (fuse(a.exprId)) {
+          val cs = ae.aggregateFunction.asInstanceOf[CollectSet]
+          Alias(AggregateExpression(Count(Seq(cs.child)),
+            org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+            isDistinct = true), s"${name}_dcnt")()
+        } else Alias(ae, name)()
+    }
+    val agg = Aggregate(parts, keyAliases ++ aggAliases, child)
+    val cond = parts.zip(keyAliases)
+      .map { case (p, k) => EqualNullSafe(p, k.toAttribute): Expression }
+      .reduceOption(And)
+    val join = Join(child, agg,
+      if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
+    val restored = exprs.zip(aggAliases).collect {
+      case (orig, fresh) if !fuse(orig.exprId) =>
+        Alias(fresh.toAttribute, orig.name)(exprId = orig.exprId)
+    }
+    val fusedMap = exprs.zip(aggAliases).collect {
+      case (orig, fresh) if fuse(orig.exprId) =>
+        orig.exprId -> fresh.toAttribute
+    }.toMap
+    (join, restored, fusedMap)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan else plan.transform {
-      case w @ Window(exprs, parts, _, child, _)
-          if !w.isStreaming && exprs.nonEmpty &&
-            parts.forall(_.deterministic) &&
-            exprs.forall {
-              case Alias(WindowExpression(ae: AggregateExpression, spec), _) =>
-                !ae.isDistinct && ae.filter.isEmpty && ae.deterministic &&
-                  orderFree(ae.aggregateFunction) && wholePartition(spec) &&
-                  spec.partitionSpec == parts
-              case _ => false
-            } =>
-        val keyAliases = parts.zipWithIndex.map { case (p, i) =>
-          Alias(p, s"_gwk$i")()
-        }
-        val aggAliases = exprs.map {
-          case Alias(WindowExpression(ae, _), name) => Alias(ae, name)()
-        }
-        val agg = Aggregate(parts, keyAliases ++ aggAliases, child)
-        val cond = parts.zip(keyAliases)
-          .map { case (p, k) => EqualNullSafe(p, k.toAttribute): Expression }
-          .reduceOption(And)
-        val join = Join(child, agg,
-          if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
-        val restored = exprs.zip(aggAliases).map { case (orig, fresh) =>
-          Alias(fresh.toAttribute, orig.name)(exprId = orig.exprId)
-        }
-        Project(child.output ++ restored, join)
+      // size(collect_set(x) OVER w) with the set consumed ONLY via size:
+      // the census aggregates count(DISTINCT x) — the distinct COUNT
+      // ships through the join, never the set itself
+      case p @ Project(fields, w: Window)
+          if eligible(w) && {
+            val cands = collectSetIds(w)
+            cands.nonEmpty && cands.exists(id =>
+              !fields.exists(f => usedOutsideSize(f, id)))
+          } =>
+        val fuse = collectSetIds(w).filter(id =>
+          !fields.exists(f => usedOutsideSize(f, id))).toSet
+        val (join, restored, fusedMap) = rewrite(w, fuse)
+        val inner = Project(
+          w.child.output ++ restored ++ fusedMap.values.toSeq, join)
+        val newFields = fields.map(_.transform {
+          case Size(a: Attribute, _) if fusedMap.contains(a.exprId) =>
+            Cast(fusedMap(a.exprId), IntegerType)
+        }.asInstanceOf[NamedExpression])
+        Project(newFields, inner)
+
+      case w: Window if eligible(w) =>
+        val (join, restored, _) = rewrite(w, Set.empty)
+        Project(w.child.output ++ restored, join)
     }
 }

@@ -116,6 +116,42 @@ class RewriteWholePartitionWindowSpec extends SparkSpec {
       "all-or-nothing per node: the double sum must keep the node")
   }
 
+  test("size(collect_set) fuses to count(DISTINCT): no Window, no set materialization") {
+    val w = Window.partitionBy("k")
+    def q(df: DataFrame): DataFrame = df
+      .withColumn("nd", size(collect_set(col("v") % 5).over(w)))
+      .withColumn("c", count(lit(1)).over(w))
+    val df = q(base)
+    val plan = optimized(df)
+    assert(!plan.contains("Window "), s"Window survived:\n$plan")
+    assert(!plan.contains("collect_set"),
+      s"the set must not materialize when only its size is read:\n$plan")
+    assert(plan.contains("distinct"), s"count(DISTINCT) missing:\n$plan")
+    val expected = withRuleOff(sortedRows(q(base)))
+    assert(sortedRows(df) == expected)
+    // exact distinct counts per group
+    val perGroup = base.groupBy("k")
+      .agg(countDistinct(col("v") % 5).cast("int").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    df.select("k", "nd").distinct().collect()
+      .foreach(r => assert(r.getInt(1) == perGroup(r.getLong(0))))
+  }
+
+  test("collect_set also consumed raw keeps the set aggregate (no fusion), still rewritten") {
+    val w = Window.partitionBy("k")
+    def q(df: DataFrame): DataFrame = df
+      .withColumn("cs", collect_set(col("v") % 5).over(w))
+      .select(col("k"), col("v"), size(col("cs")).as("nd"),
+        array_sort(col("cs")).as("sorted_set"))
+    val df = q(base)
+    val plan = optimized(df)
+    assert(!plan.contains("Window "), s"Window survived:\n$plan")
+    assert(plan.contains("collect_set"),
+      s"raw set consumption must keep the set aggregate:\n$plan")
+    val expected = withRuleOff(sortedRows(q(base)))
+    assert(sortedRows(df) == expected)
+  }
+
   test("order-sensitive aggregates (first, collect_list) are not rewritten") {
     // the analyzer already rejects DISTINCT window functions, so the
     // rule's isDistinct guard is unreachable belt-and-braces; the
