@@ -389,6 +389,15 @@ object DataOpsQueries {
 
   private def treeLabel: Column = expr("instr(_t, 'join') > 0")
 
+  /** The raw (unclamped) integer features behind `treeFeatures` — the
+    * quantile-binning gates derive adaptive edges from these.
+    */
+  private def quantileRawFeatures: Seq[Column] = Seq(
+    coalesce(col("n_chars"), lit(0L)),
+    expr("length(_t) - length(replace(_t, 'e', ''))"),
+    expr("length(_t) - length(replace(_t, 'jo', ''))"),
+    col("doc_id") % 97)
+
   private def treeFeatures: Seq[(Column, Long, Long)] = Seq(
     (col("n_chars"), 0L, 800L),
     (expr("length(_t) - length(replace(_t, 'e', ''))"), 0L, 80L),
@@ -420,7 +429,46 @@ object DataOpsQueries {
       |        coalesce(text, '') AS t FROM documents)""".stripMargin
   }
 
-  private def treeChainSql(depth: Int, bins: Int, minLeaf: Int): String = {
+  /** Quantile-binning oracle preamble mirroring `QuantileBins.fit` /
+    * `transform`: per raw feature the value census, the cumulative
+    * ranks, the exact ⌈j·n/bins⌉ edges (integer ceil-div), and the
+    * quantile-binned fixture `fxq` (bin = #edges < x).
+    */
+  private def quantilePreambleSql(bins: Int): String = {
+    val perFeat = (0 until 4).map { f =>
+      s"""qc$f AS (SELECT f$f AS v, count(*)::BIGINT AS c FROM qsrc GROUP BY 1),
+        |qcc$f AS (SELECT v, (sum(c) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |  FROM qc$f),
+        |qe$f AS MATERIALIZED (
+        |  SELECT j.j, min(cc.v)::BIGINT AS edge
+        |  FROM (SELECT unnest(range(1, $bins))::BIGINT AS j) j
+        |  JOIN qcc$f cc ON cc.cum >=
+        |    (j.j * (SELECT count(*)::BIGINT FROM qsrc) + ${bins - 1}) // $bins
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""qsrc AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    coalesce(n_chars, 0) AS f0,
+      |    length(t) - length(replace(t, 'e', '')) AS f1,
+      |    length(t) - length(replace(t, 'jo', '')) AS f2,
+      |    doc_id % 97 AS f3,
+      |    (CASE WHEN strpos(t, 'join') > 0 THEN 1 ELSE 0 END)::BIGINT AS y
+      |  FROM (SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
+      |        coalesce(text, '') AS t FROM documents)),
+      |$perFeat,
+      |fxq AS MATERIALIZED (
+      |  SELECT q.doc_id, q.y,
+      |    (SELECT count(*) FROM qe0 e WHERE e.edge < q.f0)::BIGINT AS b0,
+      |    (SELECT count(*) FROM qe1 e WHERE e.edge < q.f1)::BIGINT AS b1,
+      |    (SELECT count(*) FROM qe2 e WHERE e.edge < q.f2)::BIGINT AS b2,
+      |    (SELECT count(*) FROM qe3 e WHERE e.edge < q.f3)::BIGINT AS b3
+      |  FROM qsrc q)""".stripMargin
+  }
+
+  private def treeChainSql(depth: Int, bins: Int, minLeaf: Int,
+                           preamble: String = "",
+                           a1From: String = ""): String = {
     val levels = (1 to depth).map { l =>
       val low = 1L << (l - 1); val high = 1L << l
       s"""cen$l AS MATERIALIZED (
@@ -471,9 +519,9 @@ object DataOpsQueries {
     val splitRows = (1 to depth).map(l =>
       s"""SELECT node, 'split' AS kind, f::BIGINT AS feature, t::BIGINT AS bin,
         |    n, p AS pos FROM s$l""".stripMargin).mkString("\n  UNION ALL ")
-    s"""a1 AS MATERIALIZED (
-      |  SELECT b0, b1, b2, b3, y, 1::BIGINT AS node FROM (
-      |  ${treeFixtureSql(bins)})),
+    val src = if (a1From.isEmpty) s"(\n  ${treeFixtureSql(bins)})" else a1From
+    s"""${preamble}a1 AS MATERIALIZED (
+      |  SELECT b0, b1, b2, b3, y, 1::BIGINT AS node FROM $src),
       |$levels,
       |tree AS (
       |  $splitRows
@@ -4244,6 +4292,32 @@ object DataOpsQueries {
         .where(col("event_type") === "view")
         .groupBy("user_events", "sum_len", "max_type", "n_types")
         .agg(count(lit(1)).as("n_view_rows"))
+    }),
+
+    // Exact equal-frequency bin edges for the 4 raw tree features:
+    // edge_j = the smallest value whose cumulative census count reaches
+    // rank ceil(j*n/bins) — integer arithmetic, replayed from the same
+    // value census by the oracle.
+    "v_quantile_bins" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      operators.QuantileBins.edgesFrame(s,
+        operators.QuantileBins.fit(d, quantileRawFeatures, bins = 16))
+    }),
+
+    // CART over QUANTILE-binned features (the adaptive-bin production
+    // shape: equal-frequency bins give every threshold real mass on the
+    // long-tailed n_chars): same level-replay machinery, fixture now
+    // derives the bins from the replayed edges.
+    "v_tree_quantile" -> ((s, dir) => {
+      val d = treeDocs(s, dir)
+      val edges = operators.QuantileBins.fit(d, quantileRawFeatures, bins = 16)
+      val binned = operators.QuantileBins.transform(d, quantileRawFeatures, edges)
+      val feats = (0 until 4).map(i => (col(s"_qb$i"), 0L, 16L))
+      val tree = operators.DecisionTree.train(binned, treeLabel, feats,
+        depth = 3, bins = 16, minLeaf = 10)
+      operators.DecisionTree.treeFrame(s, tree)
+        .select(col("node"), col("kind"), col("feature"), col("bin"),
+          col("n"), col("pos"))
     }),
 
     // Random forest on the tree fixture: 3 members, each on an md5
@@ -11038,6 +11112,18 @@ object DataOpsQueries {
         |SELECT doc_id, margin_micro,
         |  (CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
         |FROM m""".stripMargin,
+
+    "v_quantile_bins" ->
+      s"""WITH ${quantilePreambleSql(16)}
+        |SELECT 0::BIGINT AS feature, j, edge FROM qe0
+        |UNION ALL SELECT 1::BIGINT, j, edge FROM qe1
+        |UNION ALL SELECT 2::BIGINT, j, edge FROM qe2
+        |UNION ALL SELECT 3::BIGINT, j, edge FROM qe3""".stripMargin,
+
+    "v_tree_quantile" ->
+      s"""WITH ${treeChainSql(3, 16, 10,
+           preamble = quantilePreambleSql(16) + ",\n", a1From = "fxq")}
+        |SELECT node, kind, feature, bin, n, pos FROM tree""".stripMargin,
 
     "v_tree_train" ->
       s"""WITH ${treeChainSql(3, 16, 10)}

@@ -409,7 +409,10 @@ object ScaleProbe {
       // one keyed shuffle; RocksDB-backed in streaming
       "st_sessions_tws",
       // nTrees x depth bounded censuses; vote/OOB one codegen scan
-      "v_forest_vote")
+      "v_forest_vote",
+      // one value-census shuffle per feature + driver edge scan
+      // (distinct-value bounded) + codegen when-chain binning
+      "v_tree_quantile")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
