@@ -31,6 +31,12 @@ object StreamingQueries {
       StatefulSessions.sessionSummaries(Tables.events(s, dir),
         gapMinutes = 30).toDF()),
 
+    // arbitrary-state v2 MAPSTATE census: incrementally maintained
+    // per-user (type → count) map; the batch analog emits the exact
+    // full-corpus distinct-type census in one pass.
+    "st_type_census" -> ((s, dir) =>
+      graft.streaming.TypeCensus.typeCensus(Tables.events(s, dir)).toDF()),
+
     // Streaming dedup analog: duplicate-by-construction input (events ∪
     // events) → unique-id survivors; rows carry identical values, so the
     // arbitrary-survivor pick is value-deterministic.
@@ -263,6 +269,11 @@ object StreamingQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY sid DESC) AS rk FROM agg)
         |WHERE rk > 1""".stripMargin,
+
+    "st_type_census" ->
+      """SELECT user_id, count(DISTINCT coalesce(event_type, ''))::BIGINT AS n_types,
+        |  count(*)::BIGINT AS n_events
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
 
     "st_dedup_events" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events""",

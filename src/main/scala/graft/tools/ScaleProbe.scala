@@ -412,7 +412,10 @@ object ScaleProbe {
       "v_forest_vote",
       // one value-census shuffle per feature + driver edge scan
       // (distinct-value bounded) + codegen when-chain binning
-      "v_tree_quantile")
+      "v_tree_quantile",
+      // MapState census: one keyed shuffle; per-user map bounded by
+      // the user's type vocabulary, not history
+      "st_type_census")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
