@@ -122,11 +122,25 @@ object Bench {
         try {
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectErrorStream(true)
+          // Child output goes to a temp file, NOT a pipe read before
+          // waitFor — reading the pipe blocks until the child exits,
+          // which made the 10-minute timeout (and destroyForcibly)
+          // unreachable: one hung gate JVM hung the whole bench.
+          val outFile = java.io.File.createTempFile(s"graft-iso-$gate-", ".log")
+          outFile.deleteOnExit()
+          pb.redirectOutput(outFile)
           val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
           val ok = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-          if (!ok) proc.destroyForcibly()
+          if (!ok) {
+            proc.destroyForcibly()
+            proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+            System.err.println(s"[bench] isolated $gate timed out after " +
+              "10 minutes; killed")
+          }
+          val out = new String(
+            java.nio.file.Files.readAllBytes(outFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          outFile.delete()
           val line = out.linesIterator.toSeq.reverse
             .find(_.startsWith("ISOLATED"))
           line.foreach { l =>

@@ -489,9 +489,12 @@ object DataOpsQueries {
         |  WINDOW w AS (PARTITION BY node, f ORDER BY bin
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  QUALIFY bin <= ${bins - 2}),
-        |cost$l AS (
-        |  SELECT *, (al * nr + ar * nl)::DOUBLE / (nl * nr) AS costd,
-        |    (n * n - p * p - (n - p) * (n - p))::DOUBLE / n AS parentd
+        |cost$l AS MATERIALIZED (
+        |  SELECT *,
+        |    al::HUGEINT * nr + ar::HUGEINT * nl AS num,
+        |    nl::HUGEINT * nr AS den,
+        |    (n::HUGEINT * n - p::HUGEINT * p
+        |      - (n - p)::HUGEINT * (n - p)) AS pnum
         |  FROM (
         |    SELECT c.node, c.f, c.t, c.nl, c.pl, t2.n, t2.p,
         |      t2.n - c.nl AS nr, t2.p - c.pl AS pr,
@@ -502,11 +505,14 @@ object DataOpsQueries {
         |    WHERE c.nl >= $minLeaf AND t2.n - c.nl >= $minLeaf
         |      AND t2.p > 0 AND t2.p < t2.n AND t2.n >= ${2 * minLeaf})),
         |s$l AS MATERIALIZED (
-        |  SELECT node, f, t, nl, pl, n, p FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY node
-        |      ORDER BY costd, f, t) AS rk
-        |    FROM cost$l WHERE costd < parentd)
-        |  WHERE rk = 1),
+        |  -- exact rational argmin: num/den compared by HUGEINT
+        |  -- cross-multiplication (mirrors the plan's BigInt compare)
+        |  SELECT node, f, t, nl, pl, n, p FROM cost$l c
+        |  WHERE c.num * c.n < c.pnum * c.den
+        |    AND NOT EXISTS (SELECT 1 FROM cost$l c2
+        |      WHERE c2.node = c.node AND (c2.num * c.den < c.num * c2.den
+        |        OR (c2.num * c.den = c.num * c2.den
+        |            AND (c2.f < c.f OR (c2.f = c.f AND c2.t < c.t)))))),
         |a${l + 1} AS MATERIALIZED (
         |  SELECT r.b0, r.b1, r.b2, r.b3, r.y,
         |    CASE WHEN s.node IS NULL THEN r.node
@@ -576,9 +582,12 @@ object DataOpsQueries {
         |  WINDOW w AS (PARTITION BY node, f ORDER BY bin
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  QUALIFY bin <= ${bins - 2}),
-        |${p}cost$l AS (
-        |  SELECT *, (al * nr + ar * nl)::DOUBLE / (nl * nr) AS costd,
-        |    (n * n - p * p - (n - p) * (n - p))::DOUBLE / n AS parentd
+        |${p}cost$l AS MATERIALIZED (
+        |  SELECT *,
+        |    al::HUGEINT * nr + ar::HUGEINT * nl AS num,
+        |    nl::HUGEINT * nr AS den,
+        |    (n::HUGEINT * n - p::HUGEINT * p
+        |      - (n - p)::HUGEINT * (n - p)) AS pnum
         |  FROM (
         |    SELECT c.node, c.f, c.t, c.nl, c.pl, t2.n, t2.p,
         |      t2.n - c.nl AS nr, t2.p - c.pl AS pr,
@@ -589,11 +598,12 @@ object DataOpsQueries {
         |    WHERE c.nl >= $minLeaf AND t2.n - c.nl >= $minLeaf
         |      AND t2.p > 0 AND t2.p < t2.n AND t2.n >= ${2 * minLeaf})),
         |${p}s$l AS MATERIALIZED (
-        |  SELECT node, f, t, nl, pl, n, p FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY node
-        |      ORDER BY costd, f, t) AS rk
-        |    FROM ${p}cost$l WHERE costd < parentd)
-        |  WHERE rk = 1),
+        |  SELECT node, f, t, nl, pl, n, p FROM ${p}cost$l c
+        |  WHERE c.num * c.n < c.pnum * c.den
+        |    AND NOT EXISTS (SELECT 1 FROM ${p}cost$l c2
+        |      WHERE c2.node = c.node AND (c2.num * c.den < c.num * c2.den
+        |        OR (c2.num * c.den = c.num * c2.den
+        |            AND (c2.f < c.f OR (c2.f = c.f AND c2.t < c.t)))))),
         |${assign(s"${p}a${l + 1}", s"${p}a$l", s"${p}s$l", feats)}"""
         .stripMargin
     }

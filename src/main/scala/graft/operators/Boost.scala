@@ -108,8 +108,11 @@ object Boost {
       }
       best match {
         case Some((e, fi, t, cl, cr)) if 2 * e < w =>
-          val beta = math.max(1L,
-            (2 * e * 1000000L + (w - e)) / (2 * (w - e)))
+          // BigInt numerator: 2·e·1e6 wraps Long once total micro weight
+          // passes ~9.2e12 (≈9M rows at the 1e6 initial weight); the
+          // quotient itself is ≤1e6 so the result always fits.
+          val beta = ((BigInt(2) * e * 1000000L + (w - e)) /
+            (BigInt(2) * (w - e))).max(BigInt(1)).toLong
           out += Stump(r, fi.toLong, t, cl, cr, e, w, beta)
           val pred = when(col(s"_b$fi") <= t, lit(cl)).otherwise(lit(cr))
           cur = cur.withColumn("_w",

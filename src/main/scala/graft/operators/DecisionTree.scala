@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   *    [lo, hi) domain — quantize floats upstream (the established
   *    micro discipline); binning is exact integer arithmetic
   *    (clamp, then (x−lo)·bins div (hi−lo));
-  *  - histogram counts are exact longs; the Gini cost
-  *    (aL·nR + aR·nL) / (nL·nR) with a = n² − pos² − neg² is one
-  *    double division of exact-integer operands, identical on any
-  *    IEEE engine — n³ must stay under 2^53 (≈ 2×10^15 rows, far past
-  *    any per-tree sample).
+  *  - histogram counts are exact longs; the Gini cost is the RATIONAL
+  *    (aL·nR + aR·nL) / (nL·nR) with a = n² − pos² − neg², and split
+  *    selection compares rationals by BigInt cross-multiplication —
+  *    exact at ANY per-node row count, no Long wrap, no double
+  *    rounding. The DuckDB oracle mirrors the comparison in HUGEINT
+  *    (exact to ~3×10^7 rows/node — far past any gate fixture; the
+  *    production side has no bound).
   *
   * 100 TB shape: `depth` scans of a localCheckpointed (bins…, label)
   * projection, each ONE census shuffle; driver traffic is the census,
@@ -106,8 +108,10 @@ object DecisionTree {
         val rows = byNode(node)
         val n = rows.filter(_._2 == 0).map(_._4).sum
         val pos = rows.filter(_._2 == 0).map(_._5).sum
-        val parentCost = costNum(n, pos).toDouble / n
-        var best: Option[(Double, Int, Long, Long, Long)] = None
+        val parentNum = costNum(n, pos) // parent cost = parentNum / n
+        // best = (num, den, fi, t, nL, pL); cost num/den compared by
+        // exact BigInt cross-multiplication, ties broken (feature, bin)
+        var best: Option[(BigInt, BigInt, Int, Long, Long, Long)] = None
         if (pos > 0 && pos < n && n >= 2 * minLeaf) {
           for (fi <- 0 until f) {
             val hist = Array.fill(bins)((0L, 0L))
@@ -119,19 +123,23 @@ object DecisionTree {
               nL += hist(t)._1; pL += hist(t)._2
               val nR = n - nL; val pR = pos - pL
               if (nL >= minLeaf && nR >= minLeaf) {
-                val cost = (costNum(nL, pL) * nR + costNum(nR, pR) * nL)
-                  .toDouble / (nL * nR)
-                val cand = (cost, fi, t.toLong, nL, pL)
-                if (best.isEmpty ||
-                  lt((cand._1, cand._2, cand._3),
-                    (best.get._1, best.get._2, best.get._3))) best = Some(cand)
+                val num = costNum(nL, pL) * nR + costNum(nR, pR) * nL
+                val den = BigInt(nL) * nR
+                val better = best match {
+                  case None => true
+                  case Some((bn, bd, bf, bt, _, _)) =>
+                    val lhs = num * bd; val rhs = bn * den
+                    lhs < rhs || (lhs == rhs &&
+                      (fi < bf || (fi == bf && t < bt)))
+                }
+                if (better) best = Some((num, den, fi, t.toLong, nL, pL))
               }
               t += 1
             }
           }
         }
         best match {
-          case Some((cost, fi, t, nL, pL)) if cost < parentCost =>
+          case Some((num, den, fi, t, nL, pL)) if num * n < parentNum * den =>
             out += TreeNode(node, "split", fi.toLong, t, n, pos)
             splits += ((node, fi, t))
             if (level == depth - 1) {
@@ -158,14 +166,10 @@ object DecisionTree {
   }
 
   /** Gini numerator n − (pos² + neg²)/n, scaled by n: n² − pos² − neg².
-    * Exact long for any per-tree sample under ~2^31 rows.
+    * BigInt — exact at any node size (n² wraps Long past ~3×10^9 rows).
     */
-  private def costNum(n: Long, pos: Long): Long =
-    n * n - pos * pos - (n - pos) * (n - pos)
-
-  private def lt(a: (Double, Int, Long), b: (Double, Int, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && (a._2 < b._2 ||
-      (a._2 == b._2 && a._3 < b._3)))
+  private def costNum(n: Long, pos: Long): BigInt =
+    BigInt(n) * n - BigInt(pos) * pos - BigInt(n - pos) * (n - pos)
 
   /** Tree rows as a DataFrame (gate / persistence surface). */
   def treeFrame(spark: org.apache.spark.sql.SparkSession,

@@ -271,7 +271,19 @@ object InferBucketedRangeJoin extends Rule[LogicalPlan] {
               }
               Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
             }
+            // The Union fallback scans `points` and `intervals` in TWO
+            // branches under complementary span filters; with a
+            // non-deterministic child a row could land in both branches
+            // (duplicate) or neither (drop), where the single-branch
+            // plan scans each side once. Determinism also matters for
+            // the narrow branch alone: `intervals` feeds both the
+            // Filter and (via Generate) the join, but that is one
+            // linear scan — only the DUAL-scan Union is unsafe.
+            val childrenDeterministic =
+              points.find(p => p.expressions.exists(!_.deterministic)).isEmpty &&
+                intervals.find(p => p.expressions.exists(!_.deterministic)).isEmpty
             if (maxB <= 0) branch(None)
+            else if (!childrenDeterministic) j
             else {
               // wide (≥ maxB buckets) intervals keep the ORIGINAL
               // un-exploded join — slow but bounded, never a

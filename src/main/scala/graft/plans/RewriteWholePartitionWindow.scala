@@ -91,8 +91,17 @@ object RewriteWholePartitionWindow extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The rewrite scans `w.child` twice (row side + census side); a
+    * non-deterministic child would make the group statistics come from a
+    * different evaluation than the rows they're attached to, where
+    * WindowExec computes both from a single materialization. Bail.
+    */
+  private def childDeterministic(w: Window): Boolean =
+    w.child.find(p => p.expressions.exists(!_.deterministic)).isEmpty
+
   private def eligible(w: Window): Boolean =
     !w.isStreaming && w.windowExpressions.nonEmpty &&
+      childDeterministic(w) &&
       w.partitionSpec.forall(_.deterministic) &&
       w.windowExpressions.forall {
         case Alias(WindowExpression(ae: AggregateExpression, spec), _) =>

@@ -17,9 +17,14 @@ import graft.SparkEntry
   *
   * Per gate × variant: one untimed warm-up build + 3 timed
   * `toRdd.count()` samples, median reported (same materialization and
-  * contention discipline as [[graft.Bench]]). `plan_differs` records,
-  * per gate, which variants actually change the executed-plan string —
-  * a variant that doesn't touch the plan times the same code twice, so
+  * contention discipline as [[graft.Bench]]), after one global untimed
+  * warm pass so no variant block pays cold-file costs alone.
+  * `plan_differs` records, per gate, which variants actually change
+  * the plan — judged by [[PlanSignature]]'s structural class-name
+  * fingerprint over the returned frame AND every internal execution
+  * fired during the gate build (self-tested in AbBenchSpec: a
+  * known-differing variant must flag, a no-op variant must not). A
+  * variant that doesn't touch the plan times the same code twice, so
   * its delta is pure noise and a reader can ignore it.
   *
   * Usage: AbBench [--dir sfDir] [--out path] [gate ...]
@@ -85,24 +90,30 @@ object AbBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // expr-ids / plan-ids differ between two builds of the SAME query —
-    // strip them so plan_differs reflects structure, not counters
-    def planOf(g: String): String = {
-      val df = SparkEntry.queries(g)(spark, dir)
-      df.queryExecution.executedPlan.toString
-        .replaceAll("#\\d+", "#").replaceAll("(plan_id|id)=\\d+", "$1=")
-        // per-build RNG seeds (rand/uuid pick a fresh seed every analysis)
-        .replaceAll("-?\\d{6,}", "§")
-        // Spark truncates long field lists at a width measured BEFORE
-        // exprId stripping, so the "..." cut point shifts per build —
-        // collapse any truncated token
-        .replaceAll("\\S*\\.\\.\\.", "§…")
-    }
+    // Structural class-name signature incl. internal executions fired
+    // during the gate build (see PlanSignature — the old string compare
+    // was wrong in both directions, round-7 verdict #1).
+    def planOf(g: String): String =
+      PlanSignature.capture(spark)(SparkEntry.queries(g)(spark, dir))
     def timeOnce(g: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // Global untimed warm pass (baseline confs) before ANY timing:
+    // the first variant block otherwise pays page-cache/parquet-footer
+    // cold costs alone, which showed up as 2× "baseline regressions"
+    // on sub-second gates with empty plan_differs (round-7 verdict).
+    AllSwitches.foreach(k => spark.conf.unset(k))
+    for (g <- gates) {
+      try {
+        spark.catalog.clearCache()
+        SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[ab] warm $g failed: ${e.getMessage}")
+      }
     }
 
     val times = scala.collection.mutable.Map[(String, String), Double]()

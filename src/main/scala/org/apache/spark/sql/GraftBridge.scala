@@ -42,6 +42,15 @@ object GraftBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Block until the shared LiveListenerBus has delivered every queued
+    * event (`SparkContext.listenerBus` is private[spark]). Needed by
+    * plan-capture tooling: QueryExecutionListener events are delivered
+    * asynchronously, so a capture read immediately after an action can
+    * miss the action's own plan.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Whether `strategy` is among this session's injected planner
     * strategies — lets operators that build custom logical nodes
     * (e.g. [[graft.operators.AsOf]] → CarryForwardNode) auto-detect a

@@ -152,6 +152,25 @@ class RewriteWholePartitionWindowSpec extends SparkSpec {
     assert(sortedRows(df) == expected)
   }
 
+  test("a non-deterministic child blocks the rewrite (dual-scan would diverge)") {
+    // the census join scans the child twice; rand() would be redrawn,
+    // attaching group stats from a different evaluation than the rows
+    // NB: a LocalRelation source would not exercise the guard —
+    // ConvertToLocalRelation materializes rand() into the relation
+    // before this rule runs (one evaluation, so the rewrite would be
+    // safe there anyway); Range is a real leaf.
+    val w = Window.partitionBy("k")
+    val src = spark.range(200).select((col("id") % 7).as("k"), col("id").as("v"))
+    val nd = src.withColumn("r", rand(0) + rand())
+    val df = nd.withColumn("s", sum("v").over(w))
+    assert(optimized(df).contains("Window "),
+      "non-deterministic child must keep WindowExec's single materialization")
+    // same query with the non-determinism removed still rewrites
+    val det = src.withColumn("r", col("v") * 2)
+      .withColumn("s", sum("v").over(w))
+    assert(!optimized(det).contains("Window "))
+  }
+
   test("order-sensitive aggregates (first, collect_list) are not rewritten") {
     // the analyzer already rejects DISTINCT window functions, so the
     // rule's isDistinct guard is unreachable belt-and-braces; the
