@@ -1461,7 +1461,106 @@ object DataOpsQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos_below
       |  FROM vcen)""".stripMargin
 
-  private def portableLshSql(src: String, p: String = ""): String =
+  /** Stages 1-3b of the pipeline cleaning head as CTEs over `src`
+    * (doc_id, text): markup strip, Gopher quality rules, ' table '
+    * boilerplate census, empty-drop, NB classifier filter (trained on
+    * the raw documents table via [[nbScoreSql]], the seed corpora both
+    * pipe gates pass). Emits `pclean` (doc_id, text). CTE names are
+    * fixed - instantiate at most once per query.
+    */
+  private def cleanHeadSql(src: String): String =
+    s"""pstrip AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |      '[^\\S\\n]+', ' ', 'g'), '[ \\n]*\\n[ \\n]*', chr(10), 'g'), ' ' || chr(10)) AS text
+        |  FROM $src),
+        |pq_base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS qtoks,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS qnorm
+        |  FROM pstrip),
+        |pq_ntok AS (
+        |  SELECT doc_id, text, qtoks,
+        |    CASE WHEN qnorm = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(qnorm, '\\s+') END AS ntoks
+        |  FROM pq_base),
+        |pq_sh AS (
+        |  SELECT doc_id, text, qtoks,
+        |    CASE WHEN len(ntoks) < 2 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+1], ' ') FOR i IN range(1, len(ntoks))]
+        |    END AS sh2,
+        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
+        |         ELSE [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
+        |    END AS sh3
+        |  FROM pq_ntok),
+        |pq_sig AS (
+        |  SELECT doc_id, text,
+        |    len(qtoks) AS n_tokens,
+        |    round((length(text) - (len(qtoks) - 1))::DOUBLE / greatest(len(qtoks), 1), 6) AS mtl,
+        |    round(len(list_filter(qtoks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for')))::DOUBLE
+        |          / greatest(len(qtoks), 1), 6) AS swf,
+        |    round(1 - len(list_distinct(sh2))::DOUBLE / greatest(len(sh2), 1), 6) AS d2,
+        |    round(1 - len(list_distinct(sh3))::DOUBLE / greatest(len(sh3), 1), 6) AS d3
+        |  FROM pq_sh),
+        |pq AS MATERIALIZED (
+        |  SELECT doc_id, text FROM pq_sig
+        |  WHERE NOT (n_tokens < 25 OR n_tokens > 90 OR mtl < 3.8 OR mtl > 5.1
+        |             OR swf < 0.02 OR d2 > 0.08 OR d3 > 0.05)),
+        |pbl AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM pq)),
+        |pbp AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS n_docs FROM pbl GROUP BY 1)
+        |  WHERE n_docs >= 20),
+        |pbk AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), ' table ') AS text
+        |  FROM pbl WHERE line NOT IN (SELECT line FROM pbp) GROUP BY 1),
+        |pclean3 AS MATERIALIZED (
+        |  SELECT q.doc_id, coalesce(k.text, '') AS text
+        |  FROM pq q LEFT JOIN pbk k USING (doc_id)
+        |  WHERE length(coalesce(k.text, '')) > 0),
+        |$nbScoreSql,
+        |pnb_norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        |  FROM pclean3),
+        |pnb_toks AS (
+        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks
+        |  FROM pnb_norm),
+        |pnb_feats AS (
+        |  SELECT doc_id, t FROM
+        |    (SELECT doc_id, unnest(toks) AS t FROM pnb_toks) WHERE t <> ''
+        |  UNION ALL
+        |  SELECT doc_id, g AS t FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+        |    FROM pnb_toks WHERE len(toks) >= 2)),
+        |pnb_fb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b FROM pnb_feats),
+        |pnb_agg AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
+        |  FROM pnb_fb LEFT JOIN w USING (b) GROUP BY doc_id),
+        |pclean AS MATERIALIZED (
+        |  SELECT c.doc_id, c.text FROM pclean3 c JOIN pnb_agg a USING (doc_id)
+        |  WHERE a.n_feats > 0 AND round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) >= 0.0)""".stripMargin
+
+  /** [[portableLshSql]] minus the self-pair tail: per-doc shingle md5
+    * rows (`shr`), shingle-set sizes (`sizes`) and banded MinHash rows
+    * (`bands`) over `src` — the reusable signature artifacts. Cross-
+    * corpus callers (the incremental pipeline) instantiate this twice
+    * with different prefixes and join bands across prefixes.
+    */
+  private def portableSigSql(src: String, p: String = ""): String =
     s"""${p}norm AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
@@ -1483,11 +1582,17 @@ object DataOpsQueries {
       |  SELECT doc_id, i // 4 AS band,
       |         md5(string_agg(m::VARCHAR, '|' ORDER BY i)) AS band_hash
       |  FROM ${p}mins GROUP BY doc_id, i // 4),
+      |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}shr GROUP BY 1)""".stripMargin
+
+  /** The full portable MinHash-LSH self-pair chain: signature artifacts
+    * plus in-corpus candidates (`cand`) and intersections (`ix`).
+    */
+  private def portableLshSql(src: String, p: String = ""): String =
+    portableSigSql(src, p) + s""",
       |${p}cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM ${p}bands a JOIN ${p}bands b ON a.band = b.band AND a.band_hash = b.band_hash
       |  WHERE a.doc_id < b.doc_id),
-      |${p}sizes AS (SELECT doc_id, count(*) AS n FROM ${p}shr GROUP BY 1),
       |${p}ix AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
       |  FROM ${p}cand c JOIN ${p}shr x ON x.doc_id = c.doc_a
@@ -2450,9 +2555,10 @@ object DataOpsQueries {
         .select("doc_id", "grp", "n_toks", "cum_tokens", "budget")
     }),
 
-    // Rolling-hash fingerprint (Karp–Rabin native expression): digest is
-    // engine-specific → rows-only; identity semantics vs md5 are asserted
-    // in DataOpsSpec.
+    // Rolling-hash fingerprint (Karp–Rabin native expression). Oracle-
+    // replayed since round 8: the polynomial is integer arithmetic, so
+    // the recursive-CTE byte fold reproduces the digest exactly;
+    // identity semantics vs md5 are additionally asserted in DataOpsSpec.
     "t_rolling_fp" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("rfp"))),
@@ -5536,14 +5642,14 @@ object DataOpsQueries {
     // of planted corpus dups (+1e6), near dups (+2e6, ' zzqx'), novel
     // reversed-token docs (+3e6) and their in-batch twins (+4e6) against
     // the raw corpus's fingerprint set + portable signature index.
-    // Self-asserting (rows-only by design — the RNG-free invariants ARE
-    // the loop's contracts, checked exactly): survivors' fingerprints
-    // are disjoint from the corpus set (the anti-join contract — spanK
-    // and chunking are off here so no later stage edits fps), re-probing
-    // survivors against the index finds NO near-match at the threshold,
-    // and survivors carry no duplicate fingerprints (in-batch collapse).
-    // Stage-level value replay lives in the per-stage oracles and
-    // pipe_full; this gate pins the cross-day composition.
+    // Fully oracle-replayed since round 8 (every stage is deterministic
+    // portable-scheme — the pipe_full machinery recomposed for the
+    // increment-vs-index shape); the RNG-free invariants below stay as
+    // in-gate contracts: survivors' fingerprints are disjoint from the
+    // corpus set (spanK and chunking are off here so no later stage
+    // edits fps), re-probing survivors against the index finds NO
+    // near-match at the threshold, and survivors carry no duplicate
+    // fingerprints (in-batch collapse).
     "pipe_increment" -> ((s, dir) => {
       val raw = Tables.documents(s, dir)
       val corpus = raw.select("doc_id", "text")
@@ -7610,6 +7716,52 @@ object DataOpsQueries {
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
 
+    // Karp–Rabin replay (round-7 verdict #7): the per-codepoint
+    // recursive-CTE recurrence of d_cdc_chunks applied to the 64-bit
+    // polynomial h = h·B + byte (mod 2^64) over the NORMALIZED text's
+    // UTF-8 bytes — each codepoint expands to its 1–4 UTF-8 bytes
+    // arithmetically, the fold runs in HUGEINT, and the final value maps
+    // to Java's signed long. Iterations = max codepoint count, rows =
+    // Σ lengths — bounded by the documents fixture.
+    "t_rolling_fp" ->
+      """WITH RECURSIVE rdocs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS txt
+        |  FROM documents WHERE text IS NOT NULL),
+        |rst AS (
+        |  SELECT doc_id, length(txt)::BIGINT AS n, 0::BIGINT AS i, 0::HUGEINT AS h
+        |  FROM rdocs
+        |  UNION ALL
+        |  SELECT r.doc_id, r.n, r.i + 1, x4.h4
+        |  FROM rst r JOIN rdocs d USING (doc_id),
+        |  unnest([{'cp': ord(substr(d.txt, (r.i + 1)::INT, 1))::HUGEINT}]) AS s0(c),
+        |  unnest([{'b1': CASE WHEN c.cp < 128 THEN c.cp
+        |                      WHEN c.cp < 2048 THEN 192 + c.cp // 64
+        |                      WHEN c.cp < 65536 THEN 224 + c.cp // 4096
+        |                      ELSE 240 + c.cp // 262144 END,
+        |           'b2': CASE WHEN c.cp < 128 THEN NULL
+        |                      WHEN c.cp < 2048 THEN 128 + c.cp % 64
+        |                      WHEN c.cp < 65536 THEN 128 + (c.cp // 64) % 64
+        |                      ELSE 128 + (c.cp // 4096) % 64 END,
+        |           'b3': CASE WHEN c.cp < 2048 THEN NULL
+        |                      WHEN c.cp < 65536 THEN 128 + c.cp % 64
+        |                      ELSE 128 + (c.cp // 64) % 64 END,
+        |           'b4': CASE WHEN c.cp < 65536 THEN NULL
+        |                      ELSE 128 + c.cp % 64 END}]) AS sb(b),
+        |  unnest([{'h1': (r.h * 1099511628211 + b.b1) % 18446744073709551616}]) AS s1(x1),
+        |  unnest([{'h2': CASE WHEN b.b2 IS NULL THEN x1.h1
+        |                      ELSE (x1.h1 * 1099511628211 + b.b2) % 18446744073709551616 END}]) AS s2(x2),
+        |  unnest([{'h3': CASE WHEN b.b3 IS NULL THEN x2.h2
+        |                      ELSE (x2.h2 * 1099511628211 + b.b3) % 18446744073709551616 END}]) AS s3(x3),
+        |  unnest([{'h4': CASE WHEN b.b4 IS NULL THEN x3.h3
+        |                      ELSE (x3.h3 * 1099511628211 + b.b4) % 18446744073709551616 END}]) AS s4(x4)
+        |  WHERE r.i < r.n),
+        |rfin AS (SELECT doc_id, h FROM rst WHERE i = n)
+        |SELECT d.doc_id,
+        |  (CASE WHEN f.h >= 9223372036854775808 THEN f.h - 18446744073709551616
+        |        ELSE f.h END)::BIGINT AS rfp
+        |FROM documents d LEFT JOIN rfin f USING (doc_id)""".stripMargin,
+
     "t_line_filter" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -9131,90 +9283,7 @@ object DataOpsQueries {
         |               ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS ktoks
         |        FROM documents WHERE doc_id % 10 = 3)
         |  WHERE len(ktoks) >= 30),
-        |pstrip AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(
-        |          regexp_replace(text,
-        |            '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->', ' ', 'g'),
-        |          '(?s)<[^>]*>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
-        |      '[^\\S\\n]+', ' ', 'g'), '[ \\n]*\\n[ \\n]*', chr(10), 'g'), ' ' || chr(10)) AS text
-        |  FROM pcorp),
-        |pq_base AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS qtoks,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS qnorm
-        |  FROM pstrip),
-        |pq_ntok AS (
-        |  SELECT doc_id, text, qtoks,
-        |    CASE WHEN qnorm = '' THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(qnorm, '\\s+') END AS ntoks
-        |  FROM pq_base),
-        |pq_sh AS (
-        |  SELECT doc_id, text, qtoks,
-        |    CASE WHEN len(ntoks) < 2 THEN [array_to_string(ntoks, ' ')]
-        |         ELSE [array_to_string(ntoks[i:i+1], ' ') FOR i IN range(1, len(ntoks))]
-        |    END AS sh2,
-        |    CASE WHEN len(ntoks) < 3 THEN [array_to_string(ntoks, ' ')]
-        |         ELSE [array_to_string(ntoks[i:i+2], ' ') FOR i IN range(1, len(ntoks) - 1)]
-        |    END AS sh3
-        |  FROM pq_ntok),
-        |pq_sig AS (
-        |  SELECT doc_id, text,
-        |    len(qtoks) AS n_tokens,
-        |    round((length(text) - (len(qtoks) - 1))::DOUBLE / greatest(len(qtoks), 1), 6) AS mtl,
-        |    round(len(list_filter(qtoks, t -> t IN ('the','a','an','and','or','of','to','in','is','it','that','for')))::DOUBLE
-        |          / greatest(len(qtoks), 1), 6) AS swf,
-        |    round(1 - len(list_distinct(sh2))::DOUBLE / greatest(len(sh2), 1), 6) AS d2,
-        |    round(1 - len(list_distinct(sh3))::DOUBLE / greatest(len(sh3), 1), 6) AS d3
-        |  FROM pq_sh),
-        |pq AS MATERIALIZED (
-        |  SELECT doc_id, text FROM pq_sig
-        |  WHERE NOT (n_tokens < 25 OR n_tokens > 90 OR mtl < 3.8 OR mtl > 5.1
-        |             OR swf < 0.02 OR d2 > 0.08 OR d3 > 0.05)),
-        |pbl AS (
-        |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
-        |  FROM (SELECT doc_id, string_split(text, ' table ') AS l FROM pq)),
-        |pbp AS (
-        |  SELECT line FROM (
-        |    SELECT line, count(DISTINCT doc_id) AS n_docs FROM pbl GROUP BY 1)
-        |  WHERE n_docs >= 20),
-        |pbk AS (
-        |  SELECT doc_id, array_to_string(list(line ORDER BY pos), ' table ') AS text
-        |  FROM pbl WHERE line NOT IN (SELECT line FROM pbp) GROUP BY 1),
-        |pclean3 AS MATERIALIZED (
-        |  SELECT q.doc_id, coalesce(k.text, '') AS text
-        |  FROM pq q LEFT JOIN pbk k USING (doc_id)
-        |  WHERE length(coalesce(k.text, '')) > 0),
-        |$nbScoreSql,
-        |pnb_norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-        |  FROM pclean3),
-        |pnb_toks AS (
-        |  SELECT doc_id, CASE WHEN norm = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(norm, '\\s+') END AS toks
-        |  FROM pnb_norm),
-        |pnb_feats AS (
-        |  SELECT doc_id, t FROM
-        |    (SELECT doc_id, unnest(toks) AS t FROM pnb_toks) WHERE t <> ''
-        |  UNION ALL
-        |  SELECT doc_id, g AS t FROM (
-        |    SELECT doc_id,
-        |      unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
-        |    FROM pnb_toks WHERE len(toks) >= 2)),
-        |pnb_fb AS (
-        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS b FROM pnb_feats),
-        |pnb_agg AS MATERIALIZED (
-        |  SELECT doc_id, count(*) AS n_feats,
-        |    sum(coalesce(w.w_micro, 0))::BIGINT AS w_sum_micro
-        |  FROM pnb_fb LEFT JOIN w USING (b) GROUP BY doc_id),
-        |pclean AS MATERIALIZED (
-        |  SELECT c.doc_id, c.text FROM pclean3 c JOIN pnb_agg a USING (doc_id)
-        |  WHERE a.n_feats > 0 AND round(a.w_sum_micro::DOUBLE / a.n_feats / 1e6, 6) >= 0.0),
+        |${cleanHeadSql("pcorp")},
         |pfp AS (
         |  SELECT doc_id, text,
         |    row_number() OVER (
@@ -9334,6 +9403,88 @@ object DataOpsQueries {
         |  (SELECT count(*) FROM pdecon) AS n_decontaminated,
         |  (SELECT count(*) FROM pbud) AS n_budgeted
         |FROM ck_starts GROUP BY doc_id""".stripMargin,
+
+    // The daily-loop replay (round-7 verdict #3): increment build, the
+    // shared cleaning head, corpus-fingerprint anti-join, in-batch exact
+    // dedup, cross-corpus MinHash near-dup (batch bands × corpus bands),
+    // then in-batch LSH + recursive min-label connected components —
+    // every stage the pipe_full machinery replays, recomposed for the
+    // increment-vs-index shape. spanK/chunking/benchmarks are off in
+    // this gate, so the output is the deduped doc grain.
+    "pipe_increment" ->
+      s"""WITH RECURSIVE ikt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+') END AS ktoks
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |inovel AS (SELECT doc_id, array_to_string(list_reverse(ktoks), ' ') AS text FROM ikt),
+        |pcorp AS MATERIALIZED (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 2000000, coalesce(text, '') || ' zzqx'
+        |    FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 3000000, text FROM inovel
+        |  UNION ALL SELECT doc_id + 4000000, text FROM inovel),
+        |${cleanHeadSql("pcorp")},
+        |cfps AS MATERIALIZED (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |pfr AS (
+        |  SELECT doc_id, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+        |  FROM pclean),
+        |pfresh AS MATERIALIZED (
+        |  SELECT doc_id, text, fp FROM pfr p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cfps c WHERE c.fp = p.fp)),
+        |pexr AS (
+        |  SELECT doc_id, text, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM pfresh),
+        |pex AS MATERIALIZED (SELECT doc_id, text, fp FROM pexr WHERE rn = 1),
+        |${portableSigSql("pex", "bi_")},
+        |${portableSigSql("documents", "ci_")},
+        |xcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bi_bands a JOIN ci_bands b ON a.band = b.band AND a.band_hash = b.band_hash),
+        |xix AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM xcand c JOIN bi_shr x ON x.doc_id = c.doc_a
+        |  JOIN ci_shr y ON y.doc_id = c.doc_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |xnear AS MATERIALIZED (
+        |  SELECT DISTINCT c.doc_a
+        |  FROM xcand c LEFT JOIN xix i USING (doc_a, doc_b)
+        |  JOIN bi_sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN ci_sizes sb ON sb.doc_id = c.doc_b
+        |  WHERE round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) >= 0.8),
+        |pfn AS MATERIALIZED (
+        |  SELECT p.doc_id, p.text, p.fp FROM pex p
+        |  WHERE NOT EXISTS (SELECT 1 FROM xnear n WHERE n.doc_a = p.doc_id)),
+        |ncand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bi_bands a JOIN bi_bands b ON a.band = b.band AND a.band_hash = b.band_hash
+        |  WHERE a.doc_id < b.doc_id
+        |    AND a.doc_id IN (SELECT doc_id FROM pfn)
+        |    AND b.doc_id IN (SELECT doc_id FROM pfn)),
+        |nix AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM ncand c JOIN bi_shr x ON x.doc_id = c.doc_a
+        |  JOIN bi_shr y ON y.doc_id = c.doc_b AND y.g = x.g
+        |  GROUP BY 1, 2),
+        |nedge AS MATERIALIZED (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM ncand c LEFT JOIN nix i USING (doc_a, doc_b)
+        |  JOIN bi_sizes sa ON sa.doc_id = c.doc_a
+        |  JOIN bi_sizes sb ON sb.doc_id = c.doc_b
+        |  WHERE round(coalesce(i.inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.inter, 0)), 6) >= 0.8),
+        |nund AS (SELECT doc_a AS a, doc_b AS b FROM nedge
+        |  UNION SELECT doc_b, doc_a FROM nedge),
+        |nreach(node, lbl) AS (
+        |  SELECT a, a FROM nund UNION SELECT a, b FROM nund
+        |  UNION
+        |  SELECT r.node, e.b FROM nreach r JOIN nund e ON e.a = r.lbl),
+        |ncomp AS (SELECT node, min(lbl) AS comp FROM nreach GROUP BY 1)
+        |SELECT p.doc_id, p.fp FROM pfn p LEFT JOIN ncomp c ON c.node = p.doc_id
+        |WHERE c.node IS NULL OR c.comp = p.doc_id""".stripMargin,
 
     "d_decontaminate" ->
       """WITH norm AS (

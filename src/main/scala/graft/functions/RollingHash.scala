@@ -16,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipelines fingerprint shards with it.
   *
   * Content-identity semantics match [[graft.operators.TextAnalysis
-  * .fingerprint]] when applied to the same normalized text; the digest is
-  * engine-specific (not an oracle-portable md5), so gates that use it are
-  * rows-only.
+  * .fingerprint]] when applied to the same normalized text. The digest
+  * is plain integer arithmetic, so it IS oracle-portable: the
+  * `t_rolling_fp` gate replays the byte fold as a recursive CTE in
+  * HUGEINT mod 2^64 (the d_cdc_chunks per-codepoint-recurrence pattern,
+  * with each codepoint expanded to its UTF-8 bytes arithmetically).
   */
 case class RollingHash64(child: Expression, base: Long)
     extends UnaryExpression {

@@ -246,7 +246,8 @@ object DataPipeline {
       .select(col("doc_a").as("doc_id")).distinct()
     val freshNear = exact.join(corpusNearIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val survivors = Dedup.dedupClusters(freshNear, threshold = cfg.nearDupThreshold)
+    val survivors = Dedup.dedupClusters(freshNear, threshold = cfg.nearDupThreshold,
+        scheme = cfg.scheme) // was silently defaulting to Fast, ignoring cfg
       .where(col("is_survivor")).select("doc_id")
     val deduped = freshNear.join(survivors, Seq("doc_id"), "left_semi")
     finishTail(deduped, benchmarks, cfg, budgetGroups)

@@ -674,8 +674,9 @@ object TextAnalysis {
 
   /** 64-bit rolling-hash fingerprint of the normalized text (Karp–Rabin,
     * graft.functions.RollingHash64): cheaper than md5 per byte and O(1)
-    * incrementally updatable. Engine-specific digest → rows-only gates;
-    * use [[fingerprint]] when an oracle-portable digest is needed.
+    * incrementally updatable. Oracle-portable via the recursive-CTE
+    * integer replay (see RollingHash64's scaladoc / the t_rolling_fp
+    * gate); [[fingerprint]] stays the md5 default for join-key use.
     */
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash64.rollingHash(normalized(text))
