@@ -37,6 +37,13 @@ object StreamingQueries {
     "st_type_census" -> ((s, dir) =>
       graft.streaming.TypeCensus.typeCensus(Tables.events(s, dir)).toDF()),
 
+    // arbitrary-state v2 LISTSTATE last-K tracker, batch analog: one
+    // trigger over the corpus emits exactly the last-K-per-user window
+    // census the oracle replays.
+    "st_recent_items" -> ((s, dir) =>
+      graft.streaming.RecentItems.recentItems(Tables.events(s, dir), k = 5)
+        .toDF()),
+
     // Streaming dedup analog: duplicate-by-construction input (events ∪
     // events) → unique-id survivors; rows carry identical values, so the
     // arbitrary-survivor pick is value-deterministic.
@@ -274,6 +281,22 @@ object StreamingQueries {
       """SELECT user_id, count(DISTINCT coalesce(event_type, ''))::BIGINT AS n_types,
         |  count(*)::BIGINT AS n_events
         |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // last-K per user by (ts µs, event_id) — ts::TIMESTAMP truncates
+    // ns → µs so both engines break ties identically
+    "st_recent_items" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    coalesce(event_type, '') AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rk
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_recent,
+        |  count(DISTINCT et)::BIGINT AS n_types,
+        |  max(CASE WHEN rk = 1 THEN et END) AS last_type
+        |FROM r WHERE rk <= 5 GROUP BY 1""".stripMargin,
 
     "st_dedup_events" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events""",

@@ -65,7 +65,12 @@ object TypeCensus {
       .where(col("user_id").isNotNull)
       .as[(Long, String)]
       .groupByKey(_._1)
-      // the census registers no timers, so TimeMode.None in BOTH modes
+      // the census registers no timers, so TimeMode.None in BOTH modes.
+      // NOT ProcessingTime: shouldRunAnotherBatch is unconditionally
+      // true in that mode (Spark 4.1.2, TransformWithStateExecBase), so
+      // an AvailableNow query would never terminate — the root cause
+      // behind the round-7 "stopped-RpcEnv" note; see RecentItems'
+      // scaladoc and ProcessingTimeTwsSpec for the full account.
       .transformWithState(new TypeCensusProcessor, TimeMode.None(),
         OutputMode.Append())
   }

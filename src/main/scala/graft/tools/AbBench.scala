@@ -53,8 +53,10 @@ object AbBench {
     // round-5 bench-drift watchlist
     "significant_pairs", "r_rrf_hybrid", "t_bpe_apply", "r_bm25_topk",
     "t_trigram_kn",
-    // md5-fuse family representative
-    "s_hash_split",
+    // md5-fuse family: s_hash_split is a deliberate NEGATIVE control
+    // (8-hex-prefix compare, not the fused 15-hex idiom — its plan must
+    // NOT flag); t_dsir_scores genuinely rides FuseMd5Uniform
+    "s_hash_split", "t_dsir_scores",
     // shingle-fuse representative
     "d_minhash_neardup_fast",
     // as-of native-carry representatives
