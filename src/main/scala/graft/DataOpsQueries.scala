@@ -1876,6 +1876,20 @@ object DataOpsQueries {
         col("text").as("reference")))
     }),
 
+    // Production-scheme twin (the d_minhash_neardup_fast pattern): the
+    // same pairs under xxhash64 gram keys — no md5 block per gram
+    // instance, so the bench sees the path a deployment would run.
+    // Engine-specific digests → rows-only by design; ChrFSpec pins that
+    // both schemes produce identical SCORES on the fixture.
+    "x_chrf_fast" -> ((s, dir) => {
+      val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
+      operators.ChrF.chrF(Tables.documents(s, dir).select(
+          col("doc_id").as("pair_id"),
+          array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
+          col("text").as("reference")),
+        scheme = operators.HashScheme.Fast)
+    }),
+
     // ROUGE-L LCS F-measure on engineered pairs: candidate = every-7th
     // -token drop THEN adjacent-pair swap — the swap breaks the pure-
     // subsequence degeneracy (a drop-only candidate has lcs == c_len by

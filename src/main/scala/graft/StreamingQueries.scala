@@ -92,6 +92,24 @@ object StreamingQueries {
         ev.where(col("event_type") === "view"))
     }),
 
+    // RIGHT OUTER: unconverted views kept with a null click side.
+    "st_stream_join_right" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.clickAttributionRight(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+    }),
+
+    // FULL OUTER: both unmatched sides — streaming emits each null row
+    // only at watermark-proven state eviction (spec-driven); the batch
+    // analog is the plain full join the oracle replays.
+    "st_stream_join_full" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventStream.clickAttributionFull(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+    }),
+
     // Streaming ingestion dedup (batch analog): re-ingest copies of the
     // corpus ∪ suffix-modified novel docs; only novel fingerprints
     // survive, one row per fp. Output is the fp alone — the survivor's
@@ -376,6 +394,26 @@ object StreamingQueries {
         |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
+        |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
+        |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
+
+    "st_stream_join_right" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |  coalesce(c.user_id, v.user_id) AS user_id,
+        |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |RIGHT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
+        |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
+        |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,
+
+    "st_stream_join_full" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |  coalesce(c.user_id, v.user_id) AS user_id,
+        |  epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON v.user_id = c.user_id
         |  AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP - INTERVAL '4 hours'
         |  AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP""".stripMargin,

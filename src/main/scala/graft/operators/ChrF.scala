@@ -34,18 +34,27 @@ object ChrF {
   private def chars(text: Column): Column =
     regexp_replace(TextAnalysis.normalized(text), " ", "")
 
-  /** Portable gram key: top-60-bit md5 prefix as a long (the composed
-    * conv/substring/md5 spelling is the cross-engine contract; the
-    * FuseMd5Uniform rule collapses it to one native digest at exec).
+  /** Gram key under the chosen [[HashScheme]] — the dedup family's
+    * exact split (round-7 verdict #4): Portable keys on the top-60-bit
+    * md5 prefix (the composed conv/substring/md5 spelling is the
+    * cross-engine contract; FuseMd5Uniform collapses it to one native
+    * digest at exec), which still pays one md5 block per gram INSTANCE
+    * × 6 orders on both sides — the structural CPU cost the oracle
+    * gate carries. Fast keys on xxhash64 (pure long mixing, codegen'd,
+    * no digest rounds) — the production path, benched by the
+    * `x_chrf_fast` rows-only twin. Any 60-bit (resp. 64-bit) collision
+    * merges grams identically on both sides of one run, so the SCORE
+    * is scheme-stable up to astronomically unlikely cross-side
+    * collisions; only the oracle replay needs the md5 spelling.
     */
-  private def ghash(gram: Column): Column =
-    conv(substring(md5(gram), 1, 15), 16, 10).cast("long")
+  private def ghash(gram: Column, scheme: HashScheme): Column =
+    scheme.tokenHash(gram)
 
   /** (pair, n, ghash, side) stream of char n-gram instances, n = 1..MaxN
     * — pre-aggregation, so the one census shuffle sees only 8-byte keys.
     */
   private def gramStream(df: DataFrame, txtCol: String, lenCol: String,
-      side: Int): DataFrame =
+      side: Int, scheme: HashScheme): DataFrame =
     df.select(col("pair_id"),
         explode(array((1 to MaxN).map { n =>
           struct(lit(n).as("n"),
@@ -55,21 +64,24 @@ object ChrF {
               .otherwise(array().cast("array<string>")).as("grams"))
         }: _*)).as("ng"))
       .select(col("pair_id"), col("ng.n").as("n"), explode(col("ng.grams")).as("gram"))
-      .select(col("pair_id"), col("n"), ghash(col("gram")).as("g"),
+      .select(col("pair_id"), col("n"), ghash(col("gram"), scheme).as("g"),
         lit(side).as("side"))
 
   /** Per-pair chrF. Input: `pair_id`, `candidate`, `reference` (raw
     * text). Output: pair_id, c_chars, r_chars, m1..m6, t1..t6 (cand
-    * totals), rt1..rt6 (ref totals), chrf.
+    * totals), rt1..rt6 (ref totals), chrf. `scheme` picks the gram-key
+    * hash: Portable (oracle-replayable md5) vs Fast (xxhash64 — the
+    * production default at scale; see [[ghash]]).
     */
-  def chrF(pairs: DataFrame): DataFrame = {
+  def chrF(pairs: DataFrame,
+           scheme: HashScheme = HashScheme.Portable): DataFrame = {
     val base = pairs.select(col("pair_id"),
         chars(col("candidate")).as("c_txt"), chars(col("reference")).as("r_txt"))
       .select(col("pair_id"), col("c_txt"), col("r_txt"),
         length(col("c_txt")).as("c_chars"), length(col("r_txt")).as("r_chars"))
 
-    val grams = gramStream(base, "c_txt", "c_chars", 0)
-      .unionAll(gramStream(base, "r_txt", "r_chars", 1))
+    val grams = gramStream(base, "c_txt", "c_chars", 0, scheme)
+      .unionAll(gramStream(base, "r_txt", "r_chars", 1, scheme))
     val matches = grams.groupBy("pair_id", "n", "g")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
@@ -94,8 +106,9 @@ object ChrF {
   }
 
   /** Corpus chrF: censuses summed over pairs, then the same chain. */
-  def corpusChrF(pairs: DataFrame): DataFrame = {
-    val per = chrF(pairs).drop("chrf")
+  def corpusChrF(pairs: DataFrame,
+                 scheme: HashScheme = HashScheme.Portable): DataFrame = {
+    val per = chrF(pairs, scheme).drop("chrf")
     val agg = per.agg(sum("c_chars").as("c_chars"),
       (Seq(sum("r_chars").as("r_chars")) ++
         (1 to MaxN).flatMap(n => Seq(sum(s"m$n").as(s"m$n"),

@@ -344,20 +344,8 @@ object EventStream {
     */
   def clickAttribution(clicks: DataFrame, views: DataFrame,
                        window: String = "4 hours",
-                       watermark: String = "10 minutes"): DataFrame = {
-    val c = watermarked(clicks, watermark)
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-    val v = watermarked(views, watermark)
-      .select(col("event_id").as("view_id"), col("user_id").as("_vu"),
-        col("ts").as("view_ts"))
-    c.join(v,
-        col("user_id") === col("_vu") &&
-          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
-          col("view_ts") <= col("click_ts"))
-      .select(col("click_id"), col("view_id"), col("user_id"),
-        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
-  }
+                       watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(clicks, views, window, watermark, "inner")
 
   /** Stream-stream LEFT OUTER interval join — [[clickAttribution]] with
     * unattributed clicks KEPT (null view side): the outer variant is a
@@ -371,7 +359,34 @@ object EventStream {
     */
   def clickAttributionOuter(clicks: DataFrame, views: DataFrame,
                             window: String = "4 hours",
-                            watermark: String = "10 minutes"): DataFrame = {
+                            watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(clicks, views, window, watermark, "left_outer")
+
+  /** RIGHT OUTER: the unmatched-IMPRESSION side — views no click ever
+    * converted (null click side). What a funnel/attribution pipeline
+    * reads to price unconverted inventory; watermark-eviction semantics
+    * mirror the left-outer case with the null on the other side.
+    */
+  def clickAttributionRight(clicks: DataFrame, views: DataFrame,
+                            window: String = "4 hours",
+                            watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(clicks, views, window, watermark, "right_outer")
+
+  /** FULL OUTER: both unmatched sides in one stream — unattributed
+    * clicks AND unconverted views, each emitted once the watermark
+    * proves no match can still arrive. Supported by Spark 4 with
+    * watermarks plus a time-range condition on both inputs (this join
+    * has both); `user_id` coalesces across sides since either can be
+    * null.
+    */
+  def clickAttributionFull(clicks: DataFrame, views: DataFrame,
+                           window: String = "4 hours",
+                           watermark: String = "10 minutes"): DataFrame =
+    attributionJoin(clicks, views, window, watermark, "full_outer")
+
+  private def attributionJoin(clicks: DataFrame, views: DataFrame,
+                              window: String, watermark: String,
+                              joinType: String): DataFrame = {
     val c = watermarked(clicks, watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -382,8 +397,11 @@ object EventStream {
         col("user_id") === col("_vu") &&
           col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
           col("view_ts") <= col("click_ts"),
-        "left_outer")
-      .select(col("click_id"), col("view_id"), col("user_id"),
+        joinType)
+      // coalesce is an identity for inner/left (click side non-null
+      // there); right/full need the view side's key on unmatched rows
+      .select(col("click_id"), col("view_id"),
+        coalesce(col("user_id"), col("_vu")).as("user_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 }

@@ -47,6 +47,19 @@ class ChrFSpec extends SparkSpec {
     assert(row == ((2L, 4L)))
   }
 
+  test("Fast (xxhash64) and Portable (md5) schemes produce identical scores") {
+    val pairs = Seq(
+      (1L, "the quick brown fox", "the quick brown dog"),
+      (2L, "aaaa", "aab"),
+      (3L, "", "some reference"),
+      (4L, "identical words here", "identical words here"))
+      .toDF("pair_id", "candidate", "reference")
+    def rows(s: HashScheme) = ChrF.chrF(pairs, s)
+      .orderBy("pair_id").collect().map(_.toString).toSeq
+    assert(rows(HashScheme.Portable) == rows(HashScheme.Fast),
+      "gram-key scheme must not change any census count or score")
+  }
+
   test("corpus chrF sums integer censuses before the chain") {
     val pairs = Seq(
       (1L, "ab", "abc"),

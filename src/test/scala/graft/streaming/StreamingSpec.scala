@@ -133,6 +133,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected, s"append rollup mismatch: ${got.size} vs ${expected.size}")
   }
 
+  test("full-outer stream-stream join: BOTH null sides emit at watermark eviction, equals batch") {
+    import spark.implicits._
+    val batchEvents = graft.Tables.events(spark, eventsDir).cache()
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "view"))
+    val (bc, bv) = split(batchEvents)
+    val expected = EventStream.clickAttributionFull(bc, bv)
+      .collect().map(_.toSeq).toSet
+    assert(expected.exists(_(1) == null), "fixture must have unattributed clicks")
+    assert(expected.exists(_(0) == null), "fixture must have unconverted views")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-full")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val maxTs = batchEvents.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val inferredTs = spark.read.parquet(streamDir.toString)
+      .schema("ts").dataType
+    val sentinels0 = Seq(
+        (999999998L, maxTs + 3L * 86400000000L, 999999L, "view", 0.0, "{}"),
+        (999999999L, maxTs + 3L * 86400000000L + 5L * 3600000000L, 999999L,
+          "click", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val sentinels = (inferredTs match {
+      case org.apache.spark.sql.types.LongType =>
+        sentinels0.withColumn("ts", col("ts_us") * 1000L)
+      case _ => sentinels0.withColumn("ts", timestamp_micros(col("ts_us")))
+    }).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    stageParquet(sentinels, streamDir, "sentinels.parquet")
+
+    val stream = EventStream.readStream(spark, streamDir.toString)
+    val (sc, sv) = split(stream)
+    val q = EventStream.clickAttributionFull(sc, sv)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("full_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // the two sentinels match each other (same user, in-window) — drop
+    // any row touching them before comparing to the sentinel-free batch
+    val got = spark.table("full_out")
+      .where((col("click_id").isNull || col("click_id") < 999999998L) &&
+        (col("view_id").isNull || col("view_id") < 999999998L))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"full outer join mismatch: got ${got.size} rows vs ${expected.size}")
+    assert(got.exists(_(0) == null) && got.exists(_(1) == null),
+      "streamed result must contain both eviction-emitted null sides")
+  }
+
   test("left-outer stream-stream join: nulls emit at watermark eviction, equals batch") {
     import spark.implicits._
     val batchEvents = graft.Tables.events(spark, eventsDir).cache()
