@@ -34,38 +34,54 @@ object ChrF {
   private def chars(text: Column): Column =
     regexp_replace(TextAnalysis.normalized(text), " ", "")
 
-  /** Gram key under the chosen [[HashScheme]] — the dedup family's
-    * exact split (round-7 verdict #4): Portable keys on the top-60-bit
-    * md5 prefix (the composed conv/substring/md5 spelling is the
-    * cross-engine contract; FuseMd5Uniform collapses it to one native
-    * digest at exec), which still pays one md5 block per gram INSTANCE
-    * × 6 orders on both sides — the structural CPU cost the oracle
-    * gate carries. Fast keys on xxhash64 (pure long mixing, codegen'd,
-    * no digest rounds) — the production path, benched by the
-    * `x_chrf_fast` rows-only twin. Any 60-bit (resp. 64-bit) collision
-    * merges grams identically on both sides of one run, so the SCORE
-    * is scheme-stable up to astronomically unlikely cross-side
-    * collisions; only the oracle replay needs the md5 spelling.
-    */
-  private def ghash(gram: Column, scheme: HashScheme): Column =
-    scheme.tokenHash(gram)
-
-  /** (pair, n, ghash, side) stream of char n-gram instances, n = 1..MaxN
-    * — pre-aggregation, so the one census shuffle sees only 8-byte keys.
+  /** (pair, n, gramkey, side) stream of char n-gram instances,
+    * n = 1..MaxN — pre-aggregation, so the one census shuffle sees only
+    * 8-byte keys. The gram key splits by [[HashScheme]] (the dedup
+    * family's exact pattern, round-7 verdict #4):
+    *
+    *  - Portable: materialize each gram substring, key on its
+    *    top-60-bit md5 prefix (the composed conv/substring/md5 spelling
+    *    is the cross-engine contract; FuseMd5Uniform collapses it to
+    *    one native digest at exec). ≈ n_chars substring allocations +
+    *    digests per order per side — the structural CPU cost the
+    *    oracle gate carries, and the md5 digest is NOT the dominant
+    *    term (xxhash64 on the same substrings measured only 11%
+    *    faster isolated).
+    *  - Fast: NO gram strings at all — [[graft.functions
+    *    .NGramRollingHashes]] emits every window's Karp–Rabin hash in
+    *    one pass over a per-row codepoint array. Gram identity matches
+    *    the substring path's (codepoint windows), so counts and scores
+    *    agree across schemes modulo 64-bit collisions (pinned by
+    *    ChrFSpec); the digest is engine-specific → rows-only gate.
     */
   private def gramStream(df: DataFrame, txtCol: String, lenCol: String,
-      side: Int, scheme: HashScheme): DataFrame =
-    df.select(col("pair_id"),
-        explode(array((1 to MaxN).map { n =>
-          struct(lit(n).as("n"),
-            when(col(lenCol) >= n,
-              transform(sequence(lit(1), col(lenCol) - n + 1),
-                i => col(txtCol).substr(i, lit(n))))
-              .otherwise(array().cast("array<string>")).as("grams"))
-        }: _*)).as("ng"))
-      .select(col("pair_id"), col("ng.n").as("n"), explode(col("ng.grams")).as("gram"))
-      .select(col("pair_id"), col("n"), ghash(col("gram"), scheme).as("g"),
-        lit(side).as("side"))
+      side: Int, scheme: HashScheme): DataFrame = {
+    val keyed = scheme match {
+      case HashScheme.Portable =>
+        df.select(col("pair_id"),
+            explode(array((1 to MaxN).map { n =>
+              struct(lit(n).as("n"),
+                when(col(lenCol) >= n,
+                  transform(sequence(lit(1), col(lenCol) - n + 1),
+                    i => col(txtCol).substr(i, lit(n))))
+                  .otherwise(array().cast("array<string>")).as("grams"))
+            }: _*)).as("ng"))
+          .select(col("pair_id"), col("ng.n").as("n"),
+            explode(col("ng.grams")).as("gram"))
+          .select(col("pair_id"), col("n"),
+            conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("g"))
+      case _ =>
+        df.select(col("pair_id"),
+            explode(array((1 to MaxN).map { n =>
+              struct(lit(n).as("n"),
+                graft.functions.NGramRollingHashes
+                  .ngramHashes(col(txtCol), n).as("hs"))
+            }: _*)).as("ng"))
+          .select(col("pair_id"), col("ng.n").as("n"),
+            explode(col("ng.hs")).as("g"))
+    }
+    keyed.select(col("pair_id"), col("n"), col("g"), lit(side).as("side"))
+  }
 
   /** Per-pair chrF. Input: `pair_id`, `candidate`, `reference` (raw
     * text). Output: pair_id, c_chars, r_chars, m1..m6, t1..t6 (cand

@@ -94,9 +94,15 @@ object AbBench {
 
     // Structural class-name signature incl. internal executions fired
     // during the gate build (see PlanSignature — the old string compare
-    // was wrong in both directions, round-7 verdict #1).
-    def planOf(g: String): String =
+    // was wrong in both directions, round-7 verdict #1). Capture starts
+    // from a COLD cache: gates that cache() internally would otherwise
+    // fingerprint InMemoryTableScan vs fresh-scan depending on what the
+    // previous variant left cached — variant-order noise, not plan
+    // structure (observed: pipe_increment flagging every variant).
+    def planOf(g: String): String = {
+      spark.catalog.clearCache()
       PlanSignature.capture(spark)(SparkEntry.queries(g)(spark, dir))
+    }
     def timeOnce(g: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
