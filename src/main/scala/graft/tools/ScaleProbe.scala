@@ -415,7 +415,16 @@ object ScaleProbe {
       "v_tree_quantile",
       // MapState census: one keyed shuffle; per-user map bounded by
       // the user's type vocabulary, not history
-      "st_type_census")
+      "st_type_census",
+      // ListState last-K: <=K fixed-width state rows per active user,
+      // one keyed shuffle; fold touches carried-K + batch rows only
+      "st_recent_items",
+      // full-outer interval join: watermark-bounded state both sides;
+      // batch analog is the same time-range sort-merge join
+      "st_stream_join_full",
+      // rolling-hash gram keys: one codepoint pass per row per order,
+      // no gram substrings; same single 8-byte-key census shuffle
+      "x_chrf_fast")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
