@@ -7060,6 +7060,29 @@ object DataOpsQueries {
         |SELECT doc_id, term, tf, df, score, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // The wide-sketch regime is purge-free at gate scale and the gate
+    // REQUIRES est = lb = ub = exact on every probe term, so the output
+    // is fully deterministic: the exact top-50 census with the count
+    // replicated across the estimate columns. (The purge-mode bounds
+    // half of the gate stays in-gate contracts — purge history is
+    // engine-specific; the OUTPUT never carries it.)
+    "t_freq_hitters" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |tok AS (
+        |  SELECT CASE WHEN norm = '' THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(norm, '\s+') END AS toks
+        |  FROM norm),
+        |cen AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(toks) AS term FROM tok)
+        |  WHERE term <> ''
+        |  GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50)
+        |SELECT term, freq AS exact, freq AS est, freq AS lb, freq AS ub
+        |FROM cen""".stripMargin,
+
     "t_heavy_hitters" ->
       """WITH norm AS (
         |  SELECT doc_id,
