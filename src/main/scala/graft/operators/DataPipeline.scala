@@ -44,6 +44,23 @@ import org.apache.spark.sql.functions._
   */
 object DataPipeline {
 
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.DataPipeline")
+
+  /** Time an eager stage materialization and log it (INFO) — the
+    * per-stage wall time IS the ops observability a composed pipeline
+    * needs (and what tools.ProfilePipe reads); a no-op when the
+    * boundary is lazy.
+    */
+  private def timedPin(name: String, eager: Boolean)(body: => DataFrame): DataFrame =
+    if (!eager) body
+    else {
+      val t0 = System.nanoTime()
+      val out = body
+      log.info(f"stage $name materialized in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      out
+    }
+
   /** @param quality        Gopher-style keep rules
     * @param spanK          repeated-span window (tokens); 0 disables
     * @param nearDupThreshold MinHash-verified Jaccard threshold
@@ -107,13 +124,13 @@ object DataPipeline {
   private def finishTailStaged(deduped: DataFrame, benchmarks: Option[DataFrame],
                                cfg: Config,
                                budgetGroups: Option[DataFrame],
-                               pin: DataFrame => DataFrame = identity): Seq[(String, DataFrame)] = {
-    val deSpan = pin(
+                               pin: (String, DataFrame) => DataFrame = (_, df) => df): Seq[(String, DataFrame)] = {
+    val deSpan = pin("despan",
       if (cfg.spanK <= 0) deduped
       else SpanDedup.removeRepeatedSpans(deduped, cfg.spanK)
         .select(col("doc_id"), col("clean_text").as("text"))
         .where(length(col("text")) > 0)) // span-emptied docs carry no signal
-    val decontaminated = pin(benchmarks match {
+    val decontaminated = pin("decontaminated", benchmarks match {
       case None => deSpan
       case Some(bench) =>
         deSpan.join(
@@ -131,7 +148,7 @@ object DataPipeline {
           .join(groups.select(col("doc_id"), col("grp")),
             Seq("doc_id"), "left_outer")
           .withColumn("_grp", coalesce(col("grp"), lit("")))
-        pin(HashSplit.takeToTokenBudget(withGrp, col("_grp"),
+        pin("budgeted", HashSplit.takeToTokenBudget(withGrp, col("_grp"),
             size(TextAnalysis.kernelTokens(col("text"))).cast("long"),
             cfg.tokenBudget, col("doc_id"), cfg.budgetSeed)
           .drop("_grp", "grp", "cum_tokens"))
@@ -183,14 +200,15 @@ object DataPipeline {
                     seeds: Option[(DataFrame, DataFrame)] = None,
                     budgetGroups: Option[DataFrame] = None,
                     materialize: Boolean = false): Seq[(String, DataFrame)] = {
-    def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
-    val cleaned = pin(cleanHead(docs, cfg, seeds))
-    val exact = pin(Dedup.exactDeduped(cleaned))
+    def pin(name: String, df: DataFrame): DataFrame =
+      if (materialize) timedPin(name, eager = true)(df.localCheckpoint(true))
+      else df
+    val cleaned = pin("cleaned", cleanHead(docs, cfg, seeds))
+    val exact = pin("exact", Dedup.exactDeduped(cleaned))
     val survivors = Dedup.dedupClusters(exact, threshold = cfg.nearDupThreshold,
         scheme = cfg.scheme)
       .where(col("is_survivor")).select("doc_id")
-    val deduped = pin(exact.join(survivors, Seq("doc_id"), "left_semi"))
+    val deduped = pin("deduped", exact.join(survivors, Seq("doc_id"), "left_semi"))
     Seq("cleaned" -> cleaned, "exact" -> exact, "deduped" -> deduped) ++
       finishTailStaged(deduped, benchmarks, cfg, budgetGroups, pin)
   }
