@@ -3878,6 +3878,15 @@ object DataOpsQueries {
           Seq("doc_id")),
         col("source"))),
 
+    // k-fold cross-validated NB-langid AUC: portable md5 folds, per
+    // fold train-on-rest / score-held-out, one per-fold rank-sum AUC
+    // pass — the model-selection primitive, hash-exact end to end (all
+    // five training rounds replayed by the oracle).
+    "v_cv_nb_auc" -> ((s, dir) =>
+      operators.CrossVal.nbCvAuc(Tables.documents(s, dir)
+          .where(col("lang").isNotNull),
+        label = col("lang") === "en", folds = 5, buckets = 1024)),
+
     // Group fairness audit at the NB decision threshold: per-source
     // positive rate / TPR / FPR with gaps vs the pooled rates and the
     // equalized-odds gap max(|dTPR|,|dFPR|). Exact BIGINT counts; every
@@ -8485,6 +8494,68 @@ object DataOpsQueries {
         |FROM vgrid g
         |LEFT JOIN (SELECT * FROM vpass WHERE rk = 1) p
         |  USING (target_micro)""".stripMargin,
+
+    // Every CV fold's training censuses, smoothed weights, prior, score
+    // sums and the per-fold rank-sum AUC replayed — folds from the same
+    // portable md5 draw as the plan.
+    "v_cv_nb_auc" -> {
+      val k = 5
+      val perFold = (0 until k).map { i =>
+        s"""pc$i AS (SELECT b, count(*)::BIGINT AS cp FROM fb
+          |  JOIN cvfold t USING (doc_id) WHERE t.f <> $i AND fb.lang = 'en'
+          |  GROUP BY b),
+          |nc$i AS (SELECT b, count(*)::BIGINT AS cn FROM fb
+          |  JOIN cvfold t USING (doc_id)
+          |  WHERE t.f <> $i AND fb.lang <> 'en' GROUP BY b),
+          |pt$i AS (SELECT coalesce(sum(cp), 0)::BIGINT AS cptot FROM pc$i),
+          |nt$i AS (SELECT coalesce(sum(cn), 0)::BIGINT AS cntot FROM nc$i),
+          |w$i AS (
+          |  SELECT coalesce(pc.b, nc.b) AS b,
+          |    CAST(round(log10((coalesce(pc.cp, 0)::DOUBLE + 1.0) * (nt.cntot::DOUBLE + 1024.0)
+          |      / ((coalesce(nc.cn, 0)::DOUBLE + 1.0) * (pt.cptot::DOUBLE + 1024.0))) * 1e6) AS BIGINT) AS w_micro
+          |  FROM pc$i pc FULL OUTER JOIN nc$i nc ON pc.b = nc.b
+          |  CROSS JOIN pt$i pt CROSS JOIN nt$i nt),
+          |pr$i AS (SELECT CAST(round(log10(
+          |    ((SELECT count(*) FROM cvfold t JOIN documents d USING (doc_id)
+          |      WHERE t.f <> $i AND d.lang = 'en')::DOUBLE + 1.0)
+          |  / ((SELECT count(*) FROM cvfold t JOIN documents d USING (doc_id)
+          |      WHERE t.f <> $i AND d.lang <> 'en')::DOUBLE + 1.0)) * 1e6) AS BIGINT) AS prior_micro),
+          |ag$i AS (SELECT fb.doc_id, sum(coalesce(w.w_micro, 0))::BIGINT AS ws
+          |  FROM fb JOIN cvfold t USING (doc_id) LEFT JOIN w$i w USING (b)
+          |  WHERE t.f = $i GROUP BY 1),
+          |sc$i AS (SELECT t.doc_id,
+          |    (coalesce(a.ws, 0) + p.prior_micro)::BIGINT AS s,
+          |    (d.lang = 'en') AS label, $i::BIGINT AS fold
+          |  FROM cvfold t JOIN documents d USING (doc_id)
+          |  LEFT JOIN ag$i a ON a.doc_id = t.doc_id CROSS JOIN pr$i p
+          |  WHERE t.f = $i)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until k).map(i => s"SELECT * FROM sc$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $hashedFeatureSql,
+        |cvfold AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('cv:' || doc_id::VARCHAR), 1, 15))::BIGINT % $k AS f
+        |  FROM documents WHERE lang IS NOT NULL),
+        |$perFold,
+        |cvsc AS (
+        |  $unions),
+        |cvcen AS (
+        |  SELECT fold, s,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n_neg
+        |  FROM cvsc GROUP BY 1, 2),
+        |cvcum AS (
+        |  SELECT fold, n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (PARTITION BY fold ORDER BY s ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM cvcen)
+        |SELECT fold, sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+        |  CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0 THEN
+        |    round(sum(n_pos * (2 * cb + n_neg))::DOUBLE
+        |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) END AS auc
+        |FROM cvcum GROUP BY fold""".stripMargin
+    },
 
     "v_auc_by" ->
       s"""WITH $nbEvalSql,
