@@ -424,7 +424,10 @@ object ScaleProbe {
       "st_stream_join_full",
       // rolling-hash gram keys: one codepoint pass per row per order,
       // no gram substrings; same single 8-byte-key census shuffle
-      "x_chrf_fast")
+      "x_chrf_fast",
+      // k x (two bounded training censuses + one doc-grain score
+      // shuffle over 1/k of the corpus) + one census AUC window
+      "v_cv_nb_auc")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
