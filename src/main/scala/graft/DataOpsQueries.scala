@@ -3878,6 +3878,12 @@ object DataOpsQueries {
           Seq("doc_id")),
         col("source"))),
 
+    // Time-series gap fill: dense per-user hourly grid with zero counts
+    // on quiet hours and the last observed micro value carried forward —
+    // the densification step the lag/EWMA/changepoint family assumes.
+    "x_gapfill" -> ((s, dir) =>
+      operators.GapFill.hourlyDense(Tables.events(s, dir))),
+
     // k-fold cross-validated NB-langid AUC: portable md5 folds, per
     // fold train-on-rest / score-held-out, one per-fold rank-sum AUC
     // pass — the model-selection primitive, hash-exact end to end (all
@@ -8494,6 +8500,40 @@ object DataOpsQueries {
         |FROM vgrid g
         |LEFT JOIN (SELECT * FROM vpass WHERE rk = 1) p
         |  USING (target_micro)""".stripMargin,
+
+    // hour floor on non-negative µs: // ≡ Spark's pmod subtraction; the
+    // per-hour representative = max of the (ts_us, event_id, vmicro)
+    // struct = row_number by the same total order
+    "x_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+        |    CAST(round(coalesce(value, 0) * 1e6) AS BIGINT) AS vmicro,
+        |    (epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000 AS hour_us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |phc AS (
+        |  SELECT user_id, hour_us, count(*)::BIGINT AS n_events
+        |  FROM ev GROUP BY 1, 2),
+        |phl AS (
+        |  SELECT user_id, hour_us, vmicro AS v_last FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, hour_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |ph AS (
+        |  SELECT c.user_id, c.hour_us, c.n_events, l.v_last
+        |  FROM phc c JOIN phl l USING (user_id, hour_us)),
+        |bounds AS (
+        |  SELECT user_id, min(hour_us)::BIGINT AS h0, max(hour_us)::BIGINT AS h1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 3600000000, 3600000000))::BIGINT AS hour_us
+        |  FROM bounds)
+        |SELECT g.user_id, g.hour_us,
+        |  coalesce(p.n_events, 0)::BIGINT AS n_events,
+        |  last_value(p.v_last IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cf_micro
+        |FROM grid g LEFT JOIN ph p
+        |  ON p.user_id = g.user_id AND p.hour_us = g.hour_us""".stripMargin,
 
     // Every CV fold's training censuses, smoothed weights, prior, score
     // sums and the per-fold rank-sum AUC replayed — folds from the same

@@ -427,7 +427,10 @@ object ScaleProbe {
       "x_chrf_fast",
       // k x (two bounded training censuses + one doc-grain score
       // shuffle over 1/k of the corpus) + one census AUC window
-      "v_cv_nb_auc")
+      "v_cv_nb_auc",
+      // one (key, hour) partial agg + bounds census + span-proportional
+      // grid explode + per-key ordered carry window
+      "x_gapfill")
     // optional 2nd+ args: probe only the named queries (local iteration)
     val only = args.drop(1).toSet
     for (dir <- Seq(src, dst);
