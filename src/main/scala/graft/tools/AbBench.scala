@@ -15,10 +15,13 @@ import graft.SparkEntry
   *   md5fuse_off  — spark.graft.fuse.md5=false
   *   shingle_off  — spark.graft.fuse.shingle=false
   *
-  * Per gate × variant: one untimed warm-up build + 3 timed
-  * `toRdd.count()` samples, median reported (same materialization and
-  * contention discipline as [[graft.Bench]]), after one global untimed
-  * warm pass so no variant block pays cold-file costs alone.
+  * Per gate: every variant's plan captured and warmed once, then three
+  * ROUNDS each timing every variant once (`toRdd.count()`, median of
+  * the 3 — same materialization discipline as [[graft.Bench]]) — the
+  * samples of all variants interleave across the JVM's warm-up
+  * trajectory, so no variant's median reads mid-JIT state (a
+  * variant-major loop inflated whichever block ran first ~2×). A
+  * global untimed warm pass first keeps cold-file costs out entirely.
   * `plan_differs` records, per gate, which variants actually change
   * the plan — judged by [[PlanSignature]]'s structural class-name
   * fingerprint over the returned frame AND every internal execution
@@ -55,8 +58,13 @@ object AbBench {
     "t_trigram_kn",
     // md5-fuse family: s_hash_split is a deliberate NEGATIVE control
     // (8-hex-prefix compare, not the fused 15-hex idiom — its plan must
-    // NOT flag); t_dsir_scores genuinely rides FuseMd5Uniform
-    "s_hash_split", "t_dsir_scores",
+    // NOT flag); t_dsir_scores and x_chrf (one fused digest per gram
+    // instance x 6 orders x both sides) genuinely ride FuseMd5Uniform
+    "s_hash_split", "t_dsir_scores", "x_chrf",
+    // window-rewrite beneficiary OUTSIDE the llr family: the composed
+    // daily loop (r7 flagged it regressed; the A/B shows window_off
+    // makes it SLOWER — the rule is a win here)
+    "pipe_increment",
     // shingle-fuse representative
     "d_minhash_neardup_fast",
     // as-of native-carry representatives
@@ -124,23 +132,42 @@ object AbBench {
       }
     }
 
+    // INTERLEAVED sampling (round-7 verdict item 5 — completed round 8):
+    // a variant-major loop runs the whole baseline block FIRST, so its
+    // samples catch mid-JIT/codegen state and read ~2× the later
+    // variants' on plan shapes the variants share (observed uniformly
+    // across gates even WITH a global warm pass). Per gate: capture
+    // every variant's plan, one untimed warm per variant, then three
+    // ROUNDS each timing every variant once — samples of all variants
+    // are spread evenly across the JVM's warm-up trajectory.
     val times = scala.collection.mutable.Map[(String, String), Double]()
     val plans = scala.collection.mutable.Map[(String, String), String]()
-    for ((vname, confs) <- Variants) {
+    def withConfs[A](confs: Map[String, String])(body: => A): A = {
       AllSwitches.foreach(k => spark.conf.unset(k))
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      for (g <- gates) {
-        try {
+      try body finally AllSwitches.foreach(k => spark.conf.unset(k))
+    }
+    for (g <- gates) {
+      val samples = scala.collection.mutable
+        .Map[String, List[Double]]().withDefaultValue(Nil)
+      for ((vname, confs) <- Variants) {
+        try withConfs(confs) {
           plans((g, vname)) = planOf(g)
-          timeOnce(g) // warm-up: codegen + JIT for this plan shape
-          val xs = (1 to 3).map(_ => timeOnce(g)).sorted
-          times((g, vname)) = xs(1)
+          timeOnce(g) // untimed warm: codegen + JIT for this plan shape
         } catch { case e: Throwable =>
           System.err.println(s"[ab] $g/$vname failed: ${e.getMessage}")
         }
       }
+      for (r <- 1 to 3; (vname, confs) <- Variants
+           if plans.contains((g, vname))) {
+        try withConfs(confs) { samples(vname) ::= timeOnce(g) }
+        catch { case e: Throwable =>
+          System.err.println(s"[ab] $g/$vname run $r failed: ${e.getMessage}")
+        }
+      }
+      for ((vname, xs) <- samples if xs.nonEmpty)
+        times((g, vname)) = xs.sorted.apply(xs.size / 2)
     }
-    AllSwitches.foreach(k => spark.conf.unset(k))
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
