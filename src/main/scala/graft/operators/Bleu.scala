@@ -40,50 +40,68 @@ object Bleu {
   private def tokLen(norm: Column): Column =
     when(norm === "", 0).otherwise(size(split(norm, " ")))
 
-  /** (pair, n, gram, cnt) census of one side, n = 1..MaxN, guarded so
-    * sides shorter than n emit nothing.
-    */
-  private def gramCensus(pairs: DataFrame, textCol: String, lenCol: String): DataFrame = {
-    val exploded = pairs.select(col("pair_id"),
-      explode(array((1 to MaxN).map { n =>
-        struct(lit(n).as("n"),
-          when(col(lenCol) >= n,
-            NGramShingles.shingles(col(textCol), n, distinct = false))
-            .otherwise(array().cast("array<string>")).as("grams"))
-      }: _*)).as("ng"))
-    exploded.select(col("pair_id"), col("ng.n").as("n"),
-        explode(col("ng.grams")).as("gram"))
-      .groupBy("pair_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-  }
-
-  /** Per-pair BLEU. Input needs `pair_id`, `candidate`, `reference`
-    * (raw text); output: pair_id, c_len, r_len, m1..m4 (clipped
-    * matches), t1..t4 (candidate n-gram totals), bleu.
+  /** Per-pair BLEU. Input needs `pair_id` (unique per pair), `candidate`,
+    * `reference` (raw text); output: pair_id, c_len, r_len, m1..m4
+    * (clipped matches), t1..t4 (candidate n-gram totals), bleu.
+    *
+    * Shape (round 8): ONE normalize+gram pass over both sides — sides
+    * are exploded into (side, norm) rows before shingling, and clipped
+    * matches come from conditional counts in a single (pair, n, gram)
+    * census (`least(c_cnt, r_cnt)`; a gram on one side only clips to 0,
+    * exactly what the old cand ⨝ ref inner join dropped). The old plan
+    * referenced the normalized frame three times (two per-side censuses
+    * + the length frame) so the regexp normalization chain ran 3× per
+    * row, and paid a string-keyed sort-merge join of the censuses; both
+    * are gone. Lengths fall out of the same census (c_len ≡ t₁ token
+    * count, and per-side n-gram totals ≡ len − n + 1), so the only other
+    * input pass is a cheap pair_id + null-flag projection that anchors
+    * gram-free pairs and restores `size(split(null))` null semantics.
     */
   def sentenceBleu(pairs: DataFrame): DataFrame = {
-    val base = pairs.select(col("pair_id"),
-        TextAnalysis.normalized(col("candidate")).as("c_norm"),
-        TextAnalysis.normalized(col("reference")).as("r_norm"))
-      .select(col("pair_id"), col("c_norm"), col("r_norm"),
-        tokLen(col("c_norm")).as("c_len"), tokLen(col("r_norm")).as("r_len"))
+    val skeleton = pairs.select(col("pair_id"),
+      col("candidate").isNull.as("_c_null"), col("reference").isNull.as("_r_null"))
 
-    val cand = gramCensus(base, "c_norm", "c_len")
-    val ref = gramCensus(base, "r_norm", "r_len")
-    val matches = cand.as("c")
-      .join(ref.as("r"), Seq("pair_id", "n", "gram"))
-      .select(col("pair_id"), col("n"),
-        least(col("c.cnt"), col("r.cnt")).as("m"))
+    val sided = pairs.select(col("pair_id"),
+        explode(array(
+          struct(lit(0).as("side"),
+            TextAnalysis.normalized(col("candidate")).as("norm")),
+          struct(lit(1).as("side"),
+            TextAnalysis.normalized(col("reference")).as("norm")))).as("s"))
+      .select(col("pair_id"), col("s.side").as("side"), col("s.norm").as("norm"),
+        tokLen(col("s.norm")).as("len"))
+    val grams = sided.select(col("pair_id"), col("side"),
+        explode(array((1 to MaxN).map { n =>
+          struct(lit(n).as("n"),
+            when(col("len") >= n,
+              NGramShingles.shingles(col("norm"), n, distinct = false))
+              .otherwise(array().cast("array<string>")).as("grams"))
+        }: _*)).as("ng"))
+      .select(col("pair_id"), col("side"), col("ng.n").as("n"),
+        explode(col("ng.grams")).as("gram"))
+
+    val census = grams.groupBy("pair_id", "n", "gram")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .select(col("pair_id"), col("n"), col("c_cnt"), col("r_cnt"),
+        least(col("c_cnt"), col("r_cnt")).as("m"))
       .groupBy("pair_id")
       .agg(sum(when(col("n") === 1, col("m")).otherwise(0L)).as("m1"),
-        (2 to MaxN).map(n =>
-          sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m$n")): _*)
+        ((2 to MaxN).map(n =>
+          sum(when(col("n") === n, col("m")).otherwise(0L)).as(s"m$n")) ++
+          // only 1-gram totals aggregate: t₁ IS the token count, higher
+          // orders are the projection greatest(0, t₁ − (n−1))
+          Seq(sum(when(col("n") === 1, col("c_cnt")).otherwise(0L)).as("t1"),
+            sum(when(col("n") === 1, col("r_cnt")).otherwise(0L)).as("_rt1"))): _*)
 
-    val joined = base.select("pair_id", "c_len", "r_len")
-      .join(matches, Seq("pair_id"), "left")
-      .select(Seq(col("pair_id"), col("c_len"), col("r_len")) ++
+    val joined = skeleton.join(census, Seq("pair_id"), "left")
+      .select(Seq(col("pair_id"),
+        when(col("_c_null"), lit(null).cast("int"))
+          .otherwise(coalesce(col("t1"), lit(0L)).cast("int")).as("c_len"),
+        when(col("_r_null"), lit(null).cast("int"))
+          .otherwise(coalesce(col("_rt1"), lit(0L)).cast("int")).as("r_len")) ++
         (1 to MaxN).flatMap(n => Seq(
           coalesce(col(s"m$n"), lit(0L)).as(s"m$n"),
-          greatest(lit(0), col("c_len") - n + 1).cast("long").as(s"t$n"))): _*)
+          greatest(lit(0L), coalesce(col("t1"), lit(0L)) - (n - 1)).as(s"t$n"))): _*)
 
     joined.withColumn("bleu", bleuChain(
       (1 to MaxN).map(n => (col(s"m$n"), col(s"t$n"))),

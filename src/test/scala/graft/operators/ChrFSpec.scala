@@ -60,6 +60,26 @@ class ChrFSpec extends SparkSpec {
       "gram-key scheme must not change any census count or score")
   }
 
+  test("null texts keep null chars, zero totals, chrf 0 (length(null) semantics)") {
+    val rows = Seq((1L, null.asInstanceOf[String], "some reference"),
+      (2L, "some candidate", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("pair_id", "candidate", "reference")
+    val out = ChrF.chrF(rows)
+      .select("pair_id", "c_chars", "r_chars", "t1", "rt1", "m1", "chrf")
+      .orderBy("pair_id").collect()
+    // pair 1: null candidate -> c_chars null, t1 = 0
+    assert(out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(0).getLong(3) == 0L && out(0).getLong(4) == 13L)
+    assert(out(0).getDouble(6) == 0.0)
+    // pair 2: null reference
+    assert(!out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(1).getLong(3) == 13L && out(1).getLong(4) == 0L)
+    // pair 3: both null
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+    assert(out(2).getLong(5) == 0L && out(2).getDouble(6) == 0.0)
+  }
+
   test("corpus chrF sums integer censuses before the chain") {
     val pairs = Seq(
       (1L, "ab", "abc"),
