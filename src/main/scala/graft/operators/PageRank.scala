@@ -60,48 +60,54 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val cnt = nodes.agg(count(lit(1)).as("nn"))
-    val od = e.groupBy("src").agg(count(lit(1)).as("out"))
+    // LOOP-INVARIANT HOISTS (round 8): the node count becomes a literal
+    // (one driver fetch; the base-term expression tree keeps the same
+    // shape, so constant folding evaluates the SAME Catalyst double
+    // chain) — deleting a count aggregate + broadcast + crossJoin from
+    // every round's plan; and the out-degree census joins into the edge
+    // frame ONCE (out is a pure function of the static edge set), so
+    // each round pays one equi-join with the rank frame instead of two.
+    val nn = nodes.count()
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("out")), Seq("src"))
+      .localCheckpoint()
+    // distinct sources for the dangling anti-join, also loop-invariant
+    lazy val srcNodes = e.select(col("src").as("node")).distinct().localCheckpoint()
     var pr = initRanks match {
       case None =>
-        nodes.crossJoin(broadcast(cnt))
-          .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
+        nodes
+          .select(col("node"), round(lit(1e6) / lit(nn)).cast("long").as("pr"))
           .localCheckpoint()
       case Some(init) =>
         nodes
           .join(init.select(col("node"), col("pr_micro").as("_init")),
             Seq("node"), "left_outer")
-          .crossJoin(broadcast(cnt))
           .select(col("node"),
             coalesce(col("_init"),
-              round(lit(1e6) / col("nn")).cast("long")).as("pr"))
+              round(lit(1e6) / lit(nn)).cast("long")).as("pr"))
           .localCheckpoint()
     }
     var i = 1
     while (i <= iterations) {
-      val contrib = e
+      val contrib = eo
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(od, Seq("src"))
         .select(col("dst").as("node"),
           round(lit(damping) * col("pr") / col("out")).cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      val base = round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
+      val base = round(lit(1.0 - damping) * lit(1e6) / lit(nn)).cast("long")
       pr = if (redistributeDangling) {
         // exact integer partial agg of the previous round's dangling
         // mass → 1-row broadcast; the share is ONE double chain,
         // round(d·dm/N), so the oracle replays it verbatim
         val dm = pr
-          .join(od.select(col("src").as("node")), Seq("node"), "left_anti")
+          .join(srcNodes, Seq("node"), "left_anti")
           .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
         nodes.join(contrib, Seq("node"), "left_outer")
-          .crossJoin(broadcast(cnt))
           .crossJoin(broadcast(dm))
           .select(col("node"),
-            (base + round(lit(damping) * col("dm") / col("nn")).cast("long")
+            (base + round(lit(damping) * col("dm") / lit(nn)).cast("long")
               + coalesce(col("s"), lit(0L))).as("pr"))
       } else {
         nodes.join(contrib, Seq("node"), "left_outer")
-          .crossJoin(broadcast(cnt))
           .select(col("node"),
             (base + coalesce(col("s"), lit(0L))).as("pr"))
       }
@@ -132,16 +138,18 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val cnt = nodes.agg(count(lit(1)).as("nn"))
-    val ow = e.groupBy("src").agg(sum(col("w")).as("wout"))
-    var pr = nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), round(lit(1e6) / col("nn")).cast("long").as("pr"))
+    // same loop-invariant hoists as [[pageRank]]: literal node count,
+    // out-weight census joined into the edge frame once
+    val nn = nodes.count()
+    val eo = e.join(e.groupBy("src").agg(sum(col("w")).as("wout")), Seq("src"))
+      .localCheckpoint()
+    var pr = nodes
+      .select(col("node"), round(lit(1e6) / lit(nn)).cast("long").as("pr"))
       .localCheckpoint()
     var i = 1
     while (i <= iterations) {
-      val contrib = e
+      val contrib = eo
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(ow, Seq("src"))
         .select(col("dst").as("node"),
           // pr·w as an EXACT long product first — two double ops, not
           // three, so the chain can't ulp-diverge from the oracle
@@ -149,9 +157,8 @@ object PageRank {
             .cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(cnt))
         .select(col("node"),
-          (round(lit(1.0 - damping) * lit(1e6) / col("nn")).cast("long")
+          (round(lit(1.0 - damping) * lit(1e6) / lit(nn)).cast("long")
             + coalesce(col("s"), lit(0L))).as("pr"))
       if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
       i += 1
@@ -186,27 +193,28 @@ object PageRank {
     val flagged = nodes.join(broadcast(sd), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
       .localCheckpoint()
-    val ns = sd.agg(count(lit(1)).as("ns"))
-    require(ns.head().getLong(0) >= 1, "personalized PageRank needs >= 1 seed")
-    val od = e.groupBy("src").agg(count(lit(1)).as("out"))
-    var pr = flagged.crossJoin(broadcast(ns))
+    // literal seed count + out-degree joined into the edge frame once —
+    // the [[pageRank]] loop-invariant hoists
+    val ns = sd.count()
+    require(ns >= 1, "personalized PageRank needs >= 1 seed")
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("out")), Seq("src"))
+      .localCheckpoint()
+    var pr = flagged
       .select(col("node"),
-        when(col("_seed"), round(lit(1e6) / col("ns")).cast("long"))
+        when(col("_seed"), round(lit(1e6) / lit(ns)).cast("long"))
           .otherwise(lit(0L)).as("pr"))
       .localCheckpoint()
     var i = 1
     while (i <= iterations) {
-      val contrib = e
+      val contrib = eo
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(od, Seq("src"))
         .select(col("dst").as("node"),
           round(lit(damping) * col("pr") / col("out")).cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
       pr = flagged.join(contrib, Seq("node"), "left_outer")
-        .crossJoin(broadcast(ns))
         .select(col("node"),
           (when(col("_seed"),
-            round(lit(1.0 - damping) * lit(1e6) / col("ns")).cast("long"))
+            round(lit(1.0 - damping) * lit(1e6) / lit(ns)).cast("long"))
             .otherwise(lit(0L))
             + coalesce(col("s"), lit(0L))).as("pr"))
       if (i % checkpointEvery == 0) pr = pr.localCheckpoint()
