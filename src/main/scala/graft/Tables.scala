@@ -12,8 +12,42 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** SCAN FAN-OUT (round 8, guide §2.5/§6): each sf table is ONE parquet
+    * file with one row group, so every scan stage is a SINGLE task —
+    * all per-row work below the first exchange (regex normalization,
+    * gram kernels, tokenization: the dominant cost of the text gates)
+    * ran serially on a 32-core host. A deterministic hash repartition
+    * on the first column spreads the scan to the session's shuffle
+    * parallelism. Scale-adaptive, not local-tuned: it fires only when
+    * the scan has FEWER partitions than both the shuffle parallelism
+    * and the table's size-derived ceiling (≥16 KiB per partition, so
+    * 5-row dimension tables stay put), i.e. on a real multi-file corpus
+    * at scale the scan is already parallel and this is a no-op. Hash-on-
+    * key (not round-robin) keeps row→partition deterministic under
+    * task retry with no sort-before-repartition pass. Kill switch:
+    * spark.graft.scan.fanout=false.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val enabled = spark.conf.get("spark.graft.scan.fanout", "true").toBoolean
+    if (!enabled) return df
+    val target = spark.sessionState.conf.numShufflePartitions
+    // partition estimate from file bytes (stats are the listed file
+    // sizes) — building the scan RDD just to count partitions would pay
+    // a planning pass per table reference
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val scanParts =
+      (bytes / spark.sessionState.conf.filesMaxPartitionBytes).toInt + 1
+    if (scanParts >= target) return df
+    val ceil = (bytes / 16384).min(BigInt(target)).toInt
+    // ROUND-ROBIN, not hash-on-key: a key column in the repartition
+    // expression would defeat column pruning at the scan for every
+    // consumer that never reads the key (retry-determinism is provided
+    // by Spark's sort-before-repartition, on by default)
+    if (ceil <= scanParts) df else df.repartition(ceil)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    fanOut(spark, spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

@@ -324,7 +324,13 @@ object Classifier {
     * ≤L-row threshold census; candidate explode bounded by docs × L;
     * argmax at doc grain. Output: (doc_id, label, suggested, flagged).
     */
-  def labelNoise(scored: DataFrame, labels: DataFrame): DataFrame = {
+  def labelNoise(scored0: DataFrame, labels: DataFrame): DataFrame = {
+    // the scored frame feeds both the per-class thresholds and the
+    // confident-set probe; materialize it once (lazy local checkpoint,
+    // computed in the query's own first job) instead of re-running the
+    // full feature-hash scoring pass — classScores carries the dense
+    // per-class weight arrays, the most expensive projection here
+    val scored = scored0.localCheckpoint(false)
     val lab = labels.select(col("doc_id"), col("label"))
     val thr = scored.join(lab, Seq("doc_id"))
       .where(col("cls") === col("label"))

@@ -74,7 +74,12 @@ object QualityFilter {
 
   /** The surviving documents, original schema — the predicate is
     * inlined over the signal expressions, so this stays a scan with
-    * no join back.
+    * no join back. Repeated heavyweight subtrees in the pushed-down
+    * predicate (the token array, the shingle arrays, and — when
+    * `textCol` is itself a projected derivation like stripMarkup'd
+    * text — that whole derivation, measured 92 inlined copies on the
+    * pipe_full head) are re-deduplicated at optimization time by
+    * [[graft.plans.BindFilterCommon]].
     */
   def apply(docs: DataFrame, rules: Rules, textCol: String = "text"): DataFrame = {
     val exprs = signalExprs(textCol).toMap

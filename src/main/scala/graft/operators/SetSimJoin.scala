@@ -62,7 +62,15 @@ object SetSimJoin {
                tNum: Int = 7, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
-    val tok = tokenRows(docs, textCol)
+    // the token stream fans out FIVE ways (df census, size census, the
+    // ranked prefix, and both sides of the verification join) and the
+    // ranked prefix twice more — cache each once instead of re-running
+    // the normalize/tokenize/explode chain per reference (cache, not
+    // localCheckpoint: lineage stays visible to plan assertions, and
+    // concurrent first-fills at worst duplicate a partition's compute,
+    // which is the status quo ante). Standard AllPairs practice at any
+    // scale: the inverted token list is built once.
+    val tok = tokenRows(docs, textCol).cache()
     val dfc = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // rarest-first rank inside each doc under the global (df, tok) total
@@ -71,6 +79,7 @@ object SetSimJoin {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
     val pref = ord.where(col("rn") <= col("n") - minOverlap(col("n"), tNum, tDen) + 1)
+      .cache()
 
     val a = pref.select(col("tok"), col("doc_id").as("doc_a"),
       col("n").as("n_a"), col("rn").as("rn_a"))

@@ -105,6 +105,12 @@ object SpanDedup {
     // The < k guard matters — NGramShingles collapses shorter inputs to
     // one whole-text shingle, which would wrongly let a short doc's full
     // text census-match a window of a longer doc.
+    // wins feeds both the census and the duplicate-position join; when
+    // AQE broadcasts the small repeated-digest side, the probe side
+    // bypasses the census's exchange and ReuseExchange no longer dedups
+    // the shingle pass — materialize once (lazy local checkpoint,
+    // computed in the query's first job): (doc_id, wpos, 16-byte dig)
+    // rows, bounded by the corpus window volume.
     val wins = docs
       .select(col("doc_id"),
         when(size(toksCol) >= k,
@@ -112,6 +118,7 @@ object SpanDedup {
           .otherwise(array().cast("array<string>")).as("wins"))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("wpos", "w")))
       .select(col("doc_id"), col("wpos"), md5(col("w")).as("dig"))
+      .localCheckpoint(false)
 
     val repeated = wins.groupBy("dig").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("dig")
@@ -200,6 +207,7 @@ object SpanDedup {
                            textCol: String = "text"): DataFrame = {
     require(k >= 2, s"span window must be at least 2 tokens, got $k")
     val toksCol = TextAnalysis.kernelTokens(col(textCol))
+    // same single-materialization as removeRepeatedSpans (see above)
     val wins = docs
       .select(col("doc_id"),
         when(size(toksCol) >= k,
@@ -207,6 +215,7 @@ object SpanDedup {
           .otherwise(array().cast("array<string>")).as("wins"))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("wpos", "w")))
       .select(col("doc_id"), col("wpos"), md5(col("w")).as("dig"))
+      .localCheckpoint(false)
     val repeated = wins.groupBy("dig").agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select("dig")
     val covered = wins.join(repeated, Seq("dig"))

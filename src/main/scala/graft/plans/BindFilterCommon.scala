@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern
+
+/** Catalyst optimizer rule: common-subexpression binding for FILTER
+  * predicates, via the engine-native `With`/`CommonExpressionRef`
+  * mechanism (what RuntimeReplaceable expressions use).
+  *
+  * Why: CollapseProject and PushDownPredicates substitute deterministic
+  * projection aliases into consumers, so a predicate consulting several
+  * signals derived from one expensive expression ends up carrying one
+  * COPY of that expression per reference — the pipeline's
+  * quality-filter predicate over markup-stripped text measured 92
+  * inlined copies of the stripMarkup regex chain, all evaluated per row
+  * (FilterExec generates the predicate tree verbatim — unlike
+  * ProjectExec it performs no codegen subexpression elimination), and
+  * the optimizer itself re-walks the multiplied tree on every rule.
+  *
+  * What it does: for each Filter condition, finds deterministic
+  * subtrees that occur at least twice (canonicalized equality), carry
+  * real per-row cost (a regexp / split / digest / higher-order kernel
+  * anywhere inside, or simply a large tree), and reference no
+  * lambda-bound variables from an enclosing scope; replaces every
+  * occurrence with a `CommonExpressionRef` and wraps the condition in
+  * `With`. The late RewriteWithExpression batch then materializes each
+  * def as ONE projected column under the filter — evaluation count
+  * drops from k copies to 1, values identical by construction (same
+  * subtree, same row).
+  *
+  * Trade-off (documented, guards below): a bound def is evaluated
+  * UNCONDITIONALLY per row, while one of its occurrences might have sat
+  * on the rarely-taken side of a short-circuit — so only subtrees that
+  * occur ≥ 2 times are bound (at least one occurrence is on the
+  * evaluated path for any row that gets past the first conjunct), and
+  * candidates nested under a conditional-only occurrence still count
+  * their own cost, not their parents'. Kill switch:
+  * `SET spark.graft.bind.filterCse=false`.
+  */
+object BindFilterCommon extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.bind.filterCse", "true").toBoolean
+
+  /** Per-node weight: expression classes whose evaluation dominates a
+    * row's cost. Everything else counts 1 per node.
+    */
+  private def nodeWeight(e: Expression): Int = e match {
+    case _: RegExpReplace | _: RegExpExtractBase | _: StringSplit => 40
+    case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 => 20
+    case _: HigherOrderFunction => 10
+    case _: StringTrim | _: StringTrimLeft | _: StringTrimRight
+         | _: Lower | _: Upper | _: StringTranslate | _: StringRepeat => 4
+    case _ => 1
+  }
+
+  private def cost(e: Expression): Int = {
+    var c = 0
+    e.foreach(n => c += nodeWeight(n))
+    c
+  }
+
+  private val MinCost = 40 // at least one regexp-class node, or a big tree
+
+  /** Subtrees eligible as binding candidates under `cond`, collected
+    * OUTSIDE lambda scopes (a subtree under a lambda may reference the
+    * lambda's variables; hoisting it to a projection would unbind
+    * them). A HigherOrderFunction's argument side is still walked — the
+    * function side is not.
+    */
+  private def collect(cond: Expression,
+                      acc: scala.collection.mutable.Map[Expression, (Expression, Int)]): Unit = {
+    def walk(e: Expression): Unit = {
+      e match {
+        case hof: HigherOrderFunction =>
+          record(hof)
+          hof.arguments.foreach(walk) // not hof.functions: lambda scope
+        case _: Literal | _: Attribute => // never worth binding
+        case other =>
+          record(other)
+          other.children.foreach(walk)
+      }
+    }
+    def record(e: Expression): Unit =
+      if (e.deterministic && !e.isInstanceOf[CommonExpressionRef] &&
+          e.dataType != org.apache.spark.sql.types.NullType) {
+        val key = e.canonicalized
+        acc.get(key) match {
+          case Some((first, n)) => acc(key) = (first, n + 1)
+          case None => acc(key) = (e, 1)
+        }
+      }
+    walk(cond)
+  }
+
+  /** Bind ONE level per invocation — the MINIMAL repeated heavy
+    * subtrees (no other repeated-heavy candidate strictly inside):
+    * binding maximal trees would leave the shared inner chain
+    * duplicated across the defs themselves (tokens(strip),
+    * shingles(norm(strip)) and length(strip) each re-evaluating the
+    * strip chain), and a nested `With` whose inner defs reference outer
+    * refs is not rewritable by RewriteWithExpression (measured: the
+    * nested form survives to execution and throws Unevaluable). One
+    * level per pass is evaluable, and the enclosing fixed-point batch
+    * re-invokes the rule on the rewritten plan, binding the next level
+    * against the now-cheap projected column — convergence: a pass with
+    * no repeated heavy subtree changes nothing.
+    */
+  private def rewriteCond(cond: Expression): Option[Expression] = {
+    val counts = scala.collection.mutable.Map[Expression, (Expression, Int)]()
+    collect(cond, counts)
+    val repeated = counts.values
+      .filter { case (e, n) => n >= 2 && cost(e) >= MinCost }
+      .map(_._1).toSeq
+    if (repeated.isEmpty) return None
+    val repeatedKeys = repeated.map(_.canonicalized).toSet
+    val minimal = repeated.filter(e =>
+      !e.children.exists(_.exists(n => repeatedKeys.contains(n.canonicalized))))
+    if (minimal.isEmpty) return None
+    Some(With(minimal: _*) { refs =>
+      val byKey = minimal.map(_.canonicalized).zip(refs).toMap
+      cond.transformDown {
+        case e: Expression if byKey.contains(e.canonicalized) =>
+          byKey(e.canonicalized)
+      }
+    })
+  }
+
+  private def treeSize(e: Expression): Int = {
+    var n = 0
+    e.foreach(_ => n += 1)
+    n
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    var bound = false
+    val withs = plan.transform {
+      case f @ Filter(cond, child)
+          if cond.deterministic && cond.resolved &&
+            !cond.containsPattern(TreePattern.WITH_EXPRESSION) =>
+        rewriteCond(cond) match {
+          case Some(c) => bound = true; Filter(c, child)
+          case None => f
+        }
+    }
+    // materialize the bindings immediately (def → one projected column
+    // under the filter): the engine's "Rewrite With expression" batch
+    // runs BEFORE injected operator-optimization rules in Spark 4, so a
+    // With left in our output would survive to execution (Unevaluable)
+    if (bound)
+      org.apache.spark.sql.catalyst.optimizer.RewriteWithExpression(withs)
+    else withs
+  }
+}

@@ -30,6 +30,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // fuse the portable-uniform md5 idiom into the native long kernel
     ext.injectOptimizerRule(_ => graft.plans.FuseMd5Uniform)
+    // filter-predicate common-subexpression binding (With/CommonExprRef):
+    // undoes the k-fold inlining of expensive derived text under pushdown.
+    // MUST run in the LAST optimizer batch ("User Provided Optimizers",
+    // i.e. session.experimental.extraOptimizations): anywhere earlier a
+    // later PushDownPredicates pass re-inlines what this rule binds —
+    // inside the operator-optimization fixed point the two rules
+    // ping-pong to the iteration cap (measured: MORE copies + exploded
+    // optimization time), and even pre-CBO placement is undone by the
+    // "Pushdown Filters from PartitionPruning" batch. The post-hoc
+    // resolution hook is the one extension point that hands us the
+    // session, so the registration rides it; the returned rule is a
+    // no-op.
+    ext.injectPostHocResolutionRule { session =>
+      if (!session.experimental.extraOptimizations
+          .contains(graft.plans.BindFilterCommon))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ graft.plans.BindFilterCommon
+      new org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(plan: org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = plan
+      }
+    }
     ext.injectOptimizerRule(_ => graft.plans.FuseShingleDistinct)
     // grouped top-k: logical node -> partial/final heap execs, plus the
     // rewrite that turns the row_number-filter window spelling into it
