@@ -1849,7 +1849,7 @@ object DataOpsQueries {
     // and the one rounded double chain, fully replayed by the oracle.
     "x_bleu" -> ((s, dir) => {
       val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
-      operators.Bleu.sentenceBleu(Tables.documents(s, dir).select(
+      operators.Bleu.sentenceBleu(Tables.fanOut(Tables.documents(s, dir)).select(
         col("doc_id").as("pair_id"),
         array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
         col("text").as("reference")))
@@ -1859,7 +1859,7 @@ object DataOpsQueries {
     // the standard corpus statistic. One row.
     "x_bleu_corpus" -> ((s, dir) => {
       val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
-      operators.Bleu.corpusBleu(Tables.documents(s, dir).select(
+      operators.Bleu.corpusBleu(Tables.fanOut(Tables.documents(s, dir)).select(
         col("doc_id").as("pair_id"),
         array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
         col("text").as("reference")))
@@ -1870,7 +1870,7 @@ object DataOpsQueries {
     // censuses and the F_2 chain.
     "x_chrf" -> ((s, dir) => {
       val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
-      operators.ChrF.chrF(Tables.documents(s, dir).select(
+      operators.ChrF.chrF(Tables.fanOut(Tables.documents(s, dir)).select(
         col("doc_id").as("pair_id"),
         array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
         col("text").as("reference")))
@@ -1883,7 +1883,7 @@ object DataOpsQueries {
     // both schemes produce identical SCORES on the fixture.
     "x_chrf_fast" -> ((s, dir) => {
       val toks = split(operators.TextAnalysis.normalized(col("text")), " ")
-      operators.ChrF.chrF(Tables.documents(s, dir).select(
+      operators.ChrF.chrF(Tables.fanOut(Tables.documents(s, dir)).select(
           col("doc_id").as("pair_id"),
           array_join(filter(toks, (_, i) => (i + 1) % 7 =!= 0), " ").as("candidate"),
           col("text").as("reference")),
@@ -1907,7 +1907,7 @@ object DataOpsQueries {
             .otherwise(i))
       })
       operators.Rouge.rougeL(
-        Tables.documents(s, dir)
+        Tables.fanOut(Tables.documents(s, dir))
           .select(col("doc_id").as("pair_id"),
             filter(toks, (_, i) => (i + 1) % 7 =!= 0).as("kept"),
             col("text").as("reference"))
@@ -2006,13 +2006,13 @@ object DataOpsQueries {
 
     // Quality scoring: ratios rounded 6dp (oracle).
     "t_quality" -> ((s, dir) =>
-      TextAnalysis.qualityScore(Tables.documents(s, dir))),
+      TextAnalysis.qualityScore(Tables.fanOut(Tables.documents(s, dir)))),
 
     // Language-ID heuristic: marker-count argmax (oracle — same heuristic
     // expressed in SQL; the synthetic corpus shares one vocabulary so the
     // score, not label recovery, is what's checked).
     "t_langid" -> ((s, dir) =>
-      TextAnalysis.languageId(Tables.documents(s, dir))),
+      TextAnalysis.languageId(Tables.fanOut(Tables.documents(s, dir)))),
 
     // TRAINED language ID (fastText-style): multi-class hashed-NB fit on
     // the corpus's own lang labels, served as one stateless projection
@@ -2046,14 +2046,14 @@ object DataOpsQueries {
     // trained langid, roll up per doc — the code-switch / boilerplate-
     // concatenation detector a whole-doc langid averages away.
     "t_code_switch" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.fanOut(Tables.documents(s, dir))
       operators.Classifier.codeSwitching(d,
         operators.Classifier.trainLanguageNB(d, buckets = 1024),
         segTokens = 8)
     }),
 
     "t_langid_nb" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanOut(Tables.documents(s, dir))
       operators.Classifier.classifyLanguage(docs,
         operators.Classifier.trainLanguageNB(docs, buckets = 1024))
     }),
@@ -2074,7 +2074,7 @@ object DataOpsQueries {
     // integer cross-multiply, confident argmax vs the lang label. The
     // oracle replays the whole chain from the shared NB score frame.
     "v_label_noise" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanOut(Tables.documents(s, dir))
       val model = operators.Classifier.trainLanguageNB(docs, buckets = 1024)
       operators.Classifier.labelNoise(
         operators.Classifier.classScores(docs, model),
@@ -2085,12 +2085,12 @@ object DataOpsQueries {
     // Repetition quality signal: duplicate 2-/3-gram fractions (oracle —
     // same construction over DuckDB list comprehensions).
     "t_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionScore(Tables.documents(s, dir))),
+      TextAnalysis.repetitionScore(Tables.fanOut(Tables.documents(s, dir)))),
 
     // PII redaction: engineered PII appended to every doc (both engines),
     // then the shared-RE2-subset patterns must scrub identically.
     "t_redact" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"),
         TextAnalysis.redactPii(concat(col("text"),
           lit(" contact jane.doe+spam@mail.example.org or 10.0.255.7 " +
             "or +1 555-867-5309 now"))).as("redacted"))),
@@ -2104,7 +2104,7 @@ object DataOpsQueries {
     // comments, entities) wrapped around every doc in BOTH engines; the
     // RE2-subset pattern chain must recover the text identically.
     "t_strip_markup" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"),
         TextAnalysis.stripMarkup(concat(
           lit("<html><head><style>p{x}</style></head><body onload=\"f()\"><p>"),
           col("text"),
@@ -2429,7 +2429,7 @@ object DataOpsQueries {
     // Gopher-rules composite filter with per-doc reject reasons; all
     // signals one projection, rounded 6dp before comparison (oracle).
     "t_quality_filter" -> ((s, dir) =>
-      QualityFilter.tag(Tables.documents(s, dir), QualityFilter.Rules(
+      QualityFilter.tag(Tables.fanOut(Tables.documents(s, dir)), QualityFilter.Rules(
         minTokens = 25, maxTokens = 90,
         minMeanTokenLen = 3.8, maxMeanTokenLen = 5.1,
         minStopwordFrac = 0.02,
@@ -2458,7 +2458,7 @@ object DataOpsQueries {
     // higher-order filter, fully replayed by the oracle (oracle).
     "t_line_filter" -> ((s, dir) =>
       Boilerplate.removeLowQualityLines(
-        Tables.documents(s, dir).select(col("doc_id"),
+        Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"),
           array_join(split(col("text"), " table ", -1), ".\n").as("text")),
         lineSep = "\n", minWords = 4, requireTerminalPunct = true,
         blocklist = Seq("spark"))),
@@ -2499,7 +2499,7 @@ object DataOpsQueries {
       val badSuffix = new String(
         cleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         "windows-1252")
-      Tables.documents(s, dir).select(col("doc_id"),
+      Tables.fanOut(Tables.documents(s, dir)).select(col("doc_id"),
         TextAnalysis.fixMojibake(
           concat(coalesce(col("text"), lit("")), lit(" "), lit(badSuffix)))
           .as("fixed_text"))
@@ -2803,7 +2803,7 @@ object DataOpsQueries {
     // persisted index finds exactly the pairs the full portable-LSH
     // oracle chain derives; batch = every %3==0 doc copied).
     "st_neardup_candidates" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val d = Tables.fanOut(Tables.documents(s, dir)).select("doc_id", "text")
       val batch = d.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
       val idx = Dedup.buildSignatureIndex(d,
@@ -2894,7 +2894,7 @@ object DataOpsQueries {
     // exercising every filter.
     "d_setsim_join" -> ((s, dir) =>
       SetSimJoin.selfJoin(
-        docsWithCopies(s, dir).where(col("doc_id") % 5 === 0),
+        Tables.fanOut(docsWithCopies(s, dir).where(col("doc_id") % 5 === 0)),
         tNum = 9, tDen = 10)),
 
     // Rep-collapsed set-similarity join — the dup-heavy scale path:
@@ -3689,7 +3689,7 @@ object DataOpsQueries {
     // adjacent-id control pairs (different documents) are filtered by
     // it. Both engines implement classic unit-cost Levenshtein.
     "d_edit_verify" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val d = Tables.fanOut(Tables.documents(s, dir)).select("doc_id", "text")
         .where(col("text").isNotNull)
       val corpus = d.unionByName(d.select(
         (col("doc_id") + 1000000L).as("doc_id"),
@@ -4031,7 +4031,7 @@ object DataOpsQueries {
     // 1.0; the inverted-index self-join must find exactly what the
     // exact shingle-set SQL finds (cap off in the replay gate).
     "d_containment_self" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val d = Tables.fanOut(Tables.documents(s, dir)).select("doc_id", "text")
       val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
       val excerpts = d.select(col("doc_id"), toks.as("_t"))
         .where(size(col("_t")) >= 24 && col("doc_id") % 7 === 0)
@@ -4727,20 +4727,20 @@ object DataOpsQueries {
     // from the constant Poisson(1) ladder over md5 uniforms — exact
     // micro sums, every replicate replayed by the oracle.
     "x_bootstrap" -> ((s, dir) =>
-      operators.Bootstrap.replicateMeans(Tables.events(s, dir),
+      operators.Bootstrap.replicateMeans(Tables.fanOut(Tables.events(s, dir)),
         value = col("value"), rowKey = col("event_id"), b = 40, seed = 42L)),
 
     // Per-group (event-type) bootstrap replicate means — per-slice
     // error bars from the same one-scan map-side combine.
     "x_bootstrap_by" -> ((s, dir) =>
-      operators.Bootstrap.replicateMeansBy(Tables.events(s, dir),
+      operators.Bootstrap.replicateMeansBy(Tables.fanOut(Tables.events(s, dir)),
         group = col("event_type"), value = col("value"),
         rowKey = col("event_id"), b = 20, seed = 42L)),
 
     // ... and the percentile CI those replicates imply (order statistics
     // at ceil(αB)/ceil((1−α)B)) next to the full-data mean.
     "x_bootstrap_ci" -> ((s, dir) =>
-      operators.Bootstrap.meanCI(Tables.events(s, dir),
+      operators.Bootstrap.meanCI(Tables.fanOut(Tables.events(s, dir)),
         value = col("value"), rowKey = col("event_id"), b = 40,
         alpha = 0.025, seed = 42L)),
 
@@ -4963,7 +4963,7 @@ object DataOpsQueries {
     // syllable heuristic so the oracle replays it exactly. Shuffle-free
     // projection.
     "t_readability" -> ((s, dir) =>
-      TextAnalysis.readability(Tables.documents(s, dir))),
+      TextAnalysis.readability(Tables.fanOut(Tables.documents(s, dir)))),
 
     // Declarative constraint suite: 7 checks over documents in ONE
     // aggregation pass (completeness, uniqueness, bounds, set/pattern
@@ -5000,7 +5000,7 @@ object DataOpsQueries {
     // g_pagerank, so the oracle replays graph construction AND all 10
     // rounds, then the top-20 TakeOrdered ranking.
     "t_textrank" -> ((s, dir) =>
-      operators.TextRank.keywords(Tables.documents(s, dir), k = 20)),
+      operators.TextRank.keywords(Tables.fanOut(Tables.documents(s, dir)), k = 20)),
 
     // Per-document TextRank (the original per-doc formulation): grouped
     // PageRank with doc_id in every key — ALL documents' graphs rank in
@@ -5576,7 +5576,7 @@ object DataOpsQueries {
     // the formats a crawl actually contains (png/jpeg/bmp/gif).
     "m_decode_png" -> ((s, dir) =>
       Multimodal.decodeFeatures(
-          Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+          Multimodal.syntheticPngMedia(Tables.fanOut(Tables.documents(s, dir))),
           decoder = Multimodal.ImageIoDecoder)
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))),
@@ -5587,7 +5587,7 @@ object DataOpsQueries {
     "m_resize_png" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.resizeImage(
-            Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+            Multimodal.syntheticPngMedia(Tables.fanOut(Tables.documents(s, dir))),
             outW = 8, outH = 6, decoder = Multimodal.ImageIoDecoder),
           dim = 1, decoder = Multimodal.PpmDecoder)
         .select(col("media_id"), col("width"), col("height"),
@@ -5599,7 +5599,7 @@ object DataOpsQueries {
     // uncompressed in-band format.
     "m_phash_png" -> ((s, dir) =>
       Multimodal.averageHash(
-        Multimodal.syntheticPngMedia(Tables.documents(s, dir)),
+        Multimodal.syntheticPngMedia(Tables.fanOut(Tables.documents(s, dir))),
         decoder = Multimodal.ImageIoDecoder)),
 
     // END-TO-END composed DataPipeline gate (round-4 verdict #5): ONE

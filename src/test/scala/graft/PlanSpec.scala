@@ -16,11 +16,12 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   /** The operator's own plan shape, isolated from the INPUT-layer scan
-    * fan-out (Tables.fanOut adds one round-robin exchange over
-    * single-partition parquet scans): shuffle-free / codegen-span
-    * contracts are about what the OPERATOR contributes, so they assert
-    * with the input policy off. Fan-out behavior itself is pinned by
-    * the dedicated tests at the bottom of this suite.
+    * fan-out (since round 9 Tables.fanOut is opt-in at kernel-heavy
+    * call sites, not global — round-8 verdict #1): shuffle-free /
+    * codegen-span contracts are about what the OPERATOR contributes, so
+    * gates that wire the fan-out assert with the policy off. Fan-out
+    * behavior itself is pinned by the dedicated tests at the bottom of
+    * this suite.
     */
   def withoutFanout[A](body: => A): A = {
     spark.conf.set("spark.graft.scan.fanout", "false")
@@ -190,7 +191,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("runtime bloom filter prunes the fact side of a selective dim join") {
-    withoutFanout { // InjectRuntimeFilter pattern-matches a bare scan side
+    // production config: Tables scans are bare since round 9 (fan-out is
+    // opt-in per call site), so InjectRuntimeFilter's bare-scan pattern
+    // matches without any kill switch (round-8 verdict #8)
     import org.apache.spark.sql.functions._
     // at 100 TB a selective dimension filter should reach the fact scan as
     // a runtime bloom filter, not be applied post-shuffle; the application
@@ -213,7 +216,6 @@ class PlanSpec extends SparkSpec {
         s"selective join did not inject a runtime bloom filter:\n$plan")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
-    }
     }
   }
 
@@ -843,11 +845,20 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
   }
 
-  test("scan fan-out: single-file scans gain a round-robin exchange; " +
-    "pruning and pushdown survive; tiny tables and the kill switch opt out") {
+  test("scan fan-out (round 9, opt-in): bare scans by default; kernel call " +
+    "sites gain a round-robin exchange; pruning/pushdown survive; tiny " +
+    "tables and the kill switch opt out") {
     import org.apache.spark.sql.functions.col
-    // documents (65 KB at sf0.001, one file = one scan task) fans out
-    val d = Tables.documents(spark, dir)
+    // DEFAULT: a plain table access stays a bare single-task scan —
+    // round 8's global fan-out added one exchange per table reference
+    // and regressed 320 small queries (round-8 verdict #1)
+    val bare = Tables.documents(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!bare.contains("RoundRobinPartitioning"),
+      s"plain scans must stay bare since round 9:\n$bare")
+    // OPT-IN: a kernel-heavy call site wraps its scan in Tables.fanOut
+    // (documents: 65 KB at sf0.001, one file = one scan task)
+    val d = Tables.fanOut(Tables.documents(spark, dir))
       .where(col("doc_id") % 7 === 0).select("text")
     val p = d.queryExecution.executedPlan.toString
     assert(p.contains("RoundRobinPartitioning"), s"fan-out missing:\n$p")
@@ -855,12 +866,17 @@ class PlanSpec extends SparkSpec {
     // references no key column, and filters push through Repartition)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
     assert(p.contains("PushedFilters: [IsNotNull(doc_id)"), p)
+    // a wired gate carries the exchange end-to-end
+    val chrf = executed("x_chrf")
+    assert(chrf.contains("RoundRobinPartitioning"),
+      s"x_chrf must fan out its gram kernel input:\n$chrf")
     // 5-row region stays put (≥16 KiB/partition floor)
-    val r = Tables.region(spark, dir).queryExecution.executedPlan.toString
+    val r = Tables.fanOut(Tables.region(spark, dir))
+      .queryExecution.executedPlan.toString
     assert(!r.contains("RoundRobinPartitioning"),
       s"tiny dimension table must not fan out:\n$r")
     // kill switch
-    val off = withoutFanout(Tables.documents(spark, dir))
+    val off = withoutFanout(Tables.fanOut(Tables.documents(spark, dir)))
       .queryExecution.executedPlan.toString
     assert(!off.contains("RoundRobinPartitioning"), off)
   }
