@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout with NO [info] prefix, and
+// sbt's [success] trailer is suppressed: `sbt "runMain graft.Bench"`
+// then ends with the bench's bare one-line JSON as the final stdout
+// line, which log-tail consumers can parse directly (the [info]-prefixed
+// tail defeated that parse in every previous round).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

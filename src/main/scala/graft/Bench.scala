@@ -191,7 +191,22 @@ object Bench {
     // BENCH_r03 lost its own total that way. This short LAST line always
     // survives, so the headline numbers are readable even when "parsed"
     // is null on the big line.
-    println(s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"isolated":${jmap(isolated.toMap)},"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"full":"target/bench.json"}""")
+    val shortJson = s"""{"metric":"total_short","value":$total,"unit":"sec","n_queries":${med.size},"sf":"$sfDir","contended":$contendedJson,"isolated":${jmap(isolated.toMap)},"failed":$failedJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"full":"target/bench.json"}"""
+    println(shortJson)
+    // Machine-readable drop (round-8 verdict #2): in 8 rounds the driver
+    // never parsed the stdout JSON (sbt prefixes/suffixes pollute the
+    // tail → PERF per_query empty every round). The short line also
+    // lands in a stable file so a reader never depends on log capture;
+    // build.sbt additionally forwards forked run output unprefixed and
+    // suppresses sbt's [success] trailer so the bare JSON is the final
+    // stdout line.
+    try {
+      val outS = java.nio.file.Paths.get("target/bench_short.json")
+      java.nio.file.Files.createDirectories(outS.getParent)
+      java.nio.file.Files.writeString(outS, shortJson + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_short.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
