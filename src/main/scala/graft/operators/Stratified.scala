@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   * Idiomatic deltas (same semantics, SURVEY §7.5): the full-outer-join-as-
   * set-union of the two sampled key frames is union().distinct(), and the
   * raw-report lookup is an explicit left_semi (the reference's inner join
-  * against a pre-distinct'd key frame is a semi-join by intent). sample()
-  * is seedable for reproducible corpora (the reference is intentionally
-  * non-reproducible — README.md:280-282).
+  * against a pre-distinct'd key frame is a semi-join by intent). The
+  * seeded draw is reproducible for test corpora (the reference is
+  * intentionally non-reproducible — README.md:280-282) and, since round
+  * 9, LAYOUT-INDEPENDENT: df.sample(fraction, seed) draws per partition,
+  * so any upstream repartition (e.g. the scan fan-out policy) changed
+  * which rows survive (round-8 verdict #4). The seeded path now keys a
+  * Bernoulli draw on row CONTENT via the engine's md5-hash uniform
+  * ([[HashSplit.sampleByHash]] — the same portable idiom DSIR/bootstrap/
+  * shuffle use), making the sample a pure function of (seed, chembl_id).
   */
 object Stratified {
 
@@ -28,7 +34,8 @@ object Stratified {
             (implicit spark: SparkSession): DataFrame = {
     val idCol = "chembl_id"
     def sampled(df: DataFrame): DataFrame = seed match {
-      case Some(s) => df.sample(sampleSize, s)
+      case Some(s) => HashSplit.sampleByHash(df,
+        concat_ws(":", lit("strat"), lit(s.toString), col(idCol)), sampleSize)
       case None => df.sample(sampleSize)
     }
     val significantChembls = sampled(significantFda.select(idCol).distinct())

@@ -125,7 +125,18 @@ class PipelineSpec extends SparkSpec {
     assert(sample.where(!(col("seriousnessdeath") <=> 1)).count() == 0)
     // sampled report ids all exist in the raw input
     val rawIds = raw.select("safetyreportid").collect().map(_.getString(0)).toSet
-    assert(sample.select("safetyreportid").collect().map(_.getString(0)).toSet
-      .subsetOf(rawIds))
+    val baseIds = sample.select("safetyreportid").collect()
+      .map(_.getString(0)).toSet
+    assert(baseIds.subsetOf(rawIds))
+    // LAYOUT-INDEPENDENT seeded draw (round-8 verdict #4): df.sample's
+    // partition-local RNG made the sample depend on upstream partition
+    // layout (the round-8 fan-out changed it, 11881 → 12310 rows); the
+    // md5-keyed draw must return the identical set under any repartition
+    val relaid = Stratified.sample(
+      clean.repartition(7), significant.repartition(3), raw, sampleSize = 0.5)
+      .select("safetyreportid").collect().map(_.getString(0)).toSet
+    assert(relaid == baseIds,
+      s"seeded sample must be a pure function of row content, " +
+        s"got ${relaid.size} vs ${baseIds.size} ids under repartition")
   }
 }
