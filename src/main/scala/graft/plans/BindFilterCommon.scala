@@ -64,6 +64,61 @@ object BindFilterCommon extends Rule[LogicalPlan] {
 
   private val MinCost = 40 // at least one regexp-class node, or a big tree
 
+  /** ANSI-safety guard (round-8 verdict #6 / advice): a bound def is
+    * evaluated UNCONDITIONALLY per row, but the ≥2-occurrence rule does
+    * not guarantee any occurrence is on the evaluated path — both copies
+    * can sit under different CASE WHEN guards, so some rows originally
+    * evaluated neither. Under ANSI mode (the Spark 4 default) hoisting a
+    * subtree that can THROW (string cast, division, element_at,
+    * integral/decimal overflow) past its guard can fail rows the
+    * original plan accepted. Total subtrees (regexp / split / digest /
+    * string kernels — the rule's actual targets) bind anywhere;
+    * can-throw subtrees bind only when at least one occurrence sits on
+    * the unconditional evaluation path (see [[unconditionalKeys]]).
+    */
+  private def mayThrowUnderAnsi(e: Expression): Boolean = e.exists {
+    case c: Cast =>
+      c.evalMode == EvalMode.ANSI && !Cast.canUpCast(c.child.dataType, c.dataType)
+    case b: BinaryArithmetic => b.evalMode == EvalMode.ANSI &&
+      (b.dataType match { // exact types throw on /0 and overflow; float/
+        case org.apache.spark.sql.types.DoubleType // double follow IEEE
+             | org.apache.spark.sql.types.FloatType => false
+        case _ => true
+      })
+    case _: ElementAt | _: GetArrayItem | _: Elt => true // invalid index
+    case _: Conv => true // overflow under ANSI (SPARK-36229)
+    case _ => false
+  }
+
+  /** Canonicalized subtrees with at least one occurrence on the
+    * UNCONDITIONAL evaluation path of `cond`: not under an If/CaseWhen
+    * branch (beyond the first predicate), a coalesce tail, or NaNvl's
+    * fallback. AND/OR conjuncts count as evaluated — the optimizer
+    * prepends isnotnull conjuncts to almost every pushed filter, so
+    * treating short-circuit as a guard would leave NO candidate
+    * unconditional; the speculative evaluation of a later conjunct is
+    * the rule's documented ≥2-occurrence trade-off, and the residual
+    * hazard (a can-throw HEAVY subtree repeated only behind a
+    * conjunct-guard like `x != 0 AND f(1/x) ...`) additionally needs the
+    * throwing node inside a ≥MinCost tree to bind at all.
+    */
+  private def unconditionalKeys(cond: Expression): Set[Expression] = {
+    val keys = scala.collection.mutable.Set[Expression]()
+    def walk(e: Expression): Unit = {
+      keys += e.canonicalized
+      e match {
+        case i: If => walk(i.predicate)
+        case cw: CaseWhen => walk(cw.branches.head._1)
+        case c: Coalesce => walk(c.children.head)
+        case n: NaNvl => walk(n.left)
+        case hof: HigherOrderFunction => hof.arguments.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(cond)
+    keys.toSet
+  }
+
   /** Subtrees eligible as binding candidates under `cond`, collected
     * OUTSIDE lambda scopes (a subtree under a lambda may reference the
     * lambda's variables; hoisting it to a projection would unbind
@@ -111,8 +166,11 @@ object BindFilterCommon extends Rule[LogicalPlan] {
   private def rewriteCond(cond: Expression): Option[Expression] = {
     val counts = scala.collection.mutable.Map[Expression, (Expression, Int)]()
     collect(cond, counts)
+    lazy val uncond = unconditionalKeys(cond)
     val repeated = counts.values
       .filter { case (e, n) => n >= 2 && cost(e) >= MinCost }
+      .filter { case (e, _) => !conf.ansiEnabled || !mayThrowUnderAnsi(e) ||
+        uncond.contains(e.canonicalized) }
       .map(_._1).toSeq
     if (repeated.isEmpty) return None
     val repeatedKeys = repeated.map(_.canonicalized).toSet

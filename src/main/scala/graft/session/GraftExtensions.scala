@@ -41,12 +41,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // "Pushdown Filters from PartitionPruning" batch. The post-hoc
     // resolution hook is the one extension point that hands us the
     // session, so the registration rides it; the returned rule is a
-    // no-op.
+    // no-op. The check-then-append is SYNCHRONIZED on the session
+    // (round-8 advice): concurrent first analyses on one session would
+    // otherwise race the read-modify-write and double-register or drop
+    // the rule. (User code that later ASSIGNS extraOptimizations still
+    // clobbers the registration — documented limitation of the
+    // experimental surface.)
     ext.injectPostHocResolutionRule { session =>
-      if (!session.experimental.extraOptimizations
-          .contains(graft.plans.BindFilterCommon))
-        session.experimental.extraOptimizations =
-          session.experimental.extraOptimizations :+ graft.plans.BindFilterCommon
+      session.synchronized {
+        if (!session.experimental.extraOptimizations
+            .contains(graft.plans.BindFilterCommon))
+          session.experimental.extraOptimizations =
+            session.experimental.extraOptimizations :+ graft.plans.BindFilterCommon
+      }
       new org.apache.spark.sql.catalyst.rules.Rule[
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
         override def apply(plan: org.apache.spark.sql.catalyst.plans.logical
