@@ -58,19 +58,13 @@ object SetSimJoin {
     * (doc_a, doc_b, inter, uni, jaccard). Exact — no false negatives,
     * verified against brute force in SetSimJoinSpec.
     */
-  def selfJoin(docs: DataFrame, textCol: String = "text",
-               tNum: Int = 7, tDen: Int = 10): DataFrame = {
-    require(tNum > 0 && tDen > 0 && tNum <= tDen,
-      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
-    // the token stream fans out FIVE ways (df census, size census, the
-    // ranked prefix, and both sides of the verification join) and the
-    // ranked prefix twice more — cache each once instead of re-running
-    // the normalize/tokenize/explode chain per reference (cache, not
-    // localCheckpoint: lineage stays visible to plan assertions, and
-    // concurrent first-fills at worst duplicate a partition's compute,
-    // which is the status quo ante). Standard AllPairs practice at any
-    // scale: the inverted token list is built once.
-    val tok = tokenRows(docs, textCol).cache()
+  /** Rarest-first ranked prefix rows over a (doc_id, tok) stream:
+    * per-doc rank under the global (df, tok) total order, kept while
+    * rn ≤ n − ⌈t·n⌉ + 1. Exposed private[graft] so the plan contract
+    * (doc-partitioned window, never global) stays assertable now that
+    * [[selfJoin]] truncates this subtree behind a localCheckpoint.
+    */
+  private[graft] def rankedPrefix(tok: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val dfc = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     val sz  = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // rarest-first rank inside each doc under the global (df, tok) total
@@ -78,8 +72,26 @@ object SetSimJoin {
     val ord = tok.join(dfc, "tok").join(sz, "doc_id")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-    val pref = ord.where(col("rn") <= col("n") - minOverlap(col("n"), tNum, tDen) + 1)
-      .cache()
+    ord.where(col("rn") <= col("n") - minOverlap(col("n"), tNum, tDen) + 1)
+  }
+
+  def selfJoin(docs: DataFrame, textCol: String = "text",
+               tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    // the token stream fans out FIVE ways (df census, size census, the
+    // ranked prefix, and both sides of the verification join) and the
+    // ranked prefix twice more — pin each once instead of re-running
+    // the normalize/tokenize/explode chain per reference. Lazy
+    // localCheckpoint, not cache (round-8 advice): cache() registers a
+    // session-global CacheManager entry that nothing here can unpersist
+    // (the result is lazy), leaking per invocation in a long-lived
+    // session; checkpoint blocks are dropped by the ContextCleaner once
+    // the frames are unreachable, and the truncated lineage also keeps
+    // the verification join's plan small. Standard AllPairs practice at
+    // any scale: the inverted token list is built once.
+    val tok = tokenRows(docs, textCol).localCheckpoint(false)
+    val pref = rankedPrefix(tok, tNum, tDen).localCheckpoint(false)
 
     val a = pref.select(col("tok"), col("doc_id").as("doc_a"),
       col("n").as("n_a"), col("rn").as("rn_a"))

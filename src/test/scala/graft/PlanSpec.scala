@@ -672,8 +672,16 @@ class PlanSpec extends SparkSpec {
     val p = executed("d_setsim_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"set-sim join must never go all-pairs:\n$p")
-    // per-doc prefix ranking is a doc-partitioned window, never global
-    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // per-doc prefix ranking is a doc-partitioned window, never global —
+    // selfJoin pins the prefix behind a lazy localCheckpoint (round-8
+    // advice: no CacheManager leak), which truncates it from the
+    // end-to-end plan string, so the window contract asserts on the
+    // prefix stage directly
+    val pref = graft.operators.SetSimJoin.rankedPrefix(
+      graft.operators.SetSimJoin.tokenRows(
+        Tables.documents(spark, dir).select("doc_id", "text")), 9, 10)
+    val specs = pref.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.nonEmpty && specs.forall(_.contains("doc_id#")),
       s"prefix rank window must partition by doc_id:\n${specs.mkString("\n")}")
   }
