@@ -5616,7 +5616,14 @@ object DataOpsQueries {
     // n_despan, and decon running after span is visible in which %10==0
     // survivors drop.
     "pipe_full" -> ((s, dir) => {
-      val raw = Tables.documents(s, dir)
+      // ONE kernel fan-out at the corpus root: every pipeline stage
+      // below (strip/quality regex chains, NB tokenize+hash train and
+      // score, shingling) is per-row kernel work that otherwise runs on
+      // the union of four single-partition scans (~4 tasks at any core
+      // count) — round 8's per-reference global fan-out was strictly
+      // worse (4 exchanges; suite-wide overhead), this is the
+      // call-site-scoped replacement
+      val raw = Tables.fanOut(Tables.documents(s, dir))
       val d = raw.select("doc_id", "text")
       val kt = TextAnalysis.kernelTokens(col("text"))
       val corpus = d
@@ -5680,7 +5687,10 @@ object DataOpsQueries {
     // near-match at the threshold, and survivors carry no duplicate
     // fingerprints (in-batch collapse).
     "pipe_increment" -> ((s, dir) => {
-      val raw = Tables.documents(s, dir)
+      // same corpus-root kernel fan-out as pipe_full: the increment
+      // cleaning head and the corpus fingerprint/signature-index builds
+      // are all per-row kernels over single-partition scans
+      val raw = Tables.fanOut(Tables.documents(s, dir))
       val corpus = raw.select("doc_id", "text")
       val fps = corpus.select(TextAnalysis.fingerprint(col("text")).as("fp"))
         .distinct().cache()

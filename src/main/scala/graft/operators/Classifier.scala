@@ -49,12 +49,19 @@ object Classifier {
   def trainNaiveBayes(positive: DataFrame, negative: DataFrame,
                       buckets: Int = 4096,
                       textCol: String = "text"): DataFrame = {
+    // each ≤`buckets`-row census is referenced TWICE below (the
+    // full_outer model join AND its class-total broadcast subquery), and
+    // broadcast subqueries re-execute their subtree — pin each census
+    // once (round 9, guide §5) so the tokenize+hash pass over each seed
+    // corpus runs once per class, not twice
     val pCensus = Dsir.featureRows(positive, textCol)
       .groupBy(Dsir.featureBucket(col("t"), buckets).as("b"))
       .agg(count(lit(1)).as("cp"))
+      .localCheckpoint(false)
     val nCensus = Dsir.featureRows(negative, textCol)
       .groupBy(Dsir.featureBucket(col("t"), buckets).as("b"))
       .agg(count(lit(1)).as("cn"))
+      .localCheckpoint(false)
     val pTot = pCensus.agg(coalesce(sum(col("cp")), lit(0L)).as("cptot"))
     val nTot = nCensus.agg(coalesce(sum(col("cn")), lit(0L)).as("cntot"))
     pCensus.join(nCensus, Seq("b"), "full_outer")

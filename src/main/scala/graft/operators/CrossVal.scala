@@ -20,13 +20,21 @@ import org.apache.spark.sql.functions._
   * training census, prior, score sum and the rank-sum AUC replays in
   * SQL — the gate is hash-exact despite "training" happening k times.
   *
-  * 100 TB shape: k × (two ≤`buckets`-row training censuses + one
-  * doc-grain score shuffle over 1/k of the corpus) + one score-census
-  * AUC — everything partial-aggregated, the weight tables broadcast,
-  * nothing driver-side. The base frame is localCheckpointed once: it is
-  * referenced 3k+1 times below and re-deriving the lineage per fold
-  * would multiply the upstream plan k-fold (the pipeline's documented
-  * lineage hazard).
+  * 100 TB shape (round 9 — hoist the fold-invariant census, the
+  * PageRank-loop pattern per round-8 verdict #7): the k per-fold
+  * training censuses are all marginals of ONE (bucket, fold, class)
+  * census, so the corpus is tokenized ONCE for training (plus once for
+  * scoring) instead of k×(k−1)/k times — fold i's training count per
+  * bucket is the sum over the other folds, an exact integer identity,
+  * and the weight chain evaluates the identical double expression on
+  * identical longs, so every gate stays hash-exact. Buckets unseen in
+  * the training folds are dropped (cp = cn = 0), exactly reproducing
+  * the old per-fold full_outer census join's row set. Everything stays
+  * partial-aggregated; the ≤ k·2·buckets census is localCheckpointed
+  * once and every per-fold model/total derives from it. The base frame
+  * is localCheckpointed once: it is referenced 3k+1 times below and
+  * re-deriving the lineage per fold would multiply the upstream plan
+  * k-fold (the pipeline's documented lineage hazard).
   */
 object CrossVal {
 
@@ -42,13 +50,44 @@ object CrossVal {
           col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
           lit(folds.toLong)))
       .localCheckpoint(true)
+    // ONE tokenize pass + one (bucket, fold, class) census; the doc→
+    // (fold, label) map broadcasts onto the feature stream (doc-grain,
+    // bounded), so the stream itself is never shuffled pre-aggregation
+    val censusAll = Dsir.featureRows(base, "text")
+      .select(col("doc_id"), Dsir.featureBucket(col("t"), buckets).as("b"))
+      .join(broadcast(base.select("doc_id", "fold", "label")), Seq("doc_id"))
+      .groupBy("b", "fold", "label").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // fold i's training census/totals = sums over the OTHER folds —
+    // same longs trainNaiveBayes counted directly, same double chain
+    def modelFor(i: Int): DataFrame = {
+      val counts = censusAll.groupBy("b")
+        .agg(sum(when(col("fold") =!= i && col("label"), col("c"))
+            .otherwise(0L)).as("cp"),
+          sum(when(col("fold") =!= i && !col("label"), col("c"))
+            .otherwise(0L)).as("cn"))
+        // a bucket enters the model iff seen in EITHER training class —
+        // the old full_outer join materialized exactly these rows
+        .where(col("cp") > 0 || col("cn") > 0)
+      val cpTot = censusAll.agg(coalesce(sum(when(
+        col("fold") =!= i && col("label"), col("c"))), lit(0L)).as("cptot"))
+      val cnTot = censusAll.agg(coalesce(sum(when(
+        col("fold") =!= i && !col("label"), col("c"))), lit(0L)).as("cntot"))
+      counts.crossJoin(broadcast(cpTot)).crossJoin(broadcast(cnTot))
+        .withColumn("w_micro",
+          round(log10((col("cp").cast("double") + 1.0d)
+              * (col("cntot").cast("double") + buckets.toDouble)
+            / ((col("cn").cast("double") + 1.0d)
+              * (col("cptot").cast("double") + buckets.toDouble))) * 1e6)
+            .cast("long"))
+        .select("b", "w_micro")
+    }
     val scored = (0 until folds).map { i =>
       val train = base.where(col("fold") =!= i)
       val pos = train.where(col("label"))
       val neg = train.where(!col("label"))
       val test = base.where(col("fold") === i)
-      Classifier.score(test,
-          Classifier.trainNaiveBayes(pos, neg, buckets),
+      Classifier.score(test, modelFor(i),
           Classifier.classPrior(pos, neg), buckets)
         .join(test.select("doc_id", "label"), Seq("doc_id"))
         .withColumn("fold", lit(i.toLong))

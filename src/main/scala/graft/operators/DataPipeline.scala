@@ -109,8 +109,13 @@ object DataPipeline {
     seeds match {
       case None => cleaned
       case Some((pos, neg)) =>
-        Classifier.filterByClassifier(cleaned, pos, neg, cfg.classifierMargin,
-          cfg.classifierBuckets)
+        // pin the regex head once (round 9, guide §5/§7.2): the filter
+        // references `cleaned` TWICE (the candidates side of the semi
+        // join AND the score stream inside scoreAgainst), so without a
+        // pin the strip→quality→boilerplate chain — the pipeline's
+        // dominant per-row cost — evaluates twice per materialization
+        Classifier.filterByClassifier(cleaned.localCheckpoint(false),
+          pos, neg, cfg.classifierMargin, cfg.classifierBuckets)
     }
   }
 

@@ -68,12 +68,18 @@ object Dsir {
     */
   def bucketLogRatios(target: DataFrame, raw: DataFrame, buckets: Int,
                       textCol: String = "text"): DataFrame = {
+    // each ≤`buckets`-row census is referenced twice (ratio join + total
+    // broadcast subquery, which re-executes its subtree) — pin once so
+    // each corpus is tokenized once (round 9, guide §5; the
+    // trainNaiveBayes fix's twin)
     val tCensus = featureRows(target, textCol)
       .groupBy(featureBucket(col("t"), buckets).as("b"))
       .agg(count(lit(1)).as("ct"))
+      .localCheckpoint(false)
     val rCensus = featureRows(raw, textCol)
       .groupBy(featureBucket(col("t"), buckets).as("b"))
       .agg(count(lit(1)).as("cr"))
+      .localCheckpoint(false)
     val tTot = tCensus.agg(coalesce(sum(col("ct")), lit(0L)).as("ctot"))
     val rTot = rCensus.agg(coalesce(sum(col("cr")), lit(0L)).as("crtot"))
     rCensus.join(tCensus, Seq("b"), "left_outer")
