@@ -127,7 +127,13 @@ object Scc {
           val jump = cur.as("a")
             .join(cur.as("b"), col("a.c") === col("b.n"))
             .select(col("a.n").as("n"), col("b.c").as("c"))
-          cur.unionAll(cand).unionAll(jump).groupBy("n").agg(min("c").as("c"))
+          // no `cur` branch in the union (round 9, guide §2.3 — ~|V|
+          // fewer rows shuffled per round): the jump emits (n, c(c(n)))
+          // for EVERY node (labels are remNodes ids, so c(n) always
+          // matches a cur row), and labels are monotone non-increasing
+          // from identity, so c(c(n)) ≤ c(n) — the current label is
+          // dominated, never lost, and per-round values are unchanged
+          cand.unionAll(jump).groupBy("n").agg(min("c").as("c"))
         }
 
         // 3. SWEEP: backward min-label within the color class (edges
@@ -148,7 +154,9 @@ object Scc {
           val jump = cur.as("a")
             .join(cur.as("b"), col("a.c") === col("b.n"))
             .select(col("a.n").as("n"), col("b.c").as("c"))
-          cur.unionAll(step).unionAll(jump).groupBy("n").agg(min("c").as("c"))
+          // same `cur`-branch elimination as the coloring relax: the
+          // jump covers every node and d(d(u)) ≤ d(u) by monotonicity
+          step.unionAll(jump).groupBy("n").agg(min("c").as("c"))
         }
 
         // 4. PEEL: d(u) = c(u) ⇔ u reaches its class root ⇔ u ∈ SCC(root)
