@@ -78,12 +78,14 @@ object KnnShapley {
           .cast("long").as("d2"),
         when(col("lbl") === col("t_lbl"), 1L).otherwise(0L).as("ind"))
 
-    // contiguous (t_id, d2, id) slices; cached — the offset census,
-    // carry census and final pass must see the same range bounds
+    // contiguous (t_id, d2, id) slices; pinned once (lazy localCheckpoint,
+    // not cache — no session-global CacheManager entry to leak, blocks
+    // drop with the frame) — the offset census, carry census and final
+    // pass must see the same range bounds
     val sharded = pairs
       .repartitionByRange(shards, col("t_id"), col("d2"), col("id"))
       .withColumn("_shard", spark_partition_id())
-      .cache()
+      .localCheckpoint(false)
     val localW = Window.partitionBy("t_id", "_shard")
       .orderBy(col("d2"), col("id"))
 
@@ -91,18 +93,34 @@ object KnnShapley {
     import spark.implicits._
 
     // pass 1 census: per (test, shard) counts -> global rank offsets + N
-    // (driver traffic is (panel x shards) rows by construction)
-    val cnts = sharded.groupBy("t_id", "_shard").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // (driver traffic is (panel x shards) rows by construction). The
+    // rank-N indicator rides the SAME census (per-shard max struct,
+    // folded to the global max on the driver — the globally farthest
+    // (d2, id) row is rank N) instead of a second aggregation pass over
+    // the pinned pairs + a broadcast join.
+    val cnts = sharded.groupBy("t_id", "_shard")
+      .agg(count(lit(1)).as("c"),
+        max(struct(col("d2"), col("id"), col("ind"))).as("_mx"))
+      .collect().map { r =>
+        val mx = r.getStruct(3)
+        (r.getLong(0), r.getInt(1), r.getLong(2),
+          (mx.getLong(0), mx.getLong(1), mx.getLong(2)))
+      }
     val nByTest = cnts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     nByTest.foreach { case (t, n) =>
       require(n >= 2, s"test $t has $n training rows; need >= 2") }
+    // ind of the lexicographic-max (d2, id, ind) across shards == the
+    // struct-max the dropped whole-frame aggregate computed ((d2, id)
+    // is unique per test, so the ind field never decides the max)
+    val indNByTest = cnts.groupBy(_._1).view
+      .mapValues(_.map(_._4).max._3).toMap
     val offDf = broadcast(cnts.groupBy(_._1).iterator.flatMap {
       case (t, rows) =>
         val sorted = rows.sortBy(_._2)
         sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
-          .map { case (s, off) => (t, s, off, nByTest(t)) }
-    }.toSeq.toDF("t_id", "_shard", "_off", "n"))
+          .map { case (s, off) =>
+            (t, s, off, nByTest(t), indNByTest(t)) }
+    }.toSeq.toDF("t_id", "_shard", "_off", "n", "ind_n"))
 
     // global rank, the micro coefficients, and the suffix payload g
     def cM(j: Column): Column =
@@ -125,21 +143,16 @@ object KnnShapley {
           .map { case (s, c) => (t, s, c) }
     }.toSeq.toDF("t_id", "_shard", "_carry"))
 
-    // the rank-N indicator per test: a panel-sized broadcast frame.
-    // Derived by a struct-max aggregate (globally farthest (d2, id) is
-    // the rank-N row), not by filtering `ranked` — keeps the final plan
-    // free of a ranked-vs-ranked self-join.
-    val lastInd = sharded.groupBy("t_id")
-      .agg(max(struct(col("d2"), col("id"), col("ind"))).as("_last"))
-      .select(col("t_id"), col("_last.ind").as("ind_n"))
-
+    // the rank-N indicator per test (`ind_n`) already rides offDf —
+    // derived on the driver from the pass-1 census struct-max, so the
+    // final plan needs neither a whole-frame aggregate nor an extra
+    // broadcast join for it
     val sufW = localW.rowsBetween(1, Window.unboundedFollowing)
     val valued = ranked
       .withColumn("suffix",
         coalesce(sum(col("g")).over(sufW), lit(0L)))
       .join(carryDf, Seq("t_id", "_shard"))
       .withColumn("suffix", col("suffix") + col("_carry"))
-      .join(broadcast(lastInd), Seq("t_id"))
       .withColumn("s_micro",
         when(col("j") === col("n"),
           col("ind_n") * round(lit(1e6) / col("n").cast("double"))

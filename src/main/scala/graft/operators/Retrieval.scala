@@ -185,34 +185,43 @@ object Retrieval {
   /** Exact phrase search over a POSITIONAL inverted index — the
     * "quoted query" feature BM25's bag-of-words scoring cannot express:
     * a doc matches where its terms appear CONSECUTIVELY in query
-    * order. Classic positional-postings algebra: each query term
-    * carries its offset; joining postings on the term and grouping on
-    * (query, doc, pos − offset) makes a phrase occurrence exactly a
-    * group whose distinct-offset count equals the query length — pure
-    * integer arithmetic, no string re-scan of any document.
+    * order.
+    *
+    * Shape (round 9, guide §2.3/§2.4): the candidate pass is classic
+    * positional-postings algebra — each query anchors on its RAREST
+    * term, so candidates are bounded by that term's df — but the
+    * verification pass is DOC-GRAIN, not token-grain: the doc's token
+    * array is sliced at the candidate base and compared to the query's
+    * token array in one equi-join on doc_id. The previous plan shuffled
+    * the ENTIRE corpus token stream by a (doc, term, pos) 3-part key
+    * and re-counted matched offsets per candidate (two more exchanges
+    * + an aggregation); slice-equality is the same check with the
+    * tokens moving once, as arrays, on the 1-part key.
     *
     * Output: (query_id, doc_id, n_hits — phrase occurrence count,
     * rank ≤ topK by (n_hits desc, doc_id asc)).
     *
-    * 100 TB shape: the positional postings census is corpus-token-grain
-    * built with one partial-agg-free explode (positions ARE the data);
-    * query terms equi-join onto it, fan-out bounded by each term's df
-    * like [[bm25TopK]] — the rarest term of a phrase prunes the
-    * candidate set at the (q, d, base) group stage, and the same
-    * `maxDfFrac`-style cap composes if phrase terms are ubiquitous.
+    * 100 TB shape: one tokenize pass (the checkpointed doc-grain token
+    * arrays feed the df census, the anchor join and the verification);
+    * query-side frames are panel-sized and broadcast; the only
+    * corpus-scale shuffles are the postings census and the doc_id
+    * verification join, whose probe side the rarest-term df bounds.
+    * Queries are one row per query_id (same contract as before — the
+    * offset-count check assumed it too).
     */
   def phraseSearch(queries: DataFrame, docs: DataFrame, topK: Int,
                    textCol: String = "text"): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val postings = docs.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-        .as(Seq("pos", "term")))
+    val docToks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("dtoks"))
       .localCheckpoint()
-    val qterms = queries.select(col("query_id"),
-      posexplode(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
-        .as(Seq("off", "term")))
+    val postings = docToks.select(col("doc_id"),
+      posexplode(col("dtoks")).as(Seq("pos", "term")))
+    val qArr = queries.select(col("query_id"),
+      TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("qtoks"))
       .localCheckpoint()
-    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    val qterms = qArr.select(col("query_id"),
+      posexplode(col("qtoks")).as(Seq("off", "term")))
     // The classic phrase-query optimization: anchor each query on its
     // RAREST term (postings census join + per-query argmin), so the
     // candidate set is bounded by that term's df — not the sum of every
@@ -229,18 +238,16 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("_aoff")).as("base"))
       .where(col("base") >= 0)
-    // verify: every query offset must find its term at base + off —
-    // anchor-bounded equi-join on (doc, term, pos)
-    val occurrences = anchors.join(qterms, Seq("query_id"))
-      .withColumn("_vp", col("base") + col("off"))
-      .join(postings.select(col("doc_id"), col("term"),
-        col("pos").as("_vp")),
-        Seq("doc_id", "term", "_vp"))
-      .groupBy(col("query_id"), col("doc_id"), col("base"))
-      .agg(count(lit(1)).as("matched"))
-      .join(qlen, "query_id")
-      .where(col("matched") === col("qlen"))
-    val hits = occurrences.groupBy("query_id", "doc_id")
+    // verify: the doc's token slice at base must equal the whole query
+    // array (slice is 1-based; a slice running past the end comes back
+    // short and the equality fails, which is exactly the old
+    // matched-offsets-out-of-range behavior)
+    val hits = anchors
+      .join(qArr, Seq("query_id"))
+      .join(docToks, Seq("doc_id"))
+      .where(slice(col("dtoks"), col("base") + 1, size(col("qtoks")))
+        === col("qtoks"))
+      .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hits"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("n_hits").desc, col("doc_id").asc)

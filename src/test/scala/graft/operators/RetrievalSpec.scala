@@ -119,6 +119,26 @@ class RetrievalSpec extends SparkSpec {
       s"apple apple: three adjacent pairs in doc 2: $out")
   }
 
+  test("phraseSearch: candidates past the doc end or before its start " +
+      "never match (doc-grain slice verification edges)") {
+    // df(kiwi)=2 < df(lime)=3, so "lime kiwi" anchors on kiwi at offset 1:
+    // doc 7's kiwi sits at position 0 → base = −1 (before-start candidate,
+    // must be rejected); doc 8 holds the genuine run. "kiwi lime lime"
+    // anchors on kiwi at offset 0: every candidate slice overruns its
+    // doc's end (docs 7/8 are 2 tokens) and must be rejected.
+    val extra = docs.unionByName(Seq(
+      (7L, "kiwi lime"), (8L, "lime kiwi"), (9L, "lime zest"))
+      .toDF("doc_id", "text"))
+    val hit = Retrieval.phraseSearch(queries(401L -> "lime kiwi"), extra,
+        topK = 10)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSet
+    assert(hit == Set((8L, 1L)), s"only doc 8 holds the exact run: $hit")
+    val none = Retrieval.phraseSearch(queries(402L -> "kiwi lime lime"),
+      extra, topK = 10).collect()
+    assert(none.isEmpty,
+      s"a window overrunning every doc's end must not match: ${none.toSeq}")
+  }
+
   test("phraseSearch ranks by occurrence count with doc tiebreak") {
     val queries = Seq((301L, "fig grape")).toDF("query_id", "text")
     val extra = docs.unionByName(Seq((6L, "fig grape")).toDF("doc_id", "text"))
