@@ -43,8 +43,12 @@ object ConnectedComponents {
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "ConnectedComponents.assign(reliable = true) needs a checkpoint " +
         "directory: call spark.sparkContext.setCheckpointDir(<path>) first")
+    // LAZY checkpoints (the [[Scc]] discipline): every ckpt() result is
+    // immediately consumed by signature(), which materializes the
+    // checkpoint in the SAME job — eager paid a second, redundant
+    // driver-synced job per round, and rounds are the cost driver here
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))

@@ -42,7 +42,10 @@ object KCore {
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-      val keep = deg.where(col("d") >= k).select("src").localCheckpoint()
+      // LAZY checkpoint: the count() right below materializes it in the
+      // same job (eager paid a second, redundant driver-synced job per
+      // peel round); the two semi-joins then read the pinned blocks
+      val keep = deg.where(col("d") >= k).select("src").localCheckpoint(false)
       val n = keep.count()
       if (n == prev) converged = true
       else {
