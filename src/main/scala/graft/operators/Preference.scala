@@ -94,12 +94,16 @@ object Preference {
         .select(col("item"),
           greatest(lit(1L), expr(divRound(s"wins * ${M * M}", "s_micro")))
             .as("raw_micro"))
-      val rawCp = raw.localCheckpoint() // also serves the scalar total below
+      // LAZY pins (the Scc/CC discipline): the total's head() right
+      // below materializes rawCp in the same job, and p's trivial
+      // projection over the pinned blocks materializes inside the next
+      // round's action — 3 driver-synced jobs per MM round become 1
+      val rawCp = raw.localCheckpoint(false) // also serves the scalar total
       val total = rawCp.agg(sum("raw_micro")).as[Long].head()
       p = rawCp.select(col("item"),
           greatest(lit(1L), expr(divRound(s"raw_micro * $M", total.toString)))
             .as("p_micro"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       r += 1
     }
     items.join(p, "item").select("item", "p_micro", "wins", "games")
