@@ -67,11 +67,14 @@ object Boost {
     val f = features.size
     val binCols = features.zipWithIndex.map { case ((c, lo, hi), i) =>
       DecisionTree.binColumn(c, lo, hi, bins).as(s"_b$i") }
+    // LAZY pins throughout (the Scc/CC discipline): each round's census
+    // collect() materializes the current weight frame in the same job,
+    // so a boosting round costs one driver-synced job, not two
     var cur = df.select(binCols :+
         label.cast("boolean").cast("long").as("_y"): _*)
       .where(col("_y").isNotNull)
       .withColumn("_w", lit(1000000L))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[Stump]
     var r = 1
@@ -119,7 +122,7 @@ object Boost {
             when(pred === col("_y"),
               greatest(lit(1L), idiv(col("_w") * beta, lit(1000000L))))
               .otherwise(col("_w")))
-            .localCheckpoint()
+            .localCheckpoint(false)
         case _ => stopped = true
       }
       r += 1

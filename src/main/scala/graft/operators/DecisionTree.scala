@@ -80,10 +80,12 @@ object DecisionTree {
     val f = features.size
     val binCols = features.zipWithIndex.map { case ((c, lo, hi), i) =>
       binColumn(c, lo, hi, bins).as(s"_b$i") }
+    // lazy pin: level 0's census collect() materializes it in the same
+    // job (eager paid a separate up-front materialization job)
     val base = df.select(binCols :+
         label.cast("boolean").cast("long").as("_y"): _*)
       .where(col("_y").isNotNull)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[TreeNode]
     var assigned = base.withColumn("_node", lit(1L))
