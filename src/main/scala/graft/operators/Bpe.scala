@@ -114,10 +114,15 @@ object Bpe {
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
             checkpointEvery: Int = 8, byteLevel: Boolean = false): BpeResult = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // LAZY pins: each merge round's top-pair collect() materializes the
+    // current word frame in the same job (the eager pins paid an extra
+    // driver-synced job at init and at every checkpointEvery boundary);
+    // the frame has one sequential consumer per round, so nothing is
+    // ever computed twice
     var words = wordCensus(docs, textCol)
       .select(col("word"), col("freq"),
         symbolize(col("word"), byteLevel).as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var i = 0
     while (i < nMerges) {
@@ -132,7 +137,7 @@ object Bpe {
         trim(replace(concat(lit(" "), col("syms"), lit(" ")),
           lit(s" $l $r "), lit(s" ${l + r} "))))
       i += 1
-      if (i % checkpointEvery == 0) words = words.localCheckpoint()
+      if (i % checkpointEvery == 0) words = words.localCheckpoint(false)
     }
     BpeResult(merges.toSeq, words)
   }
