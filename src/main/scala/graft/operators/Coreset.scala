@@ -58,7 +58,7 @@ object Coreset {
     import spark.implicits._
     val q = Quantize.int8(emb, idCol, vecCol)
       .select(col(idCol).cast("long").as("vec_id"), col("qvec"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the seed head() below materializes it
 
     val seedRow = q.orderBy(col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("qvec")).head()
@@ -74,7 +74,7 @@ object Coreset {
       picks += ((i.toLong, top.getLong(0), top.getLong(1)))
       state = state.withColumn("d2min",
         least(col("d2min"), d2To(col("qvec"), top.getSeq[Int](2))))
-      if (i % 8 == 0) state = state.localCheckpoint()
+      if (i % 8 == 0) state = state.localCheckpoint(false) // next head() fills it
       i += 1
     }
     picks.toSeq.toDF("rank", "vec_id", "d2_sel")

@@ -45,7 +45,7 @@ object Platt {
       .groupBy("sm")
       .agg(sum(col("y")).as("np"),
         sum(lit(1L) - col("y")).as("nn"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the totals head() below materializes it
     val tot = census.agg(sum("np"), sum("nn")).head()
     val nPos = tot.getLong(0)
     val nNeg = tot.getLong(1)

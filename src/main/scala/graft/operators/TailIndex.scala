@@ -35,7 +35,7 @@ object TailIndex {
   def hill(df: DataFrame, value: Column, k: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = df.select(value.cast("long").as("v")).where(col("v") > 0)
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count() below materializes it
     val n = v.count()
     require(k < n, s"k=$k must be < n=$n positive values")
     val t = HistQuantile.exactKth(v, col("v"), n - k).head().getLong(2)
